@@ -122,6 +122,29 @@ class Engine:
             tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
         if self.cfg.enable_entropy_detection:
             tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
+        if evidence_path is not None and any(
+            ft.type_id == "sqlite" for ft in self.cfg.file_types
+        ):
+            from swiftbeaver_spark.parsers.browser import extract_browser_tables
+            from swiftbeaver_spark.parsers.sqlite_pages import recover_history_from_pages
+
+            carved_sqlite = carved.where(F.col("file_type") == "sqlite")
+            browser = extract_browser_tables(carved_sqlite, evidence_path)
+            history = browser["browser_history"]
+            if self.cfg.enable_sqlite_page_recovery:
+                # recovery augments history for DBs whose intact parse found
+                # nothing (reference gates per-DB on 0 rows,
+                # src/pipeline/workers.rs:300-368): anti-join on source_file
+                recovered = recover_history_from_pages(carved_sqlite, evidence_path)
+                parsed_sources = history.select("source_file").distinct()
+                history = history.unionByName(
+                    recovered.join(parsed_sources, "source_file", "left_anti").select(
+                        *[f.name for f in schemas.BROWSER_HISTORY.fields]
+                    )
+                )
+            tables["browser_history"] = history
+            tables["browser_cookies"] = browser["browser_cookies"]
+            tables["browser_downloads"] = browser["browser_downloads"]
         tables["run_summary"] = self.run_summary(tables)
         return RunResult(tables)
 

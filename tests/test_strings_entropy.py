@@ -1,0 +1,169 @@
+"""String/artefact and entropy pipeline tests (FIXTURES.md §4/§5,
+mirroring reference src/strings/mod.rs:324-435 and src/entropy.rs:93-112)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.chunking import chunks_from_bytes
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.entropy import entropy_regions
+from swiftbeaver_spark.strings_scan import (
+    enrich_emails,
+    enrich_urls,
+    is_plausible_phone,
+    normalize_email,
+    normalize_url,
+    scan_string_artefacts,
+    scan_string_spans,
+)
+
+STR_CFG = dataclasses.replace(
+    DEFAULT_CONFIG, enable_string_scan=True, string_scan_utf16=True
+)
+
+
+def _artefacts(spark, data: bytes, cfg=STR_CFG):
+    chunks = chunks_from_bytes(spark, data, chunk_size=1 << 20, overlap=0)
+    spans = scan_string_spans(chunks, cfg)
+    return scan_string_artefacts(spans, cfg).collect()
+
+
+def test_url_and_email(spark):
+    rows = _artefacts(spark, b"visit https://example.com and mail test@example.com ok")
+    kinds = {(r.artefact_kind, r.content) for r in rows}
+    assert ("Url", "https://example.com") in kinds
+    assert ("Email", "test@example.com") in kinds
+
+
+def test_url_trailing_punct_trimmed(spark):
+    rows = _artefacts(spark, b"see (https://example.com/login), thanks")
+    urls = [r.content for r in rows if r.artefact_kind == "Url"]
+    assert urls == ["https://example.com/login"]
+
+
+def test_email_trailing_dot_trimmed(spark):
+    rows = _artefacts(spark, b"contact user@example.com. end")
+    emails = [r.content for r in rows if r.artefact_kind == "Email"]
+    assert emails == ["user@example.com"]
+
+
+def test_phone_plausibility(spark):
+    # reference test (src/strings/mod.rs:365-374) asserts the 415 number
+    # survives and the low-entropy 0000000000 is filtered; the leading '+'
+    # is not captured by the reference regex either (\b\+? after a space)
+    rows = _artefacts(spark, b"0000000000 bad +1 (415) 555-1234 good")
+    phones = [r.content for r in rows if r.artefact_kind == "Phone"]
+    assert any("415" in p for p in phones)
+    assert not any(p.startswith("0000") for p in phones)
+
+
+def test_utf16le_url(spark):
+    data = b"\x00\x00" + "https://example.com".encode("utf-16-le") + b"\x00\x00"
+    rows = _artefacts(spark, data)
+    urls = [(r.content, r.encoding) for r in rows if r.artefact_kind == "Url"]
+    assert ("https://example.com", "utf-16le") in urls
+
+
+def test_utf8_span_detected(spark):
+    cfg = dataclasses.replace(STR_CFG, string_min_len=4)
+    chunks = chunks_from_bytes(spark, b"\x00\x00caf\xc3\xa9\x00\x00", 1 << 20, 0)
+    spans = scan_string_spans(chunks, cfg).collect()
+    utf8 = [s for s in spans if s.encoding == "utf-8"]
+    assert len(utf8) == 1
+    assert utf8[0].content == "café"
+    assert utf8[0].byte_length == 5
+
+
+def test_min_len_split(spark):
+    cfg = dataclasses.replace(STR_CFG, string_min_len=4, string_max_len=1024)
+    chunks = chunks_from_bytes(spark, b"abc\x00defg\nxyz", 1 << 20, 0)
+    spans = scan_string_spans(chunks, cfg).collect()
+    assert [(s.global_start, s.byte_length) for s in spans] == [(4, 4)]
+
+
+def test_max_len_split(spark):
+    cfg = dataclasses.replace(STR_CFG, string_min_len=4, string_max_len=4)
+    chunks = chunks_from_bytes(spark, b"\x00abcdefgh\x00", 1 << 20, 0)
+    spans = scan_string_spans(chunks, cfg).collect()
+    assert [(s.global_start, s.byte_length) for s in spans] == [(1, 4), (5, 4)]
+
+
+def test_normalizers():
+    assert normalize_url("https://example.com/x),") == "https://example.com/x"
+    assert normalize_url("https://nodot") is None
+    assert normalize_url("ftp://example.com") is None
+    assert normalize_email("user@example.com.") == "user@example.com"
+    assert normalize_email("u@x") is None
+    assert is_plausible_phone("+1 (415) 555-1234")
+    assert not is_plausible_phone("0000000000")
+    assert not is_plausible_phone("123")
+
+
+def test_artefact_positions(spark):
+    data = b"\x00\x00ab https://example.com xy"
+    rows = _artefacts(spark, data)
+    url = [r for r in rows if r.artefact_kind == "Url"][0]
+    assert url.global_start == 5
+    assert url.global_end == 5 + len("https://example.com") - 1
+
+
+def test_enriched_projections(spark):
+    data = b"x https://example.com:8080/path?q=1#frag y bob@mail.example.org z"
+    chunks = chunks_from_bytes(spark, data, 1 << 20, 0)
+    spans = scan_string_spans(chunks, STR_CFG)
+    arts = scan_string_artefacts(spans, STR_CFG)
+    url = enrich_urls(arts).collect()[0]
+    assert (url.scheme, url.host, url.port, url.path) == ("https", "example.com", 8080, "/path")
+    assert url.query == "q=1" and url.fragment == "frag"
+    email = enrich_emails(arts).collect()[0]
+    assert (email.local_part, email.domain) == ("bob", "mail.example.org")
+
+
+ENT_CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    enable_entropy_detection=True,
+    entropy_window_size=256,
+    entropy_threshold=7.5,
+)
+
+
+def test_entropy_full_range(spark):
+    data = bytes(range(256))
+    regions = entropy_regions(chunks_from_bytes(spark, data, 1 << 20, 0), ENT_CFG).collect()
+    assert len(regions) == 1
+    r = regions[0]
+    assert (r.global_start, r.global_end, r.entropy, r.window_size) == (0, 255, 8.0, 256)
+
+
+def test_entropy_zeros_no_regions(spark):
+    cfg = dataclasses.replace(ENT_CFG, entropy_threshold=7.0)
+    regions = entropy_regions(chunks_from_bytes(spark, b"\x00" * 1024, 1 << 20, 0), cfg).collect()
+    assert regions == []
+
+
+def test_entropy_gap_two_regions(spark):
+    win = bytes(range(256))
+    data = win + b"\x00" * 256 + win
+    regions = (
+        entropy_regions(chunks_from_bytes(spark, data, 1 << 20, 0), ENT_CFG)
+        .orderBy("global_start")
+        .collect()
+    )
+    assert [(r.global_start, r.global_end) for r in regions] == [(0, 255), (512, 767)]
+
+
+def test_entropy_adjacent_merge(spark):
+    win = bytes(range(256))
+    data = win + win[::-1]
+    regions = entropy_regions(chunks_from_bytes(spark, data, 1 << 20, 0), ENT_CFG).collect()
+    assert [(r.global_start, r.global_end) for r in regions] == [(0, 511)]
+
+
+def test_entropy_merges_across_chunks(spark):
+    win = bytes(range(256))
+    data = win * 8  # 2048 bytes, chunked at 1024
+    regions = entropy_regions(chunks_from_bytes(spark, data, 1024, 64), ENT_CFG).collect()
+    assert [(r.global_start, r.global_end) for r in regions] == [(0, 2047)]
