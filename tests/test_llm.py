@@ -1,0 +1,196 @@
+"""LLM-pipeline operator tests over the driver-generated testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_near_dups,
+)
+from swiftbeaver_spark.llm.multimodal import extract_media_meta, fake_feature
+from swiftbeaver_spark.llm.similarity import brute_force_topk, lsh_topk
+from swiftbeaver_spark.llm.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_count_bpe_like,
+    token_count_whitespace,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_with_planted_dupes(spark, documents):
+    dup = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    with_dupes = documents.unionByName(dup)
+    groups = exact_dedup(with_dupes)
+    assert groups.where(F.col("n_copies") == 2).count() == 5
+    # keep_id is always the original (lower) id
+    assert groups.where(F.col("n_copies") == 2).where(F.col("keep_id") >= 10_000).count() == 0
+
+
+def test_minhash_finds_planted_near_dup(spark, documents):
+    base = documents.limit(20)
+    # planted near-dup: same text with one word appended
+    mutated = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_near_dups(corpus, threshold=0.5).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    planted = {(i, i + 10_000) for i in [r.doc_id for r in base.select("doc_id").collect()]}
+    assert planted <= found  # every planted pair recovered
+    for p in pairs:
+        assert p.jaccard >= 0.5
+
+
+def test_minhash_signature_shape(documents):
+    sig = minhash_signatures(documents.limit(3), num_hashes=32).collect()
+    assert all(len(r.signature) == 32 for r in sig)
+
+
+def test_simhash_hamming_near_dup(spark, documents):
+    base = documents.limit(10)
+    mutated = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(mutated)
+    pairs = simhash_near_dups(corpus, max_hamming=8)
+    found = {(p.doc_a, p.doc_b) for p in pairs.collect()}
+    planted = {(i, i + 10_000) for i in [r.doc_id for r in base.select("doc_id").collect()]}
+    # simhash is approximate: expect most planted pairs within hamming 8
+    assert len(planted & found) >= 7
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine"), (2, "spark query engine"), (3, "totally different words")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_ngram_jaccard_expr(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("a b c d e", "v w x y z")], ["t1", "t2"]
+    )
+    vals = df.select(ngram_jaccard(F.col("t1"), F.col("t2"), 3).alias("j")).collect()
+    assert vals[0].j == 1.0
+    assert vals[1].j == 0.0
+
+
+def test_brute_force_topk_self_nearest(embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(embeddings, queries, k=5).collect()
+    by_query = {}
+    for r in top:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        best = min(rows, key=lambda r: r.rank)
+        assert best.vec_id == qid  # self is nearest
+        assert math.isclose(best.cosine, 1.0, abs_tol=1e-9)
+
+
+def test_lsh_topk_recall(embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = lsh_topk(embeddings, queries, k=1, num_planes=6).collect()
+    # self must land in its own bucket -> rank-1 hit is the query itself
+    assert {r.query_id for r in approx} == {r.vec_id for r in approx}
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der Hund ist nicht mit der Katze"),
+            (3, "el perro y la casa en que vivimos"),
+            (4, "xyzzy qwerty zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", detect_language(F.col("text")).alias("lang")).collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "es" and rows[4] == "und"
+
+
+def test_quality_features(documents):
+    rows = quality_features(documents.limit(10)).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.distinct_token_ratio <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, this is 42 tokens?")], ["id", "text"])
+    r = df.select(
+        token_count_whitespace(F.col("text")).alias("ws"),
+        token_count_bpe_like(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 6
+    assert r.bpe >= r.ws  # subword count >= word count
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4)], ["id", "text"]
+    )
+    a = df.select(fingerprint(F.col("text")).alias("fp")).collect()[0].fp
+    b = df.select(fingerprint(F.col("text")).alias("fp")).collect()[0].fp
+    assert a == b
+
+
+def test_multimodal_meta(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/jpeg", b"\xff\xd8\xff" + b"j" * 100, None),
+            (2, "audio", "audio/mpeg", b"ID3" + b"a" * 200, None),
+            (3, "video", "video/mp4", b"\x00\x00\x00\x14ftyp" + b"v" * 300, None),
+        ],
+        "media_id LONG, modality STRING, mime STRING, payload BINARY, source_uri STRING",
+    )
+    meta = {r.media_id: r for r in extract_media_meta(media).collect()}
+    img = meta[1]
+    assert img.width is not None and img.height is not None and img.duration_ms is None
+    aud = meta[2]
+    assert aud.duration_ms is not None and aud.width is None
+    vid = meta[3]
+    assert vid.width is not None and vid.duration_ms is not None
+    for r in meta.values():
+        assert len(r.feature) == 8
+        assert math.isclose(sum(v * v for v in r.feature), 1.0, rel_tol=1e-6)
+        assert r.byte_size > 0
+
+
+def test_decode_image_is_stubbed():
+    from swiftbeaver_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
