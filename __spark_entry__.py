@@ -40,7 +40,12 @@ plus the LLM-pipeline surface:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the swiftbeaver_spark package lives next to this file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

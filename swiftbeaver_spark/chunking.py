@@ -68,13 +68,15 @@ def chunks_from_file(
     overlap: int = DEFAULT_OVERLAP,
     max_bytes: int | None = None,
     max_chunks: int | None = None,
+    min_offset: int | None = None,
 ) -> DataFrame:
     """Evidence file -> chunks DataFrame with bytes fetched executor-side.
 
     The plan DataFrame is tiny (one row per chunk); bytes never touch the
     driver. Limits mirror the reference's bounded-read semantics
     (src/pipeline/mod.rs:328-416): max_bytes caps which chunk starts are
-    read, max_chunks caps chunk count.
+    read, max_chunks caps chunk count. min_offset is the resume
+    watermark (skip chunks already scanned, reference mod.rs:343-345).
     """
     total = os.path.getsize(path)
     plan = plan_chunks(spark, total, chunk_size, overlap)
@@ -82,6 +84,8 @@ def chunks_from_file(
         plan = plan.where(F.col("start") < int(max_bytes))
     if max_chunks is not None:
         plan = plan.where(F.col("chunk_id") < int(max_chunks))
+    if min_offset is not None:
+        plan = plan.where(F.col("start") >= int(min_offset))
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with open(path, "rb") as fh:

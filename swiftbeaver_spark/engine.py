@@ -56,7 +56,9 @@ class Engine:
 
     # -- ingestion -----------------------------------------------------------
 
-    def chunks_from_file(self, path: str) -> DataFrame:
+    def chunks_from_file(self, path: str, resume_from: int | None = None) -> DataFrame:
+        """resume_from: checkpoint next_offset (skip already-scanned
+        chunks; see swiftbeaver_spark.checkpoint)."""
         return chunking.chunks_from_file(
             self.spark,
             path,
@@ -64,6 +66,7 @@ class Engine:
             self.cfg.overlap,
             max_bytes=self.cfg.max_bytes,
             max_chunks=self.cfg.max_chunks,
+            min_offset=resume_from,
         )
 
     def chunks_from_bytes(self, data: bytes) -> DataFrame:

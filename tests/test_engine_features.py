@@ -1,0 +1,144 @@
+"""Engine features: checkpoint/resume, sinks, streaming, limits."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import pytest
+
+from swiftbeaver_spark.checkpoint import CheckpointState
+from swiftbeaver_spark.chunking import chunks_from_bytes, materialize_chunks
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.engine import Engine, make_run_id, write_tables
+from swiftbeaver_spark.streaming import start_scan_stream
+
+from tests.fixtures import ALL_FIXTURES, insert_bytes
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    chunk_size=16 * 1024,
+    overlap=4096,
+    file_types=tuple(
+        dataclasses.replace(ft, min_size=5)
+        for ft in DEFAULT_CONFIG.file_types
+        if ft.type_id in ("jpeg", "png", "sqlite")
+    ),
+)
+
+
+def _evidence_with_jpegs(n: int, spacing: int = 16 * 1024) -> tuple[bytes, list[int]]:
+    blob = ALL_FIXTURES["jpeg"][0]
+    buf = bytearray(b"\x00" * (spacing * (n + 1)))
+    offsets = []
+    for i in range(n):
+        off = spacing * i + 512
+        insert_bytes(buf, off, blob)
+        offsets.append(off)
+    return bytes(buf), offsets
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "cp.json")
+    st = CheckpointState(
+        chunk_size=1024, overlap=64, next_offset=4096, evidence_len=65536, run_id="r1"
+    )
+    st.save(path)
+    loaded = CheckpointState.load(path)
+    assert loaded is not None
+    assert (loaded.chunk_size, loaded.overlap, loaded.next_offset) == (1024, 64, 4096)
+    assert loaded.created_at  # stamped on save
+    loaded.validate(1024, 64, 65536)
+    with pytest.raises(ValueError):
+        loaded.validate(2048, 64, 65536)
+    with pytest.raises(ValueError):
+        loaded.validate(1024, 64, 1)
+    assert CheckpointState.load(str(tmp_path / "missing.json")) is None
+
+
+def test_resume_skips_scanned_chunks(spark, tmp_path):
+    evidence, offsets = _evidence_with_jpegs(4)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    engine = Engine(spark, CFG)
+    # full run finds all 4
+    full = engine.hits(engine.chunks_from_file(path)).collect()
+    assert {h.global_offset for h in full} == set(offsets)
+    # resume from after the second jpeg's chunk -> only later hits
+    resume_offset = CFG.chunk_size * 2
+    resumed = engine.hits(engine.chunks_from_file(path, resume_from=resume_offset)).collect()
+    assert {h.global_offset for h in resumed} == {o for o in offsets if o >= resume_offset}
+
+
+def test_write_tables_all_formats(spark, tmp_path):
+    evidence, offsets = _evidence_with_jpegs(2)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    engine = Engine(spark, CFG)
+    result = engine.run(evidence_path=path)
+    for fmt in ("parquet", "jsonl", "csv"):
+        out = str(tmp_path / fmt)
+        write_tables(result, out, fmt=fmt, run_id="testrun")
+        assert os.path.isdir(f"{out}/carved_files")
+        assert os.path.isdir(f"{out}/run_summary")
+    carved = spark.read.parquet(str(tmp_path / "parquet/carved_files"))
+    rows = carved.collect()
+    assert {r.global_start for r in rows} == set(offsets)
+    assert all(r.run_id == "testrun" for r in rows)
+    # csv flattened the errors array into a single error column
+    csv = spark.read.option("header", True).csv(str(tmp_path / "csv/carved_files"))
+    assert "error" in csv.columns and "errors" not in csv.columns
+
+
+def test_run_id_format():
+    rid = make_run_id()
+    date, rand = rid.split("_")
+    assert len(date) == 16 and date.endswith("Z") and "T" in date
+    assert len(rand) == 16
+    int(rand, 16)
+
+
+def test_streaming_scan_carve(spark, tmp_path):
+    """availableNow streaming over an append-only chunk dir produces the
+    same hits/carves as batch."""
+    evidence, offsets = _evidence_with_jpegs(3)
+    chunk_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    materialize_chunks(chunks, chunk_dir)
+    q = start_scan_stream(
+        spark, chunk_dir, out_dir, CFG, cp_dir, carve=True, available_now=True
+    )
+    q.awaitTermination(120)
+    hits = spark.read.parquet(f"{out_dir}/hits").collect()
+    assert {h.global_offset for h in hits} >= set(offsets)
+    carved = spark.read.parquet(f"{out_dir}/carved_files").collect()
+    assert {c.global_start for c in carved} == set(offsets)
+
+
+def test_max_files_limit(spark, tmp_path):
+    evidence, offsets = _evidence_with_jpegs(5)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    cfg = dataclasses.replace(CFG, max_files=2)
+    result = Engine(spark, cfg).run(evidence_path=path)
+    carved = result["carved_files"].collect()
+    assert len(carved) == 2
+    # deterministic: the earliest offsets win
+    assert {c.global_start for c in carved} == set(sorted(offsets)[:2])
+
+
+def test_with_types_filter():
+    cfg = DEFAULT_CONFIG.with_types(["jpeg", "docx", "xls"])
+    ids = {ft.type_id for ft in cfg.file_types}
+    assert ids == {"jpeg", "zip", "ole"}
+    assert cfg.zip_allowed_kinds == ("docx",)
+    assert cfg.ole_allowed_kinds == ("xls",)
+    with pytest.raises(ValueError):
+        DEFAULT_CONFIG.with_types(["nope"])
