@@ -98,8 +98,11 @@ def chunks_from_file(
                     rows.append((int(cid), int(start), int(vlen), fh.read(int(rlen))))
                 yield pd.DataFrame(rows, columns=["chunk_id", "start", "valid_length", "data"])
 
-    # one chunk per task: each output row is chunk_size+overlap bytes
-    n = plan.count()
+    # one chunk per task: each output row is chunk_size+overlap bytes.
+    # partition count comes from arithmetic, not a count() job.
+    n = max(0, math.ceil(min(total, max_bytes or total) / chunk_size))
+    if max_chunks is not None:
+        n = min(n, max_chunks)
     if n == 0:
         return spark.createDataFrame([], schemas.CHUNKS)
     return plan.repartition(n, "chunk_id").mapInPandas(fetch, schemas.CHUNKS)

@@ -18,6 +18,7 @@ thread becomes parallel columnar writes.
 
 from __future__ import annotations
 
+import os
 import secrets
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -100,31 +101,50 @@ class Engine:
         evidence_bytes: bytes | None = None,
         chunk_join: bool = False,
     ) -> RunResult:
-        if evidence_path is not None:
-            chunks = self.chunks_from_file(evidence_path)
-        elif evidence_bytes is not None:
-            chunks = self.chunks_from_bytes(evidence_bytes)
-        else:
-            raise ValueError("need evidence_path or evidence_bytes")
-        chunks = chunks.cache()  # one pass feeds scan, strings, entropy, carve
-
-        hits = self.hits(chunks)
         if evidence_path is not None and not chunk_join:
-            carved = self.carve(hits, evidence_path=evidence_path)
-        else:
-            carved = self.carve(hits, chunks=chunks)
+            # fused path: the chunk *plan* (arithmetic rows) distributes;
+            # each scan reads its own byte ranges — chunk bytes never
+            # cross the JVM<->Python boundary nor get cached
+            from swiftbeaver_spark.chunking import plan_chunks
+            from swiftbeaver_spark.entropy import entropy_regions_from_evidence
+            from swiftbeaver_spark.scanner import scan_evidence
+            from swiftbeaver_spark.strings_scan import spans_from_evidence
 
-        tables: dict[str, DataFrame] = {
-            "chunks": chunks,
-            "hits": hits,
-            "carved_files": carved,
-        }
-        if self.cfg.enable_string_scan:
-            spans = scan_string_spans(chunks, self.cfg)
-            tables["string_spans"] = spans
-            tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
-        if self.cfg.enable_entropy_detection:
-            tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
+            total = os.path.getsize(evidence_path)
+            plan = plan_chunks(self.spark, total, self.cfg.chunk_size, self.cfg.overlap)
+            if self.cfg.max_bytes is not None:
+                plan = plan.where(F.col("start") < int(self.cfg.max_bytes))
+            if self.cfg.max_chunks is not None:
+                plan = plan.where(F.col("chunk_id") < int(self.cfg.max_chunks))
+            hits = scan_evidence(self.spark, evidence_path, self.cfg, plan=plan)
+            carved = self.carve(hits, evidence_path=evidence_path)
+            tables = {"chunks": plan, "hits": hits, "carved_files": carved}
+            if self.cfg.enable_string_scan:
+                spans = spans_from_evidence(self.spark, evidence_path, self.cfg)
+                tables["string_spans"] = spans
+                tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
+            if self.cfg.enable_entropy_detection:
+                tables["entropy_regions"] = entropy_regions_from_evidence(
+                    self.spark, evidence_path, self.cfg
+                )
+        else:
+            if evidence_path is not None:
+                chunks = self.chunks_from_file(evidence_path)
+            elif evidence_bytes is not None:
+                chunks = self.chunks_from_bytes(evidence_bytes)
+            else:
+                raise ValueError("need evidence_path or evidence_bytes")
+            chunks = chunks.cache()  # one pass feeds scan, strings, entropy, carve
+
+            hits = self.hits(chunks)
+            carved = self.carve(hits, chunks=chunks)
+            tables = {"chunks": chunks, "hits": hits, "carved_files": carved}
+            if self.cfg.enable_string_scan:
+                spans = scan_string_spans(chunks, self.cfg)
+                tables["string_spans"] = spans
+                tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
+            if self.cfg.enable_entropy_detection:
+                tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
         if evidence_path is not None and any(
             ft.type_id == "sqlite" for ft in self.cfg.file_types
         ):

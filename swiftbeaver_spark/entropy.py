@@ -96,3 +96,42 @@ def merge_regions(windows: DataFrame, window_size: int) -> DataFrame:
 
 def entropy_regions(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     return merge_regions(entropy_windows(chunks, cfg), cfg.entropy_window_size)
+
+
+def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
+    """Fused fetch+entropy off the evidence file (valid regions only)."""
+    import os
+
+    from swiftbeaver_spark.chunking import plan_chunks
+
+    window_size = cfg.entropy_window_size
+    threshold = cfg.entropy_threshold
+    total = os.path.getsize(path)
+    plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                rows = []
+                for start, vlen in zip(pdf["start"], pdf["valid_length"]):
+                    fh.seek(int(start))
+                    blob = np.frombuffer(fh.read(int(vlen)), dtype=np.uint8)
+                    n_windows = blob.size // window_size
+                    if n_windows == 0:
+                        continue
+                    mat = blob[: n_windows * window_size].reshape(n_windows, window_size)
+                    for w in range(n_windows):
+                        ent = shannon_entropy(mat[w])
+                        if ent >= threshold:
+                            ws = int(start) + w * window_size
+                            rows.append((ws, ws + window_size - 1, ent))
+                yield pd.DataFrame(rows, columns=["win_start", "win_end", "entropy"])
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return plan.repartition(n_parts).mapInPandas(fused, WINDOW_SCHEMA)
+
+
+def entropy_regions_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
+    return merge_regions(
+        entropy_windows_from_evidence(spark, path, cfg), cfg.entropy_window_size
+    )

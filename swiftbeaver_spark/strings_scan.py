@@ -381,3 +381,65 @@ def enrich_phones(artefacts: DataFrame) -> DataFrame:
         F.lit("span").alias("source_detail"),
         F.lit(1.0).alias("certainty"),
     )
+
+
+def spans_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
+    """Fused fetch+span-scan off the evidence file (no chunk bytes across
+    the JVM boundary; see scanner.scan_evidence for the rationale)."""
+    import os
+
+    from swiftbeaver_spark.chunking import plan_chunks
+
+    min_len, max_len = cfg.string_min_len, cfg.string_max_len
+    scan_utf16 = cfg.string_scan_utf16
+    total = os.path.getsize(path)
+    plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                rows = []
+                for start, vlen, rlen in zip(
+                    pdf["start"], pdf["valid_length"], pdf["read_length"]
+                ):
+                    fh.seek(int(start))
+                    blob = fh.read(int(rlen))
+                    found: list[tuple[int, bytes, str]] = []
+                    for pos, raw in _scan_ascii(blob, min_len, max_len):
+                        found.append((pos, raw, "ascii"))
+                    for pos, raw in _scan_utf8(blob, min_len, max_len):
+                        found.append((pos, raw, "utf-8"))
+                    if scan_utf16:
+                        for pos, raw in _scan_utf16(blob, min_len, max_len, True):
+                            found.append((pos, raw, "utf-16le"))
+                        for pos, raw in _scan_utf16(blob, min_len, max_len, False):
+                            found.append((pos, raw, "utf-16be"))
+                    for pos, raw, enc in found:
+                        if pos >= vlen:
+                            continue
+                        if enc.startswith("utf-16"):
+                            flag_src = raw[0::2] if enc == "utf-16le" else raw[1::2]
+                        else:
+                            flag_src = raw
+                        url_like, email_like, phone_like = _flags(flag_src)
+                        rows.append(
+                            (
+                                int(start) + pos,
+                                len(raw),
+                                _decode_span(raw, enc),
+                                enc,
+                                url_like,
+                                email_like,
+                                phone_like,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "global_start", "byte_length", "content", "encoding",
+                        "url_like", "email_like", "phone_like",
+                    ],
+                )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return plan.repartition(n_parts).mapInPandas(fused, schemas.STRING_SPANS)

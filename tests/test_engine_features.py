@@ -142,3 +142,22 @@ def test_with_types_filter():
     assert cfg.ole_allowed_kinds == ("xls",)
     with pytest.raises(ValueError):
         DEFAULT_CONFIG.with_types(["nope"])
+
+
+def test_category_sink_layout(spark, tmp_path):
+    import dataclasses as _dc
+
+    from swiftbeaver_spark.sinks import write_category_tables
+
+    evidence, offsets = _evidence_with_jpegs(2)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    cfg = _dc.replace(CFG, enable_string_scan=True, enable_entropy_detection=True)
+    result = Engine(spark, cfg).run(evidence_path=path)
+    written = write_category_tables(result.tables, str(tmp_path / "cat"), run_id="r1")
+    assert "files_jpeg" in written and "files_other" in written
+    assert {"artefacts_urls", "artefacts_emails", "artefacts_phones"} <= set(written)
+    jpeg_rows = spark.read.parquet(str(tmp_path / "cat/files_jpeg")).collect()
+    assert {r.global_start for r in jpeg_rows} == set(offsets)
+    assert spark.read.parquet(str(tmp_path / "cat/files_other")).count() == 0
