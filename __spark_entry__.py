@@ -36,6 +36,9 @@ plus the LLM-pipeline surface:
   simhash near-dup             -> q27_simhash_neardup (rows-only)
   hyperplane-LSH ANN           -> q28_lsh_topk (rows-only)
   multimodal metadata          -> q29_media_meta (rows-only)
+  REAL carve engine (scan ->
+  overlap dedup -> jpeg carver
+  -> hash finalize)            -> q30_carve_roundtrip
 """
 
 from __future__ import annotations
@@ -1138,6 +1141,75 @@ def q29_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media).orderBy("media_id")
 
 
+def q30_carve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL carving engine under the oracle: synthesize one minimal
+    JPEG per document (interior = rpad(text, 600, 'x'), no 0xFF bytes in
+    ASCII so end detection is exact), tile them as a distributed chunk
+    table, run scan -> overlap dedup -> jpeg carver -> hash finalize,
+    and emit per-file (offset, size, interior hash, carver-hash check).
+
+    The oracle predicts offset/size/interior-sha256 in SQL; `hash_ok`
+    cross-checks the carver's python-hashlib sha256 against JVM
+    sha2 over the independently constructed blob.
+    """
+    import dataclasses
+
+    from swiftbeaver_spark.carve_op import carve_hits_with_chunks
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.scanner import scan_and_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    interior = F.rpad(F.col("text"), 600, "x")
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFE0")), F.encode(interior, "utf-8"), F.unhex(F.lit("FFD9"))
+    )
+    pad_hex = F.repeat(F.lit("00"), 4096 - 606)
+    chunks = docs.select(
+        F.col("doc_id").alias("chunk_id"),
+        (F.col("doc_id") * 4096).alias("start"),
+        F.lit(4096).cast("long").alias("valid_length"),
+        F.concat(jpeg, F.unhex(pad_hex)).alias("data"),
+    )
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        chunk_size=4096,
+        overlap=0,
+        file_types=tuple(
+            ft for ft in DEFAULT_CONFIG.file_types if ft.type_id == "jpeg"
+        ),
+    )
+    hits = scan_and_normalize(chunks, cfg)
+    carved = carve_hits_with_chunks(hits, chunks, cfg)
+    expected = docs.select(
+        (F.col("doc_id") * 4096).alias("global_start"),
+        F.sha2(jpeg, 256).alias("expected_sha"),
+        F.sha2(interior, 256).alias("text_sha"),
+    )
+    return (
+        carved.join(expected, "global_start")
+        .select(
+            "global_start",
+            "size",
+            (F.col("sha256") == F.col("expected_sha")).alias("hash_ok"),
+            "text_sha",
+            "validated",
+        )
+        .orderBy("global_start")
+    )
+
+
+def q30_sql() -> str:
+    return """
+    SELECT doc_id * 4096 AS global_start,
+           CAST(606 AS BIGINT) AS size,
+           TRUE AS hash_ok,
+           sha256(rpad(text, 600, 'x')) AS text_sha,
+           TRUE AS validated
+    FROM documents
+    ORDER BY global_start
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -1178,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_simhash_neardup": q27_simhash_neardup,
         "q28_lsh_topk": q28_lsh_topk,
         "q29_media_meta": q29_media_meta,
+        "q30_carve_roundtrip": q30_carve_roundtrip,
     }
 
 
@@ -1208,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_cosine_topk": q23_sql(),
         "q24_pricing_summary": q24_sql(),
         "q25_top_orders": q25_sql(),
+        "q30_carve_roundtrip": q30_sql(),
         # q26-q29: non-SQL-expressible (LSH banding, simhash bit votes,
         # hyperplane buckets, Arrow media decode) -> rows-only checks
     }
