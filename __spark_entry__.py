@@ -1179,7 +1179,9 @@ def q30_carve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     hits = scan_and_normalize(chunks, cfg)
-    carved = carve_hits_with_chunks(hits, chunks, cfg)
+    # window_cap bounds each hit's chunk claim (files here are < 4 KiB;
+    # without it every hit would claim max_size/chunk_size = 25k chunks)
+    carved = carve_hits_with_chunks(hits, chunks, cfg, window_cap=8192)
     expected = docs.select(
         (F.col("doc_id") * 4096).alias("global_start"),
         F.sha2(jpeg, 256).alias("expected_sha"),

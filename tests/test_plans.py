@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on (broadcast joins for dims, filter pushdown + column pruning
+at the parquet scan, no shuffle in the scan pipeline)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    jexec = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jexec.explainString(mode)
+
+
+def test_dim_joins_broadcast(spark):
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q06_join_history(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where("l_quantity > 30")
+        .select("l_orderkey")
+    )
+    plan = _formatted(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity" in m.group(1)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # only the two referenced columns reach the scan
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"l_orderkey", "l_quantity"}
+
+
+def test_scan_pipeline_shuffle_free(spark):
+    """chunks -> scan -> normalize introduces no exchange beyond the
+    initial chunk distribution."""
+    from swiftbeaver_spark.chunking import chunks_from_bytes
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.scanner import scan_and_normalize
+
+    chunks = chunks_from_bytes(spark, b"\x00" * 4096, 1024, 64)
+    hits = scan_and_normalize(chunks, DEFAULT_CONFIG)
+    plan = _formatted(hits)
+    assert "Exchange" not in plan
+
+
+def test_overlap_dedup_is_catalyst_filter(spark):
+    """The overlap-dedup must appear as a plain Filter (not inside the
+    Python stage) so Catalyst can reason about it."""
+    from swiftbeaver_spark.chunking import chunks_from_bytes
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.scanner import scan_and_normalize
+
+    chunks = chunks_from_bytes(spark, b"\x00" * 4096, 1024, 64)
+    hits = scan_and_normalize(chunks, DEFAULT_CONFIG)
+    plan = _formatted(hits)
+    assert re.search(r"Filter.*local_offset", plan, re.DOTALL)
