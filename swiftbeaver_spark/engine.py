@@ -209,6 +209,11 @@ def write_tables(
     for name, df in result.tables.items():
         if name == "chunks":
             continue  # input table, not a metadata output
+        if fmt == "dryrun":
+            # reference DryRun sink (src/metadata/mod.rs:129-171):
+            # execute the pipeline, count, write nothing
+            df.count()
+            continue
         out = df.withColumn("run_id", F.lit(run_id))
         writer = out.write.mode("overwrite")
         path = f"{out_dir}/{name}"

@@ -196,3 +196,52 @@ def test_max_bytes_limit(spark, tmp_path):
         fh.write(data)
     rows = chunks_from_file(spark, path, chunk_size=10000, overlap=0, max_bytes=25000).collect()
     assert len(rows) == 3  # starts 0, 10000, 20000
+
+
+def test_file_ending_exactly_at_chunk_boundary(spark, tmp_path):
+    """Reference boundary case: a file whose last byte is the last byte
+    of a chunk (tests/boundary_conditions.rs)."""
+    blob = ALL_FIXTURES["jpeg"][0]
+    chunk_size = 16 * 1024
+    start = chunk_size - len(blob)  # ends exactly at chunk 0's boundary
+    buf = bytearray(b"\x00" * (chunk_size * 2))
+    insert_bytes(buf, start, blob)
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        chunk_size=chunk_size,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg"),
+    )
+    path = str(tmp_path / "exact.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+    carved = Engine(spark, cfg).run(evidence_path=path)["carved_files"].collect()
+    assert len(carved) == 1
+    assert (carved[0].global_start, carved[0].size) == (start, len(blob))
+    assert carved[0].sha256 == hashlib.sha256(blob).hexdigest()
+
+
+def test_evidence_exactly_divisible_by_chunk_size(spark):
+    rows = plan_chunks(spark, evidence_len=200, chunk_size=100, overlap=10).collect()
+    assert len(rows) == 2
+    assert all(r.valid_length == 100 for r in rows)
+    by_id = {r.chunk_id: r for r in rows}
+    assert by_id[0].read_length == 110  # overlap into chunk 1
+    assert by_id[1].read_length == 100  # capped at evidence end
+
+
+def test_dryrun_sink(spark, tmp_path):
+    from swiftbeaver_spark.engine import write_tables
+
+    blob = ALL_FIXTURES["jpeg"][0]
+    buf = bytearray(b"\x00" * 32768)
+    insert_bytes(buf, 1024, blob)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+    cfg = dataclasses.replace(
+        TEST_CFG, file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg")
+    )
+    result = Engine(spark, cfg).run(evidence_path=path)
+    out = str(tmp_path / "dry")
+    write_tables(result, out, fmt="dryrun")
+    assert not os.path.exists(out)  # nothing written
