@@ -272,11 +272,18 @@ def q05_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn(
         "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # session_start/end as formatted strings: the driver gate hashes
+    # collected values as text, and native timestamp objects canonicalize
+    # differently between Spark and DuckDB (round-1 q05 hash drift)
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id", "session_id")
@@ -286,12 +293,16 @@ def q05_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_sql() -> str:
     gap = SESSION_GAP_MIN * 60
     return f"""
-    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            COUNT(*) AS n_events
     FROM (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- BIGINT cast: DuckDB SUM(int) yields HUGEINT, which lands as
+             -- float64 in the driver's pandas canon ('29.0' vs '29')
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN prev_ts IS NULL
@@ -406,21 +417,27 @@ def q09_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global counters row (RunSummary analog, reference
     src/pipeline/mod.rs:256-264). Money sums in DECIMAL for exactness."""
     lineitem = _t(spark, sf_dir, "lineitem")
+    # decimal sums and the max timestamp go out as strings — driver-gate
+    # canonicalization of Decimal/timestamp objects drifted in round 1
     return lineitem.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
-        F.max("l_shipdate").alias("last_ship"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("sum_price"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ship"
+        ),
     )
 
 
 def q09_sql() -> str:
     return """
     SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-           MAX(l_shipdate) AS last_ship
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S.%f') AS last_ship
     FROM lineitem
     """
 
@@ -1023,11 +1040,11 @@ def q24_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc)).cast("decimal(28,6)")).alias(
-                "sum_disc_price"
-            ),
+            F.sum(qty).cast("string").alias("sum_qty"),
+            F.sum(price).cast("string").alias("sum_base_price"),
+            F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc)).cast("decimal(28,6)"))
+            .cast("string")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1037,11 +1054,11 @@ def q24_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_sql() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                    AS DECIMAL(28,6))) AS sum_disc_price,
+                    AS DECIMAL(28,6))) AS VARCHAR) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -1062,7 +1079,9 @@ def q25_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
+                "total_price"
+            ),
             "rnk",
         )
         .orderBy("o_custkey", "rnk")
@@ -1071,7 +1090,8 @@ def q25_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_sql() -> str:
     return """
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rnk
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price, rnk
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -1138,7 +1158,64 @@ def q29_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit(None).cast("string").alias("source_uri"),
     )
-    return extract_media_meta(media).orderBy("media_id")
+    meta = extract_media_meta(media)
+    # the raw array<double> crashed the driver canonicalizer in round 1
+    # (unhashable list); ship it as a comma-joined fixed-precision string
+    return meta.select(
+        "media_id",
+        "modality",
+        "byte_size",
+        "sha256",
+        "width",
+        "height",
+        "duration_ms",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("feature_str"),
+    ).orderBy("media_id")
+
+
+def q29_sql() -> str:
+    """The stand-in decode is pure sha256 arithmetic (multimodal.py
+    fake_decode_meta / fake_feature), so DuckDB can predict every column:
+    h = first 4 digest bytes as uint32, dims/duration by modality, and the
+    unit-norm feature from 8 big-endian int16s of the digest. All float
+    math is IEEE double in both engines with a fixed evaluation order."""
+    # per-dim signed int16 from hex digits 4i+1..4i+4 of the sha256
+    dims = []
+    for i in range(8):
+        u = f"(('0x' || substr(sha, {4 * i + 1}, 4))::BIGINT)"
+        dims.append(f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END / 32768.0)")
+    norm_sq = " + ".join(f"(v{i} * v{i})" for i in range(8))
+    vdefs = ", ".join(f"{d} AS v{i}" for i, d in enumerate(dims))
+    feat = " || ',' || ".join(f"printf('%.6f', v{i} / n)" for i in range(8))
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS byte_size,
+             sha256(text) AS sha
+      FROM documents
+    ), v AS (
+      SELECT media_id, modality, byte_size, sha,
+             (('0x' || substr(sha, 1, 8))::BIGINT) AS h, {vdefs}
+      FROM m
+    ), n AS (
+      SELECT *, sqrt({norm_sq}) AS n FROM v
+    )
+    SELECT media_id, modality, byte_size, sha AS sha256,
+           CAST(CASE modality WHEN 'image' THEN 64 + h % 1920
+                              WHEN 'video' THEN 320 + h % 1600 END AS INT) AS width,
+           CAST(CASE modality WHEN 'image' THEN 64 + (h // 256) % 1080
+                              WHEN 'video' THEN 240 + (h // 256) % 840 END AS INT) AS height,
+           CAST(CASE modality WHEN 'audio' THEN 1000 + h % 600000
+                              WHEN 'video' THEN 1000 + (h // 65536) % 3600000 END AS BIGINT)
+               AS duration_ms,
+           {feat} AS feature_str
+    FROM n
+    ORDER BY media_id
+    """
 
 
 def q30_carve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,7 +1360,8 @@ def oracle_sql() -> dict[str, str]:
         "q23_cosine_topk": q23_sql(),
         "q24_pricing_summary": q24_sql(),
         "q25_top_orders": q25_sql(),
+        "q29_media_meta": q29_sql(),
         "q30_carve_roundtrip": q30_sql(),
-        # q26-q29: non-SQL-expressible (LSH banding, simhash bit votes,
-        # hyperplane buckets, Arrow media decode) -> rows-only checks
+        # q26-q28: non-SQL-expressible (LSH banding, simhash bit votes,
+        # hyperplane buckets) -> rows-only checks
     }
