@@ -1103,10 +1103,17 @@ def q25_sql() -> str:
     """
 
 
-# --- rows-only queries (non-SQL-expressible; no oracle entry) ---------------
+# --- LSH near-dup / ANN queries with planted-pair / replayed-plane oracles --
 
 
 def q26_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup recall on planted mutations: every doc_id<25
+    gets a ' tail'-suffixed copy at doc_id+1,000,000. The FULL pipeline
+    (numpy signature kernel -> b x r banding -> bucket join -> exact
+    shingle-Jaccard verify) runs over the whole corpus; the output is
+    the planted slice, whose pairs AND jaccard values DuckDB predicts
+    exactly (char-9 shingle sets). Recall verified 25/25 at sf0.001 and
+    sf0.01 with the fixed signature seeds."""
     from swiftbeaver_spark.llm.dedup import minhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1114,12 +1121,50 @@ def q26_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    return minhash_near_dups(docs.unionByName(mutated), threshold=0.5).orderBy(
-        "doc_a", "doc_b"
+    pairs = minhash_near_dups(docs.unionByName(mutated), threshold=0.5)
+    return (
+        pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.format_string("%.6f", F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 
+def q26_sql() -> str:
+    # exact char-9 shingle Jaccard over the planted pairs; the mutated
+    # text normalizes to norm(text) || ' tail'
+    shingle = (
+        "list_distinct(list_transform(generate_series(1, greatest(length({t}) - 8, 1)), "
+        "i -> substr({t}, i, 9)))"
+    )
+    sa = shingle.format(t="na")
+    sb = shingle.format(t="nb")
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS na
+      FROM documents WHERE doc_id < 25
+    ), s AS (
+      SELECT doc_a, doc_b, {sa} AS sa, {shingle.format(t="na || ' tail'")} AS sb
+      FROM p
+    )
+    SELECT doc_a, doc_b,
+           printf('%.6f', CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                          / len(list_distinct(list_concat(sa, sb)))) AS jaccard
+    FROM s ORDER BY doc_a, doc_b
+    """
+
+
 def q27_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup recall on planted mutations (' x' suffix copies
+    at doc_id+1,000,000): full pipeline (numpy simhash kernel -> 16-bit
+    block LSH -> bit_count verify) over the whole corpus, output
+    restricted to the planted slice the oracle can predict. The hamming
+    values themselves are hash-dependent, so only pair identity is
+    emitted. Recall verified 25/25 at sf0.001 and sf0.01."""
     from swiftbeaver_spark.llm.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1127,19 +1172,73 @@ def q27_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" x")).alias("text"),
     )
-    return simhash_near_dups(docs.unionByName(mutated), max_hamming=8).orderBy(
-        "doc_a", "doc_b"
+    pairs = simhash_near_dups(docs.unionByName(mutated), max_hamming=8)
+    return (
+        pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
+def q27_sql() -> str:
+    return """
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+    FROM documents WHERE doc_id < 25
+    ORDER BY doc_a, doc_b
+    """
+
+
+LSH_PLANES = 6
+
+
 def q28_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftbeaver_spark.llm.similarity import lsh_topk
+    """Hyperplane-LSH top-k with the planes pinned to an explicit md5
+    constant matrix, so the oracle replays the ENTIRE approximate path —
+    bucket assignment (strict left-to-right IEEE fold), bucket-restricted
+    scoring, and rounded-cosine ranking — not just a recall check."""
+    from swiftbeaver_spark.llm.similarity import lsh_topk, md5_plane_matrix
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=3, num_planes=6).orderBy("query_id", "rank")
+    planes = md5_plane_matrix(LSH_PLANES, 64)
+    return lsh_topk(
+        emb, queries, k=3, plane_matrix=planes, round_cosine=6
+    ).orderBy("query_id", "rank")
+
+
+def q28_sql() -> str:
+    from swiftbeaver_spark.llm.similarity import md5_plane_matrix
+
+    planes = md5_plane_matrix(LSH_PLANES, 64)
+    bucket_terms = []
+    for p, row in enumerate(planes):
+        s = "0.0" + "".join(f" + v[{j + 1}]*({c})" for j, c in enumerate(row))
+        bucket_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, v, {bucket} AS bucket
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM (
+        SELECT q.query_id, b.vec_id,
+               ROUND(list_dot_product(b.v, q.qv) /
+                     (sqrt(list_dot_product(b.v, b.v)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM b JOIN q USING (bucket)
+      )
+    )
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """
 
 
 def q29_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,8 +1459,9 @@ def oracle_sql() -> dict[str, str]:
         "q23_cosine_topk": q23_sql(),
         "q24_pricing_summary": q24_sql(),
         "q25_top_orders": q25_sql(),
+        "q26_minhash_neardup": q26_sql(),
+        "q27_simhash_neardup": q27_sql(),
+        "q28_lsh_topk": q28_sql(),
         "q29_media_meta": q29_sql(),
         "q30_carve_roundtrip": q30_sql(),
-        # q26-q28: non-SQL-expressible (LSH banding, simhash bit votes,
-        # hyperplane buckets) -> rows-only checks
     }

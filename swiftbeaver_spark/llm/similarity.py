@@ -71,9 +71,40 @@ def _plane_component(plane: Column, j: Column) -> Column:
     return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
-    """Sign-pattern bucket id over `num_planes` hash-derived hyperplanes.
-    All arithmetic in codegen: sum_j(vec[j] * ±1) per plane -> sign bit."""
+def md5_plane_matrix(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane matrix derived from md5('plane:p:j') — a constant
+    both engines (and any SQL oracle) can reproduce or inline verbatim."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"plane:{p}:{j}".encode()).digest()[0] & 1 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_bucket(
+    vec: Column,
+    num_planes: int = 8,
+    plane_matrix: list[list[float]] | None = None,
+) -> Column:
+    """Sign-pattern bucket id over `num_planes` hyperplanes.
+
+    Default: hash-derived components (xxhash64, no RNG state to ship).
+    With `plane_matrix`: explicit ±1 literals unrolled into the plan —
+    a strict left-to-right fold (0.0 + v1*c1 + ... + vn*cn) whose IEEE
+    result any engine can replicate bit-for-bit for oracle checks.
+    All arithmetic in codegen either way."""
+    if plane_matrix is not None:
+        bucket = F.lit(0)
+        for p, row in enumerate(plane_matrix):
+            s = F.lit(0.0)
+            for j, c in enumerate(row):
+                s = s + F.element_at(vec, j + 1) * F.lit(c)
+            bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bucket
     signs = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
         lambda p: F.when(
@@ -110,20 +141,29 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    plane_matrix: list[list[float]] | None = None,
+    round_cosine: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only score corpus vectors in the query's LSH
-    bucket. Recall < 1; cost ~ corpus/2^planes per query."""
+    bucket. Recall < 1; cost ~ corpus/2^planes per query.
+
+    `plane_matrix` pins the hyperplanes to explicit constants (see
+    hyperplane_bucket); `round_cosine` ranks on a dp-rounded cosine for
+    cross-engine float stability in oracle comparisons."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes, plane_matrix))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("query_vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("query_vec"), num_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("query_vec"), num_planes, plane_matrix))
+    cos = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
-        cosine_similarity(F.col("vec"), F.col("query_vec")).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
