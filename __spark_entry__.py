@@ -1388,6 +1388,449 @@ def q30_sql() -> str:
     """
 
 
+_Q31_PAY = 600  # every synthesized file embeds a 600-byte text payload
+
+
+def _q31_templates() -> list[tuple[str, list[tuple], int]]:
+    """Eight carver formats whose end-detection is pure header math or a
+    structure walk over constant geometry, so offset/size/validated are
+    SQL-predictable with per-doc content hashes. Each template is
+    (type_id, parts, total_size) where parts are ('hex', constant) or
+    ('pay', start, len) slices of the 600-byte payload. Formats mirror
+    reference end-detection: bmp declared size (src/carve/bmp.rs),
+    RIFF size+8 (riff.rs), sqlite page math (sqlite.rs), elf section
+    extent (elf.rs), pdf %%EOF scan (pdf.rs), png chunk walk (png.rs),
+    mp4 box walk (mp4.rs), gif block walk (gif.rs)."""
+    import struct
+
+    P = _Q31_PAY
+    pay_all = [("pay", 1, P)]
+
+    bmp_hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + P, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 100, 6, 1, 8, 0, P, 0, 0, 0, 0)
+    )
+    wav_hdr = b"RIFF" + struct.pack("<I", 4 + P) + b"WAVE"
+    sqlite_hdr = (
+        b"SQLite format 3\x00"
+        + struct.pack(">H", 512)
+        + b"\x00" * 10
+        + struct.pack(">I", 2)  # page_count=2 -> 1024 total
+        + b"\x00" * 68
+    )
+    elf_hdr = (
+        b"\x7fELF"
+        + bytes([2, 1, 1, 0])  # 64-bit, little-endian
+        + b"\x00" * 8
+        + struct.pack(
+            "<HHIQQQIHHHHHH",
+            2, 0x3E, 1, 0,  # e_type, e_machine, e_version, e_entry
+            0, 64 + P,      # e_phoff, e_shoff (section table after payload)
+            0, 64, 0, 0,    # e_flags, e_ehsize, e_phentsize, e_phnum
+            64, 2, 0,       # e_shentsize, e_shnum, e_shstrndx
+        )
+    )
+    png_pre = (
+        b"\x89PNG\r\n\x1a\x0a"
+        + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 13 + b"\x00" * 4
+        + struct.pack(">I", P) + b"teXt"
+    )
+    png_post = b"\x00" * 4 + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    mp4_hdr = (
+        struct.pack(">I", 20) + b"ftyp" + b"isom" + struct.pack(">I", 0) + b"isom"
+        + struct.pack(">I", 8 + P) + b"moov"
+    )
+    gif_hdr = b"GIF89a" + struct.pack("<HH", 100, 100) + bytes([0, 0, 0]) + b"\x21\xfe"
+
+    return [
+        ("bmp", [("hex", bmp_hdr.hex())] + pay_all, 54 + P),
+        ("wav", [("hex", wav_hdr.hex())] + pay_all, 12 + P),
+        (
+            "sqlite",
+            [("hex", sqlite_hdr.hex())] + pay_all + [("hex", "00" * (1024 - 100 - P))],
+            1024,
+        ),
+        ("elf", [("hex", elf_hdr.hex())] + pay_all + [("hex", "00" * 128)], 64 + P + 128),
+        (
+            "pdf",
+            [("hex", b"%PDF-1.4\n".hex())] + pay_all + [("hex", b"\n%%EOF\n".hex())],
+            9 + P + 7,
+        ),
+        (
+            "png",
+            [("hex", png_pre.hex())] + pay_all + [("hex", png_post.hex())],
+            len(png_pre) + P + len(png_post),
+        ),
+        ("mp4", [("hex", mp4_hdr.hex())] + pay_all, len(mp4_hdr) + P),
+        (
+            "gif",
+            [
+                ("hex", gif_hdr.hex() + "ff"),
+                ("pay", 1, 255),
+                ("hex", "ff"),
+                ("pay", 256, 255),
+                ("hex", "5a"),
+                ("pay", 511, 90),
+                ("hex", "003b"),
+            ],
+            len(gif_hdr) + 1 + 255 + 1 + 255 + 1 + 90 + 2,
+        ),
+    ]
+
+
+def _q32_templates() -> list[tuple[str, list[tuple], int]]:
+    """Batch 2 of SQL-predictable carver formats (see _q31_templates):
+    RIFF variants (avi/webp, riff.rs), mov qt-brand box walk (mov.rs),
+    7z next_header math (sevenz.rs), ASF File-Properties declared size
+    (wmv.rs), tar 512-block walk with real header checksum (tar.rs),
+    ico directory extents with embedded PNG (ico.rs), fb2 footer scan
+    (fb2.rs), lrf declared size (lrf.rs)."""
+    import struct
+
+    P = _Q31_PAY
+    pay_all = [("pay", 1, P)]
+
+    sevenz_hdr = (
+        bytes.fromhex("377ABCAF271C")
+        + b"\x00\x04"
+        + b"\x00" * 4
+        + struct.pack("<QQ", P, 8)  # next_header at 32+600, size 8
+        + b"\x00" * 4
+    )
+    asf_hdr = (
+        bytes.fromhex("3026B2758E66CF11A6D900AA0062CE6C")
+        + struct.pack("<Q", 78)  # header object size: 30 + 48
+        + struct.pack("<I", 1)
+        + b"\x01\x02"
+        + bytes.fromhex("A1DCAB8C47A9CF118EE400C00C205365")
+        + struct.pack("<Q", 48)  # file-properties object size
+        + b"\x00" * 16
+        + struct.pack("<Q", 30 + 48 + P)  # declared file size
+    )
+    tar_hdr = bytearray(512)
+    tar_hdr[0:7] = b"doc.txt"
+    tar_hdr[100:108] = b"0000644\x00"
+    tar_hdr[108:116] = b"0000000\x00"
+    tar_hdr[116:124] = b"0000000\x00"
+    tar_hdr[124:136] = f"{P:011o}\x00".encode()
+    tar_hdr[136:148] = b"00000000000\x00"
+    tar_hdr[148:156] = b" " * 8  # checksum placeholder
+    tar_hdr[156] = ord("0")
+    tar_hdr[257:263] = b"ustar\x00"
+    tar_hdr[263:265] = b"00"
+    chksum = sum(tar_hdr)
+    tar_hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+    ico_hdr = (
+        struct.pack("<HHH", 0, 1, 1)  # reserved, type=icon, count=1
+        + b"\x00" * 8
+        + struct.pack("<II", 8 + P, 22)  # image size, image offset
+        + b"\x89PNG\r\n\x1a\x0a"
+    )
+    fb2_pre = b'<?xml version="1.0"?><FictionBook>'
+    fb2_post = b"</FictionBook>"
+    lrf_hdr = b"LRF\x00" + b"\x00" * 4 + struct.pack("<I", 12 + P)
+
+    return [
+        ("avi", [("hex", (b"RIFF" + struct.pack("<I", 4 + P) + b"AVI ").hex())] + pay_all, 12 + P),
+        ("webp", [("hex", (b"RIFF" + struct.pack("<I", 4 + P) + b"WEBP").hex())] + pay_all, 12 + P),
+        (
+            "mov",
+            [
+                (
+                    "hex",
+                    (
+                        struct.pack(">I", 20) + b"ftypqt  " + struct.pack(">I", 0) + b"qt  "
+                        + struct.pack(">I", 8 + P) + b"moov"
+                    ).hex(),
+                )
+            ]
+            + pay_all,
+            28 + P,
+        ),
+        ("7z", [("hex", sevenz_hdr.hex())] + pay_all + [("hex", "17" + "00" * 7)], 32 + P + 8),
+        ("wmv", [("hex", asf_hdr.hex())] + pay_all, 78 + P),
+        (
+            "tar",
+            [("hex", bytes(tar_hdr).hex())]
+            + pay_all
+            + [("hex", "00" * (1024 - P) + "00" * 1024)],
+            512 + 1024 + 1024,
+        ),
+        ("ico", [("hex", ico_hdr.hex())] + pay_all, 22 + 8 + P),
+        (
+            "fb2",
+            [("hex", fb2_pre.hex())] + pay_all + [("hex", fb2_post.hex())],
+            len(fb2_pre) + P + len(fb2_post),
+        ),
+        ("lrf", [("hex", lrf_hdr.hex())] + pay_all, 12 + P),
+    ]
+
+
+def _q33_templates() -> list[tuple]:
+    """Batch 3 — the final 12 carvers under the oracle. Optional 4th
+    tuple element: trailer hex placed in the chunk AFTER the file (needed
+    by scan-for-next-boundary formats: gzip's next-magic, eml's mbox
+    `\\nFrom `), excluded from the carved extent and hash. Formats:
+    tiff IFD extent (tiff.rs), zip EOCD geometry (zip.rs), gzip
+    next-magic (gzip.rs), bzip2 end marker (bzip2.rs), xz CRC-validated
+    footer (xz.rs), rar4 block walk (rar.rs), mp3 ID3v2 size (mp3.rs),
+    ogg lacing walk (ogg.rs), webm EBML segment size (webm.rs), ole FAT
+    high-water (ole.rs), eml mbox boundary (eml.rs), mobi PDB record
+    stride (mobi.rs)."""
+    import struct
+    import zlib
+
+    P = _Q31_PAY
+    pay_all = [("pay", 1, P)]
+
+    tiff_hdr = (
+        b"II\x2a\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 2)
+        + struct.pack("<HHII", 273, 4, 1, 38)   # StripOffsets -> 38
+        + struct.pack("<HHII", 279, 4, 1, P)    # StripByteCounts -> 600
+        + struct.pack("<I", 0)
+    )
+    zip_local = (
+        b"PK\x03\x04" + struct.pack("<HHHHHIIIHH", 20, 0, 0, 0, 0, 0, P, P, 1, 0) + b"d"
+    )
+    zip_central = (
+        b"PK\x01\x02"
+        + struct.pack("<HHHHHHIIIHHHHHII", 20, 20, 0, 0, 0, 0, 0, P, P, 1, 0, 0, 0, 0, 0, 0)
+        + b"d"
+    )
+    zip_eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(zip_central), len(zip_local) + P, 0
+    )
+    gz_hdr = b"\x1f\x8b\x08\x00" + b"\x00" * 4 + b"\x00\x03"
+    gz_deflate = b"\x01" + struct.pack("<HH", P, P ^ 0xFFFF)  # stored block
+    xz_flags = b"\x00\x01"
+    xz_hdr = bytes.fromhex("FD377A585A00") + xz_flags + struct.pack("<I", zlib.crc32(xz_flags))
+    xz_bs = struct.pack("<I", 1) + xz_flags
+    xz_ftr = struct.pack("<I", zlib.crc32(xz_bs)) + xz_bs + b"YZ"
+    rar_pre = (
+        bytes.fromhex("526172211A0700")
+        + struct.pack("<HBHH", 0, 0x73, 0, 13) + b"\x00" * 6       # archive header
+        + struct.pack("<HBHH", 0, 0x74, 0, 32)                     # file header
+        + struct.pack("<I", P) + b"\x00" * 21
+    )
+    rar_end = struct.pack("<HBHH", 0, 0x7B, 0, 7)
+    mp3_hdr = b"ID3\x03\x00\x00" + bytes([(P >> 21) & 0x7F, (P >> 14) & 0x7F, (P >> 7) & 0x7F, P & 0x7F])
+    ogg_hdr = (
+        b"OggS\x00\x04" + b"\x00" * 8 + b"\x00" * 12 + bytes([3, 255, 255, P - 510])
+    )
+    webm_hdr = (
+        bytes.fromhex("1A45DFA3") + b"\x87" + b"\x42\x82\x84webm"
+        + bytes.fromhex("18538067") + bytes([0x40 | (P >> 8), P & 0xFF])
+    )
+    ole_hdr = bytearray(512)
+    ole_hdr[0:8] = bytes.fromhex("D0CF11E0A1B11AE1")
+    struct.pack_into("<HHHH", ole_hdr, 24, 0x3E, 3, 0xFFFE, 9)
+    struct.pack_into("<I", ole_hdr, 44, 1)   # one FAT sector
+    struct.pack_into("<I", ole_hdr, 48, 1)   # first dir sector
+    struct.pack_into("<I", ole_hdr, 76, 0)   # DIFAT[0] -> FAT at sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", ole_hdr, 76 + 4 * i, 0xFFFFFFFF)
+    ole_fat = bytearray(512)
+    struct.pack_into("<III", ole_fat, 0, 0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE)
+    for i in range(3, 128):
+        struct.pack_into("<I", ole_fat, 4 * i, 0xFFFFFFFF)
+    eml_hdr = b"From: alice@example.com\nTo: bob@example.com\nSubject: doc\n\n"
+    pdb = bytearray(78)
+    pdb[0:3] = b"doc"
+    pdb[60:68] = b"BOOKMOBI"
+    struct.pack_into(">H", pdb, 76, 2)
+    pdb_recs = struct.pack(">II", 94, 0) + struct.pack(">II", 94 + P // 2, 0)
+
+    return [
+        ("tiff", [("hex", tiff_hdr.hex())] + pay_all, 38 + P),
+        (
+            "zip",
+            [("hex", zip_local.hex())] + pay_all
+            + [("hex", zip_central.hex() + zip_eocd.hex())],
+            len(zip_local) + P + len(zip_central) + len(zip_eocd),
+        ),
+        (
+            "gzip",
+            [("hex", (gz_hdr + gz_deflate).hex())] + pay_all + [("hex", "00" * 8)],
+            len(gz_hdr) + 5 + P + 8,
+            "1f8b08",  # planted next-magic bounds the carve
+        ),
+        (
+            "bzip2",
+            [("hex", b"BZh9".hex())] + pay_all + [("hex", "177245385090")],
+            4 + P + 6,
+        ),
+        ("xz", [("hex", xz_hdr.hex())] + pay_all + [("hex", xz_ftr.hex())], 12 + P + 12),
+        (
+            "rar",
+            [("hex", rar_pre.hex())] + pay_all + [("hex", rar_end.hex())],
+            len(rar_pre) + P + 7,
+        ),
+        ("mp3", [("hex", mp3_hdr.hex())] + pay_all, 10 + P),
+        ("ogg", [("hex", ogg_hdr.hex())] + pay_all, 30 + P),
+        ("webm", [("hex", webm_hdr.hex())] + pay_all, len(webm_hdr) + P),
+        (
+            "ole",
+            [("hex", bytes(ole_hdr).hex() + bytes(ole_fat).hex() + "00" * 512)]
+            + [("pay", 1, 512)],
+            2048,
+        ),
+        (
+            "eml",
+            [("hex", eml_hdr.hex())] + pay_all,
+            len(eml_hdr) + P,
+            (b"\nFrom x").hex(),  # planted mbox boundary bounds the carve
+        ),
+        (
+            "mobi",
+            [("hex", (bytes(pdb) + pdb_recs).hex())] + pay_all,
+            78 + 16 + P,
+        ),
+    ]
+
+
+_Q31_CHUNK = 8192
+
+
+def _carve_synth_query(
+    spark: SparkSession,
+    sf_dir: str,
+    templates: list[tuple[str, list[tuple], int]],
+) -> DataFrame:
+    """Shared q31/q32 harness: synthesize one file per doc (doc_id % n
+    selects the template), tile as a distributed chunk table, run the
+    real scan->carve engine, emit SQL-predictable outcomes."""
+    import dataclasses
+
+    from swiftbeaver_spark.carve_op import carve_hits_with_chunks
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.scanner import scan_and_normalize
+
+    norm = [t if len(t) == 4 else (*t, "") for t in templates]
+    n = len(norm)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pay = F.encode(F.rpad(F.col("text"), _Q31_PAY, "x"), "utf-8")
+    file_exprs = []
+    for _tid, parts, _size, _extra in norm:
+        pieces = [
+            F.unhex(F.lit(p[1])) if p[0] == "hex" else F.substring(pay, p[1], p[2])
+            for p in parts
+        ]
+        file_exprs.append(F.concat(*pieces))
+    fmt = (F.col("doc_id") % n).cast("int")
+    fileblob = F.element_at(F.array(*file_exprs), fmt + 1)
+    # chunk tail: optional trailer (next-file boundary marker some
+    # carvers need) then zero fill — both OUTSIDE the carved extent
+    trailer = F.element_at(F.array(*[F.lit(extra) for _, _, _, extra in norm]), fmt + 1)
+    pad = F.element_at(
+        F.array(
+            *[F.lit(_Q31_CHUNK - sz - len(extra) // 2) for _, _, sz, extra in norm]
+        ),
+        fmt + 1,
+    )
+    chunks = docs.select(
+        F.col("doc_id").alias("chunk_id"),
+        (F.col("doc_id") * _Q31_CHUNK).alias("start"),
+        F.lit(_Q31_CHUNK).cast("long").alias("valid_length"),
+        fileblob.alias("file"),
+        trailer.alias("trailer"),
+        pad.alias("pad"),
+    ).select(
+        "chunk_id",
+        "start",
+        "valid_length",
+        F.concat(
+            F.col("file"),
+            F.unhex(F.concat(F.col("trailer"), F.expr("repeat('00', pad)"))),
+        ).alias("data"),
+    )
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG.with_types([t[0] for t in templates]),
+        chunk_size=_Q31_CHUNK,
+        overlap=0,
+    )
+    hits = scan_and_normalize(chunks, cfg)
+    carved = carve_hits_with_chunks(hits, chunks, cfg, window_cap=2 * _Q31_CHUNK)
+    expected = docs.select(
+        (F.col("doc_id") * _Q31_CHUNK).alias("global_start"),
+        F.sha2(fileblob, 256).alias("expected_sha"),
+        F.sha2(F.rpad(F.col("text"), _Q31_PAY, "x"), 256).alias("text_sha"),
+    )
+    return (
+        carved.join(expected, "global_start")
+        .select(
+            "global_start",
+            "file_type",
+            "size",
+            (F.col("sha256") == F.col("expected_sha")).alias("hash_ok"),
+            "text_sha",
+            "validated",
+        )
+        .orderBy("global_start")
+    )
+
+
+def _carve_synth_sql(templates: list[tuple]) -> str:
+    n = len(templates)
+    type_case = " ".join(
+        f"WHEN {i} THEN '{t[0]}'" for i, t in enumerate(templates)
+    )
+    size_case = " ".join(
+        f"WHEN {i} THEN {t[2]}" for i, t in enumerate(templates)
+    )
+    return f"""
+    SELECT doc_id * {_Q31_CHUNK} AS global_start,
+           CASE CAST(doc_id % {n} AS INT) {type_case} END AS file_type,
+           CAST(CASE CAST(doc_id % {n} AS INT) {size_case} END AS BIGINT) AS size,
+           TRUE AS hash_ok,
+           sha256(rpad(text, {_Q31_PAY}, 'x')) AS text_sha,
+           TRUE AS validated
+    FROM documents
+    ORDER BY global_start
+    """
+
+
+def q31_carve_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30's synthesis trick widened to EIGHT formats: each doc becomes
+    one synthesized file (doc_id % 8 selects bmp/wav/sqlite/elf/pdf/png/
+    mp4/gif) at doc_id*8192, the REAL scan->carve engine recovers them,
+    and the oracle predicts (offset, type, size, validated) in SQL.
+    hash_ok cross-checks the carver's hashlib sha256 against JVM sha2
+    over an independently constructed blob."""
+    return _carve_synth_query(spark, sf_dir, _q31_templates())
+
+
+def q31_sql() -> str:
+    return _carve_synth_sql(_q31_templates())
+
+
+def q32_carve_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 2: nine more carvers under the oracle (avi/webp/mov/7z/wmv/
+    tar/ico/fb2/lrf) — RIFF form gating, qt-brand box walk, 7z
+    next-header math, ASF declared size, tar checksummed block walk with
+    start_override back-up from the ustar signature, ico directory
+    extents, fb2 case-insensitive footer, lrf declared size."""
+    return _carve_synth_query(spark, sf_dir, _q32_templates())
+
+
+def q32_sql() -> str:
+    return _carve_synth_sql(_q32_templates())
+
+
+def q33_carve_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 3: the last 12 carvers under the oracle (tiff/zip/gzip/
+    bzip2/xz/rar/mp3/ogg/webm/ole/eml/mobi) — with q30-q32 this puts
+    ALL 30 reference format handlers behind driver-checked offset/size/
+    sha256 oracles."""
+    return _carve_synth_query(spark, sf_dir, _q33_templates())
+
+
+def q33_sql() -> str:
+    return _carve_synth_sql(_q33_templates())
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -1429,6 +1872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_topk": q28_lsh_topk,
         "q29_media_meta": q29_media_meta,
         "q30_carve_roundtrip": q30_carve_roundtrip,
+        "q31_carve_declared": q31_carve_declared,
+        "q32_carve_structured": q32_carve_structured,
+        "q33_carve_remaining": q33_carve_remaining,
     }
 
 
@@ -1464,4 +1910,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_lsh_topk": q28_sql(),
         "q29_media_meta": q29_sql(),
         "q30_carve_roundtrip": q30_sql(),
+        "q31_carve_declared": q31_sql(),
+        "q32_carve_structured": q32_sql(),
+        "q33_carve_remaining": q33_sql(),
     }
