@@ -66,31 +66,92 @@ def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     return chunks.mapInPandas(scan, WINDOW_SCHEMA)
 
 
-def merge_regions(windows: DataFrame, window_size: int) -> DataFrame:
-    """Gaps-and-islands merge of qualifying windows (SURVEY §2.2)."""
-    w = Window.orderBy("win_start")
-    flagged = windows.withColumn("prev_end", F.lag("win_end").over(w)).withColumn(
+def _merge_level(df: DataFrame, span: int) -> tuple[DataFrame, DataFrame]:
+    """One bucketed gaps-and-islands pass: merge contiguous rows WITHIN
+    span-aligned buckets (distributed — the window partitions by bucket),
+    split the result into interior islands (final regions) and
+    bucket-edge islands (may continue into a neighbor bucket; escalate
+    to the next level). Input/output rows: (start, end, entropy)."""
+    bucketed = df.withColumn("bucket", F.floor(F.col("start") / span))
+    w = Window.partitionBy("bucket").orderBy("start")
+    flagged = bucketed.withColumn("prev_end", F.lag("end").over(w)).withColumn(
         "new_region",
         F.when(
-            F.col("prev_end").isNull() | (F.col("win_start") > F.col("prev_end") + 1), 1
+            F.col("prev_end").isNull() | (F.col("start") > F.col("prev_end") + 1), 1
         ).otherwise(0),
     )
-    regions = flagged.withColumn(
-        "region_id", F.sum("new_region").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        regions.groupBy("region_id")
+    islands = (
+        flagged.withColumn(
+            "region_id",
+            F.sum("new_region").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("bucket", "region_id")
         .agg(
-            F.min("win_start").alias("global_start"),
-            F.max("win_end").alias("global_end"),
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
             F.max("entropy").alias("entropy"),
         )
-        .select(
-            "global_start",
-            "global_end",
-            "entropy",
-            F.lit(window_size).cast("long").alias("window_size"),
+    )
+    boundary = (F.col("start") == F.col("bucket") * span) | (
+        F.col("end") == (F.col("bucket") + 1) * span - 1
+    )
+    done = islands.where(~boundary).select("start", "end", "entropy")
+    escalated = islands.where(boundary).select("start", "end", "entropy")
+    return done, escalated
+
+
+# windows per level-1 bucket; level 2 buckets are LEVEL_SPAN^2 windows.
+# At 4 KiB windows: level 1 = 16 MiB buckets, level 2 = 64 GiB buckets,
+# so even a fully-qualifying 100 TB image leaves only ~2 rows per 64 GiB
+# for the final stitch (~3k rows) instead of 2.4e10 through one task.
+_LEVEL_SPAN = 4096
+
+
+def merge_regions(windows: DataFrame, window_size: int) -> DataFrame:
+    """Two-level distributed gaps-and-islands merge + tiny final stitch
+    (SURVEY §2.2; replaces the round-1 global single-partition window).
+
+    Level 1 merges within window_size*4096 buckets, level 2 within
+    4096x larger buckets; only islands touching a bucket edge escalate
+    (<= 2 per bucket), so each level shrinks the row count by ~span.
+    The final global window sees O(total / span^2) rows."""
+    cur = windows.select(
+        F.col("win_start").alias("start"), F.col("win_end").alias("end"), "entropy"
+    )
+    finals = []
+    span = window_size * _LEVEL_SPAN
+    for _ in range(2):
+        done, cur = _merge_level(cur, span)
+        finals.append(done)
+        span *= _LEVEL_SPAN
+
+    # final stitch: O(total/span^2) boundary islands through one window
+    w = Window.orderBy("start")
+    flagged = cur.withColumn("prev_end", F.lag("end").over(w)).withColumn(
+        "new_region",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("start") > F.col("prev_end") + 1), 1
+        ).otherwise(0),
+    )
+    stitched = (
+        flagged.withColumn(
+            "region_id",
+            F.sum("new_region").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
+        .groupBy("region_id")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.max("entropy").alias("entropy"),
+        )
+        .select("start", "end", "entropy")
+    )
+    merged = finals[0].unionByName(finals[1]).unionByName(stitched)
+    return merged.select(
+        F.col("start").alias("global_start"),
+        F.col("end").alias("global_end"),
+        "entropy",
+        F.lit(window_size).cast("long").alias("window_size"),
     )
 
 

@@ -63,3 +63,32 @@ def test_overlap_dedup_is_catalyst_filter(spark):
     hits = scan_and_normalize(chunks, DEFAULT_CONFIG)
     plan = _formatted(hits)
     assert re.search(r"Filter.*local_offset", plan, re.DOTALL)
+
+
+def test_entropy_merge_windows_are_bucketed(spark):
+    """Round-1 weakness: merge_regions ran ONE global window over every
+    qualifying entropy window. The rewrite must push the bulk of the
+    merge through bucket-partitioned windows; at most the final stitch
+    (lag + running sum over O(total/span^2) boundary rows) may be
+    global."""
+    import dataclasses
+
+    from swiftbeaver_spark.chunking import chunks_from_bytes
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.entropy import entropy_regions
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        enable_entropy_detection=True,
+        entropy_window_size=256,
+        entropy_threshold=7.5,
+    )
+    df = entropy_regions(chunks_from_bytes(spark, bytes(range(256)) * 8, 1 << 20, 0), cfg)
+    plan = _formatted(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    bucketed = [s for s in specs if "bucket" in s]
+    global_specs = [s for s in specs if "bucket" not in s]
+    # two bucketed levels (lag + sum each)
+    assert len(bucketed) >= 4, plan
+    # only the final stitch may be unpartitioned (its lag + sum)
+    assert len(global_specs) <= 2, plan

@@ -167,3 +167,31 @@ def test_entropy_merges_across_chunks(spark):
     data = win * 8  # 2048 bytes, chunked at 1024
     regions = entropy_regions(chunks_from_bytes(spark, data, 1024, 64), ENT_CFG).collect()
     assert [(r.global_start, r.global_end) for r in regions] == [(0, 2047)]
+
+
+def test_entropy_merges_across_level_buckets(spark):
+    """A region straddling the level-1 merge bucket edge (window_size *
+    4096 = 1 MiB here) must still come out as ONE region — the boundary
+    islands escalate to the stitch level."""
+    win = bytes(range(256))
+    span = 256 * 4096
+    data = win * (2 * 4096)  # 2 MiB of qualifying windows
+    regions = entropy_regions(chunks_from_bytes(spark, data, 4 << 20, 0), ENT_CFG).collect()
+    assert [(r.global_start, r.global_end) for r in regions] == [(0, 2 * span - 1)]
+
+
+def test_entropy_gap_at_level_bucket_edge(spark):
+    """A gap exactly at the bucket edge must NOT be merged: the edge
+    island escalates but stitching still requires contiguity."""
+    win = bytes(range(256))
+    span = 256 * 4096
+    data = win * 4096 + b"\x00" * 256 + win * 10
+    regions = (
+        entropy_regions(chunks_from_bytes(spark, data, 4 << 20, 0), ENT_CFG)
+        .orderBy("global_start")
+        .collect()
+    )
+    assert [(r.global_start, r.global_end) for r in regions] == [
+        (0, span - 1),
+        (span + 256, span + 256 + 10 * 256 - 1),
+    ]
