@@ -83,19 +83,30 @@ def carve_hits_with_evidence(
 class WindowReader(Reader):
     """Reader over a reassembled byte window anchored at a global offset.
     Reads outside the window return empty (treated as EOF by handlers,
-    which then mark truncation — same as the reference at evidence end)."""
+    which then mark truncation — same as the reference at evidence end).
+
+    Tracks `hit_window_end`: a read ran past the window's data while the
+    evidence itself continues — i.e. the window cap, not evidence EOF,
+    is what cut the handler short. Callers surface that as an explicit
+    `over_cap` error instead of letting it masquerade as truncation at
+    end-of-evidence."""
 
     def __init__(self, window_start: int, data: bytes, evidence_len: int):
         self._start = window_start
         self._data = data
         self._len = evidence_len
+        self.hit_window_end = False
 
     def length(self) -> int:
         return self._len
 
     def read_at(self, offset: int, length: int) -> bytes:
         rel = offset - self._start
-        if rel < 0 or rel >= len(self._data) or length <= 0:
+        if rel < 0 or length <= 0:
+            return b""
+        if rel + length > len(self._data) and offset + length <= self._len:
+            self.hit_window_end = True
+        if rel >= len(self._data):
             return b""
         return self._data[rel : rel + length]
 
@@ -105,19 +116,38 @@ def carve_hits_with_chunks(
     chunks: DataFrame,
     cfg: EngineConfig,
     window_cap: int | None = None,
+    evidence_len: int | None = None,
+    window_caps: dict[str, int] | None = None,
 ) -> DataFrame:
     """Carve from the chunk table alone (strategy 2, no evidence re-read).
 
     Each hit claims the chunk range [offset, offset + window) where
-    window = min(type max_size, window_cap); candidate chunk ids are an
+    window = min(type max_size, per-type cap); candidate chunk ids are an
     exploded `sequence`, so the range join is an equi-join on chunk_id.
+
+    `evidence_len`: total evidence length — the chunk *plan* knows it
+    arithmetically, so callers thread it in rather than paying a full
+    aggregation job over the chunk table mid-plan. When None, each
+    group uses its own window extent as EOF (same truncation outcome,
+    but over-cap cuts can't be told apart from evidence end).
+
+    `window_caps`: per-type overrides of `window_cap` — big-media types
+    (mov/webm/wmv, max_size 10 GiB) can be given a larger window than
+    the default without inflating every hit's claimed range. A hit the
+    window still cuts short gets an explicit `over_cap` error instead
+    of a silent eof-style truncation.
     """
     registry_types = {ft.type_id: ft.max_size for ft in cfg.file_types}
     cap = window_cap if window_cap is not None else 128 * 1024 * 1024
+    caps = window_caps or {}
     chunk_size = cfg.chunk_size
 
     max_size_map = F.create_map(
-        *[item for tid, ms in registry_types.items() for item in (F.lit(tid), F.lit(min(ms, cap)))]
+        *[
+            item
+            for tid, ms in registry_types.items()
+            for item in (F.lit(tid), F.lit(min(ms, caps.get(tid, cap))))
+        ]
     )
     window_end = (F.col("global_offset") + max_size_map[F.col("file_type_id")]).alias("window_end")
     hit_rows = hits.select(
@@ -148,11 +178,6 @@ def carve_hits_with_chunks(
         "data",
     )
 
-    evidence_len_row = chunks.agg(
-        F.max(F.col("start") + F.col("valid_length")).alias("n")
-    ).collect()[0]
-    evidence_len = int(evidence_len_row["n"] or 0)
-
     def carve_group(pdf: pd.DataFrame) -> pd.DataFrame:
         registry = build_registry(cfg)
         rows = []
@@ -167,7 +192,13 @@ def carve_hits_with_chunks(
             # the final chunk may contribute its overlap tail too
             last = grp.iloc[-1]
             parts[-1] = bytes(last["data"])
-            reader = WindowReader(window_start, b"".join(parts), evidence_len)
+            data = b"".join(parts)
+            ev_len = (
+                evidence_len
+                if evidence_len is not None
+                else window_start + len(data)
+            )
+            reader = WindowReader(window_start, data, ev_len)
             rec = carve_hit(
                 reader,
                 int(first["global_offset"]),
@@ -177,6 +208,8 @@ def carve_hits_with_chunks(
                 cfg,
             )
             if rec is not None:
+                if reader.hit_window_end:
+                    rec.errors = [*rec.errors, "over_cap"]
                 rows.append(_record_to_tuple(rec))
         return pd.DataFrame(rows, columns=_CARVE_COLUMNS)
 

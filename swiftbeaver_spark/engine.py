@@ -79,12 +79,18 @@ class Engine:
         return scan_and_normalize(chunks, self.cfg)
 
     def carve(
-        self, hits: DataFrame, evidence_path: str | None = None, chunks: DataFrame | None = None
+        self,
+        hits: DataFrame,
+        evidence_path: str | None = None,
+        chunks: DataFrame | None = None,
+        evidence_len: int | None = None,
     ) -> DataFrame:
         if evidence_path is not None:
             carved = carve_hits_with_evidence(hits, evidence_path, self.cfg)
         elif chunks is not None:
-            carved = carve_hits_with_chunks(hits, chunks, self.cfg)
+            carved = carve_hits_with_chunks(
+                hits, chunks, self.cfg, evidence_len=evidence_len
+            )
         else:
             raise ValueError("need evidence_path or chunks")
         if self.cfg.max_files is not None:
@@ -130,14 +136,17 @@ class Engine:
         else:
             if evidence_path is not None:
                 chunks = self.chunks_from_file(evidence_path)
+                total = os.path.getsize(evidence_path)
             elif evidence_bytes is not None:
                 chunks = self.chunks_from_bytes(evidence_bytes)
+                total = len(evidence_bytes)
             else:
                 raise ValueError("need evidence_path or evidence_bytes")
             chunks = chunks.cache()  # one pass feeds scan, strings, entropy, carve
 
             hits = self.hits(chunks)
-            carved = self.carve(hits, chunks=chunks)
+            # evidence_len from the plan's arithmetic — no aggregation job
+            carved = self.carve(hits, chunks=chunks, evidence_len=total)
             tables = {"chunks": chunks, "hits": hits, "carved_files": carved}
             if self.cfg.enable_string_scan:
                 spans = scan_string_spans(chunks, self.cfg)
