@@ -69,7 +69,41 @@ def find_all(data: bytes, pattern: bytes, cap: int = MAX_HITS_PER_CHUNK) -> list
     return hits
 
 
-_SLAB = 8 * 1024 * 1024
+# bytes.find runs ~1 GiB/s per pattern regardless of content, so 44
+# patterns x one pass each caps the naive kernel at ~25 MiB/s/core.
+# Above this size the single-pass LUT kernel wins; below it, numpy
+# setup overhead dominates and the find loop is faster.
+_VEC_MIN = 64 * 1024
+
+# byte "commonness" in typical evidence: prefer anchoring each pattern
+# on its rarest byte so the candidate pool stays sparse on zero-fill,
+# 0xFF-fill, and ASCII text alike
+def _rarity(b: int) -> int:
+    if b == 0x00:
+        return 3
+    if b in (0xFF, 0x20):
+        return 2
+    if 0x20 < b < 0x7F:
+        return 1
+    return 0
+
+
+def _anchor(pat: bytes) -> int:
+    """Index of the rarest byte in the pattern (earliest among ties)."""
+    return min(range(len(pat)), key=lambda i: (_rarity(pat[i]), i))
+
+
+def _scan_blob_find(
+    blob: bytes, patterns: list[tuple[bytes, str, str]], budget: int
+) -> list[tuple[int, str, str]]:
+    out: list[tuple[int, str, str]] = []
+    for pat, pid, ftid in patterns:
+        if budget <= 0:
+            break
+        offs = find_all(blob, pat, budget)
+        budget -= len(offs)
+        out.extend((o, pid, ftid) for o in offs)
+    return out
 
 
 def scan_blob(
@@ -78,60 +112,67 @@ def scan_blob(
     """All pattern occurrences in one chunk: (local_offset, pattern_id,
     file_type_id), overlapping matches included.
 
-    Two strategies by pattern class:
-    - first byte != 0: C memmem (`bytes.find`) — skips at memory speed
-      because the first byte is rare in typical evidence.
-    - first byte == 0 and len >= 4 (the mp4/mov/ico signatures): memmem
-      degenerates on zero-filled regions (every byte partially matches),
-      so a numpy uint32-prefix compare finds candidate positions at
-      vector speed, then each candidate verifies the full pattern.
-      Slabbed to bound temp memory on 512 MiB chunks.
+    Large blobs take a single-pass vectorized path (the reference scans
+    per-pattern with memchr skipping, src/scanner/cpu.rs:40-69; one C
+    pass per pattern is exactly what we must NOT do 44 times over):
+
+    1. ONE 256-entry LUT gather marks every position holding any
+       pattern's anchor byte (each pattern anchored on its rarest byte,
+       so zero-filled / 0xFF-filled regions produce no candidates);
+    2. candidates bucket by byte value, each pattern screens its bucket
+       with vectorized 4-byte compares;
+    3. the few survivors verify the full pattern in Python.
+
+    Small blobs use the per-pattern C `bytes.find` loop.
     """
+    n = len(blob)
+    if n < _VEC_MIN or not patterns:
+        return _scan_blob_find(blob, patterns, budget)
+
     import numpy as np
 
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    # adaptive anchoring: sample THIS blob's byte frequencies (prime
+    # stride; bincount over the full array would cast it to int64),
+    # each pattern anchors on its least-frequent byte (static rarity
+    # breaks ties) — zero-fill, 0xFF-fill, and text regions all get
+    # near-empty candidate pools automatically
+    freq = np.bincount(arr[::61], minlength=256)
+    anchors = [
+        min(range(len(pat)), key=lambda i: (freq[pat[i]], _rarity(pat[i]), i))
+        for pat, _, _ in patterns
+    ]
+    lut = np.zeros(256, dtype=bool)
+    for (pat, _, _), a in zip(patterns, anchors):
+        lut[pat[a]] = True
+    cand = np.flatnonzero(lut[arr])
+    if cand.size == 0:
+        return []
+    cand_byte = arr[cand]
+    by_byte: dict[int, np.ndarray] = {}
     out: list[tuple[int, str, str]] = []
-    vec_pats: list[tuple[bytes, str, str]] = []
-    for pat, pid, ftid in patterns:
+    for (pat, pid, ftid), a in zip(patterns, anchors):
         if budget <= 0:
             break
-        # vectorized path ONLY where memmem degenerates: zero-led
-        # patterns over zero-filled regions. Nonzero-led patterns skip
-        # at memory speed in C regardless of length, and the numpy set
-        # machinery is pure overhead on small blobs.
-        if len(pat) >= 4 and pat[0] == 0:
-            vec_pats.append((pat, pid, ftid))
+        b = pat[a]
+        sel = by_byte.get(b)
+        if sel is None:
+            sel = by_byte[b] = cand[cand_byte == b]
+        starts = sel - a
+        starts = starts[(starts >= 0) & (starts <= n - len(pat))]
+        # vectorized screen on up to 4 pattern bytes, then exact verify
+        k = min(len(pat), 4)
+        ok = np.ones(starts.shape, dtype=bool)
+        for j in range(k):
+            ok &= arr[starts + j] == pat[j]
+        survivors = starts[ok]
+        if len(pat) > 4:
+            matches = [int(s) for s in survivors if blob.startswith(pat, s)]
         else:
-            offs = find_all(blob, pat, budget)
-            budget -= len(offs)
-            out.extend((o, pid, ftid) for o in offs)
-
-    if vec_pats and len(blob) >= 4 and budget > 0:
-        arr = np.frombuffer(blob, dtype=np.uint8)
-        n = len(blob)
-        prefixes = np.array(
-            sorted({int.from_bytes(p[:4], "little") for p, _, _ in vec_pats}),
-            dtype=np.uint32,
-        )
-        candidates: list[int] = []
-        # zero-copy uint32 views at the 4 byte alignments: position
-        # p = a + 4*i is covered by view a — no casts, no temp arrays;
-        # one np.isin pass per alignment covers every >=4-byte pattern
-        for a in range(4):
-            usable = (n - a) // 4 * 4
-            if usable < 4:
-                continue
-            w = arr[a : a + usable].view("<u4")
-            mask = np.isin(w, prefixes) if prefixes.size > 1 else w == prefixes[0]
-            idx = np.nonzero(mask)[0]
-            if idx.size:
-                candidates.extend((idx * 4 + a).tolist())
-        for absolute in sorted(candidates):
-            if budget <= 0:
-                break
-            for pat, pid, ftid in vec_pats:
-                if blob.startswith(pat, absolute):
-                    out.append((absolute, pid, ftid))
-                    budget -= 1
+            matches = [int(s) for s in survivors]
+        for s in matches[: max(budget, 0)]:
+            out.append((s, pid, ftid))
+            budget -= 1
     return out
 
 

@@ -43,8 +43,25 @@ def main() -> None:
     engine = Engine(spark, cfg)
     results = {}
 
+    # raw single-thread kernel throughput (no Spark): the number that
+    # extrapolates to per-core cluster throughput
+    import random
+
+    from swiftbeaver_spark.scanner import compile_patterns, scan_blob
+
+    pats = compile_patterns(cfg)
+    for name, blob in (
+        ("zero", b"\x00" * (32 << 20)),
+        ("rand", random.Random(7).randbytes(32 << 20)),
+    ):
+        secs = timeit(lambda b=blob: scan_blob(b, pats, budget=1 << 62), n)
+        results[f"kernel_{name}_32mib"] = {
+            "sec": round(secs, 4),
+            "mib_per_s": round(32 / secs, 1),
+        }
+
     tmp = tempfile.mkdtemp()
-    for mib in (8, 32):
+    for mib in (8, 32, 256):
         path = os.path.join(tmp, f"zero_{mib}.raw")
         with open(path, "wb") as fh:
             fh.write(b"\x00" * (mib * 1024 * 1024))
