@@ -25,6 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 from swiftbeaver_spark import schemas
 from swiftbeaver_spark.carve_op import carve_hits_with_chunks
 from swiftbeaver_spark.config import EngineConfig
+from swiftbeaver_spark.progress import ProgressSnapshot, ProgressTracker
 from swiftbeaver_spark.scanner import scan_and_normalize
 
 
@@ -46,14 +47,21 @@ def start_scan_stream(
     carve: bool = True,
     available_now: bool = False,
     on_batch: Callable[[int, int], None] | None = None,
+    on_progress: Callable[[ProgressSnapshot], None] | None = None,
+    total_bytes: int | None = None,
 ) -> StreamingQuery:
     """chunks stream -> hits (+ carved files) appended per micro-batch.
 
     Each micro-batch is a bounded chunk set, so the batch carve path
     (chunk-range join) applies unchanged — the stream IS the reference's
     pipelined chunk loop with Spark-managed backpressure and restart.
+
+    `on_progress` receives a ProgressSnapshot per micro-batch (the
+    reference's periodic MiB/s + ETA tick, src/pipeline/mod.rs:526-583);
+    pass `total_bytes` (known evidence size) to get pct/ETA.
     """
     chunks_stream = stream_chunks(spark, chunk_dir)
+    tracker = ProgressTracker(total_bytes=total_bytes)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -63,6 +71,13 @@ def start_scan_stream(
         if carve:
             carved = carve_hits_with_chunks(hits, batch_df, cfg)
             carved.write.mode("append").parquet(f"{out_dir}/carved_files")
+        if on_progress is not None:
+            # partial-agg over the persisted batch — no source re-scan
+            stats = batch_df.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("valid_length"), F.lit(0)).alias("b"),
+            ).collect()[0]
+            on_progress(tracker.tick(batch_id, stats["n"], stats["b"]))
         if on_batch is not None:
             n_hits = spark.read.parquet(f"{out_dir}/hits").count()
             on_batch(batch_id, n_hits)

@@ -121,6 +121,39 @@ def test_streaming_scan_carve(spark, tmp_path):
     assert {c.global_start for c in carved} == set(offsets)
 
 
+def test_streaming_progress_snapshots(spark, tmp_path):
+    """Per-batch MiB/s + ETA ticks (reference src/pipeline/mod.rs:526-583):
+    monotone bytes/chunks, sane pct, ETA reaching 0 when done."""
+    evidence, _ = _evidence_with_jpegs(3)
+    chunk_dir = str(tmp_path / "chunks")
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    materialize_chunks(chunks, chunk_dir)
+
+    snaps = []
+    q = start_scan_stream(
+        spark,
+        chunk_dir,
+        str(tmp_path / "out"),
+        CFG,
+        str(tmp_path / "cp"),
+        carve=False,
+        available_now=True,
+        on_progress=snaps.append,
+        total_bytes=len(evidence),
+    )
+    q.awaitTermination(120)
+    assert snaps, "no progress ticks observed"
+    bytes_seq = [s.bytes_scanned for s in snaps]
+    chunk_seq = [s.chunks_done for s in snaps]
+    assert bytes_seq == sorted(bytes_seq) and chunk_seq == sorted(chunk_seq)
+    last = snaps[-1]
+    assert last.bytes_scanned == len(evidence)
+    assert last.pct == 100.0
+    assert last.eta_sec == 0.0
+    assert last.mib_per_s > 0
+    assert all("MiB/s" in str(s) for s in snaps)
+
+
 def test_max_files_limit(spark, tmp_path):
     evidence, offsets = _evidence_with_jpegs(5)
     path = str(tmp_path / "ev.raw")
