@@ -67,19 +67,21 @@ def evidence_digest_of_digests(chunks: DataFrame) -> str:
 
 
 def convert_ewf_to_raw(ewf_path: str, out_path: str) -> None:
-    """E01 -> raw conversion for ingest (reference reads E01 via libewf;
-    distributed scanning wants raw/chunked parquet). Requires pyewf."""
+    """E01 -> raw conversion for ingest (reference reads E01 via libewf,
+    src/evidence.rs:165-400; distributed scanning wants raw/chunked
+    parquet). Uses pyewf when present, else the pure-Python EWF reader
+    (swiftbeaver_spark.ewf, public EWF spec — no native deps)."""
     try:
         import pyewf  # type: ignore
-    except ImportError as exc:  # pragma: no cover - env without pyewf
-        raise NotImplementedError(
-            "E01 ingest requires pyewf (libewf bindings); convert with "
-            "`ewfexport` or install pyewf on the ingest host"
-        ) from exc
+    except ImportError:
+        from swiftbeaver_spark.ewf import EwfReader
+
+        EwfReader(ewf_path).convert_to_raw(out_path)
+        return
     filenames = pyewf.glob(ewf_path)  # pragma: no cover
     handle = pyewf.handle()
     handle.open(filenames)
-    try:
+    try:  # pragma: no cover - env without pyewf
         with open(out_path, "wb") as out:
             remaining = handle.get_media_size()
             while remaining > 0:
@@ -88,7 +90,7 @@ def convert_ewf_to_raw(ewf_path: str, out_path: str) -> None:
                     break
                 out.write(buf)
                 remaining -= len(buf)
-    finally:
+    finally:  # pragma: no cover
         handle.close()
 
 

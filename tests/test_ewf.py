@@ -1,0 +1,130 @@
+"""Pure-Python EWF/E01 container: write -> read roundtrips, checksum
+enforcement, positioned reads, and E01 -> raw -> identical carve
+results (reference src/evidence.rs:165-400 reads E01 via libewf; this
+path needs no native deps)."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from swiftbeaver_spark.evidence import convert_ewf_to_raw
+from swiftbeaver_spark.ewf import EwfFormatError, EwfReader, write_ewf
+
+
+def mixed_data(n: int = 300_000) -> bytes:
+    """Zeros (compressible) + random (incompressible) so both chunk
+    storage forms — zlib and raw+Adler32 — are exercised."""
+    rng = random.Random(42)
+    return b"\x00" * (n // 3) + rng.randbytes(n // 3) + b"\xab" * (n - 2 * (n // 3))
+
+
+def test_roundtrip_mixed_chunks(tmp_path):
+    data = mixed_data()
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, data)
+    r = EwfReader(p)
+    assert r.media_size >= len(data)
+    assert r.read_at(0, len(data)) == data
+    # sector padding beyond the original data is zeros
+    tail = r.read_at(len(data), r.media_size - len(data))
+    assert tail == b"\x00" * len(tail)
+
+
+def test_read_at_windows(tmp_path):
+    data = mixed_data(150_000)
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, data, sectors_per_chunk=8)  # small chunks -> many boundaries
+    r = EwfReader(p)
+    padded = data + b"\x00" * (r.media_size - len(data))
+    rng = random.Random(7)
+    for _ in range(50):
+        off = rng.randrange(0, len(data))
+        ln = rng.randrange(1, 20_000)
+        assert r.read_at(off, ln) == padded[off : off + ln]
+    # out-of-range reads
+    assert r.read_at(r.media_size, 10) == b""
+    assert r.read_at(-5, 10) == b""
+
+
+def test_media_not_sector_multiple(tmp_path):
+    data = b"x" * 1000  # not a multiple of 512
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, data)
+    r = EwfReader(p)
+    assert r.media_size == 1024  # rounded up to whole sectors
+    assert r.read_at(0, 1000) == data
+
+
+def test_bad_signature_rejected(tmp_path):
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, b"hello world" * 100)
+    raw = bytearray(open(p, "rb").read())
+    raw[0] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(EwfFormatError, match="not an EWF"):
+        EwfReader(p)
+
+
+def test_corrupt_descriptor_checksum_rejected(tmp_path):
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, b"hello world" * 100)
+    raw = bytearray(open(p, "rb").read())
+    raw[13 + 2] ^= 0x01  # flip a byte inside the first section's type field
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(EwfFormatError, match="checksum"):
+        EwfReader(p)
+
+
+def test_corrupt_chunk_checksum_rejected(tmp_path):
+    rng = random.Random(1)
+    data = rng.randbytes(64 * 512)  # incompressible -> stored raw+adler
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, data)
+    raw = bytearray(open(p, "rb").read())
+    # flip one byte of chunk data (search for a known slice)
+    pos = bytes(raw).find(data[1000:1016])
+    assert pos > 0
+    raw[pos] ^= 0x01
+    open(p, "wb").write(bytes(raw))
+    r = EwfReader(p)
+    with pytest.raises(EwfFormatError, match="chunk"):
+        r.read_at(0, 100)
+
+
+def test_convert_and_carve_identical(spark, tmp_path):
+    """E01 ingest -> raw -> full engine run recovers the same files as
+    carving the original raw image (the verdict's done-bar)."""
+    import dataclasses
+
+    from swiftbeaver_spark.engine import Engine
+
+    from tests.test_pipeline import TEST_CFG, build_golden
+
+    evidence, manifest = build_golden()
+    raw_path = str(tmp_path / "orig.raw")
+    with open(raw_path, "wb") as fh:
+        fh.write(evidence)
+    e01_path = str(tmp_path / "img.E01")
+    write_ewf(e01_path, evidence)
+    conv_path = str(tmp_path / "converted.raw")
+    convert_ewf_to_raw(e01_path, conv_path)
+
+    converted = open(conv_path, "rb").read()
+    assert converted[: len(evidence)] == evidence
+
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(
+            ft for ft in TEST_CFG.file_types if ft.type_id in ("jpeg", "png", "gif")
+        ),
+    )
+    engine = Engine(spark, cfg)
+    carve = lambda path: {
+        (r.global_start, r.size, r.sha256)
+        for r in engine.run(evidence_path=path)["carved_files"].collect()
+    }
+    assert carve(conv_path) == carve(raw_path) != set()
