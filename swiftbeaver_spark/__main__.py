@@ -24,8 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="swiftbeaver_spark", description="PySpark-native file/artefact carver"
     )
-    p.add_argument("--input", required=True, help="evidence path (raw/dd image)")
+    p.add_argument("--input", required=True, help="evidence path (raw/dd or E01 image)")
     p.add_argument("--output", required=True, help="output directory for metadata tables")
+    p.add_argument("--config", default=None, help="YAML config (reference default.yml shape); flags override")
     p.add_argument("--format", default="parquet", choices=["parquet", "jsonl", "csv"])
     p.add_argument("--types", help="comma-separated file types (zip/ole kinds expand)")
     p.add_argument("--chunk-size", type=int, default=None, help="bytes (default 512 MiB)")
@@ -36,10 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable-string-scan", action="store_true")
     p.add_argument("--scan-utf16", action="store_true")
     p.add_argument("--enable-entropy", action="store_true")
-    p.add_argument("--entropy-window", type=int, default=4096)
-    p.add_argument("--entropy-threshold", type=float, default=7.5)
+    p.add_argument("--entropy-window", type=int, default=None)
+    p.add_argument("--entropy-threshold", type=float, default=None)
     p.add_argument("--enable-page-recovery", action="store_true")
-    p.add_argument("--quicktime-mode", default="mov", choices=["mov", "mp4"])
+    p.add_argument("--quicktime-mode", default=None, choices=["mov", "mp4"])
     p.add_argument("--carve-bytes-to", default=None, help="also write carved file bytes here")
     p.add_argument("--evidence-sha256", action="store_true", help="hash evidence before scan")
     p.add_argument("--checkpoint", default=None, help="checkpoint JSON path (resume if exists)")
@@ -56,7 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     from swiftbeaver_spark.evidence import evidence_sha256_local
     from swiftbeaver_spark.session import get_spark
 
-    cfg = DEFAULT_CONFIG
+    from swiftbeaver_spark.config_yaml import load_config
+
+    loaded = load_config(args.config)
+    cfg = loaded.config
     if args.types:
         cfg = cfg.with_types([t.strip() for t in args.types.split(",") if t.strip()])
     updates: dict = {}
@@ -64,19 +68,27 @@ def main(argv: list[str] | None = None) -> int:
         updates["chunk_size"] = args.chunk_size
     if args.overlap is not None:
         updates["overlap"] = args.overlap
-    updates.update(
-        max_bytes=args.max_bytes,
-        max_chunks=args.max_chunks,
-        max_files=args.max_files,
-        enable_string_scan=args.enable_string_scan,
-        string_scan_utf16=args.scan_utf16,
-        enable_entropy_detection=args.enable_entropy,
-        entropy_window_size=args.entropy_window,
-        entropy_threshold=args.entropy_threshold,
-        enable_sqlite_page_recovery=args.enable_page_recovery,
-        quicktime_mode=args.quicktime_mode,
-        output_dir=args.carve_bytes_to,
-    )
+    # flags override YAML only when actually given (store_true flags
+    # can only turn features ON over the config file)
+    for name, val in (
+        ("max_bytes", args.max_bytes),
+        ("max_chunks", args.max_chunks),
+        ("max_files", args.max_files),
+        ("entropy_window_size", args.entropy_window),
+        ("entropy_threshold", args.entropy_threshold),
+        ("quicktime_mode", args.quicktime_mode),
+        ("output_dir", args.carve_bytes_to),
+    ):
+        if val is not None:
+            updates[name] = val
+    for name, flag in (
+        ("enable_string_scan", args.enable_string_scan),
+        ("string_scan_utf16", args.scan_utf16),
+        ("enable_entropy_detection", args.enable_entropy),
+        ("enable_sqlite_page_recovery", args.enable_page_recovery),
+    ):
+        if flag:
+            updates[name] = True
     cfg = dataclasses.replace(cfg, **updates)
 
     run_id = make_run_id()
@@ -136,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
     mib = summary["bytes_scanned"] / (1024 * 1024)
     report = {
         "run_id": run_id,
+        "config_hash": loaded.config_hash,
         **summary,
         "elapsed_sec": round(elapsed, 2),
         "throughput_mib_s": round(mib / elapsed, 2) if elapsed > 0 else None,
