@@ -94,23 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     run_id = make_run_id()
     t0 = time.time()
 
-    # E01/EWF containers convert at ingest (reference opens them via
-    # libewf; src/main.rs evidence open). Detected by signature, not
-    # extension, so renamed images still work.
-    with open(args.input, "rb") as fh:
-        magic = fh.read(8)
-    from swiftbeaver_spark.ewf import SIGNATURE as EWF_SIGNATURE
+    # E01/EWF containers are read natively (signature-sniffed, not by
+    # extension): every task positioned-reads decompressed media through
+    # swiftbeaver_spark.source — no ingest-time conversion pass.
+    from swiftbeaver_spark.source import evidence_length, is_ewf
 
-    if magic == EWF_SIGNATURE:
-        from swiftbeaver_spark.evidence import convert_ewf_to_raw
-
-        raw_path = os.path.join(args.output, "evidence.raw")
-        os.makedirs(args.output, exist_ok=True)
-        print(f"EWF container detected; converting to {raw_path}", file=sys.stderr)
-        convert_ewf_to_raw(args.input, raw_path)
-        args.input = raw_path
-
-    evidence_len = os.path.getsize(args.input)
+    if is_ewf(args.input):
+        print("EWF container detected; reading media natively", file=sys.stderr)
+    evidence_len = evidence_length(args.input)
 
     evidence_hash = None
     if args.evidence_sha256:

@@ -59,8 +59,10 @@ def carve_hits_with_evidence(
     """Carve via positioned reads against the evidence path (strategy 1)."""
 
     def carve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from swiftbeaver_spark.source import open_evidence
+
         registry = build_registry(cfg)
-        reader = FileReader(evidence_path)
+        reader = open_evidence(evidence_path)
         try:
             for pdf in batches:
                 rows = []

@@ -31,6 +31,9 @@ class Reader:
         buf = self.read_at(offset, length)
         return buf if len(buf) == length else None
 
+    def close(self) -> None:  # default: nothing held
+        pass
+
 
 class BytesReader(Reader):
     def __init__(self, data: bytes):

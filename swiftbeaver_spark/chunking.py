@@ -78,7 +78,9 @@ def chunks_from_file(
     read, max_chunks caps chunk count. min_offset is the resume
     watermark (skip chunks already scanned, reference mod.rs:343-345).
     """
-    total = os.path.getsize(path)
+    from swiftbeaver_spark.source import evidence_length, open_evidence
+
+    total = evidence_length(path)
     plan = plan_chunks(spark, total, chunk_size, overlap)
     if max_bytes is not None:
         plan = plan.where(F.col("start") < int(max_bytes))
@@ -88,15 +90,19 @@ def chunks_from_file(
         plan = plan.where(F.col("start") >= int(min_offset))
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as fh:
+        reader = open_evidence(path)
+        try:
             for pdf in batches:
                 rows = []
                 for cid, start, vlen, rlen in zip(
                     pdf["chunk_id"], pdf["start"], pdf["valid_length"], pdf["read_length"]
                 ):
-                    fh.seek(int(start))
-                    rows.append((int(cid), int(start), int(vlen), fh.read(int(rlen))))
+                    rows.append(
+                        (int(cid), int(start), int(vlen), reader.read_at(int(start), int(rlen)))
+                    )
                 yield pd.DataFrame(rows, columns=["chunk_id", "start", "valid_length", "data"])
+        finally:
+            reader.close()
 
     # one chunk per task: each output row is chunk_size+overlap bytes.
     # partition count comes from arithmetic, not a count() job.

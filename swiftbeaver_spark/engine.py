@@ -116,7 +116,9 @@ class Engine:
             from swiftbeaver_spark.scanner import scan_evidence
             from swiftbeaver_spark.strings_scan import spans_from_evidence
 
-            total = os.path.getsize(evidence_path)
+            from swiftbeaver_spark.source import evidence_length
+
+            total = evidence_length(evidence_path)
             plan = plan_chunks(self.spark, total, self.cfg.chunk_size, self.cfg.overlap)
             if self.cfg.max_bytes is not None:
                 plan = plan.where(F.col("start") < int(self.cfg.max_bytes))
@@ -135,8 +137,10 @@ class Engine:
                 )
         else:
             if evidence_path is not None:
+                from swiftbeaver_spark.source import evidence_length
+
                 chunks = self.chunks_from_file(evidence_path)
-                total = os.path.getsize(evidence_path)
+                total = evidence_length(evidence_path)
             elif evidence_bytes is not None:
                 chunks = self.chunks_from_bytes(evidence_bytes)
                 total = len(evidence_bytes)

@@ -161,22 +161,21 @@ def entropy_regions(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
     """Fused fetch+entropy off the evidence file (valid regions only)."""
-    import os
-
     from swiftbeaver_spark.chunking import plan_chunks
+    from swiftbeaver_spark.source import evidence_length, open_evidence
 
     window_size = cfg.entropy_window_size
     threshold = cfg.entropy_threshold
-    total = os.path.getsize(path)
+    total = evidence_length(path)
     plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as fh:
+        reader = open_evidence(path)
+        try:
             for pdf in batches:
                 rows = []
                 for start, vlen in zip(pdf["start"], pdf["valid_length"]):
-                    fh.seek(int(start))
-                    blob = np.frombuffer(fh.read(int(vlen)), dtype=np.uint8)
+                    blob = np.frombuffer(reader.read_at(int(start), int(vlen)), dtype=np.uint8)
                     n_windows = blob.size // window_size
                     if n_windows == 0:
                         continue
@@ -187,6 +186,8 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
                             ws = int(start) + w * window_size
                             rows.append((ws, ws + window_size - 1, ent))
                 yield pd.DataFrame(rows, columns=["win_start", "win_end", "entropy"])
+        finally:
+            reader.close()
 
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     return plan.repartition(n_parts).mapInPandas(fused, WINDOW_SCHEMA)

@@ -31,14 +31,24 @@ from swiftbeaver_spark.carvers.base import IO_BUF
 
 
 def evidence_sha256_local(path: str) -> str:
-    """Exact sequential digest of an evidence file (ingest-time)."""
+    """Exact sequential digest of the evidence MEDIA (ingest-time).
+    Container-aware: for E01 this hashes the decompressed media, not
+    the container file — the digest a court compares against the
+    original disk."""
+    from swiftbeaver_spark.source import open_evidence
+
     h = hashlib.sha256()
-    with open(path, "rb") as fh:
-        while True:
-            buf = fh.read(IO_BUF)
+    reader = open_evidence(path)
+    try:
+        pos, total = 0, reader.length()
+        while pos < total:
+            buf = reader.read_at(pos, min(IO_BUF, total - pos))
             if not buf:
                 break
             h.update(buf)
+            pos += len(buf)
+    finally:
+        reader.close()
     return h.hexdigest()
 
 

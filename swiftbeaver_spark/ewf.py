@@ -22,6 +22,8 @@ import struct
 import zlib
 from dataclasses import dataclass
 
+from swiftbeaver_spark.carvers.base import Reader
+
 SIGNATURE = b"EVF\x09\x0d\x0a\xff\x00"
 _DESC = struct.Struct("<16sQQ40sI")  # type, next_offset, size, pad, adler32
 _VOLUME_LEN = 1052  # EnCase volume section body (incl. trailing checksum)
@@ -66,7 +68,7 @@ def _read_descriptor(fh, offset: int) -> tuple[str, int, int]:
     return typ.rstrip(b"\x00").decode("ascii", "replace"), next_off, size
 
 
-class EwfReader:
+class EwfReader(Reader):
     """Positioned reads over an E01 image's decompressed media."""
 
     def __init__(self, path: str):
@@ -168,6 +170,9 @@ class EwfReader:
 
     def length(self) -> int:
         return self.media_size
+
+    def close(self) -> None:  # segment files open per read; nothing held
+        self._cache.clear()
 
     def convert_to_raw(self, out_path: str) -> None:
         with open(out_path, "wb") as out:

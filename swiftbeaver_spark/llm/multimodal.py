@@ -136,19 +136,29 @@ def carved_files_as_media(carved: DataFrame, evidence_path: str) -> DataFrame:
     rows = carved.withColumn("modality", modality).where(F.col("modality").isNotNull())
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(evidence_path, "rb") as fh:
+        from swiftbeaver_spark.source import open_evidence
+
+        reader = open_evidence(evidence_path)
+        try:
             for pdf in batches:
                 out = []
                 for i, (start, size, ftype, modality) in enumerate(
                     zip(pdf["global_start"], pdf["size"], pdf["file_type"], pdf["modality"])
                 ):
-                    fh.seek(int(start))
                     out.append(
-                        (int(start), str(modality), str(ftype), fh.read(int(size)), None)
+                        (
+                            int(start),
+                            str(modality),
+                            str(ftype),
+                            reader.read_at(int(start), int(size)),
+                            None,
+                        )
                     )
                 yield pd.DataFrame(
                     out, columns=["media_id", "modality", "mime", "payload", "source_uri"]
                 )
+        finally:
+            reader.close()
 
     return rows.select("global_start", "size", "file_type", "modality").mapInPandas(
         fetch, MEDIA_SCHEMA

@@ -251,12 +251,14 @@ def _db_iterator(evidence_path: str, kind: str):
     extract = extractors[kind]
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(evidence_path, "rb") as fh:
+        from swiftbeaver_spark.source import open_evidence
+
+        reader = open_evidence(evidence_path)
+        try:
             for pdf in batches:
                 rows: list[tuple] = []
                 for gstart, size, rel in zip(pdf["global_start"], pdf["size"], pdf["path"]):
-                    fh.seek(int(gstart))
-                    blob = fh.read(int(size))
+                    blob = reader.read_at(int(gstart), int(size))
                     fd, tmp = tempfile.mkstemp(suffix=".sqlite")
                     try:
                         with os.fdopen(fd, "wb") as out:
@@ -271,6 +273,8 @@ def _db_iterator(evidence_path: str, kind: str):
                     finally:
                         os.unlink(tmp)
                 yield pd.DataFrame(rows, columns=columns[kind])
+        finally:
+            reader.close()
 
     return work
 

@@ -260,15 +260,19 @@ def recover_history_from_pages(
     """
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(evidence_path, "rb") as fh:
+        from swiftbeaver_spark.source import open_evidence
+
+        reader = open_evidence(evidence_path)
+        try:
             for pdf in batches:
                 rows: list[tuple] = []
                 for gstart, size, rel in zip(pdf["global_start"], pdf["size"], pdf["path"]):
-                    fh.seek(int(gstart))
-                    rows.extend(scan_pages(fh.read(int(size)), str(rel)))
+                    rows.extend(scan_pages(reader.read_at(int(gstart), int(size)), str(rel)))
                 yield pd.DataFrame(
                     rows, columns=["url", "title", "visit_time", "scan_order", "source_file"]
                 )
+        finally:
+            reader.close()
 
     raw = carved_sqlite.select("global_start", "size", "path").mapInPandas(work, _RAW_SCHEMA)
     merged = raw.groupBy("source_file", "url").agg(

@@ -276,13 +276,12 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
     JVM<->Python boundary (2x less serialization than fetch-then-scan;
     the dominant cost at local scale, and still the right shape on a
     cluster with shared storage)."""
-    import os
-
     from swiftbeaver_spark.chunking import plan_chunks
+    from swiftbeaver_spark.source import evidence_length, open_evidence
 
     patterns = compile_patterns(cfg)
     if plan is None:
-        total = os.path.getsize(path)
+        total = evidence_length(path)
         plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
         if cfg.max_bytes is not None:
             plan = plan.where(F.col("start") < int(cfg.max_bytes))
@@ -290,14 +289,14 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as fh:
+        reader = open_evidence(path)
+        try:
             for pdf in batches:
                 rows = []
                 for cid, start, vlen, rlen in zip(
                     pdf["chunk_id"], pdf["start"], pdf["valid_length"], pdf["read_length"]
                 ):
-                    fh.seek(int(start))
-                    blob = fh.read(int(rlen))
+                    blob = reader.read_at(int(start), int(rlen))
                     for off, pat_id, ft_id in scan_blob(blob, patterns):
                         rows.append(
                             (int(cid), int(start), int(vlen), off, pat_id, ft_id)
@@ -309,6 +308,8 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
                         "local_offset", "pattern_id", "file_type_id",
                     ],
                 )
+        finally:
+            reader.close()
 
     n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
     raw = plan.repartition(n_parts).mapInPandas(fused, RAW_HITS_SCHEMA)

@@ -390,20 +390,22 @@ def spans_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
 
     from swiftbeaver_spark.chunking import plan_chunks
 
+    from swiftbeaver_spark.source import evidence_length, open_evidence
+
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
     scan_utf16 = cfg.string_scan_utf16
-    total = os.path.getsize(path)
+    total = evidence_length(path)
     plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as fh:
+        reader = open_evidence(path)
+        try:
             for pdf in batches:
                 rows = []
                 for start, vlen, rlen in zip(
                     pdf["start"], pdf["valid_length"], pdf["read_length"]
                 ):
-                    fh.seek(int(start))
-                    blob = fh.read(int(rlen))
+                    blob = reader.read_at(int(start), int(rlen))
                     found: list[tuple[int, bytes, str]] = []
                     for pos, raw in _scan_ascii(blob, min_len, max_len):
                         found.append((pos, raw, "ascii"))
@@ -440,6 +442,8 @@ def spans_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
                         "url_like", "email_like", "phone_like",
                     ],
                 )
+        finally:
+            reader.close()
 
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     return plan.repartition(n_parts).mapInPandas(fused, schemas.STRING_SPANS)

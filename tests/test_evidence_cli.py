@@ -55,10 +55,10 @@ def test_verify_against_manifest(spark):
     assert rows == {"f1": True, "f2": False}
 
 
-def test_ewf_stub_raises():
+def test_ewf_convert_missing_file_raises():
     from swiftbeaver_spark.evidence import convert_ewf_to_raw
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         convert_ewf_to_raw("/nonexistent.E01", "/tmp/out.raw")
 
 

@@ -128,3 +128,43 @@ def test_convert_and_carve_identical(spark, tmp_path):
         for r in engine.run(evidence_path=path)["carved_files"].collect()
     }
     assert carve(conv_path) == carve(raw_path) != set()
+
+
+def test_e01_native_distributed_source(spark, tmp_path):
+    """Engine.run straight on the .E01 — every task positioned-reads
+    decompressed media through source.open_evidence, no conversion.
+    Both the fused path and the chunk-join path must match raw."""
+    import dataclasses
+
+    from swiftbeaver_spark.engine import Engine
+
+    from tests.test_pipeline import TEST_CFG, build_golden
+
+    evidence, _ = build_golden()
+    raw_path = str(tmp_path / "orig.raw")
+    with open(raw_path, "wb") as fh:
+        fh.write(evidence)
+    e01_path = str(tmp_path / "img.E01")
+    write_ewf(e01_path, evidence)
+
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(
+            ft for ft in TEST_CFG.file_types if ft.type_id in ("jpeg", "png", "gif")
+        ),
+    )
+    engine = Engine(spark, cfg)
+    for chunk_join in (False, True):
+        got = {
+            (r.global_start, r.size, r.sha256)
+            for r in engine.run(evidence_path=e01_path, chunk_join=chunk_join)[
+                "carved_files"
+            ].collect()
+        }
+        want = {
+            (r.global_start, r.size, r.sha256)
+            for r in engine.run(evidence_path=raw_path, chunk_join=chunk_join)[
+                "carved_files"
+            ].collect()
+        }
+        assert got == want != set(), f"chunk_join={chunk_join}"
