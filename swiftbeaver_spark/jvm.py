@@ -1,0 +1,109 @@
+"""JVM scan kernel: build + session registration for the Java UDFs.
+
+The Python/numpy kernel (scanner.scan_blob) tops out around 50 MiB/s
+per core — the honest bottleneck at 100 TB. The Java Aho-Corasick
+kernel (java/src/sbspark/) scans in ONE pass regardless of pattern
+count, reads evidence positionally inside the JVM, and returns packed
+hit longs, so chunk bytes never cross the JVM<->Python boundary and
+never materialise beyond a 4 MiB window. Reference parity: the CPU
+scan loop of src/scanner/cpu.rs:40-69, done as one automaton pass
+instead of one memchr pass per pattern.
+
+The jar compiles lazily with the JDK that ships in the image (javac
+against pyspark's own jars) and registers into ANY session via
+ADD JAR + registerJavaFunction; every entry point falls back to the
+Python kernel if compilation or registration fails, so the engine
+keeps working on JRE-only machines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_JAVA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "java")
+_JAR_NAME = "sb-kernel.jar"
+_SOURCES = ("Ac.java", "ScanBytesUdf.java", "ScanEvidenceUdf.java")
+
+# session ids where registration already succeeded / failed
+_REGISTERED: dict[int, bool] = {}
+_BUILD_FAILED = False
+
+
+def spec_for(patterns: list[tuple[bytes, str, str]], cap: int) -> str:
+    """Kernel spec string: 'cap;hex,hex,...' in engine pattern order."""
+    return f"{int(cap)};" + ",".join(p.hex() for p, _, _ in patterns)
+
+
+def _pyspark_jars() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def kernel_jar() -> str | None:
+    """Path to the built kernel jar, compiling it if needed (None if no
+    JDK or compilation fails)."""
+    global _BUILD_FAILED
+    jar_path = os.path.join(_JAVA_DIR, _JAR_NAME)
+    srcs = [os.path.join(_JAVA_DIR, "src", "sbspark", s) for s in _SOURCES]
+    if os.path.exists(jar_path) and all(
+        os.path.getmtime(jar_path) >= os.path.getmtime(s) for s in srcs
+    ):
+        return jar_path
+    if _BUILD_FAILED:
+        return None
+    javac = shutil.which("javac")
+    jar = shutil.which("jar")
+    if javac is None or jar is None:
+        _BUILD_FAILED = True
+        return None
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            subprocess.run(
+                [javac, "-encoding", "UTF-8", "-cp", _pyspark_jars(), "-d", tmp, *srcs],
+                check=True,
+                capture_output=True,
+            )
+            tmp_jar = os.path.join(tmp, _JAR_NAME)
+            subprocess.run(
+                [jar, "cf", tmp_jar, "-C", tmp, "sbspark"], check=True, capture_output=True
+            )
+            os.replace(tmp_jar, jar_path)  # atomic: concurrent builders converge
+        return jar_path
+    except (subprocess.CalledProcessError, OSError):
+        _BUILD_FAILED = True
+        return None
+
+
+def ensure_kernel(spark: SparkSession) -> bool:
+    """Register sb_scan_bytes / sb_scan_evidence into this session.
+    Works on sessions we did not create (driver harness) via ADD JAR;
+    returns False — Python fallback — on any failure."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return _REGISTERED[key]
+    ok = False
+    jar_path = kernel_jar()
+    if jar_path is not None:
+        try:
+            spark.sql(f"ADD JAR '{jar_path}'")
+            spark.udf.registerJavaFunction(
+                "sb_scan_bytes", "sbspark.ScanBytesUdf", "array<bigint>"
+            )
+            spark.udf.registerJavaFunction(
+                "sb_scan_evidence", "sbspark.ScanEvidenceUdf", "array<bigint>"
+            )
+            # probe end-to-end: a miss-then-hit scan through the whole stack
+            probe = spark.sql(
+                "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"
+            ).collect()[0]["h"]
+            ok = list(probe) == [(1 << 16) | 0]
+        except Exception:
+            ok = False
+    _REGISTERED[key] = ok
+    return ok

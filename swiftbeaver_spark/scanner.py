@@ -189,8 +189,43 @@ def _pad_byte(patterns: list[tuple[bytes, str, str]]) -> int | None:
     return None
 
 
+def _decode_packed_hits(plan_cols: DataFrame, hits_col, patterns) -> DataFrame:
+    """Packed (off<<16|idx) longs -> RAW_HITS_SCHEMA rows, entirely in
+    Catalyst (explode + shift/mask + literal-array lookups)."""
+    pids = F.array(*[F.lit(pid) for _, pid, _ in patterns])
+    ftids = F.array(*[F.lit(ftid) for _, _, ftid in patterns])
+    packed = F.explode(hits_col).alias("packed")
+    exploded = plan_cols.select("chunk_id", "start", "valid_length", packed)
+    idx = F.col("packed").bitwiseAND(F.lit(0xFFFF)).cast("int")
+    return exploded.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.col("valid_length").cast("long").alias("valid_length"),
+        F.shiftright("packed", 16).cast("long").alias("local_offset"),
+        F.element_at(pids, idx + F.lit(1)).alias("pattern_id"),
+        F.element_at(ftids, idx + F.lit(1)).alias("file_type_id"),
+    )
+
+
+def scan_chunks_jvm(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """JVM kernel path for a materialised chunk table: one Aho-Corasick
+    pass per chunk inside the executor JVM — no Python workers, no
+    Arrow transfer of chunk bytes. Caller must have ensured the kernel
+    is registered (jvm.ensure_kernel)."""
+    from swiftbeaver_spark.jvm import spec_for
+
+    patterns = compile_patterns(cfg)
+    spec = spec_for(patterns, MAX_HITS_PER_CHUNK)
+    hits = F.call_udf("sb_scan_bytes", F.col("data"), F.lit(spec))
+    return _decode_packed_hits(chunks, hits, patterns)
+
+
 def scan_chunks(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """chunks(chunk_id, start, valid_length, data) -> raw hits.
+
+    Dispatches to the JVM Aho-Corasick kernel when it registers into
+    this session (jvm.ensure_kernel — one automaton pass, bytes stay
+    JVM-side); otherwise the Python/numpy batch-fused pass below.
 
     Batch-fused: each Arrow batch's blobs are joined with a pad run and
     scanned in ONE pass per pattern (C memmem / numpy), then hit offsets
@@ -198,6 +233,11 @@ def scan_chunks(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     overhead — identical hits to per-chunk scan_blob (the pad byte
     occurs in no pattern, so no match can cross a boundary)."""
     import numpy as np
+
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    if ensure_kernel(chunks.sparkSession):
+        return scan_chunks_jvm(chunks, cfg)
 
     patterns = compile_patterns(cfg)
     max_len = max((len(p) for p, _, _ in patterns), default=1)
@@ -277,7 +317,8 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
     the dominant cost at local scale, and still the right shape on a
     cluster with shared storage)."""
     from swiftbeaver_spark.chunking import plan_chunks
-    from swiftbeaver_spark.source import evidence_length, open_evidence
+    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.source import evidence_length, is_ewf, open_evidence
 
     patterns = compile_patterns(cfg)
     if plan is None:
@@ -287,6 +328,22 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
             plan = plan.where(F.col("start") < int(cfg.max_bytes))
         if cfg.max_chunks is not None:
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
+
+    n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
+    # JVM fast path (raw evidence only — E01 decompression lives in
+    # Python): positioned read + one automaton pass per chunk inside the
+    # executor JVM, streamed through a 4 MiB window. No Python workers.
+    if not is_ewf(path) and ensure_kernel(plan.sparkSession):
+        spec = spec_for(patterns, MAX_HITS_PER_CHUNK)
+        hits = F.call_udf(
+            "sb_scan_evidence",
+            F.lit(path),
+            F.col("start").cast("long"),
+            F.col("read_length").cast("long"),
+            F.lit(spec),
+        )
+        raw = _decode_packed_hits(plan.repartition(n_parts), hits, patterns)
+        return normalize_hits(raw)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -311,6 +368,5 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
         finally:
             reader.close()
 
-    n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
     raw = plan.repartition(n_parts).mapInPandas(fused, RAW_HITS_SCHEMA)
     return normalize_hits(raw)

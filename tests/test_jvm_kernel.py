@@ -1,0 +1,174 @@
+"""JVM Aho-Corasick kernel equivalence: sb_scan_bytes / sb_scan_evidence
+must produce exactly the Python kernel's hits (overlapping matches,
+shared-prefix patterns, window-straddling matches, chunk geometry).
+
+The JVM kernel registers into any session (jvm.ensure_kernel); these
+tests hard-require it — the build environment ships a JDK, so a silent
+fallback here would mask a real regression.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+from swiftbeaver_spark.scanner import (
+    MAX_HITS_PER_CHUNK,
+    compile_patterns,
+    find_all,
+    scan_chunks,
+    scan_chunks_jvm,
+    scan_evidence,
+)
+
+from tests.fixtures import ALL_FIXTURES
+
+PATTERNS = compile_patterns(DEFAULT_CONFIG)
+
+
+def naive(blob: bytes) -> set[tuple[int, str, str]]:
+    out = set()
+    for pat, pid, ftid in PATTERNS:
+        for o in find_all(blob, pat):
+            out.add((o, pid, ftid))
+    return out
+
+
+def planted_blob(seed: int, size: int = 200_000) -> bytes:
+    rng = random.Random(seed)
+    blob = bytearray(rng.randbytes(size - 50_000)) + bytearray(50_000)
+    for name, (b, _, _, _) in ALL_FIXTURES.items():
+        pos = rng.randrange(0, size - 20_000)
+        blob[pos : pos + len(b)] = b
+    return bytes(blob)
+
+
+def jvm_scan_bytes(spark, blob: bytes) -> set[tuple[int, str, str]]:
+    spec = spec_for(PATTERNS, MAX_HITS_PER_CHUNK)
+    df = spark.createDataFrame([(bytearray(blob),)], "data binary")
+    [row] = df.select(
+        F.call_udf("sb_scan_bytes", F.col("data"), F.lit(spec)).alias("h")
+    ).collect()
+    return {
+        (int(h) >> 16, PATTERNS[int(h) & 0xFFFF][1], PATTERNS[int(h) & 0xFFFF][2])
+        for h in row["h"]
+    }
+
+
+def test_kernel_registers(spark):
+    assert ensure_kernel(spark), "JVM kernel failed to build/register"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bytes_udf_matches_naive(spark, seed):
+    blob = planted_blob(seed)
+    assert jvm_scan_bytes(spark, blob) == naive(blob)
+
+
+def test_bytes_udf_overlap_and_shared_prefix(spark):
+    import struct
+
+    riff = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"\x00" * 12
+    blob = b"\xff\xd8\xff\xd8\xff" + b"\x00" * 40 + riff
+    got = jvm_scan_bytes(spark, blob)
+    assert got == naive(blob)
+    assert {o for (o, pid, _) in got if pid == "jpeg_soi"} == {0, 2}
+    assert {ftid for (o, _, ftid) in got if o == 45} == {"webp", "wav", "avi"}
+
+
+def test_evidence_udf_streams_across_io_windows(spark, tmp_path):
+    """A match straddling the kernel's 4 MiB read window must be found
+    (automaton state carries across refills)."""
+    assert ensure_kernel(spark)
+    win = 4 << 20
+    sig = bytes.fromhex("FFD8FF")
+    buf = bytearray(win + 64)
+    buf[win - 1 : win + 2] = sig  # 1 byte before the boundary, 2 after
+    buf[10:13] = sig
+    path = str(tmp_path / "ev.bin")
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+    spec = spec_for(PATTERNS, MAX_HITS_PER_CHUNK)
+    [row] = spark.sql(
+        f"SELECT sb_scan_evidence('{path}', 0L, {len(buf)}L, '{spec}') AS h"
+    ).collect()
+    offs = {int(h) >> 16 for h in row["h"] if PATTERNS[int(h) & 0xFFFF][1] == "jpeg_soi"}
+    assert {10, win - 1} <= offs
+
+
+def test_scan_evidence_jvm_equals_python(spark, tmp_path):
+    """Full fused operator: JVM path output == Python path output on the
+    same evidence + chunk geometry (including overlap dedup)."""
+    blob = planted_blob(99, size=300_000)
+    path = str(tmp_path / "ev.bin")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, chunk_size=64 * 1024, overlap=4096)
+
+    got_jvm = {
+        (r.global_offset, r.pattern_id, r.file_type_id)
+        for r in scan_evidence(spark, path, cfg).collect()
+    }
+    # force the Python path by monkeypatching availability
+    import swiftbeaver_spark.jvm as jvm_mod
+
+    saved = dict(jvm_mod._REGISTERED)
+    try:
+        jvm_mod._REGISTERED[id(spark)] = False
+        got_py = {
+            (r.global_offset, r.pattern_id, r.file_type_id)
+            for r in scan_evidence(spark, path, cfg).collect()
+        }
+    finally:
+        jvm_mod._REGISTERED.clear()
+        jvm_mod._REGISTERED.update(saved)
+    assert got_jvm == got_py != set()
+
+
+def test_scan_chunks_jvm_equals_python(spark):
+    from swiftbeaver_spark.chunking import chunks_from_bytes
+
+    blob = planted_blob(7, size=150_000)
+    chunks = chunks_from_bytes(spark, blob, 32 * 1024, 2048)
+    assert ensure_kernel(spark)
+    got_jvm = {
+        (r.chunk_id, r.local_offset, r.pattern_id, r.file_type_id)
+        for r in scan_chunks_jvm(chunks, DEFAULT_CONFIG).collect()
+    }
+    import swiftbeaver_spark.jvm as jvm_mod
+
+    saved = dict(jvm_mod._REGISTERED)
+    try:
+        jvm_mod._REGISTERED[id(spark)] = False
+        got_py = {
+            (r.chunk_id, r.local_offset, r.pattern_id, r.file_type_id)
+            for r in scan_chunks(chunks, DEFAULT_CONFIG).collect()
+        }
+    finally:
+        jvm_mod._REGISTERED.clear()
+        jvm_mod._REGISTERED.update(saved)
+    assert got_jvm == got_py != set()
+
+
+def test_scan_plan_stays_jvm_side(spark, tmp_path):
+    """The JVM fused scan's physical plan must contain no Python
+    evaluation node — the whole pipeline is JVM-side."""
+    blob = b"\x00" * 100_000
+    path = str(tmp_path / "ev.bin")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, chunk_size=32 * 1024, overlap=1024)
+    df = scan_evidence(spark, path, cfg)
+    jexec = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = jexec.explainString(mode)
+    assert "EvalPython" not in plan, plan
+    assert "sb_scan_evidence" in plan

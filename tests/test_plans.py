@@ -53,8 +53,10 @@ def test_scan_pipeline_shuffle_free(spark):
 
 
 def test_overlap_dedup_is_catalyst_filter(spark):
-    """The overlap-dedup must appear as a plain Filter (not inside the
-    Python stage) so Catalyst can reason about it."""
+    """The overlap-dedup must appear as a plain Filter (not buried in a
+    kernel stage) so Catalyst can reason about it. On the JVM-kernel
+    path the offset is inlined as shiftright(packed, 16); on the Python
+    path it stays the named local_offset column."""
     from swiftbeaver_spark.chunking import chunks_from_bytes
     from swiftbeaver_spark.config import DEFAULT_CONFIG
     from swiftbeaver_spark.scanner import scan_and_normalize
@@ -62,7 +64,9 @@ def test_overlap_dedup_is_catalyst_filter(spark):
     chunks = chunks_from_bytes(spark, b"\x00" * 4096, 1024, 64)
     hits = scan_and_normalize(chunks, DEFAULT_CONFIG)
     plan = _formatted(hits)
-    assert re.search(r"Filter.*local_offset", plan, re.DOTALL)
+    assert re.search(
+        r"Filter.*(local_offset|shiftright\(packed).*valid_length", plan, re.DOTALL
+    )
 
 
 def test_entropy_merge_windows_are_bucketed(spark):

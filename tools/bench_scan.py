@@ -60,7 +60,33 @@ def main() -> None:
             "mib_per_s": round(32 / secs, 1),
         }
 
+    # JVM kernel single-core: one 256 MiB chunk = one task = one core,
+    # through the registered sb_scan_evidence UDF (includes file read)
+    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.scanner import MAX_HITS_PER_CHUNK
+
     tmp = tempfile.mkdtemp()
+    if ensure_kernel(spark):
+        import numpy as np
+
+        spec = spec_for(pats, MAX_HITS_PER_CHUNK)
+        rng = np.random.default_rng(7)
+        for name, data in (
+            ("zero", bytes(256 << 20)),
+            ("rand", rng.integers(0, 256, 256 << 20, dtype=np.uint8).tobytes()),
+        ):
+            path = os.path.join(tmp, f"jvm_{name}.raw")
+            with open(path, "wb") as fh:
+                fh.write(data)
+            q = f"SELECT size(sb_scan_evidence('{path}', 0L, {len(data)}L, '{spec}')) AS n"
+            spark.sql(q).collect()  # warm JIT + page cache
+            secs = timeit(lambda q=q: spark.sql(q).collect(), n)
+            results[f"jvm_kernel_{name}_256mib_1core"] = {
+                "sec": round(secs, 4),
+                "mib_per_s": round(256 / secs, 1),
+            }
+            os.unlink(path)
+
     for mib in (8, 32, 256):
         path = os.path.join(tmp, f"zero_{mib}.raw")
         with open(path, "wb") as fh:
