@@ -32,13 +32,18 @@ plus the LLM-pipeline surface:
   embedding cosine top-k       -> q23_cosine_topk
   pricing summary (decimal agg)-> q24_pricing_summary
   window ranking               -> q25_top_orders
-  minhash LSH near-dup         -> q26_minhash_neardup (rows-only)
-  simhash near-dup             -> q27_simhash_neardup (rows-only)
-  hyperplane-LSH ANN           -> q28_lsh_topk (rows-only)
-  multimodal metadata          -> q29_media_meta (rows-only)
+  minhash LSH near-dup         -> q26_minhash_neardup (planted-pair recall oracle)
+  simhash near-dup             -> q27_simhash_neardup (planted-pair recall oracle)
+  hyperplane-LSH ANN           -> q28_lsh_topk (md5-pinned full replay)
+  multimodal metadata          -> q29_media_meta
   REAL carve engine (scan ->
   overlap dedup -> jpeg carver
   -> hash finalize)            -> q30_carve_roundtrip
+  declared-size carvers        -> q31_carve_declared
+  structured-walk carvers      -> q32_carve_structured
+  remaining carver family      -> q33_carve_remaining
+  IVF-Flat ANN (pinned
+  quantizer, full replay)      -> q34_ivf_topk
 """
 
 from __future__ import annotations
@@ -1243,6 +1248,86 @@ def q28_sql() -> str:
     """
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def q34_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (FAISS-style): coarse-quantize the corpus into
+    Voronoi cells, probe the query's nprobe nearest cells, rank only
+    those candidates. The quantizer is pinned to md5-derived ±1
+    centroids (same idiom as q28's plane matrix) so the oracle replays
+    the ENTIRE approximate path — cell argmax (rounded dot), multi-probe
+    selection, candidate-restricted rounded-cosine ranking — making the
+    scale path itself hash-gated, not just recall-checked.
+
+    100 TB shape: assignment is a map-only projection; candidates come
+    from a broadcast join on (query, cell); per-query work ~ corpus *
+    nprobe/nlist."""
+    from swiftbeaver_spark.llm.similarity import ivf_topk, md5_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = md5_centroids(IVF_NLIST, 64)
+    return ivf_topk(
+        emb,
+        queries,
+        k=5,
+        nprobe=IVF_NPROBE,
+        centroids=cents,
+        quantizer="dot",
+        round_cosine=6,
+    ).orderBy("query_id", "rank")
+
+
+def q34_sql() -> str:
+    from swiftbeaver_spark.llm.similarity import md5_centroids
+
+    cents = md5_centroids(IVF_NLIST, 64)
+    rows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])" for p, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(p, c) AS (
+      VALUES {rows}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, v, p AS cell FROM (
+        SELECT e.vec_id, e.v, cents.p,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cents.p AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents WHERE e.vec_id < 3
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM (
+        SELECT pr.query_id, ce.vec_id,
+               ROUND(list_dot_product(ce.v, pr.qv) /
+                     (sqrt(list_dot_product(ce.v, ce.v)) *
+                      sqrt(list_dot_product(pr.qv, pr.qv))), 6) AS cosine
+        FROM assigned ce JOIN probe pr ON ce.cell = pr.cell
+      )
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
 def q29_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes as fake binary payloads
     -> typed metadata + deterministic feature vectors."""
@@ -1877,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
+        "q34_ivf_topk": q34_ivf_topk,
     }
 
 
@@ -1915,4 +2001,5 @@ def oracle_sql() -> dict[str, str]:
         "q31_carve_declared": q31_sql(),
         "q32_carve_structured": q32_sql(),
         "q33_carve_remaining": q33_sql(),
+        "q34_ivf_topk": q34_sql(),
     }

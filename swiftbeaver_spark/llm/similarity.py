@@ -132,6 +132,203 @@ def hyperplane_bucket(
     )
 
 
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    """array<array<double>> literal of the coarse-quantizer centroids."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Squared L2 distance from `vec` to every centroid, as one
+    array<double>. Index-ordered zip_with/aggregate folds — deterministic
+    IEEE results; compact HOF plan (an unrolled 16x64 fold overflows
+    Janino's 64 KB codegen method limit)."""
+    return F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda v, cc: (v - cc) * (v - cc)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid (ties -> lowest cell):
+    first position of the array minimum. Pure projection, no shuffle."""
+    d = _sq_dists(vec, centroids)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Seeds are the `nlist` corpus vectors with the smallest
+    xxhash64(id) — reproducible with no RNG state to ship. Each
+    iteration is ONE distributed pass (assignment is a shuffle-free
+    projection; the recompute shuffles nlist x dim tiny partial means),
+    mirroring how MLlib KMeans scales to arbitrarily large corpora.
+    Collected centroids round to 6 dp so downstream plans embed stable
+    literals (cross-run / cross-engine determinism)."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(nlist)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["_v"]] for r in seeds]
+    for _ in range(iters):
+        cell = ivf_cell(F.col(vec_col).cast("array<double>"), cents)
+        rows = (
+            corpus.select(cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        dim = len(cents[0])
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["cell"]), [0.0] * dim)[int(r["pos"])] = round(
+                float(r["m"]), 6
+            )
+        # empty cells keep their previous centroid
+        cents = [means.get(p, cents[p]) for p in range(nlist)]
+    return cents
+
+
+def md5_centroids(nlist: int, dim: int, tag: str = "ivfcent") -> list[list[float]]:
+    """±1 coarse-quantizer centroids derived from md5(tag:p:j) — a fixed
+    Voronoi partition of the sphere both engines (and any SQL oracle)
+    can reproduce or inline verbatim. Same idiom as md5_plane_matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{tag}:{p}:{j}".encode()).digest()[0] & 1 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(nlist)
+    ]
+
+
+def _dots(vec: Column, centroids: list[list[float]], round_dp: int) -> Column:
+    """round(dot(vec, centroid), dp) for every centroid, as one array.
+    The zip_with/aggregate fold is the q23-proven construct that agrees
+    with DuckDB's list_dot_product at >= 6 dp."""
+    return F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda v, cc: v * cc),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            round_dp,
+        ),
+    )
+
+
+def ivf_cell_dot(vec: Column, centroids: list[list[float]], round_dp: int = 6) -> Column:
+    """0-based cell for the pinned (±1, equal-norm) quantizer: argmax
+    rounded dot, ties -> lowest cell. Equal-norm centroids make argmax
+    dot == argmin L2; rounding pins the argmax across engines."""
+    pairs = F.zip_with(
+        _dots(vec, centroids, round_dp),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, p: F.struct((-d).alias("nd"), p.alias("cell")),
+    )
+    return F.array_min(pairs)["cell"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_cosine: int | None = None,
+    centroids: list[list[float]] | None = None,
+    quantizer: str = "l2",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse cell is
+    among the query's `nprobe` nearest centroids.
+
+    quantizer="l2": spherical Lloyd's (ivf_train) or caller-supplied
+    centroids, nearest by squared L2 on L2-normalized vectors.
+    quantizer="dot": pinned equal-norm centroids (md5_centroids),
+    cell = argmax rounded dot — every step SQL-replayable for exact
+    oracle comparison (argmax dot == argmin L2 at equal norms).
+
+    The 100 TB shape: cell assignment is a map-only projection over the
+    corpus (no shuffle); the candidate restriction is a broadcast join
+    on (query, cell) pairs, so per-query work drops from |corpus| to
+    ~|corpus| * nprobe / nlist. Recall rises with nprobe; nprobe=nlist
+    degenerates to exact brute force. Reference analog: none (the
+    reference has no ANN operator) — this is the training-data-pipeline
+    extension, patterned on FAISS IVF-Flat."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+    )
+    if quantizer == "dot":
+        if centroids is None:
+            centroids = md5_centroids(nlist, 0)  # caller should pass dim
+        c = c.withColumn("cell", ivf_cell_dot(F.col("vec"), centroids))
+        pairs = F.zip_with(
+            _dots(F.col("query_vec"), centroids, 6),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, p: F.struct((-d).alias("nd"), p.alias("cell")),
+        )
+    else:
+        # spherical IVF: cosine neighborhoods live on the unit sphere, so
+        # the coarse quantizer trains/assigns on L2-normalized vectors (L2
+        # there is monotone in cosine); ranking uses the raw vectors
+        # (cosine is scale-invariant, so the score itself is unchanged)
+        unit = F.transform(F.col("vec"), lambda x: x / norm(F.col("vec")))
+        c = c.withColumn("uvec", unit)
+        if centroids is None:
+            centroids = ivf_train(
+                c, nlist=nlist, iters=iters, id_col="vec_id", vec_col="uvec"
+            )
+        c = c.withColumn("cell", ivf_cell(F.col("uvec"), centroids)).drop("uvec")
+        qunit = F.transform(F.col("query_vec"), lambda x: x / norm(F.col("query_vec")))
+        pairs = F.zip_with(
+            _sq_dists(qunit, centroids),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, p: F.struct(d.alias("d"), p.alias("cell")),
+        )
+    probes = F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cell"])
+    q_cells = q.select("query_id", "query_vec", F.explode(probes).alias("cell"))
+    cos = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
+    scored = c.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "vec_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -125,6 +125,79 @@ def test_lsh_topk_recall(embeddings):
     assert {r.query_id for r in approx} == {r.vec_id for r in approx}
 
 
+def test_ivf_full_probe_is_exact(embeddings):
+    """nprobe == nlist scores every cell -> identical to brute force
+    (whatever the trained centroids are)."""
+    from swiftbeaver_spark.llm.similarity import ivf_topk
+
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(embeddings, queries, k=5, nlist=8, nprobe=8, iters=1).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_self_in_own_cell(embeddings):
+    """nprobe=1: a query drawn from the corpus probes its own cell, so
+    its rank-1 hit is itself (cosine 1.0)."""
+    from swiftbeaver_spark.llm.similarity import ivf_topk
+
+    queries = embeddings.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = ivf_topk(embeddings, queries, k=1, nlist=8, nprobe=1, iters=2).collect()
+    assert {r.query_id for r in top1} == {r.vec_id for r in top1}
+
+
+def test_ivf_cells_partition_corpus(embeddings):
+    """Every vector lands in exactly one cell within [0, nlist)."""
+    from swiftbeaver_spark.llm.similarity import ivf_cell, ivf_train
+
+    c = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = ivf_train(c, nlist=8, iters=1, id_col="vec_id", vec_col="vec")
+    assert len(cents) == 8
+    cells = c.select(ivf_cell(F.col("vec"), cents).alias("cell"))
+    stats = cells.agg(
+        F.count("*").alias("n"), F.min("cell").alias("lo"), F.max("cell").alias("hi")
+    ).collect()[0]
+    assert stats.n == c.count() and 0 <= stats.lo and stats.hi < 8
+
+
+def test_ivf_pinned_quantizer_candidates_subset(embeddings):
+    """Pinned-quantizer IVF returns a candidate ranking whose hits are a
+    subset of the corpus restricted to probed cells — and increasing
+    nprobe only grows the candidate pool (monotone recall)."""
+    from swiftbeaver_spark.llm.similarity import ivf_topk, md5_centroids
+
+    cents = md5_centroids(8, 64)
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    hits = {}
+    for nprobe in (2, 8):
+        hits[nprobe] = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                embeddings, queries, k=5, nprobe=nprobe, centroids=cents, quantizer="dot"
+            ).collect()
+        }
+    assert len(hits[2] & exact) <= len(hits[8] & exact)
+    assert hits[8] == exact  # all 8 cells probed == brute force
+
+
 def test_language_detection(spark):
     df = spark.createDataFrame(
         [
