@@ -44,6 +44,8 @@ plus the LLM-pipeline surface:
   remaining carver family      -> q33_carve_remaining
   IVF-Flat ANN (pinned
   quantizer, full replay)      -> q34_ivf_topk
+  byte-level string spans
+  (ascii + utf-16 both ends)   -> q35_string_spans
 """
 
 from __future__ import annotations
@@ -1248,6 +1250,74 @@ def q28_sql() -> str:
     """
 
 
+def q35_string_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL byte-level strings scanner (strings_scan.scan_string_spans
+    — ASCII run + UTF-16LE/BE state machines at both alignments + hint
+    flags; reference src/strings/cpu.rs:42-216) under the SQL oracle.
+
+    Per doc a 2048-byte block at doc_id*2048:
+      [16 x 00][A: 64-ch ASCII][16 x 00][B: 40-ch as UTF-16LE][00 pad]
+    The scanner must emit EXACTLY three spans per doc, all arithmetic:
+      (16, 64, A, ascii), (96, 80, B, utf-16le), and the odd-alignment
+      UTF-16BE ghost (95, 80, B) every byte-pair scanner legitimately
+      sees — the zero byte preceding LE data plus the LE low/high bytes
+      re-pair into a valid BE run one byte earlier. Flags (url/email/
+      phone hints) replicate in SQL.
+    """
+    import dataclasses
+
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.strings_scan import scan_string_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = F.rpad(F.substring("text", 1, 64), 64, "x")
+    b = F.rpad(F.substring("text", 5, 40), 40, "y")
+    zeros16 = F.unhex(F.repeat(F.lit("00"), 16))
+    pad = F.unhex(F.repeat(F.lit("00"), 2048 - 176))
+    chunks = docs.select(
+        F.col("doc_id").alias("chunk_id"),
+        (F.col("doc_id") * 2048).alias("start"),
+        F.lit(2048).cast("long").alias("valid_length"),
+        F.concat(
+            zeros16, F.encode(a, "utf-8"), zeros16, F.encode(b, "UTF-16LE"), pad
+        ).alias("data"),
+    )
+    cfg = dataclasses.replace(DEFAULT_CONFIG, string_scan_utf16=True)
+    return scan_string_spans(chunks, cfg).orderBy("global_start", "encoding")
+
+
+def q35_sql() -> str:
+    def flags(expr: str) -> str:
+        return (
+            f"(contains(lower({expr}), 'http') OR contains(lower({expr}), 'www.')) AS url_like, "
+            f"contains({expr}, '@') AS email_like, "
+            f"length(regexp_replace({expr}, '[^0-9]', '', 'g')) >= 10 AS phone_like"
+        )
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             rpad(substr(text, 1, 64), 64, 'x') AS a,
+             rpad(substr(text, 5, 40), 40, 'y') AS b
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT doc_id * 2048 + 16 AS global_start, CAST(64 AS BIGINT) AS byte_length,
+             a AS content, 'ascii' AS encoding, {flags('a')}
+      FROM d
+      UNION ALL
+      SELECT doc_id * 2048 + 96, CAST(80 AS BIGINT),
+             b, 'utf-16le', {flags('b')}
+      FROM d
+      UNION ALL
+      SELECT doc_id * 2048 + 95, CAST(80 AS BIGINT),
+             b, 'utf-16be', {flags('b')}
+      FROM d
+    )
+    ORDER BY global_start, encoding
+    """
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 
@@ -1963,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
         "q34_ivf_topk": q34_ivf_topk,
+        "q35_string_spans": q35_string_spans,
     }
 
 
@@ -2002,4 +2073,5 @@ def oracle_sql() -> dict[str, str]:
         "q32_carve_structured": q32_sql(),
         "q33_carve_remaining": q33_sql(),
         "q34_ivf_topk": q34_sql(),
+        "q35_string_spans": q35_sql(),
     }
