@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 
 _JAVA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "java")
 _JAR_NAME = "sb-kernel.jar"
-_SOURCES = ("Ac.java", "ScanBytesUdf.java", "ScanEvidenceUdf.java")
+_SOURCES = ("Ac.java", "ScanBytesUdf.java", "ScanEvidenceUdf.java", "MinHashUdf.java")
 
 # session ids where registration already succeeded / failed
 _REGISTERED: dict[int, bool] = {}
@@ -97,6 +97,9 @@ def ensure_kernel(spark: SparkSession) -> bool:
             )
             spark.udf.registerJavaFunction(
                 "sb_scan_evidence", "sbspark.ScanEvidenceUdf", "array<bigint>"
+            )
+            spark.udf.registerJavaFunction(
+                "sb_minhash", "sbspark.MinHashUdf", "array<bigint>"
             )
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(

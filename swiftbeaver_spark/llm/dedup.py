@@ -71,12 +71,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc -> minhash signature array<bigint> of length num_hashes.
 
-    Hash family: affine transforms (a_i*h + b_i) mod M61 over one base
-    CRC of each shingle, vectorized with numpy inside an Arrow batch —
-    Spark's higher-order array lambdas are interpreted (not codegen'd),
-    so an O(k x shingles) nested transform is ~50x slower than this
-    vectorized kernel. Seeds are fixed -> deterministic across runs and
-    executors."""
+    Hash family: affine transforms (a_i*h + b_i) over uint64 wraparound
+    of one base CRC per distinct shingle. Two bit-identical kernels
+    share the family (seeds travel to both): the JVM UDF
+    (java/src/sbspark/MinHashUdf.java — text never crosses into Python,
+    ~5x the throughput) when jvm.ensure_kernel registers, else the
+    vectorized numpy Arrow kernel. Spark's higher-order array lambdas
+    are interpreted (not codegen'd), so an O(k x shingles) nested
+    transform would be ~50x slower than either. Seeds are fixed ->
+    deterministic across runs, executors, and kernels."""
     import zlib
     from collections.abc import Iterator
 
@@ -84,11 +87,26 @@ def minhash_signatures(
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    from swiftbeaver_spark.jvm import ensure_kernel
+
     rng = np.random.RandomState(42)
     # multiply-add family over uint64 wraparound (odd multipliers):
     # vectorized wraparound is ~100x faster than big-int modular math
     a = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+
+    if ensure_kernel(df.sparkSession):
+        spec = (
+            f"{shingle_k};"
+            + ",".join(str(int(x)) for x in a)
+            + ";"
+            + ",".join(str(int(x)) for x in b)
+        )
+        sig = F.call_udf("sb_minhash", F.col(text_col).cast("string"), F.lit(spec))
+        return (
+            df.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("signature"))
+            .where(F.col("signature").isNotNull())
+        )
 
     out_schema = StructType(
         [

@@ -156,6 +156,55 @@ def test_scan_chunks_jvm_equals_python(spark):
     assert got_jvm == got_py != set()
 
 
+def _minhash_both_ways(spark, rows):
+    """Signatures via the JVM kernel and the numpy kernel for the same
+    input rows: {doc_id: signature_tuple} for each."""
+    import swiftbeaver_spark.jvm as jvm_mod
+    from swiftbeaver_spark.llm.dedup import minhash_signatures
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ensure_kernel(spark)
+    jvm = {r.doc_id: tuple(r.signature) for r in minhash_signatures(df).collect()}
+    saved = dict(jvm_mod._REGISTERED)
+    try:
+        jvm_mod._REGISTERED[id(spark)] = False
+        py = {r.doc_id: tuple(r.signature) for r in minhash_signatures(df).collect()}
+    finally:
+        jvm_mod._REGISTERED.clear()
+        jvm_mod._REGISTERED.update(saved)
+    return jvm, py
+
+
+def test_minhash_jvm_matches_numpy(spark):
+    """The JVM minhash kernel must be BIT-exact with the numpy kernel
+    (same CRC32 base, same uint64 affine wrap, same unsigned min) —
+    otherwise LSH bucket assignments silently change with the kernel."""
+    import random
+
+    rng = random.Random(5)
+    words = ["scan", "hash", "join", "table", "row", "WINDOW", "Agg", "data"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(3, 60))))
+        for i in range(200)
+    ]
+    jvm, py = _minhash_both_ways(spark, rows)
+    assert jvm == py and len(jvm) == 200
+
+
+def test_minhash_jvm_edge_cases(spark):
+    rows = [
+        (1, ""),  # empty -> dropped by both kernels
+        (2, "   \t\n  "),  # whitespace-only -> dropped
+        (3, "short"),  # shorter than shingle_k -> one shingle
+        (4, "ALL   UPPER\tCASE  text"),  # normalization parity
+        (5, "héllo wörld ünïcode çafé naïve " * 4),  # multibyte codepoints
+        (6, "tab\there and  double  spaces"),
+    ]
+    jvm, py = _minhash_both_ways(spark, rows)
+    assert jvm == py
+    assert set(jvm) == {3, 4, 5, 6}  # 1 and 2 dropped by both
+
+
 def test_scan_plan_stays_jvm_side(spark, tmp_path):
     """The JVM fused scan's physical plan must contain no Python
     evaluation node — the whole pipeline is JVM-side."""
