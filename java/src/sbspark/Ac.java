@@ -140,8 +140,14 @@ public final class Ac {
 
   /** Scan buf[0,len): append packed (offset<<16|patIdx) hits; returns new state. */
   int scanInto(byte[] buf, int len, long base, int state, List<Long> hits) {
+    return scanRange(buf, 0, len, base, state, hits);
+  }
+
+  /** Scan buf[from,to): emitted offsets are base + (i - from). */
+  int scanRange(byte[] buf, int from, int len, long base, int state, List<Long> hits) {
     final int[] f = this.flat;
-    int i = 0;
+    final long shift = base - from;
+    int i = from;
     while (i < len) {
       if (state == 0) {
         // root skip: the table index no longer depends on the previous
@@ -158,7 +164,7 @@ public final class Ac {
         state = t & ~OUT_BIT;
         for (int p : out[state]) {
           if (hits.size() >= cap) return state;
-          hits.add(((base + i - patLen[p] + 1) << 16) | p);
+          hits.add(((shift + i - patLen[p] + 1) << 16) | p);
         }
       }
       i++;

@@ -1,6 +1,7 @@
 package sbspark;
 
 import java.util.List;
+import java.util.concurrent.ConcurrentHashMap;
 import org.apache.spark.sql.api.java.UDF4;
 
 /**
@@ -8,11 +9,24 @@ import org.apache.spark.sql.api.java.UDF4;
  *
  * The fully-fused scan: positioned read + multi-pattern match in one
  * JVM pass — chunk bytes never enter Python and never materialise
- * beyond a 4 MiB streaming window, whatever the chunk size.
+ * beyond a streaming window, whatever the chunk size. EWF/E01
+ * containers (sniffed by signature, cached per path) decompress
+ * chunk-by-chunk straight into the automaton.
  */
 public class ScanEvidenceUdf implements UDF4<String, Long, Long, String, List<Long>> {
+  private static final ConcurrentHashMap<String, Boolean> IS_EWF = new ConcurrentHashMap<>();
+
   @Override
   public List<Long> call(String path, Long start, Long length, String spec) throws Exception {
-    return Ac.get(spec).scanFile(path, start, length);
+    Boolean ewf = IS_EWF.get(path);
+    if (ewf == null) {
+      ewf = EwfImage.isEwf(path);
+      IS_EWF.putIfAbsent(path, ewf);
+    }
+    Ac ac = Ac.get(spec);
+    if (ewf) {
+      return EwfImage.get(path).scan(ac, start, length);
+    }
+    return ac.scanFile(path, start, length);
   }
 }

@@ -27,7 +27,13 @@ from pyspark.sql import SparkSession
 
 _JAVA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "java")
 _JAR_NAME = "sb-kernel.jar"
-_SOURCES = ("Ac.java", "ScanBytesUdf.java", "ScanEvidenceUdf.java", "MinHashUdf.java")
+_SOURCES = (
+    "Ac.java",
+    "EwfImage.java",
+    "MinHashUdf.java",
+    "ScanBytesUdf.java",
+    "ScanEvidenceUdf.java",
+)
 
 # session ids where registration already succeeded / failed
 _REGISTERED: dict[int, bool] = {}

@@ -318,7 +318,7 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
     cluster with shared storage)."""
     from swiftbeaver_spark.chunking import plan_chunks
     from swiftbeaver_spark.jvm import ensure_kernel, spec_for
-    from swiftbeaver_spark.source import evidence_length, is_ewf, open_evidence
+    from swiftbeaver_spark.source import evidence_length, open_evidence
 
     patterns = compile_patterns(cfg)
     if plan is None:
@@ -330,10 +330,11 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
 
     n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
-    # JVM fast path (raw evidence only — E01 decompression lives in
-    # Python): positioned read + one automaton pass per chunk inside the
-    # executor JVM, streamed through a 4 MiB window. No Python workers.
-    if not is_ewf(path) and ensure_kernel(plan.sparkSession):
+    # JVM fast path: positioned read + one automaton pass per chunk
+    # inside the executor JVM, streamed through a bounded window. E01
+    # containers decompress chunk-by-chunk straight into the automaton
+    # (EwfImage.java). No Python workers.
+    if ensure_kernel(plan.sparkSession):
         spec = spec_for(patterns, MAX_HITS_PER_CHUNK)
         hits = F.call_udf(
             "sb_scan_evidence",

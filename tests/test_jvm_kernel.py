@@ -156,6 +156,39 @@ def test_scan_chunks_jvm_equals_python(spark):
     assert got_jvm == got_py != set()
 
 
+def test_evidence_udf_reads_e01_natively(spark, tmp_path):
+    """sb_scan_evidence on an E01 container must yield the same hits as
+    on the raw image — chunk-table parse + zlib decompression + scan all
+    inside the JVM, matches straddling EWF chunk boundaries included."""
+    from swiftbeaver_spark.ewf import write_ewf
+
+    assert ensure_kernel(spark)
+    blob = bytearray(planted_blob(42, size=200_000))
+    # plant a signature straddling an EWF chunk boundary (32 KiB chunks)
+    sig = bytes.fromhex("FFD8FF")
+    cs = 64 * 512
+    blob[cs - 1 : cs + 2] = sig
+    blob = bytes(blob)
+    raw_path = str(tmp_path / "ev.raw")
+    with open(raw_path, "wb") as fh:
+        fh.write(blob)
+    e01_path = str(tmp_path / "ev.E01")
+    write_ewf(e01_path, blob)
+
+    spec = spec_for(PATTERNS, MAX_HITS_PER_CHUNK)
+
+    def hits(path, length):
+        [row] = spark.sql(
+            f"SELECT sb_scan_evidence('{path}', 0L, {length}L, '{spec}') AS h"
+        ).collect()
+        return sorted(int(h) for h in row["h"])
+
+    got_raw = hits(raw_path, len(blob))
+    got_e01 = hits(e01_path, len(blob))
+    assert got_e01 == got_raw != []
+    assert ((cs - 1) << 16) in [h & ~0xFFFF for h in got_e01]  # boundary match found
+
+
 def _minhash_both_ways(spark, rows):
     """Signatures via the JVM kernel and the numpy kernel for the same
     input rows: {doc_id: signature_tuple} for each."""
