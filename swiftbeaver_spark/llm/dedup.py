@@ -300,31 +300,62 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _segment_widths(bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """(low_bit, width) for n_segments contiguous slices covering `bits`."""
+    base, extra = divmod(bits, n_segments)
+    out = []
+    lo = 0
+    for s in range(n_segments):
+        w = base + (1 if s < extra else 0)
+        out.append((lo, w))
+        lo += w
+    return out
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    block_bits: int = 16,
+    n_segments: int | None = None,
 ) -> DataFrame:
-    """Near-dups within Hamming distance: block on 16-bit slices (a pair
-    within distance 3 shares at least one of 4 exact slices — pigeonhole),
-    verify with bit_count."""
+    """Near-dups within Hamming distance <= max_hamming, Manku-style
+    multi-table blocking (the published Google simhash dedup design):
+    split the 64-bit simhash into n_segments slices and key each table
+    on a (n_segments - max_hamming)-subset of slices. <= k bit errors
+    dirty <= k segments, so some kept subset is fully clean — EXACT
+    recall by pigeonhole. Default n_segments = max_hamming + 3 keeps
+    3 segments (~32 key bits at k=3: billions of buckets, vs ~2^16 for
+    single-segment blocking — the difference between even buckets and
+    hot-bucket blowup at 10^9 docs). Candidates verify with bit_count,
+    so tightening or loosening the table layout never changes which
+    pairs qualify, only the candidate volume."""
+    from itertools import combinations
+
+    if n_segments is None:
+        n_segments = max_hamming + 3
     sims = simhash(df, text_col, id_col)
-    n_blocks = 64 // block_bits
+    segs = _segment_widths(64, n_segments)
+    keep = n_segments - max_hamming
+    if keep < 1:
+        raise ValueError("max_hamming must be < n_segments")
+    combo_structs = []
+    for cid, combo in enumerate(combinations(range(n_segments), keep)):
+        key = F.lit(0).cast("long")
+        pos = 0
+        for s in combo:
+            lo, w = segs[s]
+            part = _shr(F.col("simhash"), F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1))
+            key = key.bitwiseOR(_shl(part, F.lit(pos)))
+            pos += w
+        combo_structs.append(
+            F.struct(F.lit(cid).alias("block"), key.alias("key"))
+        )
     blocked = sims.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda b: F.struct(
-                    b.alias("block"),
-                    _shr(F.col("simhash"), b * block_bits)
-                    .bitwiseAND(F.lit((1 << block_bits) - 1))
-                    .alias("key"),
-                ),
-            )
+            F.array(*combo_structs)
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.block", "bk.key")
     l, r = blocked.alias("l"), blocked.alias("r")
