@@ -329,11 +329,17 @@ def simhash_near_dups(
     single-segment blocking — the difference between even buckets and
     hot-bucket blowup at 10^9 docs). Candidates verify with bit_count,
     so tightening or loosening the table layout never changes which
-    pairs qualify, only the candidate volume."""
+    pairs qualify, only the candidate volume.
+
+    Table count is C(n_segments, n_segments - max_hamming): keeping 3
+    segments is the published design for the common k<=3 regime; past
+    k=4 it explodes combinatorially (k=8 would mean 165 tables), so the
+    default drops to keep=1 there — still exact, narrower keys — and
+    callers chasing bucket width at extreme k can raise n_segments."""
     from itertools import combinations
 
     if n_segments is None:
-        n_segments = max_hamming + 3
+        n_segments = max_hamming + (3 if max_hamming <= 4 else 1)
     sims = simhash(df, text_col, id_col)
     segs = _segment_widths(64, n_segments)
     keep = n_segments - max_hamming
