@@ -197,10 +197,14 @@ def write_ewf(
     sectors_per_chunk: int = 64,
     bytes_per_sector: int = 512,
     compresslevel: int = 1,
+    chunks_per_segment: int | None = None,
 ) -> None:
-    """Write `data` as a single-segment E01 (public EWF layout). Chunks
-    that don't shrink under zlib are stored raw with an appended
-    Adler-32, exactly as the spec's uncompressed-chunk form."""
+    """Write `data` as an E01 image (public EWF layout). Chunks that
+    don't shrink under zlib are stored raw with an appended Adler-32,
+    exactly as the spec's uncompressed-chunk form. With
+    `chunks_per_segment` the image splits into an E01/E02/... chain:
+    the first segment carries the volume section, non-final segments
+    terminate with a `next` section, the last with `done`."""
     chunk_size = sectors_per_chunk * bytes_per_sector
     n_sectors = -(-len(data) // bytes_per_sector)
     # media is whole sectors; pad the tail chunk with zeros
@@ -209,52 +213,60 @@ def write_ewf(
     if chunks and len(chunks[-1]) < chunk_size:
         chunks[-1] = chunks[-1] + b"\x00" * (chunk_size - len(chunks[-1]))
 
-    out = bytearray()
-    out += SIGNATURE + b"\x01" + struct.pack("<H", 1) + b"\x00\x00"
+    per_seg = chunks_per_segment or max(len(chunks), 1)
+    groups = [chunks[i : i + per_seg] for i in range(0, len(chunks), per_seg)] or [[]]
+    base, ext = os.path.splitext(out_path)
+    e = ext[1] if len(ext) == 4 else "E"
 
-    # volume section
-    body = bytearray(_VOLUME_LEN)
-    body[0] = 0x01  # fixed disk
-    struct.pack_into("<I", body, 4, len(chunks))
-    struct.pack_into("<I", body, 8, sectors_per_chunk)
-    struct.pack_into("<I", body, 12, bytes_per_sector)
-    struct.pack_into("<Q", body, 16, n_sectors)
-    struct.pack_into("<I", body, _VOLUME_LEN - 4, zlib.adler32(bytes(body[:-4])))
-    vol_off = len(out)
-    vol_size = _DESC.size + _VOLUME_LEN
-    out += _section(b"volume", vol_off + vol_size, vol_size)
-    out += body
+    for seg_no, group in enumerate(groups, start=1):
+        out = bytearray()
+        out += SIGNATURE + b"\x01" + struct.pack("<H", seg_no) + b"\x00\x00"
 
-    # sectors section: compress per chunk, fall back to raw+adler
-    payloads: list[bytes] = []
-    flags: list[bool] = []
-    for c in chunks:
-        z = zlib.compress(c, compresslevel)
-        if len(z) < chunk_size:
-            payloads.append(z)
-            flags.append(True)
-        else:
-            payloads.append(c + struct.pack("<I", zlib.adler32(c)))
-            flags.append(False)
-    sec_off = len(out)
-    sec_size = _DESC.size + sum(len(p) for p in payloads)
-    out += _section(b"sectors", sec_off + sec_size, sec_size)
-    offsets = []
-    for p, f in zip(payloads, flags):
-        offsets.append(len(out) | (0x80000000 if f else 0))
-        out += p
+        if seg_no == 1:
+            body = bytearray(_VOLUME_LEN)
+            body[0] = 0x01  # fixed disk
+            struct.pack_into("<I", body, 4, len(chunks))
+            struct.pack_into("<I", body, 8, sectors_per_chunk)
+            struct.pack_into("<I", body, 12, bytes_per_sector)
+            struct.pack_into("<Q", body, 16, n_sectors)
+            struct.pack_into("<I", body, _VOLUME_LEN - 4, zlib.adler32(bytes(body[:-4])))
+            vol_off = len(out)
+            vol_size = _DESC.size + _VOLUME_LEN
+            out += _section(b"volume", vol_off + vol_size, vol_size)
+            out += body
 
-    # table + table2 (redundant copy, per spec)
-    for typ in (b"table", b"table2"):
-        t_off = len(out)
-        t_size = _DESC.size + 24 + 4 * len(offsets) + 4
-        out += _section(typ, t_off + t_size, t_size)
-        head = struct.pack("<IIQI", len(offsets), 0, 0, 0)
-        out += head + struct.pack("<I", zlib.adler32(head))
-        entries = struct.pack(f"<{len(offsets)}I", *offsets)
-        out += entries + struct.pack("<I", zlib.adler32(entries))
+        # sectors section: compress per chunk, fall back to raw+adler
+        payloads: list[bytes] = []
+        flags: list[bool] = []
+        for c in group:
+            z = zlib.compress(c, compresslevel)
+            if len(z) < chunk_size:
+                payloads.append(z)
+                flags.append(True)
+            else:
+                payloads.append(c + struct.pack("<I", zlib.adler32(c)))
+                flags.append(False)
+        sec_off = len(out)
+        sec_size = _DESC.size + sum(len(p) for p in payloads)
+        out += _section(b"sectors", sec_off + sec_size, sec_size)
+        offsets = []
+        for p, f in zip(payloads, flags):
+            offsets.append(len(out) | (0x80000000 if f else 0))
+            out += p
 
-    done_off = len(out)
-    out += _section(b"done", done_off, _DESC.size)
-    with open(out_path, "wb") as fh:
-        fh.write(bytes(out))
+        # table + table2 (redundant copy, per spec)
+        for typ in (b"table", b"table2"):
+            t_off = len(out)
+            t_size = _DESC.size + 24 + 4 * len(offsets) + 4
+            out += _section(typ, t_off + t_size, t_size)
+            head = struct.pack("<IIQI", len(offsets), 0, 0, 0)
+            out += head + struct.pack("<I", zlib.adler32(head))
+            entries = struct.pack(f"<{len(offsets)}I", *offsets)
+            out += entries + struct.pack("<I", zlib.adler32(entries))
+
+        final = seg_no == len(groups)
+        end_off = len(out)
+        out += _section(b"done" if final else b"next", end_off, _DESC.size)
+        seg_path = out_path if seg_no == 1 else f"{base}.{e}{seg_no:02d}"
+        with open(seg_path, "wb") as fh:
+            fh.write(bytes(out))

@@ -168,3 +168,56 @@ def test_e01_native_distributed_source(spark, tmp_path):
             ].collect()
         }
         assert got == want != set(), f"chunk_join={chunk_join}"
+
+
+def test_multi_segment_roundtrip(tmp_path):
+    """E01/E02/E03 chain: volume in segment 1, `next` links, `done`
+    terminator — both the reader's segment glob and cross-segment chunk
+    indexing must reassemble the exact media."""
+    data = mixed_data(400_000)
+    p = str(tmp_path / "img.E01")
+    write_ewf(p, data, chunks_per_segment=5)
+    import os
+
+    assert os.path.exists(str(tmp_path / "img.E02"))
+    assert os.path.exists(str(tmp_path / "img.E03"))
+    r = EwfReader(p)
+    assert len(r.paths) >= 3
+    assert r.read_at(0, len(data)) == data
+
+
+def test_multi_segment_jvm_scan_matches(spark, tmp_path):
+    """The Java EWF reader must handle segment chains identically:
+    sb_scan_evidence over an E01+E02 image == scan of the raw bytes."""
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.scanner import MAX_HITS_PER_CHUNK, compile_patterns
+
+    assert ensure_kernel(spark)
+    data = bytearray(mixed_data(300_000))
+    sig = bytes.fromhex("FFD8FF")
+    cs = 64 * 512
+    # plant signatures inside segment 1, straddling the segment boundary
+    # (chunk 4 end -> chunk 5 start lives in E02), and inside E02
+    data[1000:1003] = sig
+    data[5 * cs - 2 : 5 * cs + 1] = sig
+    data[7 * cs + 17 : 7 * cs + 20] = sig
+    data = bytes(data)
+    raw = str(tmp_path / "img.raw")
+    with open(raw, "wb") as fh:
+        fh.write(data)
+    e01 = str(tmp_path / "img.E01")
+    write_ewf(e01, data, chunks_per_segment=5)
+
+    patterns = compile_patterns(DEFAULT_CONFIG)
+    spec = spec_for(patterns, MAX_HITS_PER_CHUNK)
+
+    def hits(path):
+        [row] = spark.sql(
+            f"SELECT sb_scan_evidence('{path}', 0L, {len(data)}L, '{spec}') AS h"
+        ).collect()
+        return sorted(int(h) for h in row["h"])
+
+    assert hits(e01) == hits(raw) != []
+    offs = {h >> 16 for h in hits(e01)}
+    assert {1000, 5 * cs - 2, 7 * cs + 17} <= offs

@@ -238,6 +238,41 @@ def test_minhash_jvm_edge_cases(spark):
     assert set(jvm) == {3, 4, 5, 6}  # 1 and 2 dropped by both
 
 
+def test_fuzz_random_patterns_vs_naive(spark):
+    """Property fuzz: arbitrary pattern sets (shared prefixes, nested,
+    self-overlapping, 1-byte) over adversarial data must match the
+    naive per-pattern find on every seed."""
+    import random
+
+    assert ensure_kernel(spark)
+    from swiftbeaver_spark.jvm import spec_for
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        alphabet = bytes(range(4))  # tiny alphabet -> dense overlaps
+        pats = []
+        for i in range(rng.randrange(1, 8)):
+            plen = rng.randrange(1, 6)
+            pats.append(
+                (bytes(rng.choice(alphabet) for _ in range(plen)), f"p{i}", f"t{i}")
+            )
+        data = bytes(rng.choice(alphabet) for _ in range(5000))
+        expected = set()
+        for pat, pid, ftid in pats:
+            for o in find_all(data, pat):
+                expected.add((o, pid, ftid))
+        spec = spec_for(pats, MAX_HITS_PER_CHUNK)
+        df = spark.createDataFrame([(bytearray(data),)], "data binary")
+        [row] = df.select(
+            F.call_udf("sb_scan_bytes", F.col("data"), F.lit(spec)).alias("h")
+        ).collect()
+        got = {
+            (int(h) >> 16, pats[int(h) & 0xFFFF][1], pats[int(h) & 0xFFFF][2])
+            for h in row["h"]
+        }
+        assert got == expected, f"seed {seed}"
+
+
 def test_scan_plan_stays_jvm_side(spark, tmp_path):
     """The JVM fused scan's physical plan must contain no Python
     evaluation node — the whole pipeline is JVM-side."""
