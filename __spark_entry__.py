@@ -46,6 +46,8 @@ plus the LLM-pipeline surface:
   quantizer, full replay)      -> q34_ivf_topk
   byte-level string spans
   (ascii + utf-16 both ends)   -> q35_string_spans
+  near-dup cluster resolution
+  (connected components)       -> q36_dedup_clusters
 """
 
 from __future__ import annotations
@@ -1318,6 +1320,70 @@ def q35_sql() -> str:
     """
 
 
+def _q36_edges_spark(docs):
+    """Deterministic near-dup pair graph over doc_id < 60: chains of 5
+    (i -> i+1 unless i%5==4), a branch edge (i -> i+2 at i%10==0), and a
+    cycle-closing edge (i+4 -> i at i%20==0). Exercises chains, forks,
+    and cycles in one component structure."""
+    base = docs.where(F.col("doc_id") < 60).select(F.col("doc_id").alias("i"))
+    chain = base.where(F.col("i") % 5 != 4).select(
+        F.col("i").alias("doc_a"), (F.col("i") + 1).alias("doc_b")
+    )
+    branch = base.where(F.col("i") % 10 == 0).select(
+        F.col("i").alias("doc_a"), (F.col("i") + 2).alias("doc_b")
+    )
+    cycle = base.where(F.col("i") % 20 == 0).select(
+        (F.col("i") + 4).alias("doc_a"), F.col("i").alias("doc_b")
+    )
+    return chain.union(branch).union(cycle)
+
+
+def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: LSH dedup emits pairs; keeping one
+    doc per transitive cluster needs connected components over the pair
+    graph (llm/cluster.py — iterative min-label propagation, one shuffle
+    per round, exact fixpoint). The pair graph here is synthesized
+    arithmetic (chains + branches + a cycle) so DuckDB's recursive CTE
+    can compute the ground-truth components; output is every clustered
+    doc with its component id and whether it survives canonical-min
+    dedup."""
+    from swiftbeaver_spark.llm.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = connected_components(_q36_edges_spark(docs))
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def q36_sql() -> str:
+    return """
+    WITH RECURSIVE e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id < 60 AND doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 4, doc_id FROM documents WHERE doc_id < 60 AND doc_id % 20 = 0
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT a AS id FROM edges
+    ), reach AS (
+      SELECT id AS src, id AS node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT src AS doc_id,
+           MIN(node) AS component,
+           src = MIN(node) AS kept
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 
@@ -2034,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_carve_remaining": q33_carve_remaining,
         "q34_ivf_topk": q34_ivf_topk,
         "q35_string_spans": q35_string_spans,
+        "q36_dedup_clusters": q36_dedup_clusters,
     }
 
 
@@ -2074,4 +2141,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_carve_remaining": q33_sql(),
         "q34_ivf_topk": q34_sql(),
         "q35_string_spans": q35_sql(),
+        "q36_dedup_clusters": q36_sql(),
     }

@@ -198,6 +198,41 @@ def test_ivf_pinned_quantizer_candidates_subset(embeddings):
     assert hits[8] == exact  # all 8 cells probed == brute force
 
 
+def test_connected_components_chain_cycle_fork(spark):
+    from swiftbeaver_spark.llm.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain: component 1
+            (10, 11), (11, 12), (12, 10),  # cycle: component 10
+            (20, 21), (20, 22), (20, 23),  # star: component 20
+            (30, 31),                      # pair: component 30
+        ],
+        "doc_a long, doc_b long",
+    )
+    comps = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_dedup_keep_canonical(spark):
+    from swiftbeaver_spark.llm.cluster import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
+    # clusters {1,2,5} -> keep 1; {6,7} -> keep 6; unpaired 0,3,4 kept
+    assert kept == {0, 1, 3, 4, 6}
+
+
 def test_language_detection(spark):
     df = spark.createDataFrame(
         [
