@@ -146,6 +146,20 @@ final class EwfImage {
     outBuf = ThreadLocal.withInitial(() -> new byte[csInt]);
   }
 
+  /** libewf extension progression: E01..E99 -> EAA..EZZ -> FAA.. */
+  static String nextExt(String ext3) {
+    char first = ext3.charAt(0);
+    String rest = ext3.substring(1);
+    if (Character.isDigit(rest.charAt(0))) {
+      int n = Integer.parseInt(rest);
+      return n < 99 ? String.format("%c%02d", first, n + 1) : first + "AA";
+    }
+    char a = rest.charAt(0), b = rest.charAt(1);
+    if (b != 'Z') return "" + first + a + (char) (b + 1);
+    if (a != 'Z') return "" + first + (char) (a + 1) + 'A';
+    return "" + (char) (first + 1) + "AA";
+  }
+
   private static List<String> segmentPaths(String path) {
     List<String> out = new ArrayList<>();
     int dot = path.lastIndexOf('.');
@@ -155,34 +169,49 @@ final class EwfImage {
       return out;
     }
     String base = path.substring(0, dot);
-    char e = ext.charAt(1);
-    int i;
-    try {
-      i = Integer.parseInt(ext.substring(2));
-    } catch (NumberFormatException ex) {
-      out.add(path);
-      return out;
-    }
+    boolean lower = Character.isLowerCase(ext.charAt(1));
+    String canon = ext.substring(1).toUpperCase(java.util.Locale.ROOT);
     while (true) {
-      String cand = String.format("%s.%c%02d", base, e, i);
+      String cand = base + "." + (lower ? canon.toLowerCase(java.util.Locale.ROOT) : canon);
       if (!new java.io.File(cand).exists()) break;
       out.add(cand);
-      i++;
+      canon = nextExt(canon);
     }
     if (out.isEmpty()) out.add(path);
     return out;
+  }
+
+  private static final ConcurrentHashMap<String, java.nio.channels.FileChannel> FILES =
+      new ConcurrentHashMap<>();
+
+  private static java.nio.channels.FileChannel channel(String path) throws IOException {
+    java.nio.channels.FileChannel ch = FILES.get(path);
+    if (ch == null) {
+      ch =
+          java.nio.channels.FileChannel.open(
+              java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ);
+      java.nio.channels.FileChannel prev = FILES.putIfAbsent(path, ch);
+      if (prev != null) {
+        ch.close();
+        ch = prev;
+      }
+    }
+    return ch;
   }
 
   /** Decompressed chunk idx into out (reusable); returns valid length. */
   private int chunk(int idx, byte[] out) throws IOException {
     byte[] raw = rawBuf.get();
     int cs = (int) chunkSize;
-    try (RandomAccessFile f = new RandomAccessFile(chunkPath[idx], "r")) {
-      f.seek(chunkOffset[idx]);
+    {
+      // positional FileChannel reads are thread-safe; channels cache per
+      // segment path for the executor lifetime (same pattern as Ac)
+      java.nio.channels.FileChannel f = channel(chunkPath[idx]);
       int want = chunkCompressed[idx] ? raw.length : cs + 4;
+      ByteBuffer bb = ByteBuffer.wrap(raw, 0, want);
       int got = 0;
       while (got < want) {
-        int n = f.read(raw, got, want - got);
+        int n = f.read(bb, chunkOffset[idx] + got);
         if (n <= 0) break;
         got += n;
       }
@@ -233,7 +262,7 @@ final class EwfImage {
     long end = start + length;
     int state = 0;
     int idx = (int) (pos / chunkSize);
-    while (pos < end && idx < chunkPath.length) {
+    while (pos < end && idx < chunkPath.length && hits.size() < ac.cap) {
       int valid = chunk(idx, out);
       int lo = (int) (pos - idx * chunkSize);
       int hi = (int) Math.min(valid, Math.min(chunkSize, end - idx * chunkSize));

@@ -45,7 +45,8 @@ public class MinHashUdf implements UDF2<String, String, List<Long>> {
 
   /** Python's " ".join(text.lower().split()): lowercase, split on
    * whitespace runs, single-space join. Character.isWhitespace misses
-   * U+00A0/U+2007/U+202F which Python treats as spaces — add them. */
+   * U+0085 (NEL) and U+00A0/U+2007/U+202F which Python's str.split
+   * treats as whitespace — add them. */
   static String normalize(String text) {
     String lower = text.toLowerCase(java.util.Locale.ROOT);
     StringBuilder sb = new StringBuilder(lower.length());
@@ -53,7 +54,11 @@ public class MinHashUdf implements UDF2<String, String, List<Long>> {
     for (int i = 0; i < lower.length(); ) {
       int cp = lower.codePointAt(i);
       boolean ws =
-          Character.isWhitespace(cp) || cp == 0x00A0 || cp == 0x2007 || cp == 0x202F;
+          Character.isWhitespace(cp)
+              || cp == 0x0085
+              || cp == 0x00A0
+              || cp == 0x2007
+              || cp == 0x202F;
       if (ws) {
         if (!inSpace) sb.append(' ');
         inSpace = true;

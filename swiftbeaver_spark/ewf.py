@@ -40,20 +40,36 @@ class _ChunkRef:
     compressed: bool
 
 
+def _next_ext(ext3: str) -> str:
+    """libewf segment-extension progression (uppercase canonical form):
+    E01 -> ... -> E99 -> EAA -> ... -> EZZ -> FAA -> ... -> ZZZ."""
+    first, rest = ext3[0], ext3[1:]
+    if rest.isdigit():
+        n = int(rest)
+        return f"{first}{n + 1:02d}" if n < 99 else f"{first}AA"
+    a, b = rest
+    if b != "Z":
+        return f"{first}{a}{chr(ord(b) + 1)}"
+    if a != "Z":
+        return f"{first}{chr(ord(a) + 1)}A"
+    return f"{chr(ord(first) + 1)}AA"
+
+
 def _segment_paths(path: str) -> list[str]:
-    """E01 -> [E01, E02, ...] as far as files exist (libewf glob)."""
+    """E01 -> [E01, E02, ..., E99, EAA, ...] as far as files exist
+    (libewf glob, including the post-E99 letter rollover)."""
     base, ext = os.path.splitext(path)
     if len(ext) != 4 or ext[1].upper() != "E":
         return [path]
+    lower = ext[1].islower()
+    canon = ext[1:].upper()
     out = []
-    i = int(ext[2:])
-    upper = ext[1] == "E"
     while True:
-        cand = f"{base}.{'E' if upper else 'e'}{i:02d}"
+        cand = f"{base}.{canon.lower() if lower else canon}"
         if not os.path.exists(cand):
             break
         out.append(cand)
-        i += 1
+        canon = _next_ext(canon)
     return out or [path]
 
 
@@ -216,7 +232,8 @@ def write_ewf(
     per_seg = chunks_per_segment or max(len(chunks), 1)
     groups = [chunks[i : i + per_seg] for i in range(0, len(chunks), per_seg)] or [[]]
     base, ext = os.path.splitext(out_path)
-    e = ext[1] if len(ext) == 4 else "E"
+    lower = len(ext) == 4 and ext[1].islower()
+    canon = ext[1:].upper() if len(ext) == 4 else "E01"
 
     for seg_no, group in enumerate(groups, start=1):
         out = bytearray()
@@ -267,6 +284,9 @@ def write_ewf(
         final = seg_no == len(groups)
         end_off = len(out)
         out += _section(b"done" if final else b"next", end_off, _DESC.size)
-        seg_path = out_path if seg_no == 1 else f"{base}.{e}{seg_no:02d}"
+        seg_path = (
+            out_path if seg_no == 1 else f"{base}.{canon.lower() if lower else canon}"
+        )
         with open(seg_path, "wb") as fh:
             fh.write(bytes(out))
+        canon = _next_ext(canon)

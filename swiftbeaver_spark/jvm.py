@@ -35,8 +35,10 @@ _SOURCES = (
     "ScanEvidenceUdf.java",
 )
 
-# session ids where registration already succeeded / failed
-_REGISTERED: dict[int, bool] = {}
+# cache attribute stashed on the SparkSession object itself: id() keys
+# can alias after a stopped session is garbage-collected, an instance
+# attribute cannot
+_MARKER = "_sb_kernel_registered"
 _BUILD_FAILED = False
 
 
@@ -90,9 +92,9 @@ def ensure_kernel(spark: SparkSession) -> bool:
     """Register sb_scan_bytes / sb_scan_evidence into this session.
     Works on sessions we did not create (driver harness) via ADD JAR;
     returns False — Python fallback — on any failure."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return _REGISTERED[key]
+    cached = getattr(spark, _MARKER, None)
+    if cached is not None:
+        return cached
     ok = False
     jar_path = kernel_jar()
     if jar_path is not None:
@@ -114,5 +116,8 @@ def ensure_kernel(spark: SparkSession) -> bool:
             ok = list(probe) == [(1 << 16) | 0]
         except Exception:
             ok = False
-    _REGISTERED[key] = ok
+    try:
+        setattr(spark, _MARKER, ok)
+    except AttributeError:  # exotic session proxies without __dict__
+        pass
     return ok

@@ -49,6 +49,7 @@ def connected_components(
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iters):
             # neighbor minimum: the smallest label visible one hop away
             nbr = (
@@ -75,7 +76,14 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # returning a non-fixpoint would silently split clusters
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(graph diameter exceeds max_iters — raise it for chain-shaped graphs)"
+            )
         # detach the result from the persisted loop state
         return labels.select("doc_id", "component")
     finally:

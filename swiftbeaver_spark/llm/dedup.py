@@ -119,6 +119,8 @@ def minhash_signatures(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # match the JVM kernel: null text drops
+                    continue
                 norm = " ".join(str(text).lower().split())
                 n = len(norm)
                 if n == 0:

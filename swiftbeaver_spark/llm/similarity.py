@@ -185,6 +185,12 @@ def ivf_train(
         .collect()
     )
     cents = [[round(float(x), 6) for x in r["_v"]] for r in seeds]
+    if not cents:
+        raise ValueError("ivf_train: empty corpus")
+    # tiny corpus: fewer distinct seeds than requested cells is fine —
+    # the quantizer just has fewer cells
+    nlist = min(nlist, len(cents))
+    cents = cents[:nlist]
     for _ in range(iters):
         cell = ivf_cell(F.col(vec_col).cast("array<double>"), cents)
         rows = (
@@ -288,7 +294,9 @@ def ivf_topk(
     )
     if quantizer == "dot":
         if centroids is None:
-            centroids = md5_centroids(nlist, 0)  # caller should pass dim
+            raise ValueError(
+                "quantizer='dot' needs explicit centroids (md5_centroids(nlist, dim))"
+            )
         c = c.withColumn("cell", ivf_cell_dot(F.col("vec"), centroids))
         pairs = F.zip_with(
             _dots(F.col("query_vec"), centroids, 6),

@@ -221,3 +221,21 @@ def test_multi_segment_jvm_scan_matches(spark, tmp_path):
     assert hits(e01) == hits(raw) != []
     offs = {h >> 16 for h in hits(e01)}
     assert {1000, 5 * cs - 2, 7 * cs + 17} <= offs
+
+
+def test_segment_extension_rollover():
+    """libewf naming: E01..E99 -> EAA..EZZ -> FAA.."""
+    from swiftbeaver_spark.ewf import _next_ext
+
+    assert _next_ext("E01") == "E02"
+    assert _next_ext("E99") == "EAA"
+    assert _next_ext("EAA") == "EAB"
+    assert _next_ext("EAZ") == "EBA"
+    assert _next_ext("EZZ") == "FAA"
+    # walk the whole chain E01 -> FAA without repeats
+    seen, cur = set(), "E01"
+    for _ in range(99 + 26 * 26 + 1):
+        assert cur not in seen
+        seen.add(cur)
+        cur = _next_ext(cur)
+    assert cur == "FAB"

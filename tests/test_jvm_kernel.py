@@ -118,16 +118,15 @@ def test_scan_evidence_jvm_equals_python(spark, tmp_path):
     # force the Python path by monkeypatching availability
     import swiftbeaver_spark.jvm as jvm_mod
 
-    saved = dict(jvm_mod._REGISTERED)
+    saved = getattr(spark, jvm_mod._MARKER, None)
     try:
-        jvm_mod._REGISTERED[id(spark)] = False
+        setattr(spark, jvm_mod._MARKER, False)
         got_py = {
             (r.global_offset, r.pattern_id, r.file_type_id)
             for r in scan_evidence(spark, path, cfg).collect()
         }
     finally:
-        jvm_mod._REGISTERED.clear()
-        jvm_mod._REGISTERED.update(saved)
+        setattr(spark, jvm_mod._MARKER, saved)
     assert got_jvm == got_py != set()
 
 
@@ -143,16 +142,15 @@ def test_scan_chunks_jvm_equals_python(spark):
     }
     import swiftbeaver_spark.jvm as jvm_mod
 
-    saved = dict(jvm_mod._REGISTERED)
+    saved = getattr(spark, jvm_mod._MARKER, None)
     try:
-        jvm_mod._REGISTERED[id(spark)] = False
+        setattr(spark, jvm_mod._MARKER, False)
         got_py = {
             (r.chunk_id, r.local_offset, r.pattern_id, r.file_type_id)
             for r in scan_chunks(chunks, DEFAULT_CONFIG).collect()
         }
     finally:
-        jvm_mod._REGISTERED.clear()
-        jvm_mod._REGISTERED.update(saved)
+        setattr(spark, jvm_mod._MARKER, saved)
     assert got_jvm == got_py != set()
 
 
@@ -198,13 +196,12 @@ def _minhash_both_ways(spark, rows):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert ensure_kernel(spark)
     jvm = {r.doc_id: tuple(r.signature) for r in minhash_signatures(df).collect()}
-    saved = dict(jvm_mod._REGISTERED)
+    saved = getattr(spark, jvm_mod._MARKER, None)
     try:
-        jvm_mod._REGISTERED[id(spark)] = False
+        setattr(spark, jvm_mod._MARKER, False)
         py = {r.doc_id: tuple(r.signature) for r in minhash_signatures(df).collect()}
     finally:
-        jvm_mod._REGISTERED.clear()
-        jvm_mod._REGISTERED.update(saved)
+        setattr(spark, jvm_mod._MARKER, saved)
     return jvm, py
 
 
@@ -232,10 +229,12 @@ def test_minhash_jvm_edge_cases(spark):
         (4, "ALL   UPPER\tCASE  text"),  # normalization parity
         (5, "héllo wörld ünïcode çafé naïve " * 4),  # multibyte codepoints
         (6, "tab\there and  double  spaces"),
+        (7, None),  # null text -> dropped by both kernels
+        (8, "neland nbsp separators here"),  # exotic whitespace
     ]
     jvm, py = _minhash_both_ways(spark, rows)
     assert jvm == py
-    assert set(jvm) == {3, 4, 5, 6}  # 1 and 2 dropped by both
+    assert set(jvm) == {3, 4, 5, 6, 8}  # 1, 2, 7 dropped by both
 
 
 def test_fuzz_random_patterns_vs_naive(spark):
