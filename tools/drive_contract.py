@@ -1,0 +1,75 @@
+"""Drive __spark_entry__ the way the driver does: run every queries()
+entry on Spark, run oracle_sql() in DuckDB, collect BOTH into pandas,
+sort_values over all columns (the canon that crashed q29 in round 1),
+and hash the stringified frames. Exit 0 = all green.
+
+This is the STRICT replica of the external driver gate — use it, not
+tools/check_oracle.py (laxer canon), to predict CORRECTNESS results.
+Usage: python tools/drive_contract.py [sf_dir]"""
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)  # driver's crash site
+    body = "\n".join("|".join(str(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
+# driver smoke: entry()
+edf = E.entry(spark)
+erows = edf.collect()
+print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema.fields]}")
+
+oracles = E.oracle_sql()
+fails = []
+for name, fn in E.queries().items():
+    sdf = fn(spark, SF).toPandas()
+    if name not in oracles:
+        print(f"{name}: rows-only, {len(sdf)} rows")
+        try:
+            canon(sdf)
+        except Exception as exc:  # the q29-style crash
+            fails.append(name)
+            print(f"  !! canon crash: {exc}")
+        continue
+    odf = con.execute(oracles[name]).df()
+    sh, oh = canon(sdf), canon(odf)
+    rows_ok = len(sdf) == len(odf)
+    cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+    ok = rows_ok and cols_ok and sh == oh
+    print(f"{name}: rows {len(sdf)}/{len(odf)} cols_ok={cols_ok} hash={'OK' if sh == oh else 'MISMATCH'}")
+    if not ok:
+        fails.append(name)
+        a = set("|".join(str(v) for v in r) for r in sdf[sorted(sdf.columns)].itertuples(index=False))
+        b = set("|".join(str(v) for v in r) for r in odf[sorted(odf.columns)].itertuples(index=False))
+        for line in list(a - b)[:3]:
+            print("   spark-only:", line[:160])
+        for line in list(b - a)[:3]:
+            print("   duck-only: ", line[:160])
+
+print("FAILS:", fails if fails else "none — all green")
+sys.exit(1 if fails else 0)
