@@ -199,6 +199,13 @@ final class EwfImage {
     return ch;
   }
 
+  private static boolean adlerOk(byte[] raw, int dataLen) {
+    Adler32 a = new Adler32();
+    a.update(raw, 0, dataLen);
+    ByteBuffer cb = ByteBuffer.wrap(raw, dataLen, 4).order(ByteOrder.LITTLE_ENDIAN);
+    return a.getValue() == (cb.getInt() & 0xFFFFFFFFL);
+  }
+
   /** Decompressed chunk idx into out (reusable); returns valid length. */
   private int chunk(int idx, byte[] out) throws IOException {
     byte[] raw = rawBuf.get();
@@ -233,12 +240,14 @@ final class EwfImage {
         }
       } else {
         int dataLen = Math.min(got, cs);
-        if (got >= cs + 4) {
-          Adler32 a = new Adler32();
-          a.update(raw, 0, cs);
-          ByteBuffer cb = ByteBuffer.wrap(raw, cs, 4).order(ByteOrder.LITTLE_ENDIAN);
-          long check = cb.getInt() & 0xFFFFFFFFL;
-          if (a.getValue() != check) {
+        if (got >= cs + 4 && !adlerOk(raw, cs)) {
+          // real acquisitions may store the FINAL chunk short (media not
+          // a multiple of chunk size); retry that interpretation
+          long tailL = mediaSize - (long) idx * chunkSize;
+          int tail = (int) tailL;
+          if (tailL > 0 && tailL < cs && got >= tail + 4 && adlerOk(raw, tail)) {
+            dataLen = tail;
+          } else {
             throw new IOException("chunk " + idx + ": data checksum mismatch");
           }
         }

@@ -91,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
             updates[name] = True
     cfg = dataclasses.replace(cfg, **updates)
 
-    run_id = make_run_id()
+    # config may pin run_id for provenance linking (config_yaml's
+    # load-then-generate contract); generate only when unset
+    run_id = cfg.run_id or make_run_id()
     t0 = time.time()
 
     # E01/EWF containers are read natively (signature-sniffed, not by

@@ -106,7 +106,10 @@ class WindowReader(Reader):
         rel = offset - self._start
         if rel < 0 or length <= 0:
             return b""
-        if rel + length > len(self._data) and offset + length <= self._len:
+        # a read wanting bytes past the window while the EVIDENCE
+        # continues past the window means the cap (not EOF) cut it —
+        # regardless of how far past the end the read asked to go
+        if rel + length > len(self._data) and self._start + len(self._data) < self._len:
             self.hit_window_end = True
         if rel >= len(self._data):
             return b""

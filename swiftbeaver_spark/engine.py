@@ -149,8 +149,18 @@ class Engine:
             chunks = chunks.cache()  # one pass feeds scan, strings, entropy, carve
 
             hits = self.hits(chunks)
-            # evidence_len from the plan's arithmetic — no aggregation job
-            carved = self.carve(hits, chunks=chunks, evidence_len=total)
+            # evidence_len from the plan's arithmetic — no aggregation job.
+            # Scan limits truncate the chunk table, so the byte horizon for
+            # over_cap-vs-EOF attribution is the last INCLUDED chunk's end,
+            # not the full media length (else a limit-cut carve would claim
+            # withheld-by-cap bytes that were never scanned).
+            horizon = total
+            if self.cfg.max_bytes is not None and self.cfg.max_bytes < total:
+                last = (max(self.cfg.max_bytes, 1) - 1) // self.cfg.chunk_size
+                horizon = min(horizon, (last + 1) * self.cfg.chunk_size)
+            if self.cfg.max_chunks is not None:
+                horizon = min(horizon, self.cfg.max_chunks * self.cfg.chunk_size)
+            carved = self.carve(hits, chunks=chunks, evidence_len=horizon)
             tables = {"chunks": chunks, "hits": hits, "carved_files": carved}
             if self.cfg.enable_string_scan:
                 spans = scan_string_spans(chunks, self.cfg)

@@ -66,12 +66,17 @@ def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     return chunks.mapInPandas(scan, WINDOW_SCHEMA)
 
 
-def _merge_level(df: DataFrame, span: int) -> tuple[DataFrame, DataFrame]:
+def _merge_level(df: DataFrame, span: int, slack: int) -> tuple[DataFrame, DataFrame]:
     """One bucketed gaps-and-islands pass: merge contiguous rows WITHIN
     span-aligned buckets (distributed — the window partitions by bucket),
     split the result into interior islands (final regions) and
     bucket-edge islands (may continue into a neighbor bucket; escalate
-    to the next level). Input/output rows: (start, end, entropy)."""
+    to the next level). Input/output rows: (start, end, entropy).
+
+    `slack` (>= one entropy window) widens the edge test: window grids
+    are chunk-relative, so an island can stop within a window of the
+    bucket edge — or poke past it — and still continue in the neighbor
+    bucket. Exact-edge equality silently split such regions."""
     bucketed = df.withColumn("bucket", F.floor(F.col("start") / span))
     w = Window.partitionBy("bucket").orderBy("start")
     flagged = bucketed.withColumn("prev_end", F.lag("end").over(w)).withColumn(
@@ -92,8 +97,8 @@ def _merge_level(df: DataFrame, span: int) -> tuple[DataFrame, DataFrame]:
             F.max("entropy").alias("entropy"),
         )
     )
-    boundary = (F.col("start") == F.col("bucket") * span) | (
-        F.col("end") == (F.col("bucket") + 1) * span - 1
+    boundary = (F.col("start") < F.col("bucket") * span + slack) | (
+        F.col("end") >= (F.col("bucket") + 1) * span - slack
     )
     done = islands.where(~boundary).select("start", "end", "entropy")
     escalated = islands.where(boundary).select("start", "end", "entropy")
@@ -121,7 +126,7 @@ def merge_regions(windows: DataFrame, window_size: int) -> DataFrame:
     finals = []
     span = window_size * _LEVEL_SPAN
     for _ in range(2):
-        done, cur = _merge_level(cur, span)
+        done, cur = _merge_level(cur, span, slack=window_size)
         finals.append(done)
         span *= _LEVEL_SPAN
 

@@ -93,6 +93,7 @@ class EwfReader(Reader):
         self.media_size = 0
         self._chunks: list[_ChunkRef] = []
         self._cache: dict[int, bytes] = {}
+        self._handles: dict[str, object] = {}  # one open fh per segment
         n_chunks = sectors = bps = 0
         for seg_no, seg in enumerate(self.paths, start=1):
             with open(seg, "rb") as fh:
@@ -146,21 +147,40 @@ class EwfReader(Reader):
 
     # -- media access --------------------------------------------------------
 
+    def _handle(self, path: str):
+        fh = self._handles.get(path)
+        if fh is None:
+            fh = self._handles[path] = open(path, "rb")
+        return fh
+
     def _chunk(self, idx: int) -> bytes:
         cached = self._cache.get(idx)
         if cached is not None:
             return cached
         ref = self._chunks[idx]
-        with open(ref.path, "rb") as fh:
-            fh.seek(ref.offset)
-            if ref.compressed:
-                # zlib streams self-terminate; bound the read generously
-                raw = fh.read(self.chunk_size + 4096)
-                data = zlib.decompressobj().decompress(raw)
-            else:
-                raw = fh.read(self.chunk_size + 4)
-                data, check = raw[: self.chunk_size], raw[self.chunk_size :]
-                if len(check) == 4 and zlib.adler32(data) != struct.unpack("<I", check)[0]:
+        fh = self._handle(ref.path)
+        fh.seek(ref.offset)
+        if ref.compressed:
+            # zlib streams self-terminate; bound the read generously
+            raw = fh.read(self.chunk_size + 4096)
+            data = zlib.decompressobj().decompress(raw)
+        else:
+            raw = fh.read(self.chunk_size + 4)
+            data, check = raw[: self.chunk_size], raw[self.chunk_size :]
+            if len(check) == 4 and zlib.adler32(data) != struct.unpack("<I", check)[0]:
+                # real acquisitions may store the FINAL chunk short
+                # (media not a multiple of chunk size, no padding);
+                # retry the short interpretation before rejecting
+                tail = self.media_size - idx * self.chunk_size
+                if 0 < tail < self.chunk_size:
+                    short, scheck = raw[:tail], raw[tail : tail + 4]
+                    if len(scheck) == 4 and zlib.adler32(short) == struct.unpack(
+                        "<I", scheck
+                    )[0]:
+                        data = short
+                    else:
+                        raise EwfFormatError(f"chunk {idx}: data checksum mismatch")
+                else:
                     raise EwfFormatError(f"chunk {idx}: data checksum mismatch")
         # final chunk may carry padding beyond media end; trim at read_at
         if len(self._cache) > 8:
@@ -187,8 +207,14 @@ class EwfReader(Reader):
     def length(self) -> int:
         return self.media_size
 
-    def close(self) -> None:  # segment files open per read; nothing held
+    def close(self) -> None:
         self._cache.clear()
+        for fh in self._handles.values():
+            try:
+                fh.close()
+            except OSError:
+                pass
+        self._handles.clear()
 
     def convert_to_raw(self, out_path: str) -> None:
         with open(out_path, "wb") as out:
@@ -214,19 +240,22 @@ def write_ewf(
     bytes_per_sector: int = 512,
     compresslevel: int = 1,
     chunks_per_segment: int | None = None,
+    pad_final: bool = True,
 ) -> None:
     """Write `data` as an E01 image (public EWF layout). Chunks that
     don't shrink under zlib are stored raw with an appended Adler-32,
     exactly as the spec's uncompressed-chunk form. With
     `chunks_per_segment` the image splits into an E01/E02/... chain:
     the first segment carries the volume section, non-final segments
-    terminate with a `next` section, the last with `done`."""
+    terminate with a `next` section, the last with `done`. With
+    pad_final=False the tail chunk is stored short (whole sectors only,
+    no zero padding) — the form many real acquisitions use."""
     chunk_size = sectors_per_chunk * bytes_per_sector
     n_sectors = -(-len(data) // bytes_per_sector)
     # media is whole sectors; pad the tail chunk with zeros
     padded = data + b"\x00" * (n_sectors * bytes_per_sector - len(data))
     chunks = [padded[i : i + chunk_size] for i in range(0, len(padded), chunk_size)]
-    if chunks and len(chunks[-1]) < chunk_size:
+    if chunks and len(chunks[-1]) < chunk_size and pad_final:
         chunks[-1] = chunks[-1] + b"\x00" * (chunk_size - len(chunks[-1]))
 
     per_seg = chunks_per_segment or max(len(chunks), 1)
@@ -257,7 +286,7 @@ def write_ewf(
         flags: list[bool] = []
         for c in group:
             z = zlib.compress(c, compresslevel)
-            if len(z) < chunk_size:
+            if len(z) < len(c):
                 payloads.append(z)
                 flags.append(True)
             else:

@@ -77,7 +77,7 @@ _VEC_MIN = 64 * 1024
 
 # byte "commonness" in typical evidence: prefer anchoring each pattern
 # on its rarest byte so the candidate pool stays sparse on zero-fill,
-# 0xFF-fill, and ASCII text alike
+# 0xFF-fill, and ASCII text alike (tie-break inside _scan_blob_vec)
 def _rarity(b: int) -> int:
     if b == 0x00:
         return 3
@@ -86,11 +86,6 @@ def _rarity(b: int) -> int:
     if 0x20 < b < 0x7F:
         return 1
     return 0
-
-
-def _anchor(pat: bytes) -> int:
-    """Index of the rarest byte in the pattern (earliest among ties)."""
-    return min(range(len(pat)), key=lambda i: (_rarity(pat[i]), i))
 
 
 def _scan_blob_find(
@@ -123,12 +118,38 @@ def scan_blob(
        with vectorized 4-byte compares;
     3. the few survivors verify the full pattern in Python.
 
-    Small blobs use the per-pattern C `bytes.find` loop.
+    Small blobs use the per-pattern C `bytes.find` loop. Blobs beyond
+    _SLAB process in slabs (with a max-pattern-length-1 overlap) so the
+    numpy temporaries — the candidate mask is blob-sized — stay bounded
+    on 512 MiB default chunks regardless of content.
     """
     n = len(blob)
     if n < _VEC_MIN or not patterns:
         return _scan_blob_find(blob, patterns, budget)
+    if n <= _SLAB:
+        return _scan_blob_vec(blob, patterns, budget)
+    max_len = max(len(p) for p, _, _ in patterns)
+    out: list[tuple[int, str, str]] = []
+    base = 0
+    while base < n and budget > 0:
+        seg = blob[base : base + _SLAB + max_len - 1]
+        for off, pid, ftid in _scan_blob_vec(seg, patterns, budget):
+            if off < _SLAB:  # overlap-tail starts belong to the next slab
+                out.append((base + off, pid, ftid))
+                budget -= 1
+                if budget <= 0:
+                    break
+        base += _SLAB
+    return out
 
+
+_SLAB = 32 * 1024 * 1024  # bounds per-call numpy temp memory
+
+
+def _scan_blob_vec(
+    blob: bytes, patterns: list[tuple[bytes, str, str]], budget: int
+) -> list[tuple[int, str, str]]:
+    n = len(blob)
     import numpy as np
 
     arr = np.frombuffer(blob, dtype=np.uint8)

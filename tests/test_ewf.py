@@ -239,3 +239,37 @@ def test_segment_extension_rollover():
         seen.add(cur)
         cur = _next_ext(cur)
     assert cur == "FAB"
+
+
+def test_short_final_chunk_roundtrip(spark, tmp_path):
+    """Acquisitions often store the tail chunk short (whole sectors, no
+    padding). Both readers must reassemble the exact media — raw+Adler
+    short form included — and the JVM scan must match the raw image."""
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.scanner import MAX_HITS_PER_CHUNK, compile_patterns
+
+    # 5.5 chunks of media; tail random (raw storage) to hit the
+    # raw+short+Adler path, plus a compressible variant
+    cs = 64 * 512
+    rng = random.Random(9)
+    for variant, tail in (("raw", rng.randbytes(cs // 2)), ("zlib", b"\xab" * (cs // 2))):
+        data = rng.randbytes(5 * cs) + tail
+        p = str(tmp_path / f"short_{variant}.E01")
+        write_ewf(p, data, pad_final=False)
+        r = EwfReader(p)
+        assert r.media_size == len(data)
+        assert r.read_at(0, len(data)) == data
+        r.close()
+
+        assert ensure_kernel(spark)
+        sig = bytes.fromhex("FFD8FF")
+        planted = bytearray(data)
+        planted[len(data) - 100 : len(data) - 97] = sig
+        p2 = str(tmp_path / f"short2_{variant}.E01")
+        write_ewf(p2, bytes(planted), pad_final=False)
+        spec = spec_for(compile_patterns(DEFAULT_CONFIG), MAX_HITS_PER_CHUNK)
+        [row] = spark.sql(
+            f"SELECT sb_scan_evidence('{p2}', 0L, {len(planted)}L, '{spec}') AS h"
+        ).collect()
+        assert (len(data) - 100) in {int(h) >> 16 for h in row["h"]}

@@ -66,3 +66,23 @@ def test_pattern_at_end_of_blob():
     blob = b"\x00" * 100 + bytes.fromhex("FFD8FF")
     offs = [o for (o, pid, _) in scan_blob(blob, PATTERNS) if pid == "jpeg_soi"]
     assert offs == [100]
+
+
+def test_slab_boundary_equivalence():
+    """Blobs beyond _SLAB process in bounded slabs; hits straddling the
+    slab boundary and in overlap tails must match the naive scan."""
+    import swiftbeaver_spark.scanner as sc
+
+    old = sc._SLAB
+    sc._SLAB = 64 * 1024  # shrink so the test is cheap
+    try:
+        rng = random.Random(3)
+        blob = bytearray(rng.randbytes(5 * sc._SLAB + 123))
+        sig = bytes.fromhex("FFD8FF")
+        for k in range(1, 5):  # plant straddling every slab boundary
+            pos = k * sc._SLAB - 1
+            blob[pos : pos + len(sig)] = sig
+        blob = bytes(blob)
+        assert set(sc.scan_blob(blob, PATTERNS)) == naive(blob)
+    finally:
+        sc._SLAB = old

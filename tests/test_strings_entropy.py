@@ -195,3 +195,47 @@ def test_entropy_gap_at_level_bucket_edge(spark):
         (0, span - 1),
         (span + 256, span + 256 + 10 * 256 - 1),
     ]
+
+
+def _naive_merge(windows):
+    """Ground truth: single-pass merge of (start, end, entropy) rows."""
+    out = []
+    for s, e, ent in sorted(windows):
+        if out and s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] = max(out[-1][2], ent)
+        else:
+            out.append([s, e, ent])
+    return {(s, e, round(ent, 9)) for s, e, ent in out}
+
+
+def test_merge_regions_bucket_edges_misaligned(spark, monkeypatch):
+    """Regression: islands whose window grid is NOT aligned to the
+    bucket span (chunk-relative grids) must still merge across bucket
+    edges — the old exact-edge escalation test silently split them."""
+    import random
+
+    import swiftbeaver_spark.entropy as ent_mod
+
+    monkeypatch.setattr(ent_mod, "_LEVEL_SPAN", 8)  # tiny buckets
+    ws = 100
+    for seed in range(5):
+        rng = random.Random(seed)
+        offset = rng.randrange(1, ws)  # misaligned grid start
+        rows = []
+        pos = offset
+        # windows spread far enough to cross level-1 (800) and level-2
+        # (6400) bucket edges, with random qualifying gaps
+        for _ in range(200):
+            if rng.random() < 0.7:
+                rows.append((pos, pos + ws - 1, 7.9))
+            pos += ws * (1 if rng.random() < 0.8 else rng.randrange(2, 5))
+        wdf = spark.createDataFrame(
+            [(s, e, x) for s, e, x in rows],
+            "win_start long, win_end long, entropy double",
+        )
+        got = {
+            (r.global_start, r.global_end, round(r.entropy, 9))
+            for r in ent_mod.merge_regions(wdf, ws).collect()
+        }
+        assert got == _naive_merge(rows), f"seed {seed} offset {offset}"
