@@ -194,3 +194,58 @@ def test_category_sink_layout(spark, tmp_path):
     jpeg_rows = spark.read.parquet(str(tmp_path / "cat/files_jpeg")).collect()
     assert {r.global_start for r in jpeg_rows} == set(offsets)
     assert spark.read.parquet(str(tmp_path / "cat/files_other")).count() == 0
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessions close either by an in-stream gap or by event-time
+    timeout once a later batch advances the watermark."""
+    import datetime as dt
+
+    from swiftbeaver_spark.streaming import sessionize_stream
+
+    def ts(minute):
+        return dt.datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    # batch 1: user 1 has two sessions split by a 40-min gap (closes
+    # in-batch); user 2 has one session left open
+    spark.createDataFrame(
+        [
+            (1, ts(0)), (1, ts(5)), (1, ts(10)),   # session A: 0-10, 3 events
+            (1, ts(50)), (1, ts(55)),              # session B: open
+            (2, ts(7)),                            # session C: open
+        ],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: far-future events push the watermark past B and C's
+    # gap+watermark horizon -> they close via EventTimeTimeout
+    spark.createDataFrame(
+        [(1, ts(600)), (2, ts(600))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+    out = str(tmp_path / "sessions")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 0, 10, 3) in got          # closed by in-batch gap
+    assert (1, 50, 55, 2) in got         # closed by event-time timeout
+    assert (2, 7, 7, 1) in got           # closed by event-time timeout
