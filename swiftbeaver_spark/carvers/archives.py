@@ -174,7 +174,12 @@ def carve_gzip(reader: Reader, offset: int, max_size: int, **_) -> CarveOutcome 
         pos += 2 + struct.unpack("<H", raw)[0]
     for bit in (0x08, 0x10):  # FNAME, FCOMMENT: zero-terminated
         if flg & bit:
-            z = scan_forward(reader, pos, b"\x00", reader.length())
+            # reference bounds the cstring scan at 1 MiB past the field
+            # ("gzip string too long", gzip.rs:207-217) — without the
+            # bound a NUL-free region turns one hit into a full-evidence
+            # scan
+            limit = min(reader.length(), pos + (1 << 20))
+            z = scan_forward(reader, pos, b"\x00", limit)
             if z is None:
                 return None
             pos = z + 1

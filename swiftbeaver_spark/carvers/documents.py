@@ -76,7 +76,12 @@ def carve_rtf(reader: Reader, offset: int, max_size: int, **_) -> CarveOutcome |
                 else:
                     if reading_bin_len:
                         reading_bin_len = False
-                        # bin_len raw bytes follow (current byte is delimiter)
+                        # bin_len raw bytes follow; the delimiter byte is
+                        # re-processed with bin_len active and so counts
+                        # into the skip — exactly the reference's
+                        # pending-byte semantics (rtf.rs:98-104), kept
+                        # for parity even though the RTF spec consumes
+                        # the delimiter separately
                     escape = False
                     control.clear()
                     continue  # re-process this byte outside escape mode

@@ -106,7 +106,10 @@ def chunks_from_file(
 
     # one chunk per task: each output row is chunk_size+overlap bytes.
     # partition count comes from arithmetic, not a count() job.
-    n = max(0, math.ceil(min(total, max_bytes or total) / chunk_size))
+    # (`is None` test, not truthiness: max_bytes=0 means an empty scan,
+    # and `or` would silently turn it into "unlimited")
+    byte_cap = total if max_bytes is None else min(total, max_bytes)
+    n = max(0, math.ceil(byte_cap / chunk_size))
     if max_chunks is not None:
         n = min(n, max_chunks)
     if n == 0:

@@ -29,6 +29,10 @@ _ASCII_RE_TMPL = rb"[\t\x20-\x7E]{%d,}"
 
 URL_RE = re.compile(r"\b(?:https?://|www\.)[^\s\"'<>]+", re.IGNORECASE)
 EMAIL_RE = re.compile(r"\b[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]{2,}\b", re.IGNORECASE)
+# verbatim reference regex (src/strings/mod.rs:122-123) INCLUDING the
+# \b-before-\+? quirk: after a space there is no word boundary before
+# '+', so E.164 numbers match from their first digit (no '+' captured).
+# Intentional parity — do not "fix" without diverging from the reference.
 PHONE_RE = re.compile(r"\b\+?\d[\d\s().-]{6,}\d\b")
 
 _TRAILING_PUNCT = ".,;:)]}\"'><"
@@ -201,50 +205,61 @@ def scan_string_spans(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
         for pdf in batches:
             rows = []
             for start, vlen, data in zip(pdf["start"], pdf["valid_length"], pdf["data"]):
-                blob = bytes(data)
-                found: list[tuple[int, bytes, str]] = []
-                for pos, raw in _scan_ascii(blob, min_len, max_len):
-                    found.append((pos, raw, "ascii"))
-                for pos, raw in _scan_utf8(blob, min_len, max_len):
-                    found.append((pos, raw, "utf-8"))
-                if scan_utf16:
-                    for pos, raw in _scan_utf16(blob, min_len, max_len, True):
-                        found.append((pos, raw, "utf-16le"))
-                    for pos, raw in _scan_utf16(blob, min_len, max_len, False):
-                        found.append((pos, raw, "utf-16be"))
-                for pos, raw, enc in found:
-                    if pos >= vlen:  # overlap dedup, same rule as hits
-                        continue
-                    if enc.startswith("utf-16"):
-                        flag_src = raw[0::2] if enc == "utf-16le" else raw[1::2]
-                    else:
-                        flag_src = raw
-                    url_like, email_like, phone_like = _flags(flag_src)
-                    rows.append(
-                        (
-                            int(start) + pos,
-                            len(raw),
-                            _decode_span(raw, enc),
-                            enc,
-                            url_like,
-                            email_like,
-                            phone_like,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "global_start",
-                    "byte_length",
-                    "content",
-                    "encoding",
-                    "url_like",
-                    "email_like",
-                    "phone_like",
-                ],
-            )
+                rows.extend(
+                    _blob_spans(bytes(data), int(start), int(vlen), min_len, max_len, scan_utf16)
+                )
+            yield pd.DataFrame(rows, columns=_SPAN_COLUMNS)
 
     return chunks.mapInPandas(scan, schemas.STRING_SPANS)
+
+
+_SPAN_COLUMNS = [
+    "global_start",
+    "byte_length",
+    "content",
+    "encoding",
+    "url_like",
+    "email_like",
+    "phone_like",
+]
+
+
+def _blob_spans(
+    blob: bytes, start: int, vlen: int, min_len: int, max_len: int, scan_utf16: bool
+) -> list[tuple]:
+    """All span rows for one chunk blob (shared by the chunk-table and
+    fused-evidence paths so their semantics cannot drift)."""
+    found: list[tuple[int, bytes, str]] = []
+    for pos, raw in _scan_ascii(blob, min_len, max_len):
+        found.append((pos, raw, "ascii"))
+    for pos, raw in _scan_utf8(blob, min_len, max_len):
+        found.append((pos, raw, "utf-8"))
+    if scan_utf16:
+        for pos, raw in _scan_utf16(blob, min_len, max_len, True):
+            found.append((pos, raw, "utf-16le"))
+        for pos, raw in _scan_utf16(blob, min_len, max_len, False):
+            found.append((pos, raw, "utf-16be"))
+    rows = []
+    for pos, raw, enc in found:
+        if pos >= vlen:  # overlap dedup, same rule as hits
+            continue
+        if enc.startswith("utf-16"):
+            flag_src = raw[0::2] if enc == "utf-16le" else raw[1::2]
+        else:
+            flag_src = raw
+        url_like, email_like, phone_like = _flags(flag_src)
+        rows.append(
+            (
+                start + pos,
+                len(raw),
+                _decode_span(raw, enc),
+                enc,
+                url_like,
+                email_like,
+                phone_like,
+            )
+        )
+    return rows
 
 
 _ARTEFACT_COLUMNS = [f.name for f in schemas.STRING_ARTEFACTS.fields]
@@ -330,8 +345,14 @@ def enrich_urls(artefacts: DataFrame) -> DataFrame:
         "global_start",
         "global_end",
     ).withColumn(
+        # reference takes the authority's trailing :digits (rfind after
+        # stripping path/query/fragment), so www.-prefixed URLs and
+        # userinfo@host forms keep their port — extract from `full`'s
+        # authority, not the raw content
         "port",
-        F.regexp_extract(F.col("content"), r"://[^/:]+:(\d+)", 1).cast("int"),
+        F.regexp_extract(
+            F.regexp_extract(full, r"^[a-zA-Z]+://([^/?#]*)", 1), r":(\d+)$", 1
+        ).cast("int"),
     ).select(
         "content",
         "scheme",
@@ -385,11 +406,9 @@ def enrich_phones(artefacts: DataFrame) -> DataFrame:
 
 def spans_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
     """Fused fetch+span-scan off the evidence file (no chunk bytes across
-    the JVM boundary; see scanner.scan_evidence for the rationale)."""
-    import os
-
+    the JVM boundary; see scanner.scan_evidence for the rationale).
+    Per-blob scanning is the SAME _blob_spans the chunk-table path uses."""
     from swiftbeaver_spark.chunking import plan_chunks
-
     from swiftbeaver_spark.source import evidence_length, open_evidence
 
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
@@ -406,42 +425,10 @@ def spans_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
                     pdf["start"], pdf["valid_length"], pdf["read_length"]
                 ):
                     blob = reader.read_at(int(start), int(rlen))
-                    found: list[tuple[int, bytes, str]] = []
-                    for pos, raw in _scan_ascii(blob, min_len, max_len):
-                        found.append((pos, raw, "ascii"))
-                    for pos, raw in _scan_utf8(blob, min_len, max_len):
-                        found.append((pos, raw, "utf-8"))
-                    if scan_utf16:
-                        for pos, raw in _scan_utf16(blob, min_len, max_len, True):
-                            found.append((pos, raw, "utf-16le"))
-                        for pos, raw in _scan_utf16(blob, min_len, max_len, False):
-                            found.append((pos, raw, "utf-16be"))
-                    for pos, raw, enc in found:
-                        if pos >= vlen:
-                            continue
-                        if enc.startswith("utf-16"):
-                            flag_src = raw[0::2] if enc == "utf-16le" else raw[1::2]
-                        else:
-                            flag_src = raw
-                        url_like, email_like, phone_like = _flags(flag_src)
-                        rows.append(
-                            (
-                                int(start) + pos,
-                                len(raw),
-                                _decode_span(raw, enc),
-                                enc,
-                                url_like,
-                                email_like,
-                                phone_like,
-                            )
-                        )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "global_start", "byte_length", "content", "encoding",
-                        "url_like", "email_like", "phone_like",
-                    ],
-                )
+                    rows.extend(
+                        _blob_spans(blob, int(start), int(vlen), min_len, max_len, scan_utf16)
+                    )
+                yield pd.DataFrame(rows, columns=_SPAN_COLUMNS)
         finally:
             reader.close()
 
