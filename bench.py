@@ -55,6 +55,11 @@ def main() -> None:
     spark.range(256, numPartitions=32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
+    # build + register the JVM kernel jar now so its one-time javac cost
+    # (~2s on a cold tree) isn't charged to the first scan query
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    ensure_kernel(spark)
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
