@@ -48,6 +48,8 @@ plus the LLM-pipeline surface:
   (ascii + utf-16 both ends)   -> q35_string_spans
   near-dup cluster resolution
   (connected components)       -> q36_dedup_clusters
+  stateful streaming sessions
+  (applyInPandasWithState)     -> q37_stream_sessionize
 """
 
 from __future__ import annotations
@@ -1320,6 +1322,89 @@ def q35_sql() -> str:
     """
 
 
+def q37_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL STREAMING operator under the hash gate:
+    streaming.sessionize_stream (applyInPandasWithState, event-time
+    timeout) runs to completion over the events table fed through a file
+    stream, with one far-future sentinel event per user so every real
+    session closes and emits exactly once. The oracle replays the exact
+    gap semantics (microsecond precision) as batch gaps-and-islands —
+    batching cannot change the result because state folds sorted event
+    times identically wherever the micro-batch boundaries fall."""
+    import tempfile
+
+    from swiftbeaver_spark.streaming import sessionize_stream
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="sb_q37_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    events.write.mode("overwrite").parquet(src)
+    sentinels = events.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts")
+    )
+    sentinels.select("user_id", "ts").write.mode("append").parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(
+            stream, gap_minutes=SESSION_GAP_MIN, watermark="1 minute"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # availableNow's final wrap-up trigger fires event-time timeouts, so
+    # sentinel sessions of users whose activity ended long before the
+    # global max DO emit — drop everything past the real horizon
+    max_real = events.agg(F.max("ts")).collect()[0][0]
+    return (
+        spark.read.parquet(out)
+        .where(F.col("session_start") <= F.lit(max_real))
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q37_sql() -> str:
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return f"""
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        )
+      )
+    )
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+
+
 def _q36_edges_spark(docs):
     """Deterministic near-dup pair graph over doc_id < 60: chains of 5
     (i -> i+1 unless i%5==4), a branch edge (i -> i+2 at i%10==0), and a
@@ -2101,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ivf_topk": q34_ivf_topk,
         "q35_string_spans": q35_string_spans,
         "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
     }
 
 
@@ -2142,4 +2228,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_ivf_topk": q34_sql(),
         "q35_string_spans": q35_sql(),
         "q36_dedup_clusters": q36_sql(),
+        "q37_stream_sessionize": q37_sql(),
     }
