@@ -33,6 +33,7 @@ _SOURCES = (
     "MinHashUdf.java",
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
+    "SimHashUdf.java",
 )
 
 # cache attribute stashed on the SparkSession object itself: id() keys
@@ -109,6 +110,7 @@ def ensure_kernel(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(
                 "sb_minhash", "sbspark.MinHashUdf", "array<bigint>"
             )
+            spark.udf.registerJavaFunction("sb_simhash", "sbspark.SimHashUdf", "bigint")
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
                 "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"

@@ -246,16 +246,27 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash: sign-aggregate token hashes per bit position.
 
-    Vectorized numpy kernel over Arrow batches (crc32 base hash mixed
-    to 64 bits via splitmix64, bit-vote matrix) — Spark's higher-order
-    array lambdas are interpreted, making the expression form O(bits x
-    tokens) in slow per-element calls."""
+    Two bit-identical kernels (crc32 base hash mixed to 64 bits via
+    splitmix64, one ±1 vote per bit): the JVM UDF
+    (java/src/sbspark/SimHashUdf.java — text never crosses into Python)
+    when jvm.ensure_kernel registers, else the vectorized numpy Arrow
+    kernel. Spark's higher-order array lambdas are interpreted, making
+    the expression form O(bits x tokens) in slow per-element calls.
+    Null/empty text hashes to 0 on both paths."""
     import zlib
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
+
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    if ensure_kernel(df.sparkSession):
+        return df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.call_udf("sb_simhash", F.col(text_col).cast("string")).alias("simhash"),
+        )
 
     out_schema = StructType(
         [
@@ -276,7 +287,7 @@ def simhash(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = str(text).lower().split()
+                toks = [] if text is None else str(text).lower().split()
                 if not toks:
                     rows.append((int(did), 0))
                     continue

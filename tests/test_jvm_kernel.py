@@ -288,3 +288,30 @@ def test_scan_plan_stays_jvm_side(spark, tmp_path):
     plan = jexec.explainString(mode)
     assert "EvalPython" not in plan, plan
     assert "sb_scan_evidence" in plan
+
+
+def test_simhash_jvm_matches_numpy(spark):
+    """The JVM simhash kernel must be BIT-exact with the numpy kernel
+    (crc32 + splitmix64 + bit votes), nulls and whitespace included."""
+    import random
+
+    import swiftbeaver_spark.jvm as jvm_mod
+    from swiftbeaver_spark.llm.dedup import simhash
+
+    rng = random.Random(17)
+    words = ["scan", "hash", "join", "TABLE", "row", "wïndow", "agg"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40))))
+        for i in range(150)
+    ] + [(900, None), (901, ""), (902, "one one one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ensure_kernel(spark)
+    jvm = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    saved = getattr(spark, jvm_mod._MARKER, None)
+    try:
+        setattr(spark, jvm_mod._MARKER, False)
+        py = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    finally:
+        setattr(spark, jvm_mod._MARKER, saved)
+    assert jvm == py and len(jvm) == 153
+    assert jvm[900] == 0 and jvm[901] == 0
