@@ -145,22 +145,38 @@ def q02_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the overlap-dedup semantics (reference workers.rs:136-155).
 
     Routed through the engine's real scan kernel (scanner.scan_chunks,
-    the C-memmem/numpy mapInPandas pass) instead of the round-1
-    interpreted F.aggregate fold — 3x faster and the same code path the
-    carve pipeline exercises. Docs embed into one address space at
+    JVM Aho-Corasick / numpy fallback) instead of the round-1
+    interpreted F.aggregate fold. Docs embed into one address space at
     doc_id * _DOC_SPAN so the kernel's (start + local_offset) math
-    carries the doc identity through the scan."""
+    carries the doc identity through the scan. The chunk table derives
+    from docs in ONE narrow pass (explode + substring — same geometry
+    as q01_chunk_plan, no join back to the text), with the docs spread
+    to cluster parallelism first: the scan kernel costs per byte
+    scanned, but a 0.6 MB corpus is 1 file split and AQE would pin the
+    whole stage to one core (measured ~30% of q02 at sf0.1)."""
     from swiftbeaver_spark.config import EngineConfig, FileType, Pattern
     from swiftbeaver_spark.scanner import scan_chunks
 
-    chunks = q01_chunk_plan(spark, sf_dir).alias("c")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").alias("d")
-    chunk_tbl = chunks.join(docs, "doc_id").select(
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    n_chunks = F.ceil(F.length("text") / CHUNK).cast("long")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("total_len"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk_tbl = exploded.select(
         (F.col("doc_id") * CHUNK + F.col("chunk_id")).alias("chunk_id"),
-        (F.col("doc_id") * _DOC_SPAN + F.col("start")).alias("start"),
-        F.col("valid_length").cast("long").alias("valid_length"),
+        (F.col("doc_id") * _DOC_SPAN + F.col("chunk_id") * CHUNK).alias("start"),
+        F.least(F.lit(CHUNK), F.col("total_len") - F.col("chunk_id") * CHUNK)
+        .cast("long")
+        .alias("valid_length"),
         F.encode(
-            F.substring(F.col("text"), F.col("start") + 1, CHUNK + OVERLAP), "utf-8"
+            F.substring(F.col("text"), F.col("chunk_id") * CHUNK + 1, CHUNK + OVERLAP),
+            "utf-8",
         ).alias("data"),
     )
     cfg = EngineConfig(

@@ -35,6 +35,23 @@ def _shl(col: Column, bits: Column) -> Column:
     return F.call_function("shiftleft", col, bits)
 
 
+def _spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Pin parallelism for compute-dense, byte-light kernel stages.
+
+    Spark sizes partitions by BYTES (file splits, AQE advisory size), but
+    the signature kernels cost per ROW: a small corpus collapses to 1-2
+    tasks and runs the embarrassingly-parallel stage on 2 of N cores
+    (measured 2.5x on the simhash pipeline at sf0.1). Repartition to
+    cluster parallelism only when the input has fewer partitions; at
+    100 TB the file splits already exceed the core count and this is a
+    no-op — no shuffle is added on the scale path."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalized_text(col: Column) -> Column:
     """Lowercase, collapse whitespace — the usual near-dup canonicalizer."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -95,6 +112,12 @@ def minhash_signatures(
     a = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
 
+    src = _spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+    )
     if ensure_kernel(df.sparkSession):
         spec = (
             f"{shingle_k};"
@@ -102,9 +125,9 @@ def minhash_signatures(
             + ";"
             + ",".join(str(int(x)) for x in b)
         )
-        sig = F.call_udf("sb_minhash", F.col(text_col).cast("string"), F.lit(spec))
+        sig = F.call_udf("sb_minhash", F.col("text"), F.lit(spec))
         return (
-            df.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("signature"))
+            src.select(F.col("doc_id"), sig.alias("signature"))
             .where(F.col("signature").isNotNull())
         )
 
@@ -138,7 +161,6 @@ def minhash_signatures(
                 rows.append((int(did), sig))
             yield pd.DataFrame(rows, columns=["doc_id", "signature"])
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return src.mapInPandas(work, out_schema)
 
 
@@ -262,10 +284,16 @@ def simhash(
 
     from swiftbeaver_spark.jvm import ensure_kernel
 
-    if ensure_kernel(df.sparkSession):
-        return df.select(
+    src = _spread(
+        df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.call_udf("sb_simhash", F.col(text_col).cast("string")).alias("simhash"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+    )
+    if ensure_kernel(df.sparkSession):
+        return src.select(
+            F.col("doc_id"),
+            F.call_udf("sb_simhash", F.col("text")).alias("simhash"),
         )
 
     out_schema = StructType(
@@ -304,7 +332,6 @@ def simhash(
                 rows.append((int(did), int(packed.astype(np.int64))))
             yield pd.DataFrame(rows, columns=["doc_id", "simhash"])
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     return src.mapInPandas(work, out_schema)
 
 
