@@ -2155,6 +2155,249 @@ def q33_sql() -> str:
     return _carve_synth_sql(_q33_templates())
 
 
+# --- training-data pipeline ops (llm/pipeline.py) ---------------------------
+
+PACK_SEQ_LEN = 512
+PACK_BLOCK = 256  # small at test scale so the two-level prefix sum spans blocks
+
+
+def q38_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents' tokens
+    laid end-to-end in doc_id order, sliced into 512-token training
+    sequences. The Spark side computes the global token offset with a
+    TWO-LEVEL distributed prefix sum (per-block window + broadcast
+    block offsets — no global window over the corpus); the oracle's
+    single window cumsum proves it equals the sequential semantics."""
+    from swiftbeaver_spark.llm.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, seq_len=PACK_SEQ_LEN, block=PACK_BLOCK
+    ).orderBy("doc_id", "seq_id")
+
+
+def q38_sql() -> str:
+    L = PACK_SEQ_LEN
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN n = '' THEN 0
+                  ELSE length(n) - length(replace(n, ' ', '')) + 1 END AS n_tok
+      FROM (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+      )
+    ), o AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tok AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, s.seq_id,
+           LEAST((s.seq_id + 1) * {L}, tok_start + n_tok)
+             - GREATEST(s.seq_id * {L}, tok_start) AS piece_tokens
+    FROM o
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(tok_start // {L},
+                                    (tok_start + n_tok - 1) // {L})) AS seq_id
+    ) s
+    WHERE n_tok > 0
+    ORDER BY doc_id, seq_id
+    """
+
+
+SAMPLE_RATES = {"en": 128, "zh": 32}  # first-md5-byte thresholds (/256)
+SAMPLE_DEFAULT = 64
+
+
+def q39_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff the first md5
+    byte of its id falls under the stratum's threshold — en at 50%,
+    zh at 12.5%, other languages at 25%. Membership is a pure function
+    of (doc_id, lang): reproducible across runs, executors, engines —
+    the oracle replays the exact gate."""
+    from swiftbeaver_spark.llm.pipeline import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q39_sql() -> str:
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '{SAMPLE_RATES["en"]:02x}'
+                    WHEN 'zh' THEN '{SAMPLE_RATES["zh"]:02x}'
+                    ELSE '{SAMPLE_DEFAULT:02x}' END
+    ORDER BY doc_id
+    """
+
+
+def q40_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a synthesized contact card per customer
+    (emails + TPC-H-style phone, presence varying by key so rows carry
+    0-2 emails and 0-1 phones): regexp counts then replacement, all in
+    Catalyst. The oracle rebuilds the identical card and scrubs with
+    RE2 — both regexes are backref/lookaround-free so the engines
+    agree on every match."""
+    from swiftbeaver_spark.llm.pipeline import pii_scrub
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email1 = F.when(
+        k % 5 != 0,
+        F.concat(F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+                 F.lit("@example.com")),
+    )
+    email2 = F.when(
+        k % 3 == 0, F.concat(F.lit("backup"), k.cast("string"), F.lit("@mail.test"))
+    )
+    phone = F.when(
+        k % 7 != 0,
+        F.format_string(
+            "%02d-%03d-%03d-%04d",
+            F.col("c_nationkey").cast("long") + 10,
+            k % 1000,
+            (k * 7) % 1000,
+            (k * 13) % 10000,
+        ),
+    )
+    profile = cust.select(
+        "c_custkey",
+        F.concat_ws(
+            " ", F.lit("contact"), email1, email2, phone,
+            F.lit("segment"), F.col("c_mktsegment"),
+        ).alias("profile"),
+    )
+    return (
+        pii_scrub(profile, "profile")
+        .select("c_custkey", "scrubbed", "n_emails", "n_phones")
+        .orderBy("c_custkey")
+    )
+
+
+def q40_sql() -> str:
+    from swiftbeaver_spark.llm.pipeline import EMAIL_RE, PHONE_RE
+
+    return f"""
+    WITH card AS (
+      SELECT c_custkey,
+             concat_ws(' ', 'contact',
+               CASE WHEN c_custkey % 5 != 0
+                    THEN lower(replace(c_name, '#', '')) || '@example.com' END,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'backup' || CAST(c_custkey AS VARCHAR) || '@mail.test' END,
+               CASE WHEN c_custkey % 7 != 0
+                    THEN printf('%02d-%03d-%03d-%04d', c_nationkey + 10,
+                                c_custkey % 1000, (c_custkey * 7) % 1000,
+                                (c_custkey * 13) % 10000) END,
+               'segment', c_mktsegment) AS profile
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(profile, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(profile, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(profile, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PHONE_RE}')) AS INT) AS n_phones
+    FROM card
+    ORDER BY c_custkey
+    """
+
+
+VOCAB_K = 200
+
+
+def q41_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: token frequencies via partial-agg
+    shuffle on the token key, (freq desc, token asc) total order so
+    the k-cut is deterministic; compiles to TakeOrdered — no global
+    sort materializes."""
+    from swiftbeaver_spark.llm.pipeline import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=VOCAB_K)
+
+
+def q41_sql() -> str:
+    return f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    )
+    WHERE token != ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {VOCAB_K}
+    """
+
+
+DECON_N = 8
+
+
+def q42_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-19 act as the eval set; the
+    training side is the rest of the corpus PLUS planted contaminated
+    copies (bench text + a tail, at doc_id+2,000,000) so overlap is
+    guaranteed non-trivial. Flags every training doc sharing an 8-token
+    n-gram with any eval doc; the eval n-gram table broadcasts."""
+    from swiftbeaver_spark.llm.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    planted = bench.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" contaminated copy")).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") >= 20).unionByName(planted)
+    return decontaminate(train, bench, ngram_n=DECON_N).orderBy("doc_id")
+
+
+def q42_sql() -> str:
+    n = DECON_N
+    grams = (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+    ), train AS (
+      SELECT doc_id, text FROM base WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' contaminated copy'
+      FROM base WHERE doc_id < 20
+    ), tg AS (
+      SELECT doc_id, unnest({grams}) AS ng
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM train
+      )
+    ), bg AS (
+      SELECT doc_id AS bench_id, unnest({grams}) AS ng
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM base WHERE doc_id < 20
+      )
+    )
+    SELECT tg.doc_id, COUNT(DISTINCT tg.ng) AS n_shared_ngrams,
+           COUNT(DISTINCT bg.bench_id) AS n_bench_docs
+    FROM tg JOIN bg USING (ng)
+    GROUP BY tg.doc_id
+    ORDER BY tg.doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -2203,6 +2446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_string_spans": q35_string_spans,
         "q36_dedup_clusters": q36_dedup_clusters,
         "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
     }
 
 
@@ -2245,4 +2493,9 @@ def oracle_sql() -> dict[str, str]:
         "q35_string_spans": q35_sql(),
         "q36_dedup_clusters": q36_sql(),
         "q37_stream_sessionize": q37_sql(),
+        "q38_pack_sequences": q38_sql(),
+        "q39_hash_sample": q39_sql(),
+        "q40_pii_scrub": q40_sql(),
+        "q41_vocab_topk": q41_sql(),
+        "q42_decontaminate": q42_sql(),
     }

@@ -1,0 +1,208 @@
+"""Training-data pipeline operators: packing, sampling, scrubbing,
+vocabulary, decontamination.
+
+The ops a 100 TB pretraining corpus actually goes through after dedup
+(llm/dedup.py) and quality scoring (llm/text.py):
+
+- pack_sequences:  GPT-style concat-and-chunk packing of the token
+  stream into fixed-length training sequences, with a TWO-LEVEL
+  distributed prefix sum (no global window over documents).
+- hash_sample:     deterministic stratified sampling — md5-hash gate
+  per row, per-stratum rates; reproducible across runs/executors, no
+  RNG state shipped.
+- pii_scrub:       regex redaction (emails, phones) with per-type
+  counts; pure Catalyst regexp_replace/regexp_extract_all.
+- vocab_topk:      corpus token vocabulary with frequencies, top-k by
+  (freq desc, token asc); partial aggregation then a single narrow
+  shuffle, TakeOrdered for the cut.
+- decontaminate:   benchmark-overlap check — flags training docs
+  sharing any word n-gram with an eval set; the eval-set n-gram table
+  broadcasts (eval sets are small by nature).
+
+All five are pure DataFrame ops (no Python in the hot path) and all
+shuffle on narrow keys only (token, n-gram, block id) — never on
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.llm.dedup import normalized_text, word_ngrams
+
+
+def token_count(col) -> "F.Column":
+    """Whitespace token count of the normalized text (0 for empty/null
+    — matches `CASE WHEN n='' THEN 0 ELSE length diff + 1 END`)."""
+    n = normalized_text(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.length(n) - F.length(F.replace(n, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    block: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document's tokens
+    end-to-end in id order, slice the stream into fixed seq_len
+    sequences, and emit one row per (doc, sequence) piece.
+
+    The global token offset is a DISTRIBUTED prefix sum: per-block
+    cumulative sums (window partitioned by block = id div `block`) plus
+    a block-offset table that is rows/block long and broadcast back.
+    No global single-partition window touches the document set — the
+    only global window runs over the tiny block summary. At 10^9 docs
+    and block=4096 the summary is ~250k rows; one task handles it.
+
+    Output: (doc_id, seq_id, piece_tokens) — piece_tokens of doc
+    doc_id land in training sequence seq_id. Docs with 0 tokens emit
+    nothing.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    ).withColumn("blk", (F.col("doc_id") / block).cast("long"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    w_blk = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blk_off = (
+        toks.groupBy("blk")
+        .agg(F.sum("n_tok").alias("blk_tot"))
+        .withColumn("blk_off", F.coalesce(F.sum("blk_tot").over(w_blk), F.lit(0)))
+        .select("blk", "blk_off")
+    )
+    off = (
+        within.join(F.broadcast(blk_off), "blk")
+        .withColumn("tok_start", F.col("blk_off") + F.col("cum_in") - F.col("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    first_seq = F.floor(F.col("tok_start") / seq_len).cast("long")
+    last_seq = F.floor((F.col("tok_start") + F.col("n_tok") - 1) / seq_len).cast("long")
+    pieces = off.select(
+        "doc_id",
+        "tok_start",
+        "n_tok",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    piece = F.least(
+        (F.col("seq_id") + 1) * seq_len, F.col("tok_start") + F.col("n_tok")
+    ) - F.greatest(F.col("seq_id") * seq_len, F.col("tok_start"))
+    return pieces.select(
+        "doc_id", "seq_id", piece.cast("long").alias("piece_tokens")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = 64,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the first hex
+    byte of md5(id) is below its stratum's threshold (rate/256 of the
+    keyspace). Reproducible on any cluster — no RNG, no seed shipping,
+    membership is a pure function of the id. Rates are per-stratum
+    byte thresholds (0-256)."""
+    rates = rates or {}
+    gate = F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 2
+    )
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        hexthr = F.lit(f"{min(max(rate, 0), 256):02x}")
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
+    thr = (
+        thr.otherwise(F.lit(f"{default_rate:02x}"))
+        if thr is not None
+        else F.lit(f"{default_rate:02x}")
+    )
+    return df.where(gate < thr)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Redact emails then phones from `text_col`, appending
+    (scrubbed, n_emails, n_phones). Counts come from
+    regexp_extract_all BEFORE replacement; both regexes are RE2-safe
+    (no backrefs/lookaround) so Spark's Java regex and external SQL
+    engines agree on every match."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    scrub1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(scrub1, F.lit(PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(scrub1, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "scrubbed": scrubbed,
+            "n_emails": n_emails.cast("int"),
+            "n_phones": n_phones.cast("int"),
+        }
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 200
+) -> DataFrame:
+    """Corpus vocabulary: token -> frequency, top-k by (freq desc,
+    token asc). explode keeps the shuffle narrow (token, partial
+    count); orderBy+limit compiles to TakeOrdered — no global sort
+    materializes."""
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for each training doc, count the
+    distinct word n-grams it shares with ANY benchmark doc and how
+    many benchmark docs it collides with. The benchmark n-gram table
+    broadcasts (eval sets are ~10^3-10^5 docs); training-side grams
+    stream through a map-side hash join — no shuffle of the corpus."""
+    bgrams = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng"),
+    )
+    tgrams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng"),
+    )
+    return (
+        tgrams.join(F.broadcast(bgrams), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

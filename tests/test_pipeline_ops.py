@@ -1,0 +1,180 @@
+"""Training-data pipeline operator tests (llm/pipeline.py): packing,
+sampling, scrubbing, vocabulary, decontamination."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.llm.pipeline import (
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    pii_scrub,
+    token_count,
+    vocab_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# --- pack_sequences ----------------------------------------------------------
+
+
+def test_pack_conservation_and_fullness(spark, documents):
+    """Every token lands in exactly one sequence: per-doc piece sums
+    equal the doc's token count, and every sequence except the last is
+    exactly full."""
+    L = 128
+    packed = pack_sequences(documents, seq_len=L, block=64).cache()
+    per_doc = packed.groupBy("doc_id").agg(F.sum("piece_tokens").alias("got"))
+    toks = documents.select(
+        F.col("doc_id"), token_count(F.col("text")).alias("want")
+    ).where(F.col("want") > 0)
+    bad = per_doc.join(toks, "doc_id").where(F.col("got") != F.col("want")).count()
+    assert bad == 0
+
+    per_seq = (
+        packed.groupBy("seq_id").agg(F.sum("piece_tokens").alias("n")).collect()
+    )
+    last = max(r["seq_id"] for r in per_seq)
+    for r in per_seq:
+        if r["seq_id"] != last:
+            assert r["n"] == L, (r["seq_id"], r["n"])
+        else:
+            assert 1 <= r["n"] <= L
+    packed.unpersist()
+
+
+def test_pack_block_size_invariance(spark, documents):
+    """The two-level prefix sum is an implementation detail: any block
+    size yields the identical packing."""
+    a = pack_sequences(documents, seq_len=256, block=16)
+    b = pack_sequences(documents, seq_len=256, block=100_000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_no_global_window_over_docs(spark, documents):
+    """The corpus-sized window must be partitioned (by blk); only the
+    tiny block-offset window may be global."""
+    plan = (
+        pack_sequences(documents, seq_len=256, block=64)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    global_specs = [s for s in specs if "blk" not in s.split(",")[0]]
+    blk_parted = [s for s in specs if s.strip().startswith("blk")]
+    assert len(blk_parted) >= 1, plan
+    # the only unpartitioned window is the block-offset cumsum
+    assert len(global_specs) <= 1, plan
+
+
+def test_pack_empty_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, None), (3, "  "), (4, "x")],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(df, seq_len=2, block=10).orderBy("doc_id", "seq_id").collect()
+    assert [(r["doc_id"], r["seq_id"], r["piece_tokens"]) for r in rows] == [
+        (0, 0, 2),
+        (0, 1, 1),
+        (4, 1, 1),
+    ]
+
+
+# --- hash_sample -------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_subset(spark, documents):
+    s1 = hash_sample(documents, rates={"en": 128}, default_rate=64)
+    s2 = hash_sample(documents, rates={"en": 128}, default_rate=64)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # lowering a rate can only shrink the stratum's sample (prefix property)
+    narrow = hash_sample(documents, rates={"en": 32}, default_rate=64)
+    wide_en = {r["doc_id"] for r in s1.where("lang='en'").select("doc_id").collect()}
+    narrow_en = {r["doc_id"] for r in narrow.where("lang='en'").select("doc_id").collect()}
+    assert narrow_en <= wide_en
+
+
+def test_hash_sample_rate_in_ballpark(spark, documents):
+    n = documents.count()
+    got = hash_sample(documents, rates={}, default_rate=128).count()
+    assert 0.35 * n < got < 0.65 * n, (got, n)
+
+
+# --- pii_scrub ---------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b-c%d@host.org or 12-345-678-9012 now"),
+            (1, "no pii here"),
+            (2, "x@y.io and z@w.co plus 99-000-111-2222 and 11-222-333-4444"),
+            (3, "almost 1-234-567-8901 not a phone: 123-45"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["scrubbed"] == "mail <EMAIL> or <PHONE> now"
+    assert (rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 1)
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (0, 0)
+    assert rows[2]["scrubbed"] == "<EMAIL> and <EMAIL> plus <PHONE> and <PHONE>"
+    # 1-234-... has only 1 leading digit; 34-567-8901 can't complete the shape
+    assert rows[3]["n_phones"] == 0
+
+
+# --- vocab_topk --------------------------------------------------------------
+
+
+def test_vocab_topk_order_and_ties(spark):
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a c d")], "doc_id long, text string"
+    )
+    got = [(r["token"], r["freq"]) for r in vocab_topk(df, k=3).collect()]
+    assert got == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_vocab_topk_empty_tokens_dropped(spark):
+    df = spark.createDataFrame([(0, "  x   y  "), (1, "")], "doc_id long, text string")
+    got = dict(
+        (r["token"], r["freq"]) for r in vocab_topk(df, k=10).collect()
+    )
+    assert got == {"x": 1, "y": 1}
+
+
+# --- decontaminate -----------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the full 8-gram window twice (9 tokens -> 2 grams, 1 shared)
+            (100, "alpha beta gamma delta epsilon zeta eta theta KAPPA"),
+            (101, "totally unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, bench, ngram_n=8).collect()}
+    assert set(rows) == {100}
+    assert rows[100]["n_shared_ngrams"] == 1
+    assert rows[100]["n_bench_docs"] == 1
+
+
+def test_decontaminate_broadcasts_bench(spark, documents):
+    plan = decontaminate(
+        documents.where("doc_id >= 20"), documents.where("doc_id < 20")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
