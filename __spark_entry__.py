@@ -2398,6 +2398,112 @@ def q42_sql() -> str:
     """
 
 
+def q43_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup. The corpus has no newlines,
+    so multi-line 'pages' are synthesized by windowing: page i =
+    text[i] \\n text[i+1] \\n text[i+2] — every interior line occurs in
+    3 pages, so the dedup (keep only the FIRST (page, position)
+    occurrence, reassemble pages from surviving lines) has guaranteed
+    non-trivial work. One shuffle on the line value, per-line-key
+    window, per-page reassembly — the published C4 dedup shape."""
+    from swiftbeaver_spark.llm.pipeline import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a, b, c = docs.alias("a"), docs.alias("b"), docs.alias("c")
+    pages = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .join(c, F.col("c.doc_id") == F.col("a.doc_id") + 2)
+        .select(
+            F.col("a.doc_id").alias("page_id"),
+            F.concat_ws(
+                "\n", F.col("a.text"), F.col("b.text"), F.col("c.text")
+            ).alias("text"),
+        )
+    )
+    return (
+        line_dedup(pages, id_col="page_id")
+        .withColumnRenamed("doc_id", "page_id")
+        .orderBy("page_id")
+    )
+
+
+def q43_sql() -> str:
+    return """
+    WITH pages AS (
+      SELECT a.doc_id AS page_id,
+             a.text || chr(10) || b.text || chr(10) || c.text AS text
+      FROM documents a
+      JOIN documents b ON b.doc_id = a.doc_id + 1
+      JOIN documents c ON c.doc_id = a.doc_id + 2
+    ), lines AS (
+      SELECT page_id, gs.i - 1 AS pos, parts[gs.i] AS line
+      FROM (SELECT page_id, string_split(text, chr(10)) AS parts FROM pages)
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(parts))) AS i
+      ) gs
+    ), kept AS (
+      SELECT page_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY page_id, pos) AS rn
+      FROM lines
+    )
+    SELECT page_id,
+           string_agg(line, chr(10) ORDER BY pos) AS deduped_text,
+           COUNT(*) AS n_kept_lines
+    FROM kept WHERE rn = 1
+    GROUP BY page_id ORDER BY page_id
+    """
+
+
+def q44_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate
+    token-bigram fraction and most-frequent-token share. Pure
+    explode/partial-count/aggregate — shuffle keys are (doc, token)
+    and (doc, bigram), map-side combined."""
+    from swiftbeaver_spark.llm.pipeline import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")
+
+
+def q44_sql() -> str:
+    bigrams = (
+        "list_distinct([array_to_string(toks[i:i+1], ' ') "
+        "for i in generate_series(1, greatest(len(toks) - 1, 1))])"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(n, ' ') AS toks
+      FROM (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+      )
+      WHERE n != ''
+    ), ts AS (
+      SELECT doc_id,
+             MAX(c) / CAST(SUM(c) AS DOUBLE) AS ttf,
+             CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        GROUP BY doc_id, token
+      )
+      GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             len(toks) - 1 AS n_bigrams,
+             len({bigrams}) AS n_distinct
+      FROM t
+    )
+    SELECT ts.doc_id, n_tokens,
+           ROUND(ttf, 6) AS top_token_frac,
+           ROUND(CASE WHEN n_bigrams > 0
+                      THEN (n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE)
+                      ELSE 0 END, 6) AS dup_bigram_frac
+    FROM ts JOIN bg ON bg.doc_id = ts.doc_id
+    ORDER BY ts.doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -2451,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pii_scrub": q40_pii_scrub,
         "q41_vocab_topk": q41_vocab_topk,
         "q42_decontaminate": q42_decontaminate,
+        "q43_line_dedup": q43_line_dedup,
+        "q44_repetition_metrics": q44_repetition_metrics,
     }
 
 
@@ -2498,4 +2606,6 @@ def oracle_sql() -> dict[str, str]:
         "q40_pii_scrub": q40_sql(),
         "q41_vocab_topk": q41_sql(),
         "q42_decontaminate": q42_sql(),
+        "q43_line_dedup": q43_sql(),
+        "q44_repetition_metrics": q44_sql(),
     }

@@ -178,6 +178,102 @@ def vocab_topk(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-document line deduplication: a line that occurs
+    in several documents survives only at its FIRST occurrence (lowest
+    (doc_id, position)); every doc reassembles from its surviving
+    lines in original order. Docs whose every line is claimed
+    elsewhere drop out entirely.
+
+    Scale shape: ONE shuffle on the line value (the same shuffle the
+    published C4 pipeline pays), a per-line-key window for the
+    first-occurrence pick, then a per-doc aggregation for reassembly.
+    Nothing is driver-side; reassembly uses collect_list + array_sort
+    inside the aggregate, bounded by document size. Hot keys (empty or
+    boilerplate lines) are the known skew point — filter trivial lines
+    upstream or salt if a corpus is boilerplate-heavy."""
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("deduped_text"),
+            F.count("*").cast("long").alias("n_kept_lines"),
+        )
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    token bigrams that are repeats of an earlier bigram, and the share
+    of the document taken by its single most frequent token. Both are
+    explode -> per-(doc, key) partial count -> per-doc aggregate: the
+    shuffle keys are (doc_id, token) / (doc_id, bigram) — narrow, well
+    spread, and map-side combined."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    tok_stats = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_token_frac"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    bigrams = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    # word_ngrams is distinct per doc; count raw bigrams separately
+    raw = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.greatest(
+            token_count(F.col(text_col)) - 1, F.lit(0)
+        ).alias("n_bigrams"),
+    )
+    distinct_bg = bigrams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_bigrams")
+    )
+    bg_stats = raw.join(distinct_bg, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("n_bigrams") > 0,
+            (F.col("n_bigrams") - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)))
+            / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    return tok_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 from swiftbeaver_spark.llm.pipeline import (
     decontaminate,
     hash_sample,
+    line_dedup,
     pack_sequences,
     pii_scrub,
+    repetition_metrics,
     token_count,
     vocab_topk,
 )
@@ -149,6 +151,69 @@ def test_vocab_topk_empty_tokens_dropped(spark):
         (r["token"], r["freq"]) for r in vocab_topk(df, k=10).collect()
     )
     assert got == {"x": 1, "y": 1}
+
+
+# --- line_dedup --------------------------------------------------------------
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nshared\nbeta"),
+            (1, "shared\ngamma"),
+            (2, "shared"),  # every line claimed earlier -> page drops
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["deduped_text"] == "alpha\nshared\nbeta"
+    assert rows[0]["n_kept_lines"] == 3
+    assert rows[1]["deduped_text"] == "gamma"
+    assert rows[1]["n_kept_lines"] == 1
+
+
+def test_line_dedup_within_doc_repeats(spark):
+    df = spark.createDataFrame(
+        [(0, "x\ny\nx\nz")], "doc_id long, text string"
+    )
+    r = line_dedup(df).collect()[0]
+    # the second 'x' inside the SAME doc is also a repeat
+    assert r["deduped_text"] == "x\ny\nz"
+
+
+def test_line_dedup_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(5, "c\nb\na"), (6, "q\nb\np")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["deduped_text"] for r in line_dedup(df).collect()}
+    assert rows[5] == "c\nb\na"
+    assert rows[6] == "q\np"
+
+
+# --- repetition_metrics ------------------------------------------------------
+
+
+def test_repetition_metrics_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a b"),      # top token 3/4; bigrams: aa,aa,ab -> 1 dup of 3
+            (1, "u v w x"),      # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["top_token_frac"] == 0.75
+    assert abs(rows[0]["dup_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+    assert rows[1]["top_token_frac"] == 0.25
+    assert rows[1]["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_metrics_single_token(spark):
+    df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    r = repetition_metrics(df).collect()[0]
+    assert (r["n_tokens"], r["top_token_frac"], r["dup_bigram_frac"]) == (1, 1.0, 0.0)
 
 
 # --- decontaminate -----------------------------------------------------------
