@@ -2504,6 +2504,196 @@ def q44_sql() -> str:
     """
 
 
+def q45_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN session_window
+    operator (the idiomatic form of q05's manual gaps-and-islands —
+    one expression, no explicit lag/cumsum). One documented semantic
+    difference from q05, mirrored in the oracle: session_end is
+    last_event + gap (the window edge, not the last event). The merge
+    rule is identical (a gap of EXACTLY the duration still merges;
+    new session only when diff > gap) — pinned by
+    tests/test_pipeline_ops.py::test_session_window_gap_boundary."""
+    events = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes")
+    return (
+        events.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q45_sql() -> str:
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return f"""
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+          FROM events
+        )
+      )
+    )
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+
+
+KMV_K = 64
+KMV_MULT = 2654435761  # Knuth multiplicative hash, mod 2^32
+KMV_SPACE = 1 << 32
+
+
+def q46_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    a genuinely mergeable distributed sketch whose estimate the oracle
+    replays EXACTLY: hash = (user_id * 2654435761) mod 2^32 on both
+    engines, keep the k=64 smallest distinct hashes per group,
+    estimate = (k-1) * 2^32 / h_k (exact count when fewer than k
+    distinct values). Unlike HLL-behind-approx_count_distinct, every
+    arithmetic step is integer math both engines share, so the
+    approximate answer itself sits under the hash gate."""
+    events = _t(spark, sf_dir, "events")
+    hashed = (
+        events.select(
+            "event_type",
+            ((F.col("user_id") * KMV_MULT) % KMV_SPACE).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KMV_K
+    )
+    return (
+        topk.groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count("*").alias("k_seen"))
+        .select(
+            "event_type",
+            F.col("k_seen").cast("long").alias("k_seen"),
+            F.when(F.col("k_seen") < KMV_K, F.col("k_seen"))
+            .otherwise(
+                F.floor((KMV_K - 1) * F.lit(KMV_SPACE) / F.col("hk"))
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q46_sql() -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (user_id * {KMV_MULT}) % {KMV_SPACE} AS h
+      FROM events
+    ), topk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_seen,
+           CAST(CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+                     ELSE FLOOR(({KMV_K} - 1) * {KMV_SPACE}.0 / MAX(h)) END
+                AS BIGINT) AS est_distinct
+    FROM topk WHERE rn <= {KMV_K}
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def q47_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in STREAMING windowed aggregation under the hash gate:
+    watermarked tumbling-window per-event-type counts/sums run through
+    the real Structured Streaming engine (readStream -> withWatermark
+    -> window groupBy -> append sink, availableNow to completion).
+    Append mode only emits windows the watermark has closed — the
+    far-future sentinel row advances the watermark past every real
+    window, then filters itself out of the result. The oracle is plain
+    time-bucket GROUP BY: streaming and batch must agree exactly."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="sb_q47_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    events.write.mode("overwrite").parquet(src)
+    sentinel = events.agg(
+        F.lit("__sentinel__").alias("event_type"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            F.format_string("%.6f", F.col("sum_value")).alias("sum_value"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q47_sql() -> str:
+    return """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           printf('%.6f', ROUND(SUM(value), 6)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -2559,6 +2749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_decontaminate": q42_decontaminate,
         "q43_line_dedup": q43_line_dedup,
         "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
     }
 
 
@@ -2608,4 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         "q42_decontaminate": q42_sql(),
         "q43_line_dedup": q43_sql(),
         "q44_repetition_metrics": q44_sql(),
+        "q45_session_window": q45_sql(),
+        "q46_kmv_sketch": q46_sql(),
+        "q47_stream_window_agg": q47_sql(),
     }

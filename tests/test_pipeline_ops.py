@@ -134,6 +134,48 @@ def test_pii_scrub_counts_and_text(spark):
     assert rows[3]["n_phones"] == 0
 
 
+def test_pii_regex_parity_spark_vs_duckdb_fuzz(spark):
+    """The q40 gate hangs on Spark's Java regex and DuckDB's RE2
+    producing identical matches. Fuzz the parity on adversarial
+    near-miss strings (emails inside words, phones with wrong group
+    widths, doubled @, trailing dots)."""
+    import random
+
+    import duckdb
+
+    from swiftbeaver_spark.llm.pipeline import EMAIL_RE, PHONE_RE
+
+    rng = random.Random(7)
+    frags = [
+        "a@b.co", "x.y@z.org", "no-at-here", "a@@b.com", "@b.com", "a@b",
+        "a@b.c", "1@2.33", "user+tag@host.io", "a@-b.com", "a@b-.com",
+        "12-345-678-9012", "1-345-678-9012", "123-45-678-9012",
+        "12-345-678-901", "12-345-678-90123", "99-999-999-9999",
+        "tel:12-345-678-9012.", "(12-345-678-9012)", "a.b@c.d.e.fg",
+        "dot.@host.com", ".dot@host.com", "%x@y.zz", "end.", " ",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: (r["scrubbed"], r["n_emails"], r["n_phones"])
+        for r in pii_scrub(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'),
+                   len(regexp_extract_all(?, ?)),
+                   len(regexp_extract_all(regexp_replace(?, ?, '<EMAIL>', 'g'), ?))
+            """,
+            [t, EMAIL_RE, PHONE_RE, t, EMAIL_RE, t, EMAIL_RE, PHONE_RE],
+        ).fetchone()
+        assert got[i] == (want[0], want[1], want[2]), (i, t, got[i], want)
+
+
 # --- vocab_topk --------------------------------------------------------------
 
 
@@ -214,6 +256,57 @@ def test_repetition_metrics_single_token(spark):
     df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
     r = repetition_metrics(df).collect()[0]
     assert (r["n_tokens"], r["top_token_frac"], r["dup_bigram_frac"]) == (1, 1.0, 0.0)
+
+
+# --- session_window / KMV semantics (q45/q46 assumptions) --------------------
+
+
+def test_session_window_gap_boundary_starts_new_session(spark):
+    """q45's oracle uses diff > gap for the new-session rule (same as
+    q05): Spark's session_window MERGES events separated by exactly
+    the gap duration. Pin that semantic so a Spark behavior change
+    breaks loudly here, not in the driver gate."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    merged = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert merged == 1  # exactly-30min gap merges
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00.000001")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    split = (
+        df2.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert split == 2  # one microsecond past the gap starts a new session
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV with k=64 estimates distinct counts within ~1/sqrt(k-2)
+    relative error (with margin) on the events table."""
+    import __spark_entry__ as E
+
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in E.q46_kmv_sketch(spark, "/root/testdata/sf0.001").collect()
+    }
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in got.items():
+        rel = abs(est - exact[et]) / max(exact[et], 1)
+        assert rel < 0.5, (et, est, exact[et])
 
 
 # --- decontaminate -----------------------------------------------------------
