@@ -100,7 +100,12 @@ def q01_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n_chunks = F.ceil(F.length("text") / CHUNK).cast("long")
     return (
-        docs.select(
+        # length > 0: Spark's sequence(0, -1) defaults to step -1 and
+        # yields [0, -1] — an empty doc would emit two phantom chunks
+        # (one underflowing into the previous doc's address window)
+        # where the oracle's generate_series(0, -1) yields none
+        docs.where(F.length("text") > 0)
+        .select(
             "doc_id",
             F.length("text").alias("total_len"),
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
@@ -157,10 +162,11 @@ def q02_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftbeaver_spark.config import EngineConfig, FileType, Pattern
     from swiftbeaver_spark.scanner import scan_chunks
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    from swiftbeaver_spark.llm.dedup import _spread
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).where(F.length("text") > 0)  # see q01: sequence(0,-1) = [0,-1]
     n_chunks = F.ceil(F.length("text") / CHUNK).cast("long")
     exploded = docs.select(
         "doc_id",
@@ -1371,7 +1377,9 @@ def q37_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # never return a partial out/ dir as the gated answer
+        raise TimeoutError("q37 streaming sessionization did not finish in 300s")
     # availableNow's final wrap-up trigger fires event-time timeouts, so
     # sentinel sessions of users whose activity ended long before the
     # global max DO emit — drop everything past the real horizon
@@ -2635,7 +2643,10 @@ def q47_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append mode only emits windows the watermark has closed — the
     far-future sentinel row advances the watermark past every real
     window, then filters itself out of the result. The oracle is plain
-    time-bucket GROUP BY: streaming and batch must agree exactly."""
+    time-bucket GROUP BY: streaming and batch must agree exactly.
+    (Like q37, the tempdir source/sink round-trip is a LOCAL-harness
+    device; on a multi-node cluster the paths would be shared
+    storage.)"""
     import tempfile
 
     events = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -2667,7 +2678,9 @@ def q47_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # never return a partial out/ dir as the gated answer
+        raise TimeoutError("q47 streaming window agg did not finish in 300s")
     return (
         spark.read.parquet(out)
         .where(F.col("event_type") != "__sentinel__")

@@ -44,7 +44,13 @@ def _spread(df: DataFrame, target: int | None = None) -> DataFrame:
     (measured 2.5x on the simhash pipeline at sf0.1). Repartition to
     cluster parallelism only when the input has fewer partitions; at
     100 TB the file splits already exceed the core count and this is a
-    no-op — no shuffle is added on the scale path."""
+    no-op — no shuffle is added on the scale path.
+
+    Caveat: call this on scan-stage inputs (file reads, unions of
+    reads). For a df BEHIND a shuffle, getNumPartitions reports the
+    pre-AQE shuffle partition count (and materializing .rdd can force
+    upstream AQE stages to execute early) — there, decide the
+    repartition explicitly at the call site instead."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

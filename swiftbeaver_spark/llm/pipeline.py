@@ -18,10 +18,16 @@ The ops a 100 TB pretraining corpus actually goes through after dedup
 - decontaminate:   benchmark-overlap check — flags training docs
   sharing any word n-gram with an eval set; the eval-set n-gram table
   broadcasts (eval sets are small by nature).
+- line_dedup:      C4-style cross-document line dedup — first
+  occurrence wins, docs reassemble from surviving lines.
+- repetition_metrics: Gopher repetition signals (dup-bigram fraction,
+  top-token share) via (doc, key) partial counts.
 
-All five are pure DataFrame ops (no Python in the hot path) and all
-shuffle on narrow keys only (token, n-gram, block id) — never on
-document text.
+All seven are pure DataFrame ops (no Python in the hot path). Shuffle
+keys are narrow (token, n-gram, block id) except line_dedup, which by
+its published definition must shuffle on the LINE VALUE — bounded by
+line length, and the one place a boilerplate-heavy corpus needs
+upstream trivial-line filtering or salting.
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ from swiftbeaver_spark.llm.dedup import normalized_text, word_ngrams
 def token_count(col) -> "F.Column":
     """Whitespace token count of the normalized text (0 for empty/null
     — matches `CASE WHEN n='' THEN 0 ELSE length diff + 1 END`)."""
-    n = normalized_text(col)
+    n = normalized_text(F.coalesce(col, F.lit("")))
     return F.when(F.length(n) == 0, F.lit(0)).otherwise(
         F.length(n) - F.length(F.replace(n, F.lit(" "), F.lit(""))) + 1
     ).cast("long")
@@ -103,6 +109,19 @@ def pack_sequences(
     )
 
 
+def _rate_threshold(rate: int) -> str:
+    """Threshold string for a 0-256 byte rate. The gate compares the
+    first TWO hex chars of md5 lexicographically, so rate=256 must map
+    to a string above every hex pair ('g' > 'ff') and rate<=0 to one
+    at/below '00' — f'{256:02x}' would be the 3-char '100', which
+    sorts below '17' of the 256 prefixes and silently kept ~7%."""
+    if rate <= 0:
+        return "00"
+    if rate >= 256:
+        return "g"
+    return f"{rate:02x}"
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,21 +133,18 @@ def hash_sample(
     byte of md5(id) is below its stratum's threshold (rate/256 of the
     keyspace). Reproducible on any cluster — no RNG, no seed shipping,
     membership is a pure function of the id. Rates are per-stratum
-    byte thresholds (0-256)."""
+    byte thresholds (0 = drop all ... 256 = keep all)."""
     rates = rates or {}
     gate = F.substring(
         F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 2
     )
     thr = None
     for stratum, rate in sorted(rates.items()):
-        hexthr = F.lit(f"{min(max(rate, 0), 256):02x}")
+        hexthr = F.lit(_rate_threshold(rate))
         cond = F.col(strata_col) == stratum
         thr = F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
-    thr = (
-        thr.otherwise(F.lit(f"{default_rate:02x}"))
-        if thr is not None
-        else F.lit(f"{default_rate:02x}")
-    )
+    default_thr = F.lit(_rate_threshold(default_rate))
+    thr = thr.otherwise(default_thr) if thr is not None else default_thr
     return df.where(gate < thr)
 
 
@@ -242,35 +258,35 @@ def repetition_metrics(
             F.sum("c").cast("long").alias("n_tokens"),
         )
     )
+    # word_ngrams is distinct per doc; the raw bigram count needs no
+    # extra corpus scan — normalized tokens are never empty, so
+    # n_bigrams = n_tokens - 1 straight off tok_stats
     bigrams = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
     )
-    # word_ngrams is distinct per doc; count raw bigrams separately
-    raw = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.greatest(
-            token_count(F.col(text_col)) - 1, F.lit(0)
-        ).alias("n_bigrams"),
-    )
     distinct_bg = bigrams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_distinct_bigrams")
     )
-    bg_stats = raw.join(distinct_bg, "doc_id", "left").select(
-        "doc_id",
-        F.when(
-            F.col("n_bigrams") > 0,
-            (F.col("n_bigrams") - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)))
-            / F.col("n_bigrams"),
+    return (
+        tok_stats.join(distinct_bg, "doc_id", "left")
+        .withColumn("n_bigrams", F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("top_token_frac", 6).alias("top_token_frac"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    (
+                        F.col("n_bigrams")
+                        - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+                    )
+                    / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_bigram_frac"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("dup_bigram_frac"),
-    )
-    return tok_stats.join(bg_stats, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        F.round("top_token_frac", 6).alias("top_token_frac"),
-        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
     )
 
 

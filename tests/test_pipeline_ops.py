@@ -106,6 +106,29 @@ def test_hash_sample_deterministic_subset(spark, documents):
     assert narrow_en <= wide_en
 
 
+def test_hash_sample_boundary_rates(spark, documents):
+    """rate=256 must keep EVERY row (the naive f'{256:02x}' == '100'
+    threshold silently kept ~7%); rate<=0 must keep none."""
+    n = documents.count()
+    assert hash_sample(documents, rates={}, default_rate=256).count() == n
+    assert hash_sample(documents, rates={}, default_rate=0).count() == 0
+    assert hash_sample(documents, rates={}, default_rate=-5).count() == 0
+    en = documents.where("lang='en'").count()
+    got = hash_sample(documents, rates={"en": 256}, default_rate=0)
+    assert got.count() == en and got.where("lang != 'en'").count() == 0
+
+
+def test_token_count_null_is_zero(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2}
+
+
 def test_hash_sample_rate_in_ballpark(spark, documents):
     n = documents.count()
     got = hash_sample(documents, rates={}, default_rate=128).count()
