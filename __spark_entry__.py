@@ -50,6 +50,22 @@ plus the LLM-pipeline surface:
   (connected components)       -> q36_dedup_clusters
   stateful streaming sessions
   (applyInPandasWithState)     -> q37_stream_sessionize
+plus the training-pipeline surface (q38-q52):
+  sequence packing             -> q38_pack_sequences
+  stratified hash sampling     -> q39_hash_sample
+  PII scrubbing                -> q40_pii_scrub
+  vocabulary top-k             -> q41_vocab_topk
+  decontamination              -> q42_decontaminate
+  C4 line dedup                -> q43_line_dedup
+  Gopher repetition metrics    -> q44_repetition_metrics
+  built-in session_window      -> q45_session_window
+  KMV distinct sketch          -> q46_kmv_sketch
+  streaming window aggregation -> q47_stream_window_agg
+  as-of join (union-carry)     -> q48_asof_join (DuckDB ASOF JOIN oracle)
+  count-min frequency sketch   -> q49_countmin
+  weighted sampling (A-ES)     -> q50_weighted_sample
+  cross-doc dup-ngram fraction -> q51_crossdoc_dup
+  streaming exact dedup        -> q52_stream_dedup
 """
 
 from __future__ import annotations
@@ -2707,6 +2723,265 @@ def q47_sql() -> str:
     """
 
 
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (swiftbeaver_spark.relational.asof_join): each
+    purchase event picks the single most recent at-or-before view
+    event of the same user — the union-tag-carry-forward pattern (one
+    shuffle + one sort, no row multiplication), gated against DuckDB's
+    native ASOF LEFT JOIN as a genuinely independent oracle. The view
+    side is pre-deduped to one row per (user, ts) so right-timestamp
+    ties are deterministic on both engines."""
+    from swiftbeaver_spark.relational import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("v_event"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="ts",
+        right_cols=["v_event"],
+        suffix="_v",
+    )
+    return joined.select(
+        "p_event",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+        F.col("v_event_v").cast("string").alias("v_event"),
+        F.date_format("ts_v", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("v_ts"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("ts_v")))
+        .cast("string")
+        .alias("lag_us"),
+    ).orderBy("p_event")
+
+
+def q48_sql() -> str:
+    return """
+    WITH p AS (
+      SELECT event_id AS p_event, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts, MAX(event_id) AS v_event
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.p_event, p.user_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+           CAST(v.v_event AS VARCHAR) AS v_event,
+           strftime(v.v_ts, '%Y-%m-%d %H:%M:%S.%f') AS v_ts,
+           CAST(epoch_us(p.p_ts) - epoch_us(v.v_ts) AS VARCHAR) AS lag_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+    ORDER BY p_event
+    """
+
+
+CMS_DEPTH, CMS_PREFIX = 4, 3  # 4 rows x 4096 md5-prefix buckets
+CMS_TOPK = 20
+
+
+def q49_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (swiftbeaver_spark.sketch): token-frequency
+    estimates for the corpus's top tokens. Like q46's KMV sketch, every
+    step is engine-neutral (md5-prefix string buckets, integer sums,
+    min over rows), so the APPROXIMATE estimates themselves sit under
+    the hash gate; the oracle replays the whole sketch in SQL. The
+    estimate is provably >= the true count (collision overestimate
+    only) — the gate pins both numbers."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+    from swiftbeaver_spark.sketch import countmin_build, countmin_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col("text")), " "),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    sketch = countmin_build(inst, "token", depth=CMS_DEPTH, prefix_len=CMS_PREFIX)
+    true_counts = inst.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    probes = true_counts.orderBy(F.desc("true_count"), "token").limit(CMS_TOPK)
+    est = countmin_estimate(
+        sketch, probes.select("token"), "token", CMS_DEPTH, CMS_PREFIX
+    )
+    return (
+        probes.join(est, "token")
+        .select("token", "true_count", "cms_est")
+        .orderBy(F.desc("true_count"), "token")
+    )
+
+
+def q49_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split({norm}, ' ')) AS token
+      FROM documents WHERE {norm} <> ''
+    ), truec AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY token
+    ), probes AS (
+      SELECT token, true_count FROM truec
+      ORDER BY true_count DESC, token LIMIT {CMS_TOPK}
+    ), cells AS (
+      SELECT js.j, substr(md5(js.j || ':' || token), 1, {CMS_PREFIX}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN (
+        SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS j) js
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT p.token, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS j) js
+      JOIN cells c
+        ON c.j = js.j
+       AND c.bucket = substr(md5(js.j || ':' || p.token), 1, {CMS_PREFIX})
+      GROUP BY p.token
+    )
+    SELECT p.token, p.true_count, e.cms_est
+    FROM probes p JOIN est e USING (token)
+    ORDER BY true_count DESC, token
+    """
+
+
+WSAMPLE_K = 50
+
+
+def q50_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, llm/pipeline.weighted_sample): md5-derived
+    uniform, key = ln(u)/weight, top-k by key — the corpus-mixing
+    primitive. Membership is a pure function of (id, weight), so the
+    oracle replays the exact selection."""
+    from swiftbeaver_spark.llm.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, k=WSAMPLE_K).orderBy("doc_id")
+
+
+def q50_sql() -> str:
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 1.0) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+      ORDER BY es_key DESC, doc_id LIMIT {WSAMPLE_K}
+    ) ORDER BY doc_id
+    """
+
+
+DUPGRAM_N = 5
+
+
+def q51_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (Lee et al. 2022
+    substring-dedup diagnostic, llm/pipeline.crossdoc_dup_ngrams):
+    per doc, the fraction of n-gram instances that are not the gram's
+    corpus-wide first occurrence. The implementation is windowless
+    (argmin per gram over distinct (doc, gram) partials — hot
+    boilerplate grams never funnel through one sort); the oracle is
+    the direct ROW_NUMBER formulation."""
+    from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return crossdoc_dup_ngrams(docs, ngram_n=DUPGRAM_N).orderBy("doc_id")
+
+
+def q51_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    n = DUPGRAM_N
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents
+    ), inst AS (
+      SELECT doc_id, gs.i - 1 AS pos,
+             array_to_string(toks[gs.i:gs.i + {n - 1}], ' ') AS ng
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {n - 1})) AS i) gs
+    ), ranked AS (
+      SELECT doc_id, ng,
+             ROW_NUMBER() OVER (PARTITION BY ng ORDER BY doc_id, pos) AS rn
+      FROM inst
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup under the hash gate: every event row is
+    planted twice in the source directory, and the stream
+    (readStream -> withWatermark -> dropDuplicates(event_id) ->
+    append sink, availableNow to completion) must emit each exactly
+    once. The oracle aggregates the ORIGINAL (unduplicated) table —
+    streaming dedup and batch distinct must agree exactly. Sums use
+    integer micro-units so double summation order can't drift.
+    (Tempdir round-trip is a local-harness device, as in q37/q47.)"""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="sb_q52_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)  # plant an exact duplicate of every row
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    dedup = stream.withWatermark("ts", "365 days").dropDuplicates(["event_id"])
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()  # never return a partial out/ dir as the gated answer
+        raise TimeoutError("q52 streaming dedup did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("sum_value_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q52_sql() -> str:
+    return """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -2765,6 +3040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_session_window": q45_session_window,
         "q46_kmv_sketch": q46_kmv_sketch,
         "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q52_stream_dedup": q52_stream_dedup,
     }
 
 
@@ -2817,4 +3097,9 @@ def oracle_sql() -> dict[str, str]:
         "q45_session_window": q45_sql(),
         "q46_kmv_sketch": q46_sql(),
         "q47_stream_window_agg": q47_sql(),
+        "q48_asof_join": q48_sql(),
+        "q49_countmin": q49_sql(),
+        "q50_weighted_sample": q50_sql(),
+        "q51_crossdoc_dup": q51_sql(),
+        "q52_stream_dedup": q52_sql(),
     }

@@ -318,3 +318,102 @@ def decontaminate(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets a reproducible uniform
+    u in (0, 1] derived from md5(id), a key ln(u)/w, and the k
+    largest keys win. Heavier rows draw keys closer to 0, so
+    inclusion probability is proportional to weight — the standard
+    temperature/size-weighted corpus-mixing primitive.
+
+    Scale: membership is a pure function of (id, weight), so the
+    sample reproduces on any cluster and any partitioning with no RNG
+    state to ship, and the top-k is a TakeOrdered (per-partition
+    heaps, no global sort). Caveat: the key needs ln(); two engines'
+    libm may differ in the last ulp, which could flip a selection
+    only if two keys collide to ~1e-16 relative — vanishing for real
+    corpora.
+    """
+    # u = (first 8 md5 hex chars as int + 1) / 2^32, in (0, 1]
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.withColumn("_es_key", key).orderBy(
+        F.col("_es_key").desc(), F.col(id_col)
+    )
+    return ranked.limit(k).drop("_es_key")
+
+
+def crossdoc_dup_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the corpus-level
+    repetition diagnostic behind substring-dedup decisions, Lee et
+    al. 2022): for each doc, the fraction of its n-gram INSTANCES
+    that are not the gram's first occurrence in (doc_id, position)
+    corpus order. Per gram exactly one instance is "first"; every
+    other instance — later docs AND later repeats inside the first
+    doc — counts as duplicated.
+
+    Scale: no per-gram window (a hot boilerplate gram would funnel
+    its every instance through one sort partition). Instead:
+    (doc, gram) partial counts with min position, an argmin per gram
+    over those DISTINCT (doc, gram) rows, and a doc-level rollup —
+    all map-side-combinable aggregates on narrow keys, so a gram
+    occurring 10^9 times contributes one row per containing doc to
+    the gram-level shuffle, not 10^9."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_grams_expr = F.greatest(F.size(toks) - F.lit(ngram_n - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                # sequence(1, 0) would yield [1, 0] (default step -1):
+                # docs shorter than the gram width must produce NO grams
+                F.when(
+                    n_grams_expr >= 1, F.sequence(F.lit(1), n_grams_expr)
+                ).otherwise(F.expr("array()").cast("array<int>")),
+                lambda i: F.array_join(F.slice(toks, i, ngram_n), " "),
+            )
+        ).alias("pos", "ng"),
+    )
+    per_dg = grams.groupBy("doc_id", "ng").agg(
+        F.count("*").cast("long").alias("c"), F.min("pos").alias("mp")
+    )
+    firsts = per_dg.groupBy("ng").agg(
+        F.min(F.struct("doc_id", "mp")).alias("f")
+    )
+    owned = firsts.groupBy(F.col("f.doc_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_first")
+    )
+    return (
+        per_dg.groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_ngrams"))
+        .join(owned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("n_first"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+            F.round(
+                (F.col("n_ngrams") - F.coalesce(F.col("n_first"), F.lit(0)))
+                / F.col("n_ngrams"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

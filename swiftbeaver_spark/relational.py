@@ -1,0 +1,127 @@
+"""Time-series relational operators: as-of join.
+
+The reference engine's relational layer is equi-join only (SURVEY
+§2.4 — browser history joins); `asof_join` extends the surface with
+the event-stream alignment op that DuckDB spells ASOF JOIN and pandas
+spells merge_asof: each left row picks the single most recent right
+row at-or-before its timestamp (per key), never multiplying rows.
+
+Scale design. The naive formulation — join on key with a `l.ts >=
+r.ts` range predicate plus a per-left-row argmax — plans as an
+exploding range join (every left row matches every earlier right row
+before the argmax prunes). This implementation is the
+union-tag-carry-forward pattern:
+
+  1. tag each side, union them (narrow, shuffle-free),
+  2. ONE shuffle on the join key,
+  3. sort within the key partition by (ts, side) — right rows sort
+     before left rows at equal timestamps, making the match inclusive,
+  4. carry the latest right row forward with `last(ignorenulls)` over
+     a running frame, packed as a single struct so a right row whose
+     carried columns contain NULLs is still taken whole (not spliced
+     with older rows' values).
+
+Cost is one shuffle + one sort — a sort-merge join's shape with no row
+multiplication, and Catalyst sees a plain window over the union.
+Skew: WindowExec buffers one (key) partition at a time and spills; a
+pathologically hot key should be pre-split by coarse time bucket
+(match in-bucket, then one fix-up pass joining each bucket's head to
+the previous bucket's tail) before reaching this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS, _SIDE, _ROW = "_sb_asof_ts", "_sb_asof_side", "_sb_asof_row"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every `left` row, plus the columns of the
+    single matching `right` row (NULLs when no right row qualifies).
+
+    `direction='backward'` matches the latest right row with
+    `right_ts <= left_ts`; `'forward'` the earliest with
+    `right_ts >= left_ts` (both inclusive, DuckDB ASOF semantics).
+    `tolerance` (an interval/duration Column, e.g. `F.expr("INTERVAL 1
+    HOUR")`) unmatches right rows further than that from the left
+    timestamp. Right columns come back as `{name}{suffix}`; the
+    matched right timestamp as `{right_ts}{suffix}`.
+
+    Ties between right rows sharing (key, timestamp) resolve to the
+    row that is last in the union sort — callers needing full
+    determinism there should pre-dedup the right side to one row per
+    (key, timestamp); with event data carrying unique ids this is a
+    `groupBy(key, ts).agg(max_by(...))`.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    rcols = (
+        list(right_cols)
+        if right_cols is not None
+        else [c for c in right.columns if c not in (*keys, right_ts)]
+    )
+    for c in rcols:
+        if f"{c}{suffix}" in left.columns:
+            raise ValueError(f"output column {c}{suffix} collides with left")
+
+    # pack the carried right row into ONE struct so last(ignorenulls)
+    # takes it atomically (a NULL field inside a newer right row must
+    # not fall through to an older row's value)
+    packed = F.struct(
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    right_part = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        packed.alias(_ROW),
+        F.lit(0).alias(_SIDE),
+    )
+    left_part = left.select(
+        "*", F.col(left_ts).alias(_TS), F.lit(1).alias(_SIDE)
+    )
+    u = left_part.unionByName(right_part, allowMissingColumns=True)
+
+    order = (
+        [F.col(_TS).asc(), F.col(_SIDE).asc()]
+        if direction == "backward"
+        else [F.col(_TS).desc(), F.col(_SIDE).asc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_ROW, ignorenulls=True).over(w)
+    out = (
+        u.withColumn(_ROW, matched)
+        .where(F.col(_SIDE) == 1)
+        .drop(_TS, _SIDE)
+    )
+    if tolerance is not None:
+        rt = F.col(_ROW)[f"{right_ts}{suffix}"]
+        in_tol = (
+            (F.col(left_ts) <= rt + tolerance)
+            if direction == "backward"
+            else (rt <= F.col(left_ts) + tolerance)
+        )
+        out = out.withColumn(
+            _ROW, F.when(in_tol, F.col(_ROW)).otherwise(F.lit(None))
+        )
+    for c in [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in rcols]]:
+        out = out.withColumn(c, F.col(_ROW)[c])
+    return out.drop(_ROW)

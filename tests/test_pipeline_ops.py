@@ -359,3 +359,74 @@ def test_decontaminate_broadcasts_bench(spark, documents):
         documents.where("doc_id >= 20"), documents.where("doc_id < 20")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- weighted_sample ---------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_sized(spark, documents):
+    from swiftbeaver_spark.llm.pipeline import weighted_sample
+
+    a = sorted(r["doc_id"] for r in weighted_sample(documents, k=40).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(documents, k=40).collect())
+    assert a == b and len(a) == 40
+    # repartitioning must not change membership (pure function of id)
+    c = sorted(
+        r["doc_id"]
+        for r in weighted_sample(documents.repartition(7), k=40).collect()
+    )
+    assert a == c
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With weights 1000:1, the k-of-2k sample should be dominated by
+    heavy rows (A-ES inclusion probability scales with weight)."""
+    from swiftbeaver_spark.llm.pipeline import weighted_sample
+
+    rows = [(i, 1000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample(df, k=100).collect()
+    heavy = sum(1 for r in got if r["n_chars"] == 1000)
+    assert heavy >= 90
+
+
+# --- crossdoc_dup_ngrams -----------------------------------------------------
+
+
+def test_crossdoc_dup_exact_copies(spark):
+    from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
+
+    text = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok fine")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in crossdoc_dup_ngrams(df, ngram_n=5).collect()}
+    # doc 1 owns every gram's first occurrence; doc 2 is 100% dup
+    assert got[1]["dup_frac"] == 0.0
+    assert got[2]["dup_frac"] == 1.0
+    assert got[3]["dup_frac"] == 0.0
+    assert got[1]["n_ngrams"] == 8 - 5 + 1
+
+
+def test_crossdoc_dup_within_doc_repeat(spark):
+    """A gram repeated INSIDE one doc counts its later instances as
+    duplicated too."""
+    from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
+
+    text = "a b c d e a b c d e"  # "a b c d e" occurs at pos 0 and 5
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = crossdoc_dup_ngrams(df, ngram_n=5).collect()[0]
+    assert r["n_ngrams"] == 6
+    assert r["n_dup"] == 1  # the pos-5 repeat of "a b c d e"
+
+
+def test_crossdoc_dup_short_docs_excluded(spark):
+    from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, ""), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in crossdoc_dup_ngrams(df, ngram_n=5).collect()}
+    assert got == {3}

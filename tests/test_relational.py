@@ -1,0 +1,137 @@
+"""asof_join (relational.py) and count-min sketch (sketch.py) tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.relational import asof_join
+from swiftbeaver_spark.sketch import countmin_build, countmin_estimate
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, px): the "state" side
+    rows = [
+        ("a", _ts(0), 1.0),
+        ("a", _ts(10), 2.0),
+        ("a", _ts(20), 3.0),
+        ("b", _ts(5), 10.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", _ts(0)),   # exact tie with a quote -> inclusive match
+        ("a", _ts(15)),  # between quotes -> ts(10)
+        ("a", _ts(99)),  # after all -> ts(20)
+        ("b", _ts(4)),   # before first quote -> no match
+        ("c", _ts(50)),  # key with no quotes -> no match
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp")
+
+
+def _collect(df):
+    return {
+        (r["k"], r["ts"]): (r["ts_right"], r["px_right"])
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_semantics(spark, trades, quotes):
+    got = _collect(asof_join(trades, quotes, on="k"))
+    assert got[("a", _ts(0))] == (_ts(0), 1.0)     # inclusive at equality
+    assert got[("a", _ts(15))] == (_ts(10), 2.0)   # latest at-or-before
+    assert got[("a", _ts(99))] == (_ts(20), 3.0)
+    assert got[("b", _ts(4))] == (None, None)      # nothing before
+    assert got[("c", _ts(50))] == (None, None)     # unseen key
+    assert asof_join(trades, quotes, on="k").count() == trades.count()
+
+
+def test_asof_forward_semantics(spark, trades, quotes):
+    got = _collect(asof_join(trades, quotes, on="k", direction="forward"))
+    assert got[("a", _ts(0))] == (_ts(0), 1.0)     # inclusive at equality
+    assert got[("a", _ts(15))] == (_ts(20), 3.0)   # earliest at-or-after
+    assert got[("a", _ts(99))] == (None, None)     # nothing after
+    assert got[("b", _ts(4))] == (_ts(5), 10.0)
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    got = _collect(
+        asof_join(
+            trades, quotes, on="k", tolerance=F.expr("INTERVAL 6 SECONDS")
+        )
+    )
+    assert got[("a", _ts(15))] == (_ts(10), 2.0)   # 5s back: within
+    assert got[("a", _ts(99))] == (None, None)     # 79s back: out
+    assert got[("a", _ts(0))] == (_ts(0), 1.0)     # 0s back: within
+
+
+def test_asof_takes_right_row_atomically(spark):
+    """A newer right row with a NULL carried field must not splice in
+    the older row's value for that field."""
+    left = spark.createDataFrame([("a", _ts(20))], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(0), 1.0, "old"), ("a", _ts(10), None, "new")],
+        "k string, ts timestamp, px double, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["tag_right"] == "new"
+    assert row["px_right"] is None  # NOT 1.0 from the older row
+
+
+def test_asof_no_row_multiplication_plan(spark, trades, quotes):
+    """The plan must be union + window — no join node at all (the
+    naive range-join formulation explodes at scale)."""
+    plan = asof_join(trades, quotes, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def value_stream(spark):
+    # skewed frequencies: value i appears i+1 times, 0..49
+    rows = [(f"v{i:02d}",) for i in range(50) for _ in range(i + 1)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_countmin_never_underestimates(spark, value_stream):
+    sketch = countmin_build(value_stream, "v", depth=4, prefix_len=3)
+    true = value_stream.groupBy("v").agg(F.count("*").alias("true_c"))
+    est = countmin_estimate(sketch, true.select("v"), "v", depth=4, prefix_len=3)
+    joined = true.join(est, "v").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r["cms_est"] >= r["true_c"], r
+
+
+def test_countmin_exact_when_sparse(spark, value_stream):
+    """50 distinct values into 4096 buckets x 4 rows: collisions in
+    ALL four rows for the same value are vanishingly unlikely, so the
+    min over rows recovers the exact counts."""
+    sketch = countmin_build(value_stream, "v", depth=4, prefix_len=3)
+    true = value_stream.groupBy("v").agg(F.count("*").alias("true_c"))
+    est = countmin_estimate(sketch, true.select("v"), "v", depth=4, prefix_len=3)
+    exact = true.join(est, "v").where(F.col("cms_est") == F.col("true_c")).count()
+    assert exact == 50
+
+
+def test_countmin_sketch_size_bounded(spark, value_stream):
+    """The sketch's row count is capped by depth * width regardless of
+    input size — the mergeable-sketch property."""
+    sketch = countmin_build(value_stream, "v", depth=2, prefix_len=1)
+    assert sketch.count() <= 2 * 16
+    total = sketch.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
+    n = value_stream.count()
+    assert all(r["s"] == n for r in total)  # every row sees every instance
