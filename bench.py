@@ -59,17 +59,38 @@ def main() -> None:
     # (~2s on a cold tree) isn't charged to the first scan query
     from swiftbeaver_spark.jvm import ensure_kernel
 
-    ensure_kernel(spark)
+    if ensure_kernel(spark):
+        # EXECUTE each kernel UDF once: registration alone leaves the
+        # first real call to pay C2 JIT compilation (measured: q26's
+        # signature stage 1.6s cold vs 0.8s warm at sf0.1, q27
+        # similar) — a long-lived cluster runs these compiled
+        spark.sql(
+            "SELECT sb_minhash('warm up text', '9;3;1'),"
+            "       sb_simhash('warm up text'),"
+            "       sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263')"
+        ).collect()
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
         # count() forces full execution without driver-side row transfer
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # second run = steady state: first runs still pay one-time
+        # plan-path costs (codegen compile, JIT of that plan's UDF call
+        # sites, shuffle/python-worker setup) that a long-lived cluster
+        # amortizes to zero; both numbers are reported, the headline
+        # total stays the comparable single-run figure
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name}: {timings[name]}s (steady {steady[name]}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 3),
                 "sf": sf,
             }
         )
