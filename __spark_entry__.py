@@ -66,6 +66,9 @@ plus the training-pipeline surface (q38-q52):
   weighted sampling (A-ES)     -> q50_weighted_sample
   cross-doc dup-ngram fraction -> q51_crossdoc_dup
   streaming exact dedup        -> q52_stream_dedup
+  stream-stream interval join  -> q53_stream_interval_join
+  histogram quantile sketch    -> q54_histogram_quantiles
+  hashed linear quality score  -> q55_linear_quality
 """
 
 from __future__ import annotations
@@ -2982,6 +2985,183 @@ def q52_sql() -> str:
     """
 
 
+STREAM_JOIN_HOURS = 4
+
+
+def q53_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the hash gate: the purchase
+    stream inner-joins the view stream on user within a bounded
+    event-time window (view in the 4 hours at-or-before the
+    purchase) — Structured Streaming's watermarked interval join,
+    where both watermarks bound the join state so neither side buffers
+    unboundedly. availableNow runs it to completion; the oracle is the
+    identical batch range join. (Tempdir round-trip = local-harness
+    device, as in q37/q47/q52.)"""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sb_q53_")
+    psrc, vsrc, out, ckpt = f"{tmp}/p", f"{tmp}/v", f"{tmp}/out", f"{tmp}/ckpt"
+    events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).write.mode("overwrite").parquet(psrc)
+    events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).write.mode("overwrite").parquet(vsrc)
+    purchases = (
+        spark.readStream.schema("p_event long, p_user long, p_ts timestamp")
+        .parquet(psrc)
+        .withWatermark("p_ts", "1 minute")
+    )
+    views = (
+        spark.readStream.schema("v_event long, v_user long, v_ts timestamp")
+        .parquet(vsrc)
+        .withWatermark("v_ts", f"{STREAM_JOIN_HOURS + 1} hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"""p_user = v_user AND
+                v_ts BETWEEN p_ts - INTERVAL {STREAM_JOIN_HOURS} HOURS
+                         AND p_ts"""
+        ),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()  # never return a partial out/ dir as the gated answer
+        raise TimeoutError("q53 stream-stream join did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .select(
+            "p_event",
+            "v_event",
+            F.col("p_user").alias("user_id"),
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+            .cast("long")
+            .alias("lag_us"),
+        )
+        .orderBy("p_event", "v_event")
+    )
+
+
+def q53_sql() -> str:
+    return f"""
+    SELECT p.event_id AS p_event, v.event_id AS v_event,
+           p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP)
+         BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL {STREAM_JOIN_HOURS} HOUR
+             AND CAST(p.ts AS TIMESTAMP)
+    ORDER BY p_event, v_event
+    """
+
+
+HIST_BINS = 1000
+HIST_QUANTILES = [0.5, 0.95, 0.99]
+
+
+def q54_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (sketch.histogram_quantiles): p50/
+    p95/p99 of event value per type from a 1000-bin equi-width
+    histogram. Third engine-neutral sketch under the gate (KMV
+    distinct, count-min frequency, histogram quantiles): the oracle
+    replays the exact min/max pre-pass, integer binning, cumulative
+    counts, and edge arithmetic."""
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    events = _t(spark, sf_dir, "events")
+    out = histogram_quantiles(
+        events, "value", ["event_type"], HIST_QUANTILES, nbins=HIST_BINS
+    )
+    return out.select(
+        "event_type",
+        F.format_string("%.2f", F.col("quantile")).alias("quantile"),
+        F.format_string("%.6f", F.col("q_value")).alias("q_value"),
+    ).orderBy("event_type", "quantile")
+
+
+def q54_sql() -> str:
+    qs = ", ".join(str(q) for q in HIST_QUANTILES)
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+      FROM events
+    ), b2 AS (
+      SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / {HIST_BINS}
+                      ELSE 1.0 END AS w
+      FROM bounds
+    ), binned AS (
+      SELECT event_type,
+             CAST(LEAST(FLOOR((value - lo) / w), {HIST_BINS - 1}) AS BIGINT)
+               AS bin,
+             lo, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN b2
+      GROUP BY 1, 2, 3, 4
+    ), cum AS (
+      SELECT event_type, bin, lo, w, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM binned
+    )
+    SELECT event_type,
+           printf('%.2f', q) AS quantile,
+           printf('%.6f', MIN(bin) * ANY_VALUE(w) + ANY_VALUE(lo)) AS q_value
+    FROM cum CROSS JOIN (SELECT unnest([{qs}]) AS q) qq
+    WHERE cum >= CEIL(q * n)
+    GROUP BY event_type, q
+    ORDER BY event_type, quantile
+    """
+
+
+def q55_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scorer (llm/text.py::
+    linear_quality_score) — the fastText/CCNet corpus-filter shape
+    with md5-derived integer stand-in weights, so partial sums are
+    exact in any aggregation order and the oracle replays the score
+    bit-for-bit."""
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return linear_quality_score(docs).orderBy("doc_id")
+
+
+def q55_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+      FROM documents WHERE {norm} <> ''
+    ), weighted AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' ||
+                    substr(md5('f:' || token), 1, 3)), 1, 8) AS BIGINT)
+               % 2001 - 1000 AS w
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)), 6)
+             AS quality_score
+    FROM weighted GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -3045,6 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_weighted_sample": q50_weighted_sample,
         "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
+        "q53_stream_interval_join": q53_stream_interval_join,
+        "q54_histogram_quantiles": q54_histogram_quantiles,
+        "q55_linear_quality": q55_linear_quality,
     }
 
 
@@ -3102,4 +3285,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_weighted_sample": q50_sql(),
         "q51_crossdoc_dup": q51_sql(),
         "q52_stream_dedup": q52_sql(),
+        "q53_stream_interval_join": q53_sql(),
+        "q54_histogram_quantiles": q54_sql(),
+        "q55_linear_quality": q55_sql(),
     }

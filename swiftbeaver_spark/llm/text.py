@@ -127,3 +127,50 @@ def content_digest(col: Column) -> Column:
     from swiftbeaver_spark.llm.dedup import normalized_text
 
     return F.md5(normalized_text(col))
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+) -> DataFrame:
+    """fastText/CCNet-shaped linear quality scorer: hash each token
+    into 16^prefix_len feature buckets, dot the document's bag of
+    features with a weight vector, normalize by length. The weights
+    here are a deterministic md5-derived stand-in (integers in
+    [-1000, 1000], so partial sums are EXACT in any aggregation order
+    — no float drift between engines); a real classifier's weights
+    would arrive as a broadcast lookup table in exactly this shape.
+
+    Scale: explode -> map-side-combinable sum on the doc key; one
+    shuffle, weights never materialize as a table (closed-form md5
+    expression, JVM-side)."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    bucket = F.substring(F.md5(F.concat(F.lit("f:"), F.col("token"))), 1, prefix_len)
+    weight = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10)
+        .cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        toks.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("w").cast("double") / (1000.0 * F.count("*")), 6
+            ).alias("quality_score"),
+        )
+    )

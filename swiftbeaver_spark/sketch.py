@@ -19,7 +19,7 @@ Estimation for a probe set is a broadcast join against the sketch
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,72 @@ def countmin_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )
     return est
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[float],
+    nbins: int = 1000,
+) -> DataFrame:
+    """Fixed-bin histogram quantile sketch per group: an equi-width
+    histogram over the GLOBAL [min, max] of `value_col`, quantile
+    estimate = lower edge of the bin where the cumulative count first
+    reaches ceil(q * n). Third member of the engine-neutral sketch
+    family (KMV distinct, count-min frequency): every step — the exact
+    min/max pre-pass, integer bin indices, cumulative integer counts,
+    one closed-form edge expression — replays identically in SQL, so
+    the APPROXIMATE quantiles themselves can sit under a hash gate
+    (unlike approx_percentile's opaque GK sketch).
+
+    Scale: pass 1 is a global min/max (map-side combined to one row);
+    pass 2 shuffles at most nbins rows per group per task (partial
+    agg), and the per-group cumulative window runs over <= nbins rows.
+    The histogram is trivially mergeable across partitions/datasets.
+    """
+    lo, hi = F.min(value_col), F.max(value_col)
+    bounds = df.select(
+        lo.cast("double").alias("lo"), hi.cast("double").alias("hi")
+    )
+    # bin width: (hi - lo) / nbins, degenerate all-equal range -> 1.0
+    width = F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / nbins).otherwise(
+        F.lit(1.0)
+    )
+    binned = (
+        df.join(F.broadcast(bounds.withColumn("w", width)))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col(value_col) - F.col("lo")) / F.col("w")),
+                F.lit(nbins - 1),
+            ).cast("long"),
+        )
+        .groupBy(*group_cols, "bin", "lo", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    cum = binned.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_grp)
+    )
+    outs = []
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        qdf = (
+            cum.where(F.col("cum") >= target)
+            .groupBy(*group_cols)
+            .agg(
+                F.lit(q).alias("quantile"),
+                (F.min("bin") * F.first("w") + F.first("lo")).alias("q_value"),
+            )
+        )
+        outs.append(qdf)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

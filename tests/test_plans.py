@@ -96,3 +96,29 @@ def test_entropy_merge_windows_are_bucketed(spark):
     assert len(bucketed) >= 4, plan
     # only the final stitch may be unpartitioned (its lag + sum)
     assert len(global_specs) <= 2, plan
+
+
+def test_crossdoc_dup_is_windowless(spark):
+    """crossdoc_dup_ngrams must contain NO window operator: a hot
+    boilerplate gram would funnel every instance through one sort
+    partition. The scale shape is aggregates only."""
+    from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = _formatted(crossdoc_dup_ngrams(df, ngram_n=5))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_countmin_estimate_broadcasts_sketch(spark):
+    """The probe-side join against the (bounded, small) sketch must be
+    a broadcast hash join — never a shuffle of the probe stream."""
+    from swiftbeaver_spark.sketch import countmin_build, countmin_estimate
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    sketch = countmin_build(vals, "v", depth=2, prefix_len=2)
+    est = countmin_estimate(sketch, vals.distinct(), "v", depth=2, prefix_len=2)
+    plan = _formatted(est)
+    assert "BroadcastHashJoin" in plan, plan

@@ -135,3 +135,71 @@ def test_countmin_sketch_size_bounded(spark, value_stream):
     total = sketch.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
     n = value_stream.count()
     assert all(r["s"] == n for r in total)  # every row sees every instance
+
+
+# --- histogram quantile sketch ----------------------------------------------
+
+
+def test_histogram_quantiles_accuracy(spark):
+    """Estimates land within one bin width of the exact quantiles."""
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    rows = [("g", float(i)) for i in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["quantile"]: r["q_value"]
+        for r in histogram_quantiles(df, "v", ["g"], [0.5, 0.95], nbins=100).collect()
+    }
+    width = (1000.0 - 1.0) / 100
+    assert abs(got[0.5] - 500.0) <= width + 1e-9
+    assert abs(got[0.95] - 950.0) <= width + 1e-9
+
+
+def test_histogram_quantiles_degenerate_range(spark):
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([("g", 7.0)] * 5, "g string, v double")
+    got = histogram_quantiles(df, "v", ["g"], [0.5]).collect()
+    assert len(got) == 1 and got[0]["q_value"] == 7.0
+
+
+def test_histogram_quantiles_monotone_per_group(spark):
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    rows = [("a", float(i % 97)) for i in range(500)] + [
+        ("b", 100.0 + i % 13) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = histogram_quantiles(df, "v", ["g"], [0.5, 0.95, 0.99]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["quantile"], r["q_value"]))
+    for g, pairs in by_g.items():
+        vals = [v for _, v in sorted(pairs)]
+        assert vals == sorted(vals), (g, vals)
+
+
+# --- linear quality scorer ---------------------------------------------------
+
+
+def test_linear_quality_bounds_and_determinism(spark):
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "good text here"), (2, "good text here"), (3, "other words entirely")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in linear_quality_score(df).collect()}
+    # same text -> identical score; scores normalized into [-1, 1]
+    assert got[1]["quality_score"] == got[2]["quality_score"]
+    for r in got.values():
+        assert -1.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] == 3
+
+
+def test_linear_quality_empty_text_excluded(spark):
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"] for r in linear_quality_score(df).collect()}
+    assert got == {2}
