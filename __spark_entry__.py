@@ -69,6 +69,12 @@ plus the training-pipeline surface (q38-q52):
   stream-stream interval join  -> q53_stream_interval_join
   histogram quantile sketch    -> q54_histogram_quantiles
   hashed linear quality score  -> q55_linear_quality
+  batch interval join (bucket) -> q56_interval_join_batch
+  skew-salted join             -> q57_salted_join
+  incremental ingestion dedup  -> q58_incremental_dedup
+  BPE vocabulary induction     -> q59_bpe_learn (iterative; rows-only)
+  curation pipeline capstone
+  (filter -> dedup -> pack)    -> q60_curation_pipeline
 """
 
 from __future__ import annotations
@@ -3162,6 +3168,233 @@ def q55_sql() -> str:
     """
 
 
+IVJ_LOWER, IVJ_UPPER = -14400, 0  # views in the 4h at-or-before each purchase
+
+
+def q56_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH interval join via bucket decomposition
+    (relational.interval_join) — q53's batch twin: time decomposes
+    into buckets of the window span, the join is a plain EQUI-join on
+    (user, bucket) with the exact range filter after (<= 2x left-side
+    fan-out, no range explosion). The oracle is DuckDB's naive range
+    join; identical pairs prove the decomposition covers exactly."""
+    from swiftbeaver_spark.relational import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withColumnRenamed("v_user", "user_id")
+    out = interval_join(
+        purchases, views, "user_id", "p_ts", "v_ts", IVJ_LOWER, IVJ_UPPER
+    )
+    return out.select(
+        "p_event",
+        "v_event",
+        "user_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+        .cast("long")
+        .alias("lag_us"),
+    ).orderBy("p_event", "v_event")
+
+
+def q56_sql() -> str:
+    return f"""
+    SELECT p.event_id AS p_event, v.event_id AS v_event, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND epoch_us(CAST(v.ts AS TIMESTAMP))
+         BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) + {IVJ_LOWER * 1_000_000}
+             AND epoch_us(CAST(p.ts AS TIMESTAMP)) + {IVJ_UPPER * 1_000_000}
+    ORDER BY p_event, v_event
+    """
+
+
+def q57_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (relational.salted_join): lineitem
+    (large side, scattered over 16 salt sub-keys) joins orders
+    (replicated 16-fold) — per-customer revenue rollup. The oracle is
+    the plain join: salting must be result-invariant, which is exactly
+    what the gate proves."""
+    from swiftbeaver_spark.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = salted_join(li, orders, on="o_orderkey", salt=16)
+    return (
+        joined.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("rev").cast("decimal(18,4)").cast("string").alias("revenue"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q57_sql() -> str:
+    return """
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(l.l_extendedprice * (1 - l.l_discount))
+                AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """
+
+
+INC_SEEN_SPLIT = 250
+
+
+def q58_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (llm/dedup.incremental_exact_dedup):
+    the already-ingested corpus is docs < 250 (represented only by its
+    digest table — the production shape); the new batch is the rest
+    PLUS planted copies of 10 seen docs and a doubled batch doc. Seen
+    collisions must drop, batch dups must collapse to the lowest id."""
+    from swiftbeaver_spark.llm.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") < INC_SEEN_SPLIT)
+    seen_hashes = seen.select(F.md5("text").alias("content_hash"))
+    batch = docs.where(F.col("doc_id") >= INC_SEEN_SPLIT)
+    planted_seen = seen.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    planted_batch = batch.where(F.col("doc_id") < INC_SEEN_SPLIT + 5).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+    )
+    new = batch.unionByName(planted_seen).unionByName(planted_batch)
+    out = incremental_exact_dedup(new, seen_hashes)
+    return out.select("content_hash", "doc_id", "n_batch_copies").orderBy("doc_id")
+
+
+def q58_sql() -> str:
+    return f"""
+    WITH seen AS (
+      SELECT md5(text) AS content_hash FROM documents
+      WHERE doc_id < {INC_SEEN_SPLIT}
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {INC_SEEN_SPLIT}
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id + 4000000, text FROM documents
+      WHERE doc_id >= {INC_SEEN_SPLIT} AND doc_id < {INC_SEEN_SPLIT + 5}
+    ), hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM batch
+    )
+    SELECT content_hash, MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+    FROM hashed
+    WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+    GROUP BY content_hash ORDER BY doc_id
+    """
+
+
+BPE_MERGES = 12
+
+
+def q59_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (llm/bpe.py): merges run
+    on the word-frequency table (corpus-size-independent — the 100 TB
+    corpus is read once to build it), one aggregation + fold rewrite
+    per merge, deterministic tie-breaks. Genuinely iterative (per-
+    iteration argmax), hence NO SQL oracle — the rows-only gate
+    applies; tests/test_bpe.py pins the merge sequence against an
+    independent single-node reference implementation."""
+    from swiftbeaver_spark.llm.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_learn(docs, num_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("rank")
+
+
+def q60_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — the ops are real pipeline stages, not
+    isolated demos: hashed-linear quality filter (q55) -> exact dedup
+    (q18) -> sequence packing (q38), one SQL oracle replaying the
+    whole chain. Kept docs are those with a strictly positive raw
+    weight sum (an INTEGER, so the filter boundary is exact on both
+    engines); survivors dedup to the lowest id per digest; the packed
+    pieces prove the two-level prefix sum composes downstream of
+    filters and joins."""
+    from swiftbeaver_spark.llm.pipeline import pack_sequences
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept_ids = (
+        linear_quality_score(docs)
+        .where(F.col("quality_score") > 0)
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    canon_ids = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(canon_ids.select("doc_id"), "doc_id")
+    return pack_sequences(
+        deduped, seq_len=PACK_SEQ_LEN, block=PACK_BLOCK
+    ).orderBy("doc_id", "seq_id")
+
+
+def q60_sql() -> str:
+    L = PACK_SEQ_LEN
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+      FROM documents WHERE {norm} <> ''
+    ), weighted AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' ||
+                    substr(md5('f:' || token), 1, 3)), 1, 8) AS BIGINT)
+               % 2001 - 1000 AS w
+      FROM toks
+    ), keep AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN (SELECT doc_id FROM weighted GROUP BY doc_id
+            HAVING SUM(w) > 0) s USING (doc_id)
+    ), canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
+    ), dd AS (
+      SELECT k.doc_id, k.text FROM keep k JOIN canon USING (doc_id)
+    ), t AS (
+      SELECT doc_id,
+             CASE WHEN n = '' THEN 0
+                  ELSE length(n) - length(replace(n, ' ', '')) + 1 END AS n_tok
+      FROM (SELECT doc_id, {norm} AS n FROM dd)
+    ), o AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tok AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, s.seq_id,
+           LEAST((s.seq_id + 1) * {L}, tok_start + n_tok)
+             - GREATEST(s.seq_id * {L}, tok_start) AS piece_tokens
+    FROM o
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(tok_start // {L},
+                                    (tok_start + n_tok - 1) // {L})) AS seq_id
+    ) s
+    WHERE n_tok > 0
+    ORDER BY doc_id, seq_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -3228,6 +3461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
         "q55_linear_quality": q55_linear_quality,
+        "q56_interval_join_batch": q56_interval_join_batch,
+        "q57_salted_join": q57_salted_join,
+        "q58_incremental_dedup": q58_incremental_dedup,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q60_curation_pipeline": q60_curation_pipeline,
     }
 
 
@@ -3288,4 +3526,9 @@ def oracle_sql() -> dict[str, str]:
         "q53_stream_interval_join": q53_sql(),
         "q54_histogram_quantiles": q54_sql(),
         "q55_linear_quality": q55_sql(),
+        "q56_interval_join_batch": q56_sql(),
+        "q57_salted_join": q57_sql(),
+        "q58_incremental_dedup": q58_sql(),
+        # q59_bpe_learn: iterative (per-merge argmax) — rows-only gate
+        "q60_curation_pipeline": q60_sql(),
     }

@@ -473,3 +473,30 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def incremental_exact_dedup(
+    new: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: drop new-batch docs whose content
+    digest already exists in the ingested corpus, then exact-dedup
+    within the batch (lowest id wins). `seen_hashes` needs only a
+    `content_hash` column — the production shape where the seen-set is
+    a maintained digest table, orders of magnitude smaller than the
+    corpus.
+
+    Scale: one shuffle of the new batch's (hash, id) pairs for the
+    within-batch dedup; the seen-set probe is a left_anti equi-join
+    that AQE broadcasts whenever the digest table fits, and otherwise
+    co-partitions by hash — never a full-corpus scan."""
+    hashed = new.withColumn("content_hash", F.md5(F.col(text_col)))
+    fresh = hashed.join(
+        seen_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+    )
+    return fresh.groupBy("content_hash").agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count("*").cast("long").alias("n_batch_copies"),
+    )

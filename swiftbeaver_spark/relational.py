@@ -125,3 +125,75 @@ def asof_join(
     for c in [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in rcols]]:
         out = out.withColumn(c, F.col(_ROW)[c])
     return out.drop(_ROW)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Batch interval join: pairs (l, r) sharing the key with
+    `l.left_ts + lower <= r.right_ts <= l.left_ts + upper` (bounds in
+    seconds, inclusive). The q53 stream-stream join's batch twin.
+
+    Scale design: Catalyst plans a raw `BETWEEN` range predicate as an
+    exploding theta-join (every key-pair compared). This instead
+    decomposes time into buckets of span = (upper - lower): each LEFT
+    row lands in the <= 2 buckets its window can touch, each RIGHT row
+    in exactly one — so the join is a plain EQUI-join on (key, bucket)
+    followed by the exact range filter. One hash shuffle, no range
+    explosion, AQE-splittable; the row multiplication is bounded at 2x
+    on the left side regardless of data.
+    """
+    if upper <= lower:
+        raise ValueError("upper must be > lower")
+    keys = [on] if isinstance(on, str) else list(on)
+    span_us = (upper - lower) * 1_000_000
+    # integer `div` end to end — a float floor could misplace a row
+    # sitting exactly on a bucket edge. Left window [ts+lower,
+    # ts+upper] spans exactly bucket(ts+lower) and possibly the next
+    # (its width equals the bucket span); right row sits in one bucket.
+    lb = F.expr(
+        f"(unix_micros({left_ts}) + {lower * 1_000_000}L) div {span_us}L"
+    )
+    rb = F.expr(f"unix_micros({right_ts}) div {span_us}L")
+    lbuck = F.explode(F.array_distinct(F.array(lb, lb + 1)))
+    l = left.withColumn("_sb_bucket", lbuck)
+    r = right.withColumn("_sb_bucket", rb)
+    lo_us, hi_us = lower * 1_000_000, upper * 1_000_000
+    cond = (
+        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + lo_us)
+        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + hi_us)
+    )
+    return l.join(r, [*keys, "_sb_bucket"]).where(cond).drop("_sb_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew: the LEFT (large, skewed)
+    side scatters each row to one of `salt` sub-keys by a
+    deterministic hash of its whole row; the RIGHT side replicates
+    every row to all `salt` sub-keys. A key holding 10^9 left rows
+    then spreads over `salt` reducers instead of one straggler task.
+
+    Same results as a plain join (verified by the q57 oracle); use
+    when AQE's skew-join split can't help — e.g. the skew is in a
+    groupBy-like self-join, or the planner lacks runtime stats. Right
+    side should be the smaller input (it is replicated salt-fold)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "_sb_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), salt)
+    )
+    r = right.withColumn(
+        "_sb_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_sb_salt", F.col("_sb_salt").cast("bigint"))
+    return l.join(r, [*keys, "_sb_salt"], how).drop("_sb_salt")

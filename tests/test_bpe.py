@@ -1,0 +1,93 @@
+"""BPE vocabulary induction: the distributed learner must match an
+independent single-node reference implementation merge-for-merge
+(this is q59's oracle — the op is iterative, so the driver gate is
+rows-only and THIS test carries the correctness burden)."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.llm.bpe import END_MARK, bpe_learn, bpe_segment, words_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(word_counts: dict[str, int], num_merges: int):
+    """Textbook single-node BPE (Sennrich et al. 2016 alg. 1):
+    dict-of-tuples, no Spark — deliberately a different shape from the
+    distributed fold."""
+    vocab = {
+        tuple(list(w) + [END_MARK]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = collections.defaultdict(int)
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # max count, ties lexicographic — must match the Spark orderBy
+        (a, b), total = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, total))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .limit(200)
+        .cache()
+    )
+
+
+def test_bpe_matches_reference(spark, corpus):
+    got = bpe_learn(corpus, num_merges=10)
+    wc = {
+        r["word"]: r["cnt"] for r in words_table(corpus, "text").collect()
+    }
+    want = _reference_bpe(wc, 10)
+    assert got == want
+
+
+def test_bpe_merges_monotone_nonincreasing_counts_not_required(spark, corpus):
+    """BPE pair counts are NOT monotone (later merges can create more
+    frequent pairs) — but ranks must be sequential and symbols grow."""
+    got = bpe_learn(corpus, num_merges=6)
+    assert [m[0] for m in got] == list(range(len(got)))
+    for _, a, b, total in got:
+        assert total > 0 and len(a + b) >= 2
+
+
+def test_bpe_segment_applies_merges(spark):
+    df = spark.createDataFrame(
+        [("low low low lower lowest",)], "text string"
+    )
+    merges = bpe_learn(df, num_merges=4)
+    words = words_table(df, "text")
+    seg = {r["word"]: r["syms"] for r in bpe_segment(words, merges).collect()}
+    # 'low' appears 3x -> its merges dominate; the full word + end mark
+    # must be reassembled from <= 3 symbols after 4 merges
+    assert "".join(seg["low"]) == "low" + END_MARK
+    assert len(seg["low"]) <= 3
+    for w, syms in seg.items():
+        assert "".join(syms) == w + END_MARK

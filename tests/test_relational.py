@@ -203,3 +203,96 @@ def test_linear_quality_empty_text_excluded(spark):
     df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
     got = {r["doc_id"] for r in linear_quality_score(df).collect()}
     assert got == {2}
+
+
+# --- interval join (batch, bucket-decomposed) --------------------------------
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucket decomposition must produce exactly the naive range-join
+    pairs, including rows sitting exactly on window edges."""
+    import itertools
+
+    lrows = [("k", _ts(s)) for s in (0, 100, 3600, 7200)]
+    rrows = [("k", _ts(s)) for s in range(0, 7300, 50)]
+    left = spark.createDataFrame(lrows, "k string, lts timestamp")
+    right = spark.createDataFrame(rrows, "k string, rts timestamp")
+    from swiftbeaver_spark.relational import interval_join
+
+    got = {
+        (r["lts"], r["rts"])
+        for r in interval_join(left, right, "k", "lts", "rts", -3600, 0).collect()
+    }
+    want = {
+        (lt, rt)
+        for (_, lt), (_, rt) in itertools.product(lrows, rrows)
+        if lt - dt.timedelta(seconds=3600) <= rt <= lt
+    }
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_left_fanout_bounded(spark):
+    """Each left row explodes into at most 2 bucket copies — the plan
+    must not contain a nested-loop/cartesian join."""
+    from swiftbeaver_spark.relational import interval_join
+
+    left = spark.createDataFrame([("k", _ts(0))], "k string, lts timestamp")
+    right = spark.createDataFrame([("k", _ts(1))], "k string, rts timestamp")
+    df = interval_join(left, right, "k", "lts", "rts", -60, 60)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# --- salted join -------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    from swiftbeaver_spark.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, f"l{i}") for i in range(100)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(0, "r0"), (1, "r1"), (9, "r9")], "k long, rv string"
+    )
+    got = salted_join(left, right, on="k").orderBy("lv", "rv").collect()
+    want = left.join(right, "k").orderBy("lv", "rv").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # left rows with unmatched keys drop in inner mode; k=2 has no right
+    assert all(r["k"] != 2 for r in got)
+
+
+def test_salted_join_left_outer(spark):
+    from swiftbeaver_spark.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r")], "k long, rv string")
+    got = {
+        (r["k"], r["rv"]) for r in salted_join(left, right, on="k", how="left").collect()
+    }
+    assert got == {(1, "r"), (2, None)}
+
+
+# --- incremental dedup -------------------------------------------------------
+
+
+def test_incremental_exact_dedup(spark):
+    from swiftbeaver_spark.llm.dedup import incremental_exact_dedup
+
+    seen = spark.createDataFrame(
+        [("already ingested",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    new = spark.createDataFrame(
+        [
+            (10, "already ingested"),   # collides with seen -> dropped
+            (11, "fresh one"),
+            (12, "fresh one"),          # batch dup -> collapses to 11
+            (13, "another"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_batch_copies"]
+        for r in incremental_exact_dedup(new, seen).collect()
+    }
+    assert got == {11: 2, 13: 1}
