@@ -86,8 +86,10 @@ from collections.abc import Callable
 # the swiftbeaver_spark package lives next to this file
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from swiftbeaver_spark.parsers.timeconv import ts_unix_micros
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -537,20 +539,28 @@ def q10_sql() -> str:
 WEBKIT_OFFSET_US = 11_644_473_600 * 1_000_000
 
 
+def _ntz_of_micros(micros: Column) -> Column:
+    """Wall-clock µs -> TIMESTAMP_NTZ, timezone-free (`timestamp_micros`
+    would produce an instant that shifts under a non-UTC session)."""
+    from swiftbeaver_spark.parsers.timeconv import NTZ_EPOCH_SQL
+
+    return F.timestamp_add("MICROSECOND", micros, F.expr(NTZ_EPOCH_SQL))
+
+
 def q11_time_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """webkit-µs and unix-µs roundtrips (reference src/parsers/time.rs):
     derive µs columns from ts, convert back, guard <=0 -> null."""
     events = _t(spark, sf_dir, "events")
-    unix_us = F.unix_micros(F.col("ts"))
+    unix_us = ts_unix_micros(F.col("ts"))
     webkit_us = unix_us + F.lit(WEBKIT_OFFSET_US)
     return (
         events.select(
             "event_id",
             unix_us.alias("unix_us"),
             webkit_us.alias("webkit_us"),
-            F.when(unix_us > 0, F.timestamp_micros(unix_us)).alias("from_unix"),
+            F.when(unix_us > 0, _ntz_of_micros(unix_us)).alias("from_unix"),
             F.when(
-                webkit_us > 0, F.timestamp_micros(webkit_us - F.lit(WEBKIT_OFFSET_US))
+                webkit_us > 0, _ntz_of_micros(webkit_us - F.lit(WEBKIT_OFFSET_US))
             ).alias("from_webkit"),
         )
         .orderBy("event_id")
@@ -2766,7 +2776,7 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
         F.col("v_event_v").cast("string").alias("v_event"),
         F.date_format("ts_v", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("v_ts"),
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("ts_v")))
+        (ts_unix_micros(F.col("p_ts")) - ts_unix_micros(F.col("ts_v")))
         .cast("string")
         .alias("lag_us"),
     ).orderBy("p_event")
@@ -3053,7 +3063,7 @@ def q53_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_event",
             "v_event",
             F.col("p_user").alias("user_id"),
-            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+            (ts_unix_micros(F.col("p_ts")) - ts_unix_micros(F.col("v_ts")))
             .cast("long")
             .alias("lag_us"),
         )
@@ -3196,7 +3206,7 @@ def q56_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_event",
         "v_event",
         "user_id",
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+        (ts_unix_micros(F.col("p_ts")) - ts_unix_micros(F.col("v_ts")))
         .cast("long")
         .alias("lag_us"),
     ).orderBy("p_event", "v_event")

@@ -13,6 +13,32 @@ from pyspark.sql import functions as F
 WEBKIT_EPOCH_OFFSET_S = 11_644_473_600
 WEBKIT_EPOCH_OFFSET_US = WEBKIT_EPOCH_OFFSET_S * 1_000_000
 
+# Wall-clock epoch as TIMESTAMP_NTZ — the anchor for timezone-free
+# microsecond arithmetic below.
+NTZ_EPOCH_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ts_unix_micros(col: Column) -> Column:
+    """Wall-clock µs since 1970-01-01 for TIMESTAMP or TIMESTAMP_NTZ input.
+
+    `F.unix_micros` rejects TIMESTAMP_NTZ (the type Spark 4 infers for
+    parquet `timestamp[us]` columns with no timezone), and casting NTZ
+    through TIMESTAMP would shift by the session timezone. Casting *to*
+    NTZ and diffing against an NTZ epoch is timezone-free for naive
+    inputs and session-tz-consistent for instant inputs.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr(NTZ_EPOCH_SQL), col.cast("timestamp_ntz")
+    )
+
+
+def ts_unix_micros_sql(col_name: str) -> str:
+    """SQL-expression twin of ts_unix_micros for F.expr() call sites."""
+    return (
+        f"timestampdiff(MICROSECOND, {NTZ_EPOCH_SQL},"
+        f" CAST({col_name} AS TIMESTAMP_NTZ))"
+    )
+
 
 def webkit_micros_to_timestamp(col: Column) -> Column:
     """µs since 1601-01-01 -> timestamp; <=0 -> null

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from swiftbeaver_spark.parsers.timeconv import ts_unix_micros, ts_unix_micros_sql
+
 _TS, _SIDE, _ROW = "_sb_asof_ts", "_sb_asof_side", "_sb_asof_row"
 
 
@@ -158,16 +160,16 @@ def interval_join(
     # ts+upper] spans exactly bucket(ts+lower) and possibly the next
     # (its width equals the bucket span); right row sits in one bucket.
     lb = F.expr(
-        f"(unix_micros({left_ts}) + {lower * 1_000_000}L) div {span_us}L"
+        f"({ts_unix_micros_sql(left_ts)} + {lower * 1_000_000}L) div {span_us}L"
     )
-    rb = F.expr(f"unix_micros({right_ts}) div {span_us}L")
+    rb = F.expr(f"{ts_unix_micros_sql(right_ts)} div {span_us}L")
     lbuck = F.explode(F.array_distinct(F.array(lb, lb + 1)))
     l = left.withColumn("_sb_bucket", lbuck)
     r = right.withColumn("_sb_bucket", rb)
     lo_us, hi_us = lower * 1_000_000, upper * 1_000_000
     cond = (
-        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + lo_us)
-        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + hi_us)
+        (ts_unix_micros(F.col(right_ts)) >= ts_unix_micros(F.col(left_ts)) + lo_us)
+        & (ts_unix_micros(F.col(right_ts)) <= ts_unix_micros(F.col(left_ts)) + hi_us)
     )
     return l.join(r, [*keys, "_sb_bucket"]).where(cond).drop("_sb_bucket")
 
