@@ -89,7 +89,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from swiftbeaver_spark.parsers.timeconv import ts_unix_micros
+from swiftbeaver_spark.parsers.timeconv import NTZ_EPOCH_SQL, ts_unix_micros
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -113,7 +113,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # build TIMESTAMP_NTZ directly (naive UTC) so this fallback
+            # agrees with the direct parquet-µs path, which Spark infers
+            # as NTZ — timestamp_micros would make an instant that
+            # shifts under a non-UTC driver session
+            df = df.withColumn(
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND", F.expr("ts div 1000"), F.expr(NTZ_EPOCH_SQL)
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

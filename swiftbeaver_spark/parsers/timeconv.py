@@ -33,29 +33,41 @@ def ts_unix_micros(col: Column) -> Column:
 
 
 def ts_unix_micros_sql(col_name: str) -> str:
-    """SQL-expression twin of ts_unix_micros for F.expr() call sites."""
+    """SQL-expression twin of ts_unix_micros for F.expr() call sites.
+    The identifier is backtick-quoted so names needing quoting (spaces,
+    dots, hyphens) survive the string interpolation."""
+    quoted = "`" + col_name.replace("`", "``") + "`"
     return (
         f"timestampdiff(MICROSECOND, {NTZ_EPOCH_SQL},"
-        f" CAST({col_name} AS TIMESTAMP_NTZ))"
+        f" CAST({quoted} AS TIMESTAMP_NTZ))"
     )
 
 
+def ntz_from_unix_micros(col: Column) -> Column:
+    """µs since epoch -> TIMESTAMP_NTZ (naive UTC wall clock) — pure
+    integer arithmetic against an NTZ anchor, so the result is
+    identical under any driver session timezone (unlike
+    `timestamp_micros`, which builds an instant that renders through
+    the session zone)."""
+    return F.timestamp_add("MICROSECOND", col, F.expr(NTZ_EPOCH_SQL))
+
+
 def webkit_micros_to_timestamp(col: Column) -> Column:
-    """µs since 1601-01-01 -> timestamp; <=0 -> null
+    """µs since 1601-01-01 -> TIMESTAMP_NTZ; <=0 -> null
     (reference src/parsers/time.rs:1-12)."""
-    return F.when(col > 0, F.timestamp_micros(col - F.lit(WEBKIT_EPOCH_OFFSET_US)))
+    return F.when(col > 0, ntz_from_unix_micros(col - F.lit(WEBKIT_EPOCH_OFFSET_US)))
 
 
 def unix_micros_to_timestamp(col: Column) -> Column:
-    """µs since epoch -> timestamp; <=0 -> null
+    """µs since epoch -> TIMESTAMP_NTZ; <=0 -> null
     (reference src/parsers/time.rs:14-21)."""
-    return F.when(col > 0, F.timestamp_micros(col))
+    return F.when(col > 0, ntz_from_unix_micros(col))
 
 
 def unix_seconds_to_timestamp(col: Column) -> Column:
-    """Firefox cookie expiry: seconds -> timestamp
+    """Firefox cookie expiry: seconds -> TIMESTAMP_NTZ
     (reference src/parsers/sqlite_db.rs:412-413)."""
-    return F.when(col > 0, F.timestamp_seconds(col))
+    return F.when(col > 0, ntz_from_unix_micros(col.cast("long") * F.lit(1_000_000)))
 
 
 def python_webkit_to_datetime(value: int):

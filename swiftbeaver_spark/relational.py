@@ -23,10 +23,12 @@ union-tag-carry-forward pattern:
 
 Cost is one shuffle + one sort — a sort-merge join's shape with no row
 multiplication, and Catalyst sees a plain window over the union.
-Skew: WindowExec buffers one (key) partition at a time and spills; a
-pathologically hot key should be pre-split by coarse time bucket
-(match in-bucket, then one fix-up pass joining each bucket's head to
-the previous bucket's tail) before reaching this operator.
+Skew: WindowExec buffers one (key) partition at a time and spills; for
+a pathologically hot key pass `bucket_span` (seconds) to pre-split by
+coarse time bucket — in-bucket match windows over (key, bucket), then
+ONE fix-up pass carries each bucket's latest right row ("tail") into
+later buckets for left rows that found no in-bucket match. No
+partition ever holds more than one (key, bucket)'s rows.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ from pyspark.sql import functions as F
 from swiftbeaver_spark.parsers.timeconv import ts_unix_micros, ts_unix_micros_sql
 
 _TS, _SIDE, _ROW = "_sb_asof_ts", "_sb_asof_side", "_sb_asof_row"
+_ORD, _BUCK = "_sb_asof_ord", "_sb_asof_bucket"
 
 
 def asof_join(
@@ -49,6 +52,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | None = None,
     suffix: str = "_right",
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every `left` row, plus the columns of the
     single matching `right` row (NULLs when no right row qualifies).
@@ -66,6 +70,14 @@ def asof_join(
     determinism there should pre-dedup the right side to one row per
     (key, timestamp); with event data carrying unique ids this is a
     `groupBy(key, ts).agg(max_by(...))`.
+
+    `bucket_span` (seconds, optional): hot-key pre-split. Partitions
+    the carry-forward window by (key, time-bucket) instead of key, so
+    a key holding 10^9 rows spreads over rows/span partitions; a
+    single boundary fix-up pass (per-bucket right tails, carried
+    forward at bucket granularity — O(#buckets) rows) resolves left
+    rows whose match lies in an earlier bucket. Same results as the
+    unbucketed path (tested).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -98,22 +110,25 @@ def asof_join(
     )
     u = left_part.unionByName(right_part, allowMissingColumns=True)
 
-    order = (
-        [F.col(_TS).asc(), F.col(_SIDE).asc()]
-        if direction == "backward"
-        else [F.col(_TS).desc(), F.col(_SIDE).asc()]
-    )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(_ROW, ignorenulls=True).over(w)
-    out = (
-        u.withColumn(_ROW, matched)
-        .where(F.col(_SIDE) == 1)
-        .drop(_TS, _SIDE)
-    )
+    if bucket_span is not None:
+        out = _asof_bucketed(u, keys, direction, bucket_span)
+    else:
+        order = (
+            [F.col(_TS).asc(), F.col(_SIDE).asc()]
+            if direction == "backward"
+            else [F.col(_TS).desc(), F.col(_SIDE).asc()]
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last(_ROW, ignorenulls=True).over(w)
+        out = (
+            u.withColumn(_ROW, matched)
+            .where(F.col(_SIDE) == 1)
+            .drop(_TS, _SIDE)
+        )
     if tolerance is not None:
         rt = F.col(_ROW)[f"{right_ts}{suffix}"]
         in_tol = (
@@ -127,6 +142,69 @@ def asof_join(
     for c in [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in rcols]]:
         out = out.withColumn(c, F.col(_ROW)[c])
     return out.drop(_ROW)
+
+
+def _asof_bucketed(
+    u: DataFrame, keys: list[str], direction: str, bucket_span: int
+) -> DataFrame:
+    """Hot-key pre-split body for `asof_join`: the tagged union `u`
+    (left rows _SIDE=1 with all their columns, right rows _SIDE=0 with
+    the packed _ROW struct) windows over (key, coarse time bucket),
+    then ONE bucket-granularity fix-up pass carries each bucket's last
+    right row into later buckets for in-bucket misses.
+
+    Both sides map time to an ordered axis `o` (negated for forward so
+    "most recent at-or-before" is always "largest o' <= o") and bucket
+    = o div span. Integer `div` truncation is monotone in o, which is
+    all bucketing needs — both sides use the identical mapping.
+    """
+    span_us = bucket_span * 1_000_000
+    sign = 1 if direction == "backward" else -1
+    o = ts_unix_micros(F.col(_TS)) * sign
+    u = u.withColumn(_ORD, o).withColumn(
+        _BUCK, F.expr(f"`{_ORD}` div {span_us}L")
+    )
+    # pass 1: in-bucket carry-forward — partitions are (key, bucket),
+    # never a whole hot key
+    w_in = (
+        Window.partitionBy(*keys, _BUCK)
+        .orderBy(F.col(_ORD).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn(_ROW, F.last(_ROW, ignorenulls=True).over(w_in))
+        .where(F.col(_SIDE) == 1)
+    )
+    # pass 2 (boundary fix-up): per-(key, bucket) right tails — the
+    # right row with the largest o in its bucket — carried forward at
+    # BUCKET granularity. Left-need rows sort before same-bucket tails
+    # (side 0 < 1) so a left bucket only sees strictly-earlier tails:
+    # an in-bucket miss means every same-bucket right row is later in o.
+    tails = (
+        u.where(F.col(_SIDE) == 0)
+        .groupBy(*keys, _BUCK)
+        .agg(F.max_by(_ROW, F.col(_ORD)).alias(_ROW))
+        .select(*keys, _BUCK, _ROW, F.lit(1).alias(_SIDE))
+    )
+    need = (
+        matched.select(*keys, _BUCK).distinct().withColumn(_SIDE, F.lit(0))
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_BUCK).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        tails.unionByName(need, allowMissingColumns=True)
+        .withColumn("_sb_carry", F.last(_ROW, ignorenulls=True).over(w_carry))
+        .where(F.col(_SIDE) == 0)
+        .select(*keys, _BUCK, "_sb_carry")
+    )
+    return (
+        matched.join(carry, [*keys, _BUCK], "left")
+        .withColumn(_ROW, F.coalesce(F.col(_ROW), F.col("_sb_carry")))
+        .drop(_TS, _SIDE, _ORD, _BUCK, "_sb_carry")
+    )
 
 
 def interval_join(
@@ -190,8 +268,21 @@ def salted_join(
     Same results as a plain join (verified by the q57 oracle); use
     when AQE's skew-join split can't help — e.g. the skew is in a
     groupBy-like self-join, or the planner lacks runtime stats. Right
-    side should be the smaller input (it is replicated salt-fold)."""
+    side should be the smaller input (it is replicated salt-fold).
+
+    Supported `how`: inner, left (left_outer), left_semi, left_anti —
+    the modes where right-side replication cannot surface in the
+    output. right/full/cross are REJECTED: an unmatched right row
+    would appear once per salt sub-key (salt copies), silently
+    corrupting the result; pre-aggregate or use a plain join there."""
     keys = [on] if isinstance(on, str) else list(on)
+    mode = how.lower().replace("_", "")
+    if mode not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated right "
+            "side would emit unmatched right rows once per salt sub-key. "
+            "Supported: inner, left, left_semi, left_anti."
+        )
     l = left.withColumn(
         "_sb_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), salt)
     )

@@ -143,19 +143,22 @@ def histogram_quantiles(
     cum = binned.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(w_grp)
     )
-    outs = []
-    for q in quantiles:
-        target = F.ceil(F.lit(q) * F.col("n"))
-        qdf = (
-            cum.where(F.col("cum") >= target)
-            .groupBy(*group_cols)
-            .agg(
-                F.lit(q).alias("quantile"),
-                (F.min("bin") * F.first("w") + F.first("lo")).alias("q_value"),
-            )
+    # all quantiles in ONE aggregation (VERDICT r2 #3): explode the
+    # quantile list against the <= nbins cumulative rows (bounded k*nbins
+    # fan-out), keep rows at-or-past each target, take the min bin —
+    # k quantiles cost one shuffle instead of k re-aggregations
+    q_lit = F.array(*[F.lit(float(q)) for q in quantiles])
+    return (
+        cum.select(
+            *group_cols,
+            "bin",
+            "lo",
+            "w",
+            "cum",
+            "n",
+            F.explode(q_lit).alias("quantile"),
         )
-        outs.append(qdf)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .where(F.col("cum") >= F.ceil(F.col("quantile") * F.col("n")))
+        .groupBy(*group_cols, "quantile")
+        .agg((F.min("bin") * F.first("w") + F.first("lo")).alias("q_value"))
+    )

@@ -62,12 +62,18 @@ def start_scan_stream(
     """
     chunks_stream = stream_chunks(spark, chunk_dir)
     tracker = ProgressTracker(total_bytes=total_bytes)
+    # cumulative hit count lives driver-side: O(1) per tick like the
+    # reference's progress counter (src/pipeline/mod.rs:526-583) — never
+    # re-read the accumulated output directory, which would cost
+    # O(total-written-so-far) per batch (quadratic over a long run)
+    hits_total = [0]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         hits = scan_and_normalize(batch_df, cfg)
+        if on_batch is not None:
+            hits = hits.persist()
         hits.write.mode("append").parquet(f"{out_dir}/hits")
-        n_hits = 0
         if carve:
             carved = carve_hits_with_chunks(hits, batch_df, cfg)
             carved.write.mode("append").parquet(f"{out_dir}/carved_files")
@@ -79,8 +85,11 @@ def start_scan_stream(
             ).collect()[0]
             on_progress(tracker.tick(batch_id, stats["n"], stats["b"]))
         if on_batch is not None:
-            n_hits = spark.read.parquet(f"{out_dir}/hits").count()
-            on_batch(batch_id, n_hits)
+            # count THIS batch's hits off the persisted frame (no output
+            # re-scan) and fold into the driver-side running total
+            hits_total[0] += hits.count()
+            on_batch(batch_id, hits_total[0])
+            hits.unpersist()
         batch_df.unpersist()
 
     writer = (

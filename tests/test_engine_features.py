@@ -154,6 +154,35 @@ def test_streaming_progress_snapshots(spark, tmp_path):
     assert all("MiB/s" in str(s) for s in snaps)
 
 
+def test_streaming_on_batch_cumulative_hits(spark, tmp_path):
+    """on_batch receives a driver-side cumulative hit count — O(1) per
+    tick, no re-read of the accumulated output dir (VERDICT r2 #2)."""
+    evidence, offsets = _evidence_with_jpegs(3)
+    chunk_dir = str(tmp_path / "chunks")
+    out_dir = str(tmp_path / "out")
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    materialize_chunks(chunks, chunk_dir)
+
+    ticks = []
+    q = start_scan_stream(
+        spark,
+        chunk_dir,
+        out_dir,
+        CFG,
+        str(tmp_path / "cp"),
+        carve=False,
+        available_now=True,
+        on_batch=lambda bid, total: ticks.append((bid, total)),
+    )
+    q.awaitTermination(120)
+    assert ticks, "no on_batch ticks observed"
+    totals = [t for _, t in ticks]
+    assert totals == sorted(totals)  # cumulative, monotone
+    n_written = spark.read.parquet(f"{out_dir}/hits").count()
+    assert totals[-1] == n_written
+    assert n_written >= len(offsets)
+
+
 def test_max_files_limit(spark, tmp_path):
     evidence, offsets = _evidence_with_jpegs(5)
     path = str(tmp_path / "ev.raw")

@@ -96,6 +96,57 @@ def test_asof_no_row_multiplication_plan(spark, trades, quotes):
     assert "Window" in plan
 
 
+def test_asof_bucketed_matches_unbucketed(spark, trades, quotes):
+    """Hot-key pre-split path (bucket_span) must reproduce the plain
+    path exactly — including cross-bucket matches (the fix-up pass) and
+    unmatched rows, in both directions and under tolerance."""
+    for direction in ("backward", "forward"):
+        want = _collect(asof_join(trades, quotes, on="k", direction=direction))
+        for span in (1, 7, 1000):  # tiny buckets force cross-bucket fix-ups
+            got = _collect(
+                asof_join(
+                    trades, quotes, on="k", direction=direction, bucket_span=span
+                )
+            )
+            assert got == want, (direction, span)
+    want = _collect(
+        asof_join(trades, quotes, on="k", tolerance=F.expr("INTERVAL 6 SECONDS"))
+    )
+    got = _collect(
+        asof_join(
+            trades,
+            quotes,
+            on="k",
+            tolerance=F.expr("INTERVAL 6 SECONDS"),
+            bucket_span=3,
+        )
+    )
+    assert got == want
+
+
+def test_asof_bucketed_hot_key(spark):
+    """One key holding every row: the bucketed path still matches the
+    plain path (this is the skew scenario the pre-split exists for),
+    and its main window partitions on (key, bucket) — the plan's
+    windowspec must include the bucket column."""
+    from swiftbeaver_spark.relational import _BUCK
+
+    left = spark.createDataFrame(
+        [("hot", _ts(i)) for i in range(0, 400, 2)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("hot", _ts(i), float(i)) for i in range(0, 400, 7)],
+        "k string, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="k", bucket_span=30)
+    assert _collect(out) == _collect(asof_join(left, right, on="k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _BUCK in plan
+    # the bucket-granularity fix-up join is allowed; a cartesian/range
+    # join (the naive formulation) is not
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 # --- count-min sketch --------------------------------------------------------
 
 
@@ -177,6 +228,22 @@ def test_histogram_quantiles_monotone_per_group(spark):
     for g, pairs in by_g.items():
         vals = [v for _, v in sorted(pairs)]
         assert vals == sorted(vals), (g, vals)
+
+
+def test_histogram_quantiles_single_pass_plan(spark):
+    """k quantiles cost ONE aggregation over the binned table — the
+    plan must not union k per-quantile re-aggregations (VERDICT r2 #3)."""
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(100)], "g string, v double"
+    )
+    out = histogram_quantiles(df, "v", ["g"], [0.1, 0.5, 0.9, 0.99], nbins=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    # two scans are inherent (global min/max pre-pass + binning); the
+    # old per-quantile implementation had k+1 for k quantiles
+    assert plan.count("Scan ExistingRDD") <= 2, plan
 
 
 # --- linear quality scorer ---------------------------------------------------
@@ -271,6 +338,35 @@ def test_salted_join_left_outer(spark):
         (r["k"], r["rv"]) for r in salted_join(left, right, on="k", how="left").collect()
     }
     assert got == {(1, "r"), (2, None)}
+
+
+def test_salted_join_semi_anti_match_plain(spark):
+    from swiftbeaver_spark.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, f"l{i}") for i in range(30)], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "r1a"), (1, "r1b")], "k long, rv string")
+    for how in ("left_semi", "left_anti"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, on="k", how=how).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        assert got == want, how
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Right/full outer would emit each unmatched right row `salt`
+    times (one per replicated sub-key) — the operator must refuse."""
+    import pytest
+
+    from swiftbeaver_spark.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, lv string")
+    right = spark.createDataFrame([(2, "r")], "k long, rv string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, on="k", how=how)
 
 
 # --- incremental dedup -------------------------------------------------------

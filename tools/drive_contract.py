@@ -5,7 +5,8 @@ and hash the stringified frames. Exit 0 = all green.
 
 This is the STRICT replica of the external driver gate — use it, not
 tools/check_oracle.py (laxer canon), to predict CORRECTNESS results.
-Usage: python tools/drive_contract.py [sf_dir]"""
+Usage: python tools/drive_contract.py [sf_dir] [query_prefix ...]
+(optional prefixes filter which queries run, e.g. `q06 q11`)"""
 import hashlib
 import sys
 
@@ -17,7 +18,9 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:]]
+SF = args[0] if args and not args[0].startswith("q") else "/root/testdata/sf0.01"
+ONLY = tuple(a for a in args if a.startswith("q"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = (
@@ -47,6 +50,8 @@ print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema.fields]}
 oracles = E.oracle_sql()
 fails = []
 for name, fn in E.queries().items():
+    if ONLY and not name.startswith(ONLY):
+        continue
     sdf = fn(spark, SF).toPandas()
     if name not in oracles:
         print(f"{name}: rows-only, {len(sdf)} rows")
