@@ -1630,7 +1630,10 @@ def q29_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("modality"),
         F.lit(None).cast("string").alias("mime"),
-        F.encode("text", "utf-8").alias("payload"),
+        # 'doc:' prefix guarantees the synthetic payload can never match
+        # an image magic (extract_media_meta parses REAL header dims for
+        # BMP/PNG/GIF/JPEG payloads; these fakes must hit the stub path)
+        F.encode(F.concat(F.lit("doc:"), F.col("text")), "utf-8").alias("payload"),
         F.lit(None).cast("string").alias("source_uri"),
     )
     meta = extract_media_meta(media)
@@ -1669,8 +1672,8 @@ def q29_sql() -> str:
       SELECT doc_id AS media_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-             octet_length(encode(text)) AS byte_size,
-             sha256(text) AS sha
+             octet_length(encode('doc:' || text)) AS byte_size,
+             sha256('doc:' || text) AS sha
       FROM documents
     ), v AS (
       SELECT media_id, modality, byte_size, sha,

@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/feature plumbing.
 
-The container has no image/audio codecs, so the decode kernels are
+The container has no image/audio codecs, so the PIXEL decode kernel is
 STUBBED: `decode_image` raises NotImplementedError by design, and the
 deterministic fake (`fake_decode_meta`) stands in so the Spark-side
 plumbing — schema, partitioning, mapInPandas batch shape, feature
 columns — is real and tested end-to-end. Swap `_DECODERS` entries for
 Pillow/torchaudio/av kernels on a cluster with codecs installed.
+
+DIMENSIONS, however, are real where the format allows: BMP/PNG/GIF/
+JPEG headers declare width/height in plain structure (the same header
+logic the carvers walk, carvers/images.py:28,75,129), so
+`header_image_dims` parses them codec-free and `extract_media_meta`
+prefers them — the fake fills in only for codec-requiring formats.
 """
 
 from __future__ import annotations
@@ -63,6 +69,59 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     )
 
 
+def header_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Codec-free (width, height) from the declared header of BMP, PNG,
+    GIF, or baseline/progressive JPEG; None for anything else (or a
+    malformed/truncated header). Pure struct parsing of public formats —
+    the metadata twin of the carvers' structure walks
+    (carvers/images.py: carve_bmp:129, carve_png:28, carve_gif:75)."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\x0a" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", payload, 16)
+            return (w, h) if w > 0 and h > 0 else None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return (w, h) if w > 0 and h > 0 else None
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            # require a valid DIB header size (the carver's gate,
+            # carvers/images.py:_VALID_DIB_SIZES) so arbitrary bytes
+            # starting "BM" never parse as dims
+            dib = struct.unpack_from("<I", payload, 14)[0]
+            if dib == 12:  # BITMAPCOREHEADER: unsigned 16-bit dims
+                w, h = struct.unpack_from("<HH", payload, 18)
+            elif dib in (40, 52, 56, 108, 124):
+                # BITMAPINFOHEADER+: signed 32-bit, height sign = row order
+                w, h = struct.unpack_from("<ii", payload, 18)
+                h = abs(h)
+            else:
+                return None
+            return (w, h) if w > 0 and h > 0 else None
+        if payload[:2] == b"\xff\xd8":
+            # walk marker segments to a SOFn frame header (dims live
+            # there); C4/C8/CC are not frame headers
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None
+                marker = payload[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+                    pos += 2
+                    continue
+                seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return (w, h) if w > 0 and h > 0 else None
+                if marker == 0xDA:  # entropy-coded data follows; no SOF seen
+                    return None
+                pos += 2 + seglen
+    except struct.error:
+        return None
+    return None
+
+
 def fake_decode_meta(modality: str, payload: bytes) -> tuple[int | None, int | None, int | None]:
     """Deterministic stand-in decode: dimensions/duration derived from a
     content hash so tests are stable and the pipeline shape is real."""
@@ -98,6 +157,13 @@ def extract_media_meta(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
                 blob = bytes(payload)
                 w, h, dur = fake_decode_meta(str(modality), blob)
+                if str(modality) == "image":
+                    # real header dims when the format declares them
+                    # (BMP/PNG/GIF/JPEG); the fake stays only for
+                    # codec-requiring payloads
+                    real = header_image_dims(blob)
+                    if real is not None:
+                        w, h = real
                 rows.append(
                     (
                         int(mid),

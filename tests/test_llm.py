@@ -302,3 +302,71 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def _mk_png(w: int, h: int) -> bytes:
+    import struct as _s
+    import zlib
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", zlib.crc32(t + d))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\x0a" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def _mk_gif(w: int, h: int) -> bytes:
+    import struct as _s
+
+    return b"GIF89a" + _s.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def _mk_bmp(w: int, h: int) -> bytes:
+    import struct as _s
+
+    dib = _s.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, 4, 0, 0, 0, 0)
+    return b"BM" + _s.pack("<I", 14 + 40 + 4) + b"\x00" * 4 + _s.pack("<I", 54) + dib
+
+
+def _mk_jpeg_sof(w: int, h: int) -> bytes:
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_image_dims_true_values():
+    """Carve-native formats (BMP/PNG/GIF/JPEG) yield their REAL declared
+    dims codec-free (VERDICT r2 #6); non-image bytes yield None."""
+    from swiftbeaver_spark.llm.multimodal import header_image_dims
+
+    assert header_image_dims(_mk_png(640, 480)) == (640, 480)
+    assert header_image_dims(_mk_gif(320, 200)) == (320, 200)
+    assert header_image_dims(_mk_bmp(800, 600)) == (800, 600)  # abs(-h)
+    assert header_image_dims(_mk_jpeg_sof(1024, 768)) == (1024, 768)
+    assert header_image_dims(b"doc:some text payload") is None
+    assert header_image_dims(b"BM" + b"text that merely starts with BM!") is None
+    assert header_image_dims(b"") is None
+    assert header_image_dims(_mk_png(640, 480)[:12]) is None  # truncated
+
+
+def test_extract_media_meta_real_dims(spark):
+    """extract_media_meta prefers true header dims over the fake for
+    image payloads; codec-requiring payloads keep the stub path."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", _mk_png(640, 480), None),
+            (2, "image", "image/gif", _mk_gif(320, 200), None),
+            (3, "image", "image/bmp", _mk_bmp(800, 600), None),
+            (4, "image", "image/jpeg", _mk_jpeg_sof(1024, 768), None),
+            (5, "image", "image/webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", None),
+        ],
+        "media_id LONG, modality STRING, mime STRING, payload BINARY, source_uri STRING",
+    )
+    meta = {r.media_id: (r.width, r.height) for r in extract_media_meta(media).collect()}
+    assert meta[1] == (640, 480)
+    assert meta[2] == (320, 200)
+    assert meta[3] == (800, 600)
+    assert meta[4] == (1024, 768)
+    assert meta[5][0] is not None  # webp: deterministic stand-in dims
