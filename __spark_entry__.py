@@ -3417,6 +3417,352 @@ def q60_sql() -> str:
     """
 
 
+ROLLUP_BUCKET_S = 3600
+
+
+def q61_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (relational.py::
+    time_bucket_rollup): per-(event_type, 1h bucket) OHLC — open/close
+    deterministically ordered by (ts, event_id), lo/hi/sum/count — all
+    algebraic aggregates, so the shuffle carries at most one row per
+    (type, bucket) per map task."""
+    from swiftbeaver_spark.relational import time_bucket_rollup
+
+    events = _t(spark, sf_dir, "events")
+    out = time_bucket_rollup(
+        events, "ts", ["event_type"], "value", ["event_id"], ROLLUP_BUCKET_S
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_rows",
+        F.format_string("%.6f", F.col("lo")).alias("lo"),
+        F.format_string("%.6f", F.col("hi")).alias("hi"),
+        F.format_string("%.6f", F.round(F.col("sum_value"), 6)).alias("sum_value"),
+        F.format_string("%.6f", F.col("open_value")).alias("open_value"),
+        F.format_string("%.6f", F.col("close_value")).alias("close_value"),
+    ).orderBy("event_type", "bucket")
+
+
+def q61_sql() -> str:
+    span_us = ROLLUP_BUCKET_S * 1_000_000
+    return f"""
+    WITH e AS (
+      SELECT event_type, event_id, value,
+             CAST(ts AS TIMESTAMP) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {span_us} AS bucket
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bucket AS BIGINT) AS bucket,
+           strftime(make_timestamp(bucket * {span_us}), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           printf('%.6f', MIN(value)) AS lo,
+           printf('%.6f', MAX(value)) AS hi,
+           printf('%.6f', ROUND(SUM(value), 6)) AS sum_value,
+           printf('%.6f', FIRST(value ORDER BY t, event_id)) AS open_value,
+           printf('%.6f', LAST(value ORDER BY t, event_id)) AS close_value
+    FROM e
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """
+
+
+BM25_TERMS = ["the", "spark", "merge"]
+BM25_K1, BM25_B = 1.5, 0.75  # exact binary fractions: k1+1, 1-b stay exact
+
+
+def q62_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance with a ratio idf (llm/text.py::bm25_scores) —
+    rank-equivalent to log-idf BM25 but free of transcendentals, so
+    every double is bit-reproducible across engines; only the final
+    per-doc sum needs the established ROUND(...,6) canon."""
+    from swiftbeaver_spark.llm.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+    return out.select(
+        "doc_id",
+        "n_terms_hit",
+        F.format_string("%.6f", F.round(F.col("bm25"), 6)).alias("bm25"),
+    ).orderBy("doc_id")
+
+
+def q62_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), inst AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+      FROM base
+    ), hits AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM inst WHERE term IN ({terms})
+      GROUP BY 1, 2, 3
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), dfs AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY term
+    ), idf AS (
+      SELECT term, (n - df + 0.5) / (df + 0.5) AS idf_r
+      FROM dfs CROSS JOIN nn
+    ), ad AS (
+      SELECT SUM(CAST(len(toks) AS DOUBLE)) / COUNT(*) AS avgdl FROM base
+    ), parts AS (
+      SELECT doc_id,
+             idf_r * (tf * {k1p1}) /
+               (tf + {BM25_K1} * ({one_minus_b} + {BM25_B} * (dl / avgdl)))
+               AS part
+      FROM hits JOIN idf USING (term) CROSS JOIN ad
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           printf('%.6f', ROUND(SUM(part), 6)) AS bm25
+    FROM parts GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+BLOOM_K, BLOOM_PREFIX = 4, 4
+
+
+def q63_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-neutral Bloom filter (sketch.py::bloom_build/probe):
+    members = content hashes of every 17th document; every distinct
+    content hash probes the broadcast filter. The oracle recomputes the
+    exact md5-prefix bit set, so even the (vanishingly rare at this
+    width) false positives would match."""
+    from swiftbeaver_spark.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    members = docs.where(F.col("doc_id") % 17 == 0).select("content_hash")
+    probes = docs.select("content_hash").distinct()
+    out = bloom_probe(
+        bloom_build(members, "content_hash", k=BLOOM_K, prefix_len=BLOOM_PREFIX),
+        probes,
+        "content_hash",
+        k=BLOOM_K,
+        prefix_len=BLOOM_PREFIX,
+    )
+    return out.select(
+        "content_hash", F.col("maybe_member").cast("int").alias("maybe_member")
+    ).orderBy("content_hash")
+
+
+def q63_sql() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents
+    ), js AS (
+      SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j
+    ), bits AS (
+      SELECT DISTINCT j,
+             substr(md5(j || ':' || content_hash), 1, {BLOOM_PREFIX}) AS bucket
+      FROM docs CROSS JOIN js
+      WHERE doc_id % 17 = 0
+    ), probes AS (
+      SELECT DISTINCT content_hash FROM docs
+    ), cells AS (
+      SELECT content_hash, j,
+             substr(md5(j || ':' || content_hash), 1, {BLOOM_PREFIX}) AS bucket
+      FROM probes CROSS JOIN js
+    )
+    SELECT c.content_hash,
+           CAST(COUNT(b.j) = {BLOOM_K} AS INT) AS maybe_member
+    FROM cells c LEFT JOIN bits b USING (j, bucket)
+    GROUP BY c.content_hash
+    ORDER BY c.content_hash
+    """
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q64_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (relational.py::funnel): greedy earliest
+    view -> click -> purchase per user; k-1 user-key equi-joins with
+    type filters pushed to the scan, no whole-history window."""
+    from swiftbeaver_spark.relational import funnel
+
+    events = _t(spark, sf_dir, "events")
+    out = funnel(events, FUNNEL_STEPS)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("step_1_ts", fmt).alias("step_1_ts"),
+        F.coalesce(F.date_format("step_2_ts", fmt), F.lit("")).alias("step_2_ts"),
+        F.coalesce(F.date_format("step_3_ts", fmt), F.lit("")).alias("step_3_ts"),
+        "funnel_depth",
+    ).orderBy("user_id")
+
+
+def q64_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS step_1_ts
+      FROM events WHERE event_type = '{s1}' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS step_2_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND CAST(e.ts AS TIMESTAMP) > s1.step_1_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS step_3_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND CAST(e.ts AS TIMESTAMP) > s2.step_2_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           strftime(step_1_ts, '%Y-%m-%d %H:%M:%S.%f') AS step_1_ts,
+           COALESCE(strftime(step_2_ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS step_2_ts,
+           COALESCE(strftime(step_3_ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS step_3_ts,
+           CAST((step_1_ts IS NOT NULL)::INT + (step_2_ts IS NOT NULL)::INT
+                + (step_3_ts IS NOT NULL)::INT AS INT) AS funnel_depth
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY s1.user_id
+    """
+
+
+def q65_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (relational.py::scd2_intervals): each
+    user's event_type as a changing state — same-instant writes
+    pre-deduped by max event_id, consecutive no-op changes collapsed,
+    validity intervals via per-key lead. Both windows partition on the
+    user key."""
+    from swiftbeaver_spark.relational import scd2_intervals
+
+    events = _t(spark, sf_dir, "events")
+    changes = events.groupBy("user_id", "ts").agg(
+        F.max_by("event_type", "event_id").alias("state")
+    )
+    out = scd2_intervals(changes, ["user_id"], "ts", ["state"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("")).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+def q65_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             arg_max(event_type, event_id) AS state
+      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ), ch AS (
+      SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM d
+    ), kept AS (
+      SELECT user_id, ts, state FROM ch
+      WHERE prev IS NULL OR state <> prev
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             '%Y-%m-%d %H:%M:%S.%f'), '') AS valid_to,
+           CAST((lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+                AS INT) AS is_current
+    FROM kept
+    ORDER BY user_id, valid_from
+    """
+
+
+ZORDER_BITS = 8
+
+
+def q66_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (layout.py::zorder_key): Morton
+    interleave of (user_id mod 256, event_id mod 256) — closed-form
+    bit arithmetic in whole-stage codegen; the layout operator
+    range-partitions by this key so parquet min/max stats prune in
+    BOTH dimensions."""
+    from swiftbeaver_spark.layout import zorder_key
+
+    events = _t(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.col("event_id") % 256).cast("long")
+    return events.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=ZORDER_BITS).alias("z"),
+    ).orderBy("event_id")
+
+
+def q66_sql() -> str:
+    parts = []
+    for i in range(ZORDER_BITS):
+        parts.append(f"((x // {1 << i}) % 2) * {1 << (2 * i)}")
+        parts.append(f"((y // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    z = " + ".join(parts)
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id % 256 AS x, event_id % 256 AS y FROM events
+    )
+    SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST({z} AS BIGINT) AS z
+    FROM e ORDER BY event_id
+    """
+
+
+def q67_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token rarity (llm/text.py::token_rarity) — rare-word
+    quality signal with ALL-INTEGER accumulation (rarity_milli =
+    (1000 * corpus instances) div token count), so the score has zero
+    float-order sensitivity; the mean is one exact double division."""
+    from swiftbeaver_spark.llm.text import token_rarity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_rarity(docs)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "rarity_sum_milli",
+        F.format_string("%.6f", F.col("mean_rarity_milli")).alias(
+            "mean_rarity_milli"
+        ),
+    ).orderBy("doc_id")
+
+
+def q67_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), inst AS (
+      SELECT doc_id, unnest(toks) AS term FROM base
+    ), counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM inst GROUP BY term
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts
+    ), scored AS (
+      SELECT doc_id, (1000 * n_total) // c AS rar
+      FROM inst JOIN counts USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(rar) AS BIGINT) AS rarity_sum_milli,
+           printf('%.6f', CAST(SUM(rar) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS mean_rarity_milli
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -3488,6 +3834,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_incremental_dedup": q58_incremental_dedup,
         "q59_bpe_learn": q59_bpe_learn,
         "q60_curation_pipeline": q60_curation_pipeline,
+        "q61_time_rollup": q61_time_rollup,
+        "q62_bm25": q62_bm25,
+        "q63_bloom_membership": q63_bloom_membership,
+        "q64_funnel": q64_funnel,
+        "q65_scd2": q65_scd2,
+        "q66_zorder": q66_zorder,
+        "q67_token_rarity": q67_token_rarity,
     }
 
 
@@ -3553,4 +3906,11 @@ def oracle_sql() -> dict[str, str]:
         "q58_incremental_dedup": q58_sql(),
         # q59_bpe_learn: iterative (per-merge argmax) — rows-only gate
         "q60_curation_pipeline": q60_sql(),
+        "q61_time_rollup": q61_sql(),
+        "q62_bm25": q62_sql(),
+        "q63_bloom_membership": q63_sql(),
+        "q64_funnel": q64_sql(),
+        "q65_scd2": q65_sql(),
+        "q66_zorder": q66_sql(),
+        "q67_token_rarity": q67_sql(),
     }

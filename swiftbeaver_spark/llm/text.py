@@ -174,3 +174,97 @@ def linear_quality_score(
             ).alias("quality_score"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term
+    set, with a RATIO idf — idf_r = (N - df + 0.5) / (df + 0.5) — in
+    place of the usual log(idf_r). The ranking is identical (log is
+    monotone) and the arithmetic stays inside IEEE correctly-rounded
+    ops (+,-,*,/), so scores are bit-reproducible across engines —
+    transcendental log is the one piece libms disagree on.
+
+    Scale: doc lengths and per-(doc, term) tfs are one map pass over
+    the corpus; df per term and the global avgdl are tiny aggregates
+    broadcast back; the score is a map-side expression. No shuffle
+    carries more than one row per (doc, query term) — query terms are
+    a handful, so this is O(matching docs), the inverted-index shape
+    without materializing an index.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        token_count_whitespace(F.col(text_col)).cast("double").alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isin(*query_terms))
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    n_docs = docs.select(F.count("*").cast("double").alias("n"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .join(F.broadcast(n_docs))
+        .withColumn("idf_r", (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    avgdl = (
+        docs.select(
+            token_count_whitespace(F.col(text_col)).cast("double").alias("dl")
+        )
+        .agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    core = (
+        tf.join(F.broadcast(df_t.select("term", "idf_r")), "term")
+        .join(F.broadcast(avgdl))
+        .withColumn(
+            "part",
+            F.col("idf_r")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))),
+        )
+    )
+    return core.groupBy(id_col).agg(
+        F.sum("part").alias("bm25"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+
+
+def token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean token rarity per document — a rare-word quality signal:
+    for each token instance, rarity_milli = (1000 * total corpus token
+    instances) div that token's corpus count (integer div, exact);
+    the document score is the integer-sum of rarities over its tokens
+    divided by its token count (one exact double division at the end).
+    All-integer accumulation means zero float-order sensitivity — the
+    score is bit-identical on any engine and any partitioning.
+
+    Scale: token counts are one shuffle on the token value with
+    map-side combine (the word-count shape); totals broadcast; the
+    per-doc sum shuffles on doc id. The hot-token skew a global sort
+    would feel is absorbed by partial aggregation.
+    """
+    inst = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = inst.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    scored = (
+        inst.join(counts, "term")
+        .join(F.broadcast(total))
+        .withColumn("rar_milli", F.expr("(1000 * n_total) div c"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum("rar_milli").cast("long").alias("rarity_sum_milli"),
+        (F.sum("rar_milli") / F.count("*")).alias("mean_rarity_milli"),
+    )

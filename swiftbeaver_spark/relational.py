@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from swiftbeaver_spark.parsers.timeconv import ts_unix_micros, ts_unix_micros_sql
+from swiftbeaver_spark.parsers.timeconv import (
+    ntz_from_unix_micros,
+    ts_unix_micros,
+    ts_unix_micros_sql,
+)
 
 _TS, _SIDE, _ROW = "_sb_asof_ts", "_sb_asof_side", "_sb_asof_row"
 _ORD, _BUCK = "_sb_asof_ord", "_sb_asof_bucket"
@@ -290,3 +294,127 @@ def salted_join(
         "_sb_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_sb_salt", F.col("_sb_salt").cast("bigint"))
     return l.join(r, [*keys, "_sb_salt"], how).drop("_sb_salt")
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one row per
+    (key, fixed time bucket) with OHLC-shaped aggregates — open/close
+    (first/last value ordered by (ts, *order_cols) inside the bucket),
+    lo/hi, sum, count — plus the bucket start timestamp.
+
+    Scale: count/min/max/sum and the open/close (min/max over an
+    ordering struct) are ALL algebraic aggregates, so Catalyst plans
+    map-side partial aggregation: each map task ships at most one row
+    per (key, bucket) into the single shuffle, regardless of input
+    size. This is the TimescaleDB continuous-aggregate shape on plain
+    DataFrame ops. `order_cols` must make (ts, *order_cols) unique per
+    key for deterministic open/close (an event id column does).
+    """
+    span_us = bucket_seconds * 1_000_000
+    bucket = F.expr(f"({ts_unix_micros_sql(ts_col)}) div {span_us}L")
+    ordk = F.struct(
+        ts_unix_micros(F.col(ts_col)).alias("_o"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).alias("_v"),
+    )
+    return (
+        df.groupBy(*key_cols, bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(ordk).getField("_v").alias("open_value"),
+            F.max(ordk).getField("_v").alias("close_value"),
+        )
+        .withColumn(
+            "bucket_start", ntz_from_unix_micros(F.col("bucket") * span_us)
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the greedy earliest
+    completion of `steps` — step_i's timestamp is the MIN event time of
+    type steps[i] strictly after step_{i-1}'s timestamp. One row per
+    user who reached step 1: step_{i}_ts columns (NULL once the funnel
+    breaks) and `funnel_depth` = number of steps reached.
+
+    Scale: k-1 equi-joins on the user key, each preceded by a
+    type-filter that pushes down to the scan — no window over a user's
+    whole history, no per-user iteration. All joins share the user-key
+    partitioning, so AQE coalesces them onto one exchange lineage; a
+    hot user costs only its per-type event count, not a cross product.
+    Greedy-earliest is the standard funnel semantics: it maximizes the
+    chance of completing later steps, so depth is well-defined.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    out = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("_sb_ts"))
+            .join(out.select(user_col, prev), user_col)
+            .where(F.col("_sb_ts") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("_sb_ts").alias(f"step_{i}_ts"))
+        )
+        out = out.join(nxt, user_col, "left")
+    depth = sum(
+        (F.col(f"step_{i}_ts").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
+        start=F.lit(0),
+    )
+    return out.withColumn("funnel_depth", depth)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Change-log -> SCD2 (slowly-changing-dimension type 2) history:
+    collapse consecutive rows whose attributes are unchanged, then emit
+    validity intervals per key — valid_from = the change's timestamp,
+    valid_to = the NEXT change's timestamp (NULL on the current row),
+    is_current flag.
+
+    Scale: two windows, both partitioned by the dimension key —
+    partition size is one key's change count, never the table. The
+    no-op-change collapse (lag compare on the attribute struct) runs
+    before the interval window, so churn-heavy change logs shrink
+    before the second sort. Requires unique (key, ts): pre-dedup
+    upstream (`groupBy(key, ts).agg(max_by(...))`) if the log has
+    same-instant writes.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    changed = (
+        changes.withColumn("_sb_prev", F.lag(attrs).over(w))
+        .where(F.col("_sb_prev").isNull() | (attrs != F.col("_sb_prev")))
+        .drop("_sb_prev")
+    )
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -162,3 +162,69 @@ def histogram_quantiles(
         .groupBy(*group_cols, "quantile")
         .agg((F.min("bin") * F.first("w") + F.first("lo")).alias("q_value"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Build an engine-neutral Bloom filter over `value_col`: the set
+    of SET BITS as rows (hash row j 0..k-1, bucket = md5-prefix key,
+    width 16^prefix_len per row). Same md5-prefix bucketing as the
+    count-min sketch, so any SQL engine reproduces membership exactly.
+
+    Scale: output is bounded at k * 16^prefix_len rows no matter the
+    input (distinct collapses map-side first); the filter is mergeable
+    across datasets by unioning + distinct. The probe side broadcasts
+    it (bloom_probe), giving a shuffle-free membership pre-filter —
+    the classic use: drop non-members before an expensive join.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col(value_col), j, prefix_len).alias("bucket"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.select("cell.j", "cell.bucket").distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    k: int = 4,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Membership test for each probe row: `maybe_member` is true iff
+    ALL k bucket bits are set (Bloom semantics — no false negatives,
+    false positives at the classic (1-e^{-kn/m})^k rate). The filter is
+    broadcast; the probe side never shuffles."""
+    keyed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col(value_col), j, prefix_len).alias("bucket"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", "cell.j", "cell.bucket")
+    hit = F.broadcast(bloom.withColumn("_sb_set", F.lit(1)))
+    return (
+        keyed.join(hit, ["j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg((F.count("_sb_set") == k).alias("maybe_member"))
+    )

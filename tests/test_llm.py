@@ -370,3 +370,56 @@ def test_extract_media_meta_real_dims(spark):
     assert meta[3] == (800, 600)
     assert meta[4] == (1024, 768)
     assert meta[5][0] is not None  # webp: deterministic stand-in dims
+
+
+def test_bm25_ranking(spark):
+    from swiftbeaver_spark.llm.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),          # high tf on 'spark'
+            (2, "spark engine"),                      # one hit each
+            (3, "engine engine engine engine"),       # only 'engine' (common)
+            (4, "nothing relevant here at all"),      # no hits
+            (5, "database engine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_scores(docs, ["spark", "engine"]).collect()}
+    assert 4 not in got                     # no matching term -> no row
+    assert got[1]["bm25"] > got[2]["bm25"]  # higher tf wins
+    # 'spark' is rarer than 'engine' -> doc with spark outranks engine-only
+    assert got[2]["bm25"] > got[3]["bm25"]
+    assert got[2]["n_terms_hit"] == 2 and got[3]["n_terms_hit"] == 1
+
+
+def test_bm25_no_transcendentals_reproducible(spark):
+    """Two runs produce bit-identical doubles (ratio idf, no log)."""
+    from swiftbeaver_spark.llm.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} term{i % 3} filler words {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["term1", "term2"]).collect()}
+    b = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["term1", "term2"]).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_token_rarity_integer_exact(spark):
+    from swiftbeaver_spark.llm.text import token_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus: common x5, rare x1, total 6
+    got = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+    # doc1: 3*(6000 div 5) + (6000 div 1) = 3*1200 + 6000 = 9600; /4 = 2400
+    assert got[1]["rarity_sum_milli"] == 9600
+    assert got[1]["mean_rarity_milli"] == 2400.0
+    # doc2: 2*1200/2 = 1200
+    assert got[2]["mean_rarity_milli"] == 1200.0

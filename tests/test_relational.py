@@ -392,3 +392,184 @@ def test_incremental_exact_dedup(spark):
         for r in incremental_exact_dedup(new, seen).collect()
     }
     assert got == {11: 2, 13: 1}
+
+
+# --- time-bucket rollup ------------------------------------------------------
+
+
+def test_time_bucket_rollup_ohlc(spark):
+    from swiftbeaver_spark.relational import time_bucket_rollup
+
+    rows = [
+        ("a", _ts(0), 1, 10.0),
+        ("a", _ts(30), 2, 5.0),
+        ("a", _ts(59), 3, 20.0),   # same 60s bucket
+        ("a", _ts(61), 4, 7.0),    # next bucket
+        ("b", _ts(5), 5, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    out = {
+        (r["k"], r["bucket"]): r
+        for r in time_bucket_rollup(df, "ts", ["k"], "v", ["eid"], 60).collect()
+    }
+    first = out[("a", min(b for (k, b) in out if k == "a"))]
+    assert first["n_rows"] == 3
+    assert first["open_value"] == 10.0 and first["close_value"] == 20.0
+    assert first["lo"] == 5.0 and first["hi"] == 20.0
+    assert first["sum_value"] == 35.0
+    assert first["bucket_start"].second in (0,)  # aligned to bucket edge
+    assert len(out) == 3
+
+
+def test_time_bucket_rollup_partial_agg_plan(spark):
+    """The rollup must plan map-side partial aggregation — the shape
+    that bounds shuffle volume at one row per (key, bucket) per task."""
+    from swiftbeaver_spark.relational import time_bucket_rollup
+
+    df = spark.createDataFrame(
+        [("a", _ts(i), i, float(i)) for i in range(100)],
+        "k string, ts timestamp, eid long, v double",
+    )
+    plan = (
+        time_bucket_rollup(df, "ts", ["k"], "v", ["eid"], 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+# --- funnel ------------------------------------------------------------------
+
+
+def test_funnel_greedy_earliest(spark):
+    from swiftbeaver_spark.relational import funnel
+
+    rows = [
+        # u1 completes A->B->C
+        (1, _ts(0), "A"), (1, _ts(10), "B"), (1, _ts(20), "C"),
+        # u2: B before A only -> depth 1
+        (2, _ts(0), "B"), (2, _ts(10), "A"),
+        # u3: A then C (no B) -> depth 1
+        (3, _ts(0), "A"), (3, _ts(5), "C"),
+        # u4: never A -> not in output
+        (4, _ts(0), "B"),
+        # u5: A,B at same ts -> strict > excludes the tie -> depth 1,
+        # then a later B counts
+        (5, _ts(0), "A"), (5, _ts(0), "B"), (5, _ts(9), "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["funnel_depth"] == 3 and got[1]["step_3_ts"] == _ts(20)
+    assert got[2]["funnel_depth"] == 1 and got[2]["step_2_ts"] is None
+    assert got[3]["funnel_depth"] == 1
+    assert got[5]["funnel_depth"] == 2 and got[5]["step_2_ts"] == _ts(9)
+
+
+def test_funnel_greedy_beats_naive(spark):
+    """Greedy-earliest chaining: u picks the EARLIEST qualifying B even
+    though a later B would also chain to C — depth is maximal."""
+    from swiftbeaver_spark.relational import funnel
+
+    rows = [(1, _ts(0), "A"), (1, _ts(5), "B"), (1, _ts(50), "B"), (1, _ts(10), "C")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = funnel(df, ["A", "B", "C"]).collect()[0]
+    assert r["step_2_ts"] == _ts(5) and r["step_3_ts"] == _ts(10)
+
+
+# --- SCD2 --------------------------------------------------------------------
+
+
+def test_scd2_intervals(spark):
+    from swiftbeaver_spark.relational import scd2_intervals
+
+    rows = [
+        (1, _ts(0), "bronze"),
+        (1, _ts(10), "bronze"),   # no-op change -> collapsed
+        (1, _ts(20), "silver"),
+        (1, _ts(30), "gold"),
+        (2, _ts(5), "silver"),
+    ]
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, tier string")
+    out = scd2_intervals(df, ["cust"], "ts", ["tier"]).collect()
+    one = sorted([r for r in out if r["cust"] == 1], key=lambda r: r["valid_from"])
+    assert [r["tier"] for r in one] == ["bronze", "silver", "gold"]
+    assert one[0]["valid_from"] == _ts(0) and one[0]["valid_to"] == _ts(20)
+    assert one[1]["valid_to"] == _ts(30)
+    assert one[2]["valid_to"] is None and one[2]["is_current"]
+    two = [r for r in out if r["cust"] == 2]
+    assert len(two) == 1 and two[0]["is_current"]
+
+
+# --- bloom filter ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    from swiftbeaver_spark.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "v string")
+    bloom = bloom_build(members, "v", k=4, prefix_len=4)
+    assert bloom.count() <= 4 * 16**4
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)] + [(f"x{i}",) for i in range(200)], "v string"
+    ).distinct()
+    got = {r["v"]: r["maybe_member"] for r in bloom_probe(bloom, probes, "v", k=4, prefix_len=4).collect()}
+    # Bloom guarantee: every member reports true
+    assert all(got[f"m{i}"] for i in range(200))
+    # 200 members in 65536-bucket rows: false-positive rate ~ (200/65536)^4 ~ 1e-10
+    assert sum(got[f"x{i}"] for i in range(200)) == 0
+
+
+def test_bloom_probe_broadcasts(spark):
+    from swiftbeaver_spark.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    probes = spark.createDataFrame([("a",), ("z",)], "v string")
+    plan = (
+        bloom_probe(bloom_build(members, "v"), probes, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- z-order layout ----------------------------------------------------------
+
+
+def test_zorder_key_values(spark):
+    from swiftbeaver_spark.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (2, 2)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(3, 1)] == 0b0111  # x bits at even positions, y at odd
+    assert got[(2, 2)] == 0b1100
+
+
+def test_zorder_layout_locality(spark):
+    """Range-partitioning by the Morton key keeps 2-d neighborhoods in
+    few partitions: a small x-y box must not scatter over all of them."""
+    from swiftbeaver_spark.layout import zorder_key, zorder_layout
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    laid = zorder_layout(df, ["x", "y"], bits=6, num_partitions=16)
+    pid = laid.withColumn("pid", F.spark_partition_id())
+    box = pid.where((F.col("x") < 8) & (F.col("y") < 8))
+    n_parts = box.select("pid").distinct().count()
+    assert n_parts <= 4, f"8x8 box scattered over {n_parts} partitions"
+
+
+def test_zorder_key_width_guard():
+    import pytest
+
+    from swiftbeaver_spark.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2), F.lit(3), F.lit(4)], bits=16)
