@@ -3763,6 +3763,135 @@ def q67_sql() -> str:
     """
 
 
+FIXED_K = 25
+
+
+def q68_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (llm/pipeline.py::
+    stratified_fixed_k): md5(id) rank inside each language, keep
+    rank <= k. Membership is a pure function of the id set —
+    reproducible on any engine/partitioning (the oracle replays the
+    identical rank)."""
+    from swiftbeaver_spark.llm.pipeline import stratified_fixed_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_fixed_k(docs, FIXED_K, strata_col="lang")
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def q68_sql() -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rnk <= {FIXED_K}
+    ORDER BY lang, doc_id
+    """
+
+
+SKEW_TOPN = 20
+
+
+def q69_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler (relational.py::skew_profile): the 20
+    heaviest user keys in the event stream with integer per-mille
+    shares — the pre-join diagnostic that decides salting/pre-split.
+    TakeOrdered top-n (plan-tested), totals broadcast, all-integer."""
+    from swiftbeaver_spark.relational import skew_profile
+
+    events = _t(spark, sf_dir, "events")
+    out = skew_profile(events, ["user_id"], topn=SKEW_TOPN)
+    return out.select(
+        "rank", "user_id", "cnt", "total_rows", "n_keys", "share_milli"
+    ).orderBy("rank")
+
+
+def q69_sql() -> str:
+    return f"""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM c
+    ), top AS (
+      SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPN}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank,
+           user_id, cnt, total_rows, n_keys,
+           (1000 * cnt) // total_rows AS share_milli
+    FROM top CROSS JOIN t
+    ORDER BY rank
+    """
+
+
+def q70_sketch_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven outlier filter: events whose value exceeds their
+    type's p99 from the histogram quantile sketch (q54's operator),
+    broadcast back as the threshold — the at-scale pattern for outlier
+    removal (a per-group EXACT percentile would need a full sort per
+    group; the sketch is one bounded-shuffle pass and the filter is
+    map-side). Thresholds and comparisons replay exactly in SQL."""
+    from swiftbeaver_spark.sketch import histogram_quantiles
+
+    events = _t(spark, sf_dir, "events")
+    p99 = histogram_quantiles(
+        events, "value", ["event_type"], [0.99], nbins=HIST_BINS
+    ).select("event_type", "q_value")
+    out = events.join(F.broadcast(p99), "event_type").where(
+        F.col("value") > F.col("q_value")
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.format_string("%.6f", F.col("value")).alias("value"),
+        F.format_string("%.6f", F.col("q_value")).alias("p99"),
+    ).orderBy("event_id")
+
+
+def q70_sql() -> str:
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+      FROM events
+    ), b2 AS (
+      SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / {HIST_BINS}
+                      ELSE 1.0 END AS w
+      FROM bounds
+    ), binned AS (
+      SELECT event_type,
+             CAST(LEAST(FLOOR((value - lo) / w), {HIST_BINS - 1}) AS BIGINT)
+               AS bin,
+             lo, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN b2
+      GROUP BY 1, 2, 3, 4
+    ), cum AS (
+      SELECT event_type, bin, lo, w, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM binned
+    ), p99 AS (
+      SELECT event_type, MIN(bin) * ANY_VALUE(w) + ANY_VALUE(lo) AS q_value
+      FROM cum
+      WHERE cum >= CEIL(0.99 * n)
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           printf('%.6f', e.value) AS value,
+           printf('%.6f', p.q_value) AS p99
+    FROM events e JOIN p99 p USING (event_type)
+    WHERE e.value > p.q_value
+    ORDER BY e.event_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -3841,6 +3970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_scd2": q65_scd2,
         "q66_zorder": q66_zorder,
         "q67_token_rarity": q67_token_rarity,
+        "q68_stratified_fixed_k": q68_stratified_fixed_k,
+        "q69_skew_profile": q69_skew_profile,
+        "q70_sketch_outliers": q70_sketch_outliers,
     }
 
 
@@ -3913,4 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_scd2": q65_sql(),
         "q66_zorder": q66_sql(),
         "q67_token_rarity": q67_sql(),
+        "q68_stratified_fixed_k": q68_sql(),
+        "q69_skew_profile": q69_sql(),
+        "q70_sketch_outliers": q70_sql(),
     }

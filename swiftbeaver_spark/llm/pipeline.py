@@ -417,3 +417,33 @@ def crossdoc_dup_ngrams(
             ).alias("dup_frac"),
         )
     )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic EXACTLY-k-per-stratum sample: rank rows inside
+    each stratum by md5(id) and keep rank <= k (all rows when a
+    stratum holds fewer). Complements `hash_sample` (rate-based) and
+    `weighted_sample` (global A-ES): membership is a pure function of
+    the id set — no RNG, reproducible on any cluster or engine.
+
+    Scale: one shuffle on the stratum key; the rank window sorts one
+    stratum per partition. Strata are the unit of skew here (a 10^9-row
+    stratum sorts in one partition) — for pathological strata sizes,
+    pre-filter with `hash_sample` at a rate that overshoots k, then
+    apply this exact cut; the md5 gate composes (both are prefix cuts
+    of the same hash order).
+    """
+    from pyspark.sql import Window as W
+
+    rank_key = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    w = W.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_sb_rank", F.row_number().over(w))
+        .where(F.col("_sb_rank") <= k)
+        .drop("_sb_rank")
+    )

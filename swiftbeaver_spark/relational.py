@@ -418,3 +418,35 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    topn: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostics for join/agg planning: the `topn`
+    heaviest keys with their counts, integer per-mille share of all
+    rows, plus total-row and distinct-key counts on every row. The
+    operator you run BEFORE choosing a join strategy — a share_milli
+    in the hundreds on one key is the signal to salt (salted_join) or
+    pre-split (asof_join bucket_span).
+
+    Scale: per-key counts are one partial-agg shuffle; the top-n is
+    TakeOrdered (no global sort materializes); the rank window runs
+    over <= topn rows; totals broadcast. All-integer output — exact on
+    any engine. Ties break by key ascending for determinism.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").cast("long").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    order = [F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]]
+    top = counts.orderBy(*order).limit(topn)
+    w = Window.orderBy(*order)  # <= topn rows: the global window is bounded
+    return (
+        top.join(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("share_milli", F.expr("(1000 * cnt) div total_rows"))
+    )

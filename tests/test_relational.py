@@ -573,3 +573,61 @@ def test_zorder_key_width_guard():
 
     with pytest.raises(ValueError):
         zorder_key([F.lit(1), F.lit(2), F.lit(3), F.lit(4)], bits=16)
+
+
+# --- skew profile ------------------------------------------------------------
+
+
+def test_skew_profile_values(spark):
+    from swiftbeaver_spark.relational import skew_profile
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_profile(df, ["k"], topn=3).collect()}
+    assert len(out) == 3
+    assert out[1]["k"] == "hot" and out[1]["cnt"] == 70
+    assert out[1]["share_milli"] == 700  # (1000*70) div 100
+    assert out[2]["k"] == "warm"
+    assert out[3]["k"] == "a"  # tie with b -> key asc
+    assert all(r["total_rows"] == 100 and r["n_keys"] == 4 for r in out.values())
+
+
+def test_skew_profile_take_ordered_plan(spark):
+    """Top-n must compile to TakeOrdered — no global sort of the key
+    count table."""
+    from swiftbeaver_spark.relational import skew_profile
+
+    df = spark.createDataFrame([(i % 50,) for i in range(500)], "k long")
+    plan = skew_profile(df, ["k"], topn=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- stratified fixed-k sample ----------------------------------------------
+
+
+def test_stratified_fixed_k(spark):
+    from swiftbeaver_spark.llm.pipeline import stratified_fixed_k
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_k(df, 10, strata_col="lang")
+    by_lang = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": 10, "de": 10}
+    # deterministic: same sample on a rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_fixed_k(df, 10, strata_col="lang").collect())
+    assert a == b
+
+
+def test_stratified_fixed_k_small_stratum_kept_whole(spark):
+    from swiftbeaver_spark.llm.pipeline import stratified_fixed_k
+
+    df = spark.createDataFrame(
+        [(1, "rare"), (2, "rare")] + [(i, "big") for i in range(10, 110)],
+        "doc_id long, lang string",
+    )
+    out = stratified_fixed_k(df, 5, strata_col="lang").collect()
+    assert sum(r["lang"] == "rare" for r in out) == 2
+    assert sum(r["lang"] == "big" for r in out) == 5
