@@ -3892,6 +3892,182 @@ def q70_sql() -> str:
     """
 
 
+EDIT_MAX_DIST = 3
+
+
+def q71_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup join (llm/dedup.py::
+    edit_distance_near_dups) on planted mutations: every doc_id<25
+    gets a ' xy'-suffixed copy (Levenshtein distance exactly 3). The
+    FULL length-band blocked pipeline runs over corpus+mutants; the
+    output is the planted slice, whose distances DuckDB's independent
+    levenshtein() recomputes — two implementations of the same metric
+    cross-checked on ~600-char strings."""
+    from swiftbeaver_spark.llm.dedup import edit_distance_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xy")).alias("text"),
+    )
+    pairs = edit_distance_near_dups(
+        docs.unionByName(mutated), max_dist=EDIT_MAX_DIST
+    )
+    return (
+        pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a")
+    )
+
+
+def q71_sql() -> str:
+    return f"""
+    SELECT doc_id AS doc_a,
+           doc_id + 1000000 AS doc_b,
+           CAST(levenshtein(text, text || ' xy') AS INT) AS dist
+    FROM documents
+    WHERE doc_id < 25
+      AND levenshtein(text, text || ' xy') <= {EDIT_MAX_DIST}
+    ORDER BY doc_a
+    """
+
+
+def q72_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the BM25 query terms: term ->
+    document frequency + sorted posting list (joined to a string —
+    raw arrays crash the driver canon). The full-corpus version is
+    the same plan with the term filter removed; postings stay sorted
+    per term via sort_array, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    ).where(F.col("term").isin(*BM25_TERMS))
+    return (
+        inst.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+def q72_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           string_agg(DISTINCT doc_id ORDER BY doc_id) AS postings
+    FROM inst
+    WHERE term IN ({terms})
+    GROUP BY term
+    ORDER BY term
+    """
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q73_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: user x event_type count matrix via Spark's native
+    pivot (compiles to one partial-agg shuffle with the pivot columns
+    as conditional aggregates — same cost as the GROUP BY it
+    replaces, NOT one pass per column)."""
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+def q73_sql() -> str:
+    cols = ",\n           ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def q74_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: order revenue by ROLLUP(region,
+    nation) — grand total, per-region, per-nation in ONE pass
+    (Catalyst expands grouping sets map-side; dims broadcast). NULL
+    grouping labels canonicalized to '(all)' and disambiguated from
+    real NULLs by grouping_id."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    out = joined.rollup("r_name", "n_name").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    return out.select(
+        F.coalesce("r_name", F.lit("(all)")).alias("region"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+        "gid",
+        "n_orders",
+        F.format_string("%.6f", F.col("revenue")).alias("revenue"),
+    ).orderBy("gid", "region", "nation")
+
+
+def q74_sql() -> str:
+    return """
+    WITH j AS (
+      SELECT r.r_name, n.n_name, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT COALESCE(r_name, '(all)') AS region,
+           COALESCE(n_name, '(all)') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           printf('%.6f', ROUND(SUM(o_totalprice), 6)) AS revenue
+    FROM j
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY gid, region, nation
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -3973,6 +4149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_stratified_fixed_k": q68_stratified_fixed_k,
         "q69_skew_profile": q69_skew_profile,
         "q70_sketch_outliers": q70_sketch_outliers,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
+        "q72_inverted_index": q72_inverted_index,
+        "q73_pivot_matrix": q73_pivot_matrix,
+        "q74_rollup_revenue": q74_rollup_revenue,
     }
 
 
@@ -4048,4 +4228,8 @@ def oracle_sql() -> dict[str, str]:
         "q68_stratified_fixed_k": q68_sql(),
         "q69_skew_profile": q69_sql(),
         "q70_sketch_outliers": q70_sql(),
+        "q71_edit_distance_neardup": q71_sql(),
+        "q72_inverted_index": q72_sql(),
+        "q73_pivot_matrix": q73_sql(),
+        "q74_rollup_revenue": q74_sql(),
     }

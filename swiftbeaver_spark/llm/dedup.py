@@ -500,3 +500,53 @@ def incremental_exact_dedup(
         F.min(F.col(id_col)).alias(id_col),
         F.count("*").cast("long").alias("n_batch_copies"),
     )
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    max_dist: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-dup join with length-band blocking: a pair
+    within Levenshtein distance d differs in length by at most d, so
+    bands of width d+1 guarantee the two band numbers differ by <= 1.
+    Each doc lands in bands {b, b+1}; a candidate pair shares a band
+    iff its bands differ by <= 1, and keeping only the copy where the
+    shared band equals max(base_a, base_b) emits each pair EXACTLY
+    once — no distinct() over text-carrying rows. `levenshtein`
+    (JVM built-in, identical across SQL engines) verifies candidates.
+
+    Scale: the join is a plain equi-join on the band key; candidate
+    volume is quadratic only WITHIN a length band, so band width (=
+    max_dist+1) is the knob — tight thresholds keep bands thin. For
+    corpora where many docs share a length, compose with a content
+    pre-block (e.g. simhash bucket) before the verify.
+
+    Output: (doc_a, doc_b, dist), doc_a < doc_b, dist <= max_dist.
+    """
+    w = max_dist + 1
+    base = F.floor(F.length(text_col) / w).cast("long")
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        base.alias("base"),
+        F.explode(F.array(base, base + 1)).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, F.col("a.band") == F.col("b.band"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            F.col("a.band") == F.greatest(F.col("a.base"), F.col("b.base"))
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("a.t"), F.col("b.t")))
+        .where(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

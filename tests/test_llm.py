@@ -423,3 +423,50 @@ def test_token_rarity_integer_exact(spark):
     assert got[1]["mean_rarity_milli"] == 2400.0
     # doc2: 2*1200/2 = 1200
     assert got[2]["mean_rarity_milli"] == 1200.0
+
+
+def test_edit_distance_near_dups(spark):
+    from swiftbeaver_spark.llm.dedup import edit_distance_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dot"),   # dist 1
+            (3, "the quick brown fox jumped over the lazy dog!"), # dist <= 3
+            (4, "a completely different sentence that shares nothing"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in edit_distance_near_dups(docs, 3).collect()}
+    assert got[(1, 2)] == 1
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert all(a != 4 and b != 4 for a, b in got)
+    assert all(a != 5 and b != 5 for a, b in got)
+
+
+def test_edit_distance_pairs_emitted_once(spark):
+    """Same-band pairs appear in two shared bands; the
+    max(base)-band filter must emit each exactly once."""
+    from swiftbeaver_spark.llm.dedup import edit_distance_near_dups
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "aaba")],  # identical lengths
+        "doc_id long, text string",
+    )
+    rows = edit_distance_near_dups(docs, 2).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]  # no duplicates
+
+
+def test_edit_distance_cross_band_pair_found(spark):
+    """A pair whose lengths straddle a band edge (bands differ by 1)
+    must still be found via the +1 band copy."""
+    from swiftbeaver_spark.llm.dedup import edit_distance_near_dups
+
+    # w = 3: len 5 -> band 1, len 6 -> band 2
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcdex")], "doc_id long, text string"
+    )
+    got = edit_distance_near_dups(docs, 2).collect()
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(1, 2, 1)]
