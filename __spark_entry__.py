@@ -4068,6 +4068,76 @@ def q74_sql() -> str:
     """
 
 
+def q75_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: the count-min sketch is exactly
+    mergeable (integer cell sums), so maintaining it per micro-batch —
+    foreachBatch builds a PARTIAL sketch of each batch and appends it;
+    the accumulated partials merge by (j, bucket) SUM — must produce
+    the IDENTICAL sketch a single batch pass builds. q49's oracle
+    replays that batch sketch in SQL, so streaming maintenance sits
+    under the same hash gate. This is the production shape for
+    continuous corpus statistics: per-batch work is bounded by the
+    sketch size, the merge is associative, and no state ever exceeds
+    depth x width rows. (Tempdir source/sink is the LOCAL-harness
+    device; on a cluster these are shared storage.)"""
+    import tempfile
+
+    from swiftbeaver_spark.llm.dedup import normalized_text
+    from swiftbeaver_spark.sketch import countmin_build, countmin_estimate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="sb_q75_")
+    src, acc, ckpt = f"{tmp}/src", f"{tmp}/acc", f"{tmp}/ckpt"
+    # several source files -> several micro-batches
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    def to_tokens(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = countmin_build(
+            to_tokens(batch_df), "token", depth=CMS_DEPTH, prefix_len=CMS_PREFIX
+        )
+        partial.write.mode("append").parquet(acc)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    merged = (
+        spark.read.parquet(acc)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    inst = to_tokens(docs)
+    true_counts = inst.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    probes = true_counts.orderBy(F.desc("true_count"), "token").limit(CMS_TOPK)
+    est = countmin_estimate(
+        merged, probes.select("token"), "token", CMS_DEPTH, CMS_PREFIX
+    )
+    return (
+        probes.join(est, "token")
+        .select("token", "true_count", "cms_est")
+        .orderBy(F.desc("true_count"), "token")
+    )
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4153,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_inverted_index": q72_inverted_index,
         "q73_pivot_matrix": q73_pivot_matrix,
         "q74_rollup_revenue": q74_rollup_revenue,
+        "q75_stream_countmin": q75_stream_countmin,
     }
 
 
@@ -4232,4 +4303,7 @@ def oracle_sql() -> dict[str, str]:
         "q72_inverted_index": q72_sql(),
         "q73_pivot_matrix": q73_sql(),
         "q74_rollup_revenue": q74_sql(),
+        # streaming maintenance of the SAME sketch: q49's batch oracle
+        # gates it — merge-equivalence is the claim under test
+        "q75_stream_countmin": q49_sql(),
     }
