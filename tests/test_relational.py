@@ -631,3 +631,45 @@ def test_stratified_fixed_k_small_stratum_kept_whole(spark):
     out = stratified_fixed_k(df, 5, strata_col="lang").collect()
     assert sum(r["lang"] == "rare" for r in out) == 2
     assert sum(r["lang"] == "big" for r in out) == 5
+
+
+# --- merge upsert ------------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from swiftbeaver_spark.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)],  # update k=2 (null name wins), insert k=4
+        "k long, name string, bal double",
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got[1] == ("a", 10.0)        # untouched
+    assert got[2] == (None, 99.0)       # updated; source NULL overwrites
+    assert got[3] == ("c", 30.0)        # untouched
+    assert got[4] == ("d", 40.0)        # inserted
+    assert len(got) == 4
+
+
+def test_merge_upsert_restricted_update_cols(spark):
+    from swiftbeaver_spark.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, name string, bal double")
+    source = spark.createDataFrame([(1, "ZZZ", 99.0)], "k long, name string, bal double")
+    r = merge_upsert(target, source, ["k"], update_cols=["bal"]).collect()[0]
+    assert r["name"] == "a" and r["bal"] == 99.0  # name NOT updated
+
+
+def test_merge_upsert_rejects_unknown_update_col(spark):
+    import pytest
+
+    from swiftbeaver_spark.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    source = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    with pytest.raises(ValueError, match="update column"):
+        merge_upsert(target, source, ["k"], update_cols=["other"])
