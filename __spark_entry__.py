@@ -4202,6 +4202,39 @@ def q76_sql() -> str:
     """
 
 
+def q77_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (llm/similarity.py::
+    label_centroids): (label, pos) component aggregation — shuffle
+    cardinality = labels x dim regardless of corpus size, map-side
+    combined; no driver collect, no array-valued shuffle."""
+    from swiftbeaver_spark.llm.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(emb)
+    return out.select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("pos"),  # 1-based like SQL
+        "n",
+        F.format_string("%.6f", F.round(F.col("centroid"), 6)).alias("centroid"),
+    ).orderBy("label", "pos")
+
+
+def q77_sql() -> str:
+    return """
+    WITH comps AS (
+      SELECT label, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           printf('%.6f', ROUND(SUM(v) / COUNT(*), 6)) AS centroid
+    FROM comps
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4289,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_rollup_revenue": q74_rollup_revenue,
         "q75_stream_countmin": q75_stream_countmin,
         "q76_merge_upsert": q76_merge_upsert,
+        "q77_label_centroids": q77_label_centroids,
     }
 
 
@@ -4372,4 +4406,5 @@ def oracle_sql() -> dict[str, str]:
         # gates it — merge-equivalence is the claim under test
         "q75_stream_countmin": q49_sql(),
         "q76_merge_upsert": q76_sql(),
+        "q77_label_centroids": q77_sql(),
     }

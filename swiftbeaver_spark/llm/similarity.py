@@ -376,3 +376,30 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (mean vector) — the class-prototype /
+    cluster-summary op: posexplode the vectors to (label, pos, value)
+    and aggregate per component.
+
+    Scale: the shuffle key is (label, pos) — cardinality labels x dim,
+    independent of corpus size — and SUM/COUNT combine map-side, so
+    each map task ships at most labels x dim rows no matter how many
+    vectors it read. This is how vector aggregation avoids both a
+    driver collect and any array-valued shuffle. Output one row per
+    (label, pos): re-assemble with sort_array(collect_list(...)) only
+    if a packed vector is genuinely needed downstream.
+    """
+    comps = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    return comps.groupBy("label", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("v") / F.count("*")).alias("centroid"),
+    )
