@@ -4235,6 +4235,141 @@ def q77_sql() -> str:
     """
 
 
+def q78_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched per micro-batch
+    against a static dimension (each user's first signup time, built
+    batch-side) — stateless in the streaming engine, dim broadcast
+    into every micro-batch. Purchases joined to their user's signup;
+    the oracle is the identical batch join, which stream-static
+    semantics must reproduce exactly. (Tempdir source/sink = local
+    harness device.)"""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    dim = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    tmp = tempfile.mkdtemp(prefix="sb_q78_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    events.select("event_id", "user_id", "event_type", "ts").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    enriched = (
+        stream.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "ts", "signup_ts")
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        spark.read.parquet(out)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("signup_ts", fmt).alias("signup_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q78_sql() -> str:
+    return """
+    WITH dim AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+             AS purchase_ts,
+           strftime(d.signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+    FROM events e JOIN dim d USING (user_id)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """
+
+
+TOPN_PER_GROUP = 3
+
+
+def q79_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n per group: the 3 highest-value orders per region via a
+    rank window partitioned by region — one dim-broadcast join chain,
+    one shuffle on the group key, deterministic (value desc, orderkey
+    asc) tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= TOPN_PER_GROUP)
+        .select(
+            F.col("r_name").alias("region"),
+            "rnk",
+            "o_orderkey",
+            F.format_string("%.6f", F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("region", "rnk")
+    )
+
+
+def q79_sql() -> str:
+    return f"""
+    WITH j AS (
+      SELECT r.r_name, o.o_orderkey, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), ranked AS (
+      SELECT r_name, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY r_name
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS INT) AS rnk
+      FROM j
+    )
+    SELECT r_name AS region, rnk, o_orderkey,
+           printf('%.6f', o_totalprice) AS total_price
+    FROM ranked WHERE rnk <= {TOPN_PER_GROUP}
+    ORDER BY region, rnk
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4323,6 +4458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_stream_countmin": q75_stream_countmin,
         "q76_merge_upsert": q76_merge_upsert,
         "q77_label_centroids": q77_label_centroids,
+        "q78_stream_static_join": q78_stream_static_join,
+        "q79_grouped_topn": q79_grouped_topn,
     }
 
 
@@ -4407,4 +4544,6 @@ def oracle_sql() -> dict[str, str]:
         "q75_stream_countmin": q49_sql(),
         "q76_merge_upsert": q76_sql(),
         "q77_label_centroids": q77_sql(),
+        "q78_stream_static_join": q78_sql(),
+        "q79_grouped_topn": q79_sql(),
     }
