@@ -89,7 +89,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from swiftbeaver_spark.parsers.timeconv import NTZ_EPOCH_SQL, ts_unix_micros
+from swiftbeaver_spark.parsers.timeconv import (
+    NTZ_EPOCH_SQL,
+    ts_unix_micros,
+    ts_unix_micros_sql,
+)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -4370,6 +4374,117 @@ def q79_sql() -> str:
     """
 
 
+PR_DAMPING, PR_ITERS = 0.85, 3
+
+
+def q80_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (relational.py::pagerank) — the
+    web-graph quality-propagation shape used in corpus filtering —
+    over a data-derived interaction graph: within each (event_type,
+    1h bucket) stream ordered by (ts, event_id), an edge links each
+    event's user to the previous event's user; weights = pair counts.
+    The lag window partitions on (type, bucket) — bounded partitions
+    at any scale. The oracle unrolls all three iterations in SQL."""
+    from swiftbeaver_spark.relational import pagerank
+
+    events = _t(spark, sf_dir, "events")
+    bucket = F.expr(f"({ts_unix_micros_sql('ts')}) div {3600 * 1_000_000}L")
+    w_lag = Window.partitionBy("event_type", bucket.alias("b")).orderBy(
+        ts_unix_micros(F.col("ts")), "event_id"
+    )
+    prev_u = F.lag("user_id").over(w_lag)
+    edges = (
+        events.withColumn("src", prev_u)
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .groupBy("src", F.col("user_id").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(
+        edges, weight_col="w", iterations=PR_ITERS, damping=PR_DAMPING
+    )
+    return pr.select(
+        F.col("node").alias("user_id"),
+        F.format_string("%.6f", F.round(F.col("pr") * 1000, 6)).alias("pr_milli"),
+    ).orderBy("user_id")
+
+
+def q80_sql() -> str:
+    d = PR_DAMPING
+    span_us = 3600 * 1_000_000
+    it = """
+    , c{k} AS (
+      SELECT e.dst, SUM(p.pr * e.frac) AS in_c
+      FROM e JOIN pr{j} p ON e.src = p.node
+      GROUP BY e.dst
+    ), pr{k} AS (
+      SELECT nodes.node,
+             (1.0 - {d}) / nn.n + {d} * COALESCE(c{k}.in_c, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN c{k} ON nodes.node = c{k}.dst
+    )"""
+    iters = "".join(it.format(k=i + 1, j=i, d=d) for i in range(PR_ITERS))
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {span_us} AS b,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    ), lagged AS (
+      SELECT user_id AS dst,
+             lag(user_id) OVER (PARTITION BY event_type, b
+                                ORDER BY tus, event_id) AS src
+      FROM ordered
+    ), raw AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lagged WHERE src IS NOT NULL AND src <> dst
+      GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(w) AS outw FROM raw GROUP BY src
+    ), e AS (
+      SELECT r.src, r.dst, r.w / o.outw AS frac
+      FROM raw r JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn
+    ){iters}
+    SELECT node AS user_id,
+           printf('%.6f', ROUND(pr * 1000, 6)) AS pr_milli
+    FROM pr{PR_ITERS}
+    ORDER BY user_id
+    """
+
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q81_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (relational.py::profile_table): per
+    column non-null count, exact distinct, min/max as strings — all
+    in one aggregation over one scan (plan-tested), unpivoted with
+    stack()."""
+    from swiftbeaver_spark.relational import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders, PROFILE_COLS).orderBy("column")
+
+
+def q81_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4460,6 +4575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_label_centroids": q77_label_centroids,
         "q78_stream_static_join": q78_stream_static_join,
         "q79_grouped_topn": q79_grouped_topn,
+        "q80_pagerank": q80_pagerank,
+        "q81_profile": q81_profile,
     }
 
 
@@ -4546,4 +4663,6 @@ def oracle_sql() -> dict[str, str]:
         "q77_label_centroids": q77_sql(),
         "q78_stream_static_join": q78_sql(),
         "q79_grouped_topn": q79_sql(),
+        "q80_pagerank": q80_sql(),
+        "q81_profile": q81_sql(),
     }

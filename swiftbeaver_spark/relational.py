@@ -494,3 +494,90 @@ def merge_upsert(
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return j.select(*out_cols)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank (simplified variant: dangling
+    mass is NOT redistributed — nodes with no in-edges hold the
+    (1-d)/N base). The web-graph quality-propagation shape used in
+    corpus filtering, unrolled to a bounded number of join+aggregate
+    rounds so the whole computation stays one declarative plan.
+
+    Scale per iteration: one shuffle joining ranks to edges on src and
+    one partial-agg shuffle on dst — both on narrow key columns; the
+    rank table is one row per node. Out-degree normalization is
+    precomputed once. `iterations` is deliberately a small constant:
+    each round deepens the plan, so checkpoint/persist between rounds
+    if you raise it past ~10.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "src").withColumn("frac", F.col("w") / F.col("outw"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; the driver holds a single long
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("pr") * F.col("frac")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("in_c"), F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+    return ranks
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler (the ANALYZE-statistics op): per
+    column — non-null count, exact distinct count, min and max as
+    strings. All aggregates compute in ONE aggregation over one scan
+    (Catalyst plans the multiple count-distincts with expand); output
+    unpivots to a row per column.
+
+    For 100 TB profiling swap the exact distincts for the KMV sketch
+    (sketch.py) — same output shape, bounded shuffle; exact mode is
+    the oracle-friendly default.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).cast("long").alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__d`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as "
+        "(column, n_nonnull, n_distinct, min_value, max_value)"
+    )

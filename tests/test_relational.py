@@ -673,3 +673,58 @@ def test_merge_upsert_rejects_unknown_update_col(spark):
     source = spark.createDataFrame([(1, 2.0)], "k long, other double")
     with pytest.raises(ValueError, match="update column"):
         merge_upsert(target, source, ["k"], update_cols=["other"])
+
+
+# --- pagerank ----------------------------------------------------------------
+
+
+def test_pagerank_star_graph(spark):
+    """Hub with all in-edges outranks leaves; ranks a valid
+    distribution-ish (simplified variant, no dangling redistribution)."""
+    from swiftbeaver_spark.relational import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iterations=3).collect()}
+    assert len(pr) == 6
+    assert all(pr[0] > pr[i] for i in range(1, 6))
+    leaves = {round(pr[i], 12) for i in range(1, 6)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_weights_matter(spark):
+    from swiftbeaver_spark.relational import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], "src long, dst long, w double"
+    )
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, weight_col="w", iterations=2).collect()
+    }
+    assert pr[2] > pr[3]
+
+
+# --- table profiler ----------------------------------------------------------
+
+
+def test_profile_table(spark):
+    from swiftbeaver_spark.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, "a")], "k long, s string"
+    )
+    out = {r["column"]: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"]["n_nonnull"] == 4 and out["k"]["n_distinct"] == 3
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "3"
+    assert out["s"]["n_nonnull"] == 3 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+
+
+def test_profile_table_single_scan(spark):
+    from swiftbeaver_spark.relational import profile_table
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, s string")
+    plan = profile_table(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1, plan
