@@ -122,6 +122,66 @@ def header_image_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def header_media_duration_ms(payload: bytes) -> int | None:
+    """Codec-free duration from declared headers: WAV (fmt byte rate +
+    data chunk size) and MP4/MOV (mvhd timescale + duration). None for
+    other formats or malformed headers — like `header_image_dims`,
+    pure struct parsing of public container layouts (the carvers walk
+    the same structures: carvers/media.py wav/mp4 handlers)."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, byte_rate, data_size = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (csize,) = struct.unpack_from("<I", payload, pos + 4)
+                if cid == b"fmt " and csize >= 16:
+                    (byte_rate,) = struct.unpack_from("<I", payload, pos + 16)
+                elif cid == b"data":
+                    data_size = csize
+                if byte_rate and data_size is not None:
+                    return data_size * 1000 // byte_rate if byte_rate else None
+                pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+            return None
+        if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"moov", b"mdat"):
+            # walk top-level boxes to moov, then moov children to mvhd
+            def walk(lo: int, hi: int, name: bytes) -> tuple[int, int] | None:
+                pos = lo
+                while pos + 8 <= hi:
+                    (size,) = struct.unpack_from(">I", payload, pos)
+                    btype = payload[pos + 4 : pos + 8]
+                    if size == 1:  # 64-bit largesize
+                        (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                        body = pos + 16
+                    elif size == 0:  # to end of file
+                        size = hi - pos
+                        body = pos + 8
+                    else:
+                        body = pos + 8
+                    if size < 8 or pos + size > hi:
+                        return None
+                    if btype == name:
+                        return body, pos + size
+                    pos += size
+                return None
+
+            moov = walk(0, len(payload), b"moov")
+            if moov is None:
+                return None
+            mvhd = walk(moov[0], moov[1], b"mvhd")
+            if mvhd is None:
+                return None
+            body = mvhd[0]
+            version = payload[body]
+            if version == 1:
+                timescale, duration = struct.unpack_from(">IQ", payload, body + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", payload, body + 12)
+            return duration * 1000 // timescale if timescale else None
+    except struct.error:
+        return None
+    return None
+
+
 def fake_decode_meta(modality: str, payload: bytes) -> tuple[int | None, int | None, int | None]:
     """Deterministic stand-in decode: dimensions/duration derived from a
     content hash so tests are stable and the pipeline shape is real."""
@@ -164,6 +224,11 @@ def extract_media_meta(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     real = header_image_dims(blob)
                     if real is not None:
                         w, h = real
+                elif str(modality) in ("audio", "video"):
+                    # real duration for WAV / MP4-MOV declared headers
+                    real_d = header_media_duration_ms(blob)
+                    if real_d is not None:
+                        dur = real_d
                 rows.append(
                     (
                         int(mid),

@@ -470,3 +470,56 @@ def test_edit_distance_cross_band_pair_found(spark):
     )
     got = edit_distance_near_dups(docs, 2).collect()
     assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(1, 2, 1)]
+
+
+def _mk_wav_dur(seconds: int, byte_rate: int = 16000) -> bytes:
+    import struct as _s
+
+    data = b"\x00" * (seconds * byte_rate)
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def _mk_mp4_dur(ms: int, version: int = 0) -> bytes:
+    import struct as _s
+
+    timescale = 1000
+    if version == 1:
+        mvhd_body = b"\x01\x00\x00\x00" + b"\x00" * 16 + _s.pack(
+            ">IQ", timescale, ms
+        )
+    else:
+        mvhd_body = b"\x00\x00\x00\x00" + b"\x00" * 8 + _s.pack(
+            ">II", timescale, ms
+        )
+    mvhd = _s.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = _s.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = _s.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_header_media_duration():
+    from swiftbeaver_spark.llm.multimodal import header_media_duration_ms
+
+    assert header_media_duration_ms(_mk_wav_dur(3)) == 3000
+    assert header_media_duration_ms(_mk_mp4_dur(4500)) == 4500
+    assert header_media_duration_ms(_mk_mp4_dur(7250, version=1)) == 7250
+    assert header_media_duration_ms(b"doc:not media at all") is None
+    assert header_media_duration_ms(b"RIFF\x04\x00\x00\x00WAVE") is None  # no chunks
+
+
+def test_extract_media_meta_real_duration(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", _mk_wav_dur(2), None),
+            (2, "video", "video/mp4", _mk_mp4_dur(9000), None),
+            (3, "audio", "audio/mpeg", b"ID3" + b"x" * 50, None),  # stub path
+        ],
+        "media_id LONG, modality STRING, mime STRING, payload BINARY, source_uri STRING",
+    )
+    meta = {r.media_id: r.duration_ms for r in extract_media_meta(media).collect()}
+    assert meta[1] == 2000
+    assert meta[2] == 9000
+    assert meta[3] is not None  # deterministic stand-in for codec formats
