@@ -4485,6 +4485,109 @@ def q81_sql() -> str:
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+def q82_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles: ntile(10) over a deterministic
+    (score, doc_id) total order — the corpus-binning op used to split
+    training data into quality tiers. One shuffle on the language key;
+    ntile semantics pinned across engines."""
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .select("lang", "doc_id", "quality_score", "decile")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q82_sql() -> str:
+    # replicate llm/text.py::linear_quality_score exactly (q55's
+    # formula: md5-bucket integer weights, ROUND(sum/(1000*n), 6),
+    # empty-normalized docs drop), then ntile(10) per language on the
+    # same deterministic (score, doc_id) order
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm}, ' ')) AS token
+      FROM documents WHERE {norm} <> ''
+    ), weighted AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' ||
+                    substr(md5('f:' || token), 1, 3)), 1, 8) AS BIGINT)
+               % 2001 - 1000 AS w
+      FROM toks
+    ), scores AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)), 6)
+               AS quality_score
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT d.lang, s.doc_id, s.quality_score,
+           CAST(ntile(10) OVER (PARTITION BY d.lang
+                                ORDER BY s.quality_score, s.doc_id) AS INT)
+             AS decile
+    FROM scores s JOIN documents d USING (doc_id)
+    ORDER BY d.lang, s.doc_id
+    """
+
+
+def q83_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics pinned: intersectAll / exceptAll (bag
+    intersection/difference — occurrence counts matter, unlike the
+    set variants) between two overlapping event-type projections.
+    Both compile to aggregate-then-generate plans, not joins over
+    duplicated rows."""
+    events = _t(spark, sf_dir, "events")
+    a = events.where(F.col("event_type").isin("view", "click")).select("user_id")
+    b = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id"
+    )
+    inter = a.intersectAll(b).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_inter")
+    )
+    diff = a.exceptAll(b).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_diff")
+    )
+    return (
+        inter.join(diff, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            F.coalesce("n_diff", F.lit(0)).alias("n_diff"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q83_sql() -> str:
+    return """
+    WITH a AS (
+      SELECT user_id FROM events WHERE event_type IN ('view', 'click')
+    ), b AS (
+      SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
+    ), inter AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+      GROUP BY user_id
+    ), diff AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_diff
+      FROM (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+      GROUP BY user_id
+    )
+    SELECT COALESCE(i.user_id, d.user_id) AS user_id,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           COALESCE(d.n_diff, 0) AS n_diff
+    FROM inter i FULL OUTER JOIN diff d ON i.user_id = d.user_id
+    ORDER BY user_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4577,6 +4680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_grouped_topn": q79_grouped_topn,
         "q80_pagerank": q80_pagerank,
         "q81_profile": q81_profile,
+        "q82_quality_deciles": q82_quality_deciles,
+        "q83_multiset_ops": q83_multiset_ops,
     }
 
 
@@ -4665,4 +4770,6 @@ def oracle_sql() -> dict[str, str]:
         "q79_grouped_topn": q79_sql(),
         "q80_pagerank": q80_sql(),
         "q81_profile": q81_sql(),
+        "q82_quality_deciles": q82_sql(),
+        "q83_multiset_ops": q83_sql(),
     }
