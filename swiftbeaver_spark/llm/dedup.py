@@ -519,9 +519,13 @@ def edit_distance_near_dups(
 
     Scale: the join is a plain equi-join on the band key; candidate
     volume is quadratic only WITHIN a length band, so band width (=
-    max_dist+1) is the knob — tight thresholds keep bands thin. For
-    corpora where many docs share a length, compose with a content
-    pre-block (e.g. simhash bucket) before the verify.
+    max_dist+1) is the knob — tight thresholds keep bands thin. The
+    verify is the THRESHOLDED levenshtein (Spark >= 3.5): the banded
+    O(max_dist * n) algorithm, ~n/(2*max_dist) times cheaper per pair
+    than the full O(n^2) matrix — at 600-char docs and d=3 that is
+    ~100x, and it is what keeps dense length bands affordable. For
+    corpora where many docs share a length, additionally compose with
+    a content pre-block (e.g. simhash bucket) before the verify.
 
     Output: (doc_a, doc_b, dist), doc_a < doc_b, dist <= max_dist.
     """
@@ -530,6 +534,7 @@ def edit_distance_near_dups(
     banded = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
+        F.length(text_col).alias("len"),
         base.alias("base"),
         F.explode(F.array(base, base + 1)).alias("band"),
     )
@@ -540,10 +545,17 @@ def edit_distance_near_dups(
         .where(
             F.col("a.band") == F.greatest(F.col("a.base"), F.col("b.base"))
         )
+        # necessary condition, integer-cheap: |len_a - len_b| <= d
+        # (band sharing only bounds the difference by 2w-1)
+        .where(
+            F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
+        )
     )
+    # thresholded form returns -1 when the distance exceeds max_dist
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist)
     return (
-        cand.withColumn("dist", F.levenshtein(F.col("a.t"), F.col("b.t")))
-        .where(F.col("dist") <= max_dist)
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
