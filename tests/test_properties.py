@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis): randomized semantics checks of
+the relational operators against brute-force Python references. Each
+property runs a bounded number of examples (Spark job latency), but
+hypothesis explores the corner regions a hand-written fixture misses —
+empty sides, all-ties, single-key, boundary-straddling timestamps.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=s)
+
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.sampled_from(["a", "b", "c"])
+secs = st.integers(min_value=0, max_value=120)
+
+
+@_settings
+@given(
+    left=st.lists(st.tuples(keys, secs), min_size=1, max_size=12),
+    right=st.lists(st.tuples(keys, secs, st.floats(1, 9)), max_size=12),
+    span=st.integers(min_value=1, max_value=60),
+)
+def test_asof_join_matches_bruteforce(spark, left, right, span):
+    """Backward as-of (plain AND bucketed) == per-row brute force:
+    the latest right row at-or-before, ties broken by union-sort order
+    (right side pre-deduped here to make the reference well-defined)."""
+    rdedup = {}
+    for k, s, v in right:
+        rdedup[(k, s)] = max(v, rdedup.get((k, s), float("-inf")))
+    right_rows = [(k, _ts(s), v) for (k, s), v in sorted(rdedup.items())]
+    ldf = spark.createDataFrame(
+        [(k, _ts(s)) for k, s in left], "k string, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        right_rows or [("z", _ts(0), 0.0)], "k string, ts timestamp, px double"
+    )
+    if not right_rows:
+        rdf = rdf.where(F.lit(False))
+
+    def brute(k, s):
+        cands = [(rs, v) for (rk, rs), v in rdedup.items() if rk == k and rs <= s]
+        return max(cands)[1] if cands else None
+
+    from swiftbeaver_spark.relational import asof_join
+
+    for kwargs in ({}, {"bucket_span": span}):
+        got = [
+            (r["k"], r["ts"], r["px_right"])
+            for r in asof_join(ldf, rdf, on="k", **kwargs).collect()
+        ]
+        assert len(got) == len(left)  # never multiplies or drops rows
+        for k, ts_, px in got:
+            assert px == brute(k, int((ts_ - BASE).total_seconds())), kwargs
+
+
+@_settings
+@given(
+    left=st.lists(st.tuples(keys, secs), min_size=1, max_size=10),
+    right=st.lists(st.tuples(keys, secs), min_size=1, max_size=10),
+    lo=st.integers(min_value=-30, max_value=29),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_interval_join_matches_bruteforce(spark, left, right, lo, width):
+    hi = lo + width
+    ldf = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(left)],
+        "k string, lts timestamp, li long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(right)],
+        "k string, rts timestamp, ri long",
+    )
+    from swiftbeaver_spark.relational import interval_join
+
+    got = {
+        (r["li"], r["ri"])
+        for r in interval_join(ldf, rdf, "k", "lts", "rts", lo, hi).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, ls) in enumerate(left)
+        for ri, (rk, rs) in enumerate(right)
+        if lk == rk and ls + lo <= rs <= ls + hi
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=8),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_salted_join_equals_plain_join(spark, left, right, how):
+    ldf = spark.createDataFrame(left or [(99, 0)], "k long, lv long")
+    rdf = spark.createDataFrame(right or [(98, 0)], "k long, rv long")
+    if not left:
+        ldf = ldf.where(F.lit(False))
+    if not right:
+        rdf = rdf.where(F.lit(False))
+    from swiftbeaver_spark.relational import salted_join
+
+    got = sorted(tuple(r) for r in salted_join(ldf, rdf, on="k", salt=4, how=how).collect())
+    want = sorted(tuple(r) for r in ldf.join(rdf, "k", how).collect())
+    assert got == want
+
+
+@_settings
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zorder_key_bijective_and_monotone_blocks(spark, pts):
+    """The Morton key decodes back to (x, y) exactly for inputs within
+    [0, 2^bits) — interleaving loses nothing."""
+    from swiftbeaver_spark.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+
+    def decode(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert decode(r["z"]) == (r["x"], r["y"])
+
+
+@_settings
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts) as required
+    )
+)
+def test_scd2_intervals_cover_and_collapse(spark, changes):
+    """Intervals per key: start at the first change, chain contiguously
+    (valid_to == next valid_from), end open; consecutive equal states
+    never produce adjacent rows with the same state."""
+    from swiftbeaver_spark.relational import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(k, _ts(s), v) for k, s, v in changes],
+        "k long, ts timestamp, state string",
+    )
+    out = scd2_intervals(df, ["k"], "ts", ["state"]).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        ks = sorted((s, v) for kk, s, v in changes if kk == k)
+        assert rows[0]["valid_from"] == _ts(ks[0][0])  # starts at first change
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous chain
+            assert a["state"] != b["state"]  # collapsed no-ops
