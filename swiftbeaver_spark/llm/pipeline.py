@@ -447,3 +447,32 @@ def stratified_fixed_k(
         .where(F.col("_sb_rank") <= k)
         .drop("_sb_rank")
     )
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    order_col: str = "seq_id",
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Training-shard writer: the output side of the packing pipeline.
+    Range-repartition on `order_col` into `num_shards` even slices and
+    sort within each, so shard i holds a contiguous, ordered span of
+    sequence ids — the layout data loaders stream sequentially, and a
+    RANGE partitioning (not hash) so curriculum/windowed reads touch
+    few shards.
+
+    Scale: one range shuffle (sampled boundaries) + in-partition
+    sorts; `max_records_per_file` caps file size without another
+    shuffle (Spark splits within the partition). Deterministic layout
+    given deterministic input.
+    """
+    part = df.repartitionByRange(num_shards, order_col).sortWithinPartitions(
+        order_col
+    )
+    writer = part.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.format(fmt).save(out_dir)
