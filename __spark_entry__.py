@@ -4588,6 +4588,49 @@ def q83_sql() -> str:
     """
 
 
+MIX_WEIGHTS = {"src0": 5.0, "src1": 3.0}
+MIX_K = 200
+
+
+def q84_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus-mixture sampling (llm/pipeline.py::
+    corpus_mixture): the training data-mixing step — mixture prefix
+    proportions follow the WEIGHTS independent of corpus sizes, via
+    pure map-side md5 arithmetic + broadcast counts + TakeOrdered."""
+    from swiftbeaver_spark.llm.pipeline import corpus_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = corpus_mixture(docs, MIX_WEIGHTS, k=MIX_K)
+    return out.select(
+        "doc_id",
+        "source",
+        F.format_string("%.6f", F.round(F.col("mix_pos"), 6)).alias("mix_pos"),
+    ).orderBy("doc_id")
+
+
+def q84_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{c}' THEN {w}" for c, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), pos AS (
+      SELECT d.doc_id, d.source,
+             CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0
+               * c.n / (CASE d.source {cases} ELSE 1.0 END) AS mix_pos
+      FROM documents d JOIN counts c USING (source)
+    ), top AS (
+      SELECT * FROM pos ORDER BY mix_pos, doc_id LIMIT {MIX_K}
+    )
+    SELECT doc_id, source,
+           printf('%.6f', ROUND(mix_pos, 6)) AS mix_pos
+    FROM top ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4682,6 +4725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_profile": q81_profile,
         "q82_quality_deciles": q82_quality_deciles,
         "q83_multiset_ops": q83_multiset_ops,
+        "q84_corpus_mixture": q84_corpus_mixture,
     }
 
 
@@ -4772,4 +4816,5 @@ def oracle_sql() -> dict[str, str]:
         "q81_profile": q81_sql(),
         "q82_quality_deciles": q82_sql(),
         "q83_multiset_ops": q83_sql(),
+        "q84_corpus_mixture": q84_sql(),
     }

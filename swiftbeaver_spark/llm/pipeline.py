@@ -476,3 +476,46 @@ def write_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.format(fmt).save(out_dir)
+
+
+def corpus_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    k: int,
+    corpus_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted corpus mixture — the data-mixing step
+    before training: every row draws a md5-uniform u in [0,1) from its
+    id and takes mix position u * n_corpus / weight; any prefix of the
+    position order then holds each corpus in proportion to its WEIGHT,
+    independent of corpus size (the n_corpus factor cancels size).
+    `k` selects the mixture prefix.
+
+    Scale: corpus sizes are a tiny broadcast aggregate; everything
+    else is a map-side expression and the prefix is TakeOrdered — no
+    window, no global sort, no per-corpus rank. Membership and order
+    are pure functions of the id set: reproducible across engines,
+    partitionings, and runs.
+    """
+    wt = None
+    for corpus, w in sorted(weights.items()):
+        cond = F.col(corpus_col) == corpus
+        wt = F.when(cond, F.lit(float(w))) if wt is None else wt.when(cond, F.lit(float(w)))
+    wt = wt.otherwise(F.lit(float(default_weight))) if wt is not None else F.lit(
+        float(default_weight)
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    counts = df.groupBy(corpus_col).agg(F.count("*").cast("double").alias("_sb_n"))
+    return (
+        df.join(F.broadcast(counts), corpus_col)
+        .withColumn("mix_pos", u * F.col("_sb_n") / wt)
+        .drop("_sb_n")
+        .orderBy("mix_pos", id_col)
+        .limit(k)
+    )

@@ -461,3 +461,34 @@ def test_write_shards_contiguous_ranges(spark, tmp_path):
         assert ahi <= blo  # contiguous, non-interleaved ranges
     total = spark.read.parquet(out).count()
     assert total == packed.count()
+
+
+def test_corpus_mixture_proportions(spark):
+    """A weight-5 corpus appears ~5x the rate of weight-1 corpora in
+    the mixture prefix, regardless of its (equal) size; deterministic
+    across runs."""
+    from swiftbeaver_spark.llm.pipeline import corpus_mixture
+
+    rows = [(c * 1000 + i, f"c{c}") for c in range(4) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus_mixture(df, {"c0": 5.0}, k=160)
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # expected c0 share = 5/8 of 160 = 100; allow hash noise
+    assert by["c0"] > 70
+    assert all(by.get(f"c{c}", 0) < 40 for c in (1, 2, 3))
+    a = [r["doc_id"] for r in out.collect()]
+    b = [r["doc_id"] for r in corpus_mixture(df, {"c0": 5.0}, k=160).collect()]
+    assert a == b
+
+
+def test_corpus_mixture_size_independent(spark):
+    """Equal weights -> equal prefix share even when one corpus is 10x
+    larger (the n_corpus factor cancels size)."""
+    from swiftbeaver_spark.llm.pipeline import corpus_mixture
+
+    rows = [(i, "big") for i in range(1000)] + [(10_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus_mixture(df, {}, k=100)
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert abs(by.get("big", 0) - by.get("small", 0)) < 40  # ~50/50
