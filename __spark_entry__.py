@@ -3166,7 +3166,9 @@ def q55_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear_quality_score) — the fastText/CCNet corpus-filter shape
     with md5-derived integer stand-in weights, so partial sums are
     exact in any aggregation order and the oracle replays the score
-    bit-for-bit."""
+    bit-for-bit. ALL-INTEGER output (raw sum + floor'd micro score):
+    the earlier ROUND(double, 6) form hit decimal-half rounding
+    disagreements between engines at sf0.1."""
     from swiftbeaver_spark.llm.text import linear_quality_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3188,8 +3190,8 @@ def q55_sql() -> str:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)), 6)
-             AS quality_score
+           CAST(SUM(w) AS BIGINT) AS score_sum,
+           CAST((1000 * SUM(w)) // COUNT(*) AS BIGINT) AS quality_score_micro
     FROM weighted GROUP BY doc_id ORDER BY doc_id
     """
 
@@ -3362,7 +3364,7 @@ def q60_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     kept_ids = (
         linear_quality_score(docs)
-        .where(F.col("quality_score") > 0)
+        .where(F.col("score_sum") > 0)
         .select("doc_id")
     )
     kept = docs.join(kept_ids, "doc_id")
@@ -4038,9 +4040,14 @@ def q74_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
-    out = joined.rollup("r_name", "n_name").agg(
+    # per-order cents are an engine-identical integer (multiply +
+    # round of the same double); the BIGINT sum is then exact in any
+    # order — the double SUM + ROUND form diverged in the last digit
+    # at sf0.1's ~1e10 totals (float sum-order)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = joined.withColumn("cents", cents).rollup("r_name", "n_name").agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
         F.grouping_id().cast("int").alias("gid"),
     )
     return out.select(
@@ -4048,7 +4055,9 @@ def q74_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_name", F.lit("(all)")).alias("nation"),
         "gid",
         "n_orders",
-        F.format_string("%.6f", F.col("revenue")).alias("revenue"),
+        F.format_string(
+            "%.2f", F.col("revenue_cents") / 100.0
+        ).alias("revenue"),
     ).orderBy("gid", "region", "nation")
 
 
@@ -4065,7 +4074,9 @@ def q74_sql() -> str:
            COALESCE(n_name, '(all)') AS nation,
            CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           printf('%.6f', ROUND(SUM(o_totalprice), 6)) AS revenue
+           printf('%.2f',
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0) AS revenue
     FROM j
     GROUP BY ROLLUP (r_name, n_name)
     ORDER BY gid, region, nation
@@ -4493,24 +4504,24 @@ def q82_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftbeaver_spark.llm.text import linear_quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    scored = linear_quality_score(docs).select("doc_id", "quality_score").join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    scored = linear_quality_score(docs).select(
+        "doc_id", "quality_score_micro"
+    ).join(docs.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy(
-        F.col("quality_score").asc(), F.col("doc_id").asc()
+        F.col("quality_score_micro").asc(), F.col("doc_id").asc()
     )
     return (
         scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
-        .select("lang", "doc_id", "quality_score", "decile")
+        .select("lang", "doc_id", "quality_score_micro", "decile")
         .orderBy("lang", "doc_id")
     )
 
 
 def q82_sql() -> str:
     # replicate llm/text.py::linear_quality_score exactly (q55's
-    # formula: md5-bucket integer weights, ROUND(sum/(1000*n), 6),
+    # formula: md5-bucket integer weights, trunc-div micro score,
     # empty-normalized docs drop), then ntile(10) per language on the
-    # same deterministic (score, doc_id) order
+    # same deterministic (micro score, doc_id) order
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
     WITH toks AS (
@@ -4524,14 +4535,14 @@ def q82_sql() -> str:
       FROM toks
     ), scores AS (
       SELECT doc_id,
-             ROUND(CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)), 6)
-               AS quality_score
+             CAST((1000 * SUM(w)) // COUNT(*) AS BIGINT)
+               AS quality_score_micro
       FROM weighted GROUP BY doc_id
     )
-    SELECT d.lang, s.doc_id, s.quality_score,
+    SELECT d.lang, s.doc_id, s.quality_score_micro,
            CAST(ntile(10) OVER (PARTITION BY d.lang
-                                ORDER BY s.quality_score, s.doc_id) AS INT)
-             AS decile
+                                ORDER BY s.quality_score_micro, s.doc_id)
+                AS INT) AS decile
     FROM scores s JOIN documents d USING (doc_id)
     ORDER BY d.lang, s.doc_id
     """

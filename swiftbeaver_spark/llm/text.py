@@ -164,16 +164,23 @@ def linear_quality_score(
         % 2001
         - 1000
     )
-    return (
+    out = (
         toks.select("doc_id", weight.alias("w"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.round(
-                F.sum("w").cast("double") / (1000.0 * F.count("*")), 6
-            ).alias("quality_score"),
+            F.sum("w").cast("long").alias("score_sum"),
         )
     )
+    # quality_score_micro: the score as an EXACT integer —
+    # trunc(1000*score_sum/n) (the score itself is score_sum/(1000*n)
+    # in [-1,1]). Spark's `div` and DuckDB's `//` both truncate toward
+    # zero, so the value is engine-identical for either sign. The
+    # earlier ROUND(double, 6) form hit decimal-half rounding
+    # disagreements between engines at sf0.1 (e.g. S/80000 landing
+    # exactly on x.xxxxxx5): integers cannot.
+    micro = F.expr("(1000 * score_sum) div n_tokens")
+    return out.withColumn("quality_score_micro", micro)
 
 
 def bm25_scores(

@@ -523,3 +523,57 @@ def test_extract_media_meta_real_duration(spark):
     assert meta[1] == 2000
     assert meta[2] == 9000
     assert meta[3] is not None  # deterministic stand-in for codec formats
+
+
+def _mk_tar_shard(samples: dict[str, dict[str, bytes]]) -> bytes:
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for key, parts in samples.items():
+            for ext, data in parts.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    from swiftbeaver_spark.llm.webdataset import read_webdataset, samples
+
+    shard_a = _mk_tar_shard(
+        {
+            "00001": {"png": _mk_png(32, 16), "json": b'{"lbl": 1}'},
+            "00002": {"png": _mk_png(8, 8), "json": b'{"lbl": 2}', "txt": b"cap"},
+        }
+    )
+    shard_b = _mk_tar_shard({"00003": {"wav": b"RIFFxxxx", "json": b"{}"}})
+    (tmp_path / "s-000.tar").write_bytes(shard_a)
+    (tmp_path / "s-001.tar").write_bytes(shard_b)
+
+    members = read_webdataset(spark, str(tmp_path))
+    rows = members.collect()
+    assert {(r["sample_key"], r["ext"]) for r in rows} == {
+        ("00001", "png"), ("00001", "json"),
+        ("00002", "png"), ("00002", "json"), ("00002", "txt"),
+        ("00003", "wav"), ("00003", "json"),
+    }
+    smp = {r["sample_key"]: r for r in samples(members).collect()}
+    assert smp["00002"]["n_parts"] == 3
+    assert bytes(smp["00001"]["parts"]["json"]) == b'{"lbl": 1}'
+
+    # the member rows feed the multimodal pipeline directly: real dims
+    from swiftbeaver_spark.llm.multimodal import header_image_dims
+
+    png1 = next(r for r in rows if r["sample_key"] == "00001" and r["ext"] == "png")
+    assert header_image_dims(bytes(png1["payload"])) == (32, 16)
+
+
+def test_webdataset_dotted_ext(spark, tmp_path):
+    from swiftbeaver_spark.llm.webdataset import read_webdataset
+
+    shard = _mk_tar_shard({"k": {"seg.png": b"abc"}})
+    (tmp_path / "x.tar").write_bytes(shard)
+    r = read_webdataset(spark, str(tmp_path)).collect()[0]
+    assert r["sample_key"] == "k" and r["ext"] == "seg.png"

@@ -257,10 +257,14 @@ def test_linear_quality_bounds_and_determinism(spark):
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in linear_quality_score(df).collect()}
-    # same text -> identical score; scores normalized into [-1, 1]
-    assert got[1]["quality_score"] == got[2]["quality_score"]
+    # same text -> identical score; micro scores normalized to
+    # [-1e6, 1e6] (score = score_sum/(1000*n) in [-1, 1], all-integer)
+    assert got[1]["quality_score_micro"] == got[2]["quality_score_micro"]
     for r in got.values():
-        assert -1.0 <= r["quality_score"] <= 1.0
+        assert -1_000_000 <= r["quality_score_micro"] <= 1_000_000
+        num = 1000 * r["score_sum"]
+        trunc = abs(num) // r["n_tokens"] * (1 if num >= 0 else -1)
+        assert r["quality_score_micro"] == trunc  # trunc-div, both signs
         assert r["n_tokens"] == 3
 
 
