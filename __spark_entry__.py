@@ -4612,10 +4612,12 @@ def q84_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     out = corpus_mixture(docs, MIX_WEIGHTS, k=MIX_K)
+    # floor-micro integer, not ROUND: floor of an identical double is
+    # engine-identical; decimal-half ROUND is not (sf0.1 lesson)
     return out.select(
         "doc_id",
         "source",
-        F.format_string("%.6f", F.round(F.col("mix_pos"), 6)).alias("mix_pos"),
+        F.floor(F.col("mix_pos") * 1_000_000).cast("long").alias("mix_pos_micro"),
     ).orderBy("doc_id")
 
 
@@ -4637,7 +4639,7 @@ def q84_sql() -> str:
       SELECT * FROM pos ORDER BY mix_pos, doc_id LIMIT {MIX_K}
     )
     SELECT doc_id, source,
-           printf('%.6f', ROUND(mix_pos, 6)) AS mix_pos
+           CAST(FLOOR(mix_pos * 1000000) AS BIGINT) AS mix_pos_micro
     FROM top ORDER BY doc_id
     """
 
