@@ -75,6 +75,31 @@ plus the training-pipeline surface (q38-q52):
   BPE vocabulary induction     -> q59_bpe_learn (iterative; rows-only)
   curation pipeline capstone
   (filter -> dedup -> pack)    -> q60_curation_pipeline
+round-3 additions (q61-q84):
+  time-bucket rollup (OHLC)    -> q61_time_rollup
+  BM25 relevance (ratio idf)   -> q62_bm25
+  Bloom filter membership      -> q63_bloom_membership
+  ordered funnel               -> q64_funnel
+  SCD2 dimension history       -> q65_scd2
+  Z-order (Morton) keys        -> q66_zorder
+  mean token rarity            -> q67_token_rarity
+  exactly-k stratified sample  -> q68_stratified_fixed_k
+  skew profiler                -> q69_skew_profile
+  sketch-driven outlier filter -> q70_sketch_outliers
+  edit-distance near-dup join  -> q71_edit_distance_neardup
+  inverted-index build         -> q72_inverted_index
+  pivot matrix                 -> q73_pivot_matrix
+  ROLLUP grouping sets         -> q74_rollup_revenue
+  streaming count-min maint.   -> q75_stream_countmin (q49 oracle: merge==batch)
+  MERGE upsert                 -> q76_merge_upsert
+  per-label embedding centroids-> q77_label_centroids
+  stream-static join           -> q78_stream_static_join
+  grouped top-n                -> q79_grouped_topn
+  fixed-iteration PageRank     -> q80_pagerank (oracle unrolls 3 iterations)
+  one-pass column profiler     -> q81_profile
+  quality deciles (ntile)      -> q82_quality_deciles
+  multiset INTERSECT/EXCEPT ALL-> q83_multiset_ops
+  weighted corpus mixture      -> q84_corpus_mixture
 """
 
 from __future__ import annotations
