@@ -100,6 +100,7 @@ round-3 additions (q61-q84):
   quality deciles (ntile)      -> q82_quality_deciles
   multiset INTERSECT/EXCEPT ALL-> q83_multiset_ops
   weighted corpus mixture      -> q84_corpus_mixture
+  product-quantization ANN     -> q85_pq_topk (md5-pinned codebooks, full replay)
 """
 
 from __future__ import annotations
@@ -4669,6 +4670,96 @@ def q84_sql() -> str:
     """
 
 
+PQ_M, PQ_K, PQ_TOPK = 8, 16, 10
+
+
+def _pq_books() -> list:
+    from swiftbeaver_spark.llm.similarity import md5_centroids
+
+    return [md5_centroids(PQ_K, 64 // PQ_M, tag=f"pqbook{j}") for j in range(PQ_M)]
+
+
+def q85_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/similarity.py::pq_encode/pq_topk,
+    Jegou et al. ADC): md5-PINNED codebooks (q34's pinned-quantizer
+    convention) so the oracle replays encode + asymmetric-distance
+    top-k exactly — 64 floats compress to 8 sub-centroid codes; query
+    scoring reads ONLY the codes via a broadcast m x k lookup table.
+    Ranks use ROUND(adc, 6) on both engines (summation-order float
+    noise cannot flip them)."""
+    from swiftbeaver_spark.llm.similarity import pq_encode, pq_topk
+
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(codes, queries, books, k=PQ_TOPK, round_scores=6)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.format_string("%.6f", F.col("adc_dist")).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def q85_sql() -> str:
+    books = _pq_books()
+    dsub = 64 // PQ_M
+    rows = ",\n        ".join(
+        f"({j}, {p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for p, c in enumerate(book)
+    )
+    return f"""
+    WITH books(j, p, c) AS (
+      VALUES {rows}
+    ), js AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS j
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), subs AS (
+      SELECT vec_id, j,
+             list_slice(v, j * {dsub} + 1, (j + 1) * {dsub}) AS sub
+      FROM e CROSS JOIN js
+    ), enc AS (
+      SELECT vec_id, j, p AS code FROM (
+        SELECT s.vec_id, s.j, b.p,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY ROUND(list_dot_product(s.sub, s.sub)
+                                - 2 * list_dot_product(s.sub, b.c)
+                                + list_dot_product(b.c, b.c), 6), b.p
+               ) AS rn
+        FROM subs s JOIN books b ON s.j = b.j
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.j, b.p,
+             list_dot_product(s.sub, s.sub)
+               - 2 * list_dot_product(s.sub, b.c)
+               + list_dot_product(b.c, b.c) AS d
+      FROM subs s JOIN books b ON s.j = b.j
+      WHERE s.vec_id < 3
+    ), adc AS (
+      SELECT l.query_id, en.vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+      FROM enc en JOIN lut l ON en.j = l.j AND en.code = l.p
+      GROUP BY l.query_id, en.vec_id
+    )
+    SELECT query_id, vec_id,
+           printf('%.6f', adc_dist) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    WHERE rank <= {PQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4764,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_quality_deciles": q82_quality_deciles,
         "q83_multiset_ops": q83_multiset_ops,
         "q84_corpus_mixture": q84_corpus_mixture,
+        "q85_pq_topk": q85_pq_topk,
     }
 
 
@@ -4855,4 +4947,5 @@ def oracle_sql() -> dict[str, str]:
         "q82_quality_deciles": q82_sql(),
         "q83_multiset_ops": q83_sql(),
         "q84_corpus_mixture": q84_sql(),
+        "q85_pq_topk": q85_sql(),
     }

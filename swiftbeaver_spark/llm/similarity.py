@@ -403,3 +403,138 @@ def label_centroids(
         F.count("*").cast("long").alias("n"),
         (F.sum("v") / F.count("*")).alias("centroid"),
     )
+
+
+# -- product quantization (PQ) ------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into `m` contiguous
+    subvectors and run the SAME deterministic Lloyd's k-means
+    (ivf_train) independently per subspace — `m` codebooks of `k`
+    sub-centroids each. The classic memory-compression ANN path
+    (Jegou et al., IEEE TPAMI 2011): a 64-dim float vector encodes to
+    m log2(k)-bit codes (8 bytes at the defaults vs 256 — 32x).
+
+    Driver memory: m * k * (dim/m) floats — tiny. Each subspace train
+    is the ivf_train distributed pass over a sliced projection."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(
+                "vec"
+            ),
+        )
+        books.append(ivf_train(sub, nlist=k, iters=iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Vector -> array<int> of m sub-centroid ids (nearest per
+    subspace). Map-only projection — encoding 10^11 vectors is an
+    embarrassingly parallel single pass, and downstream storage is the
+    code array instead of the float vector."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            ivf_cell(
+                F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub),
+                codebooks[j],
+            )
+            for j in range(m)
+        ]
+    )
+    return df.withColumn(out_col, codes)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, precompute the
+    m x k lookup table of exact subspace distances query->sub-centroid,
+    broadcast it, and score each stored code as the SUM of m table
+    lookups — no float vectors are read at query time, only the m-byte
+    codes. TakeOrdered per query via rank-window over the (tiny)
+    query-partitioned score set.
+
+    Scale: the scored relation is |corpus| x |queries| rows of
+    (id, code-lookup sum) — queries are few and broadcast; the
+    heavy side streams map-only; the top-k is a per-query window over
+    scores, with the usual rank pushdown. Distances are approximate
+    (quantization error) — this is the recall/memory trade PQ makes.
+    """
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    # LUT per query: flat array, entry j*kk + c = ||q_sub_j - book_j[c]||^2.
+    # NOTE: the per-subspace lambda must take ONE arg — a two-arg lambda
+    # (even via a default binding) makes F.transform pass the array
+    # INDEX as the second parameter.
+    def _sub_lut(j: int) -> Column:
+        sub_q = F.slice(
+            F.col(query_vec_col).cast("array<double>"), j * dsub + 1, dsub
+        )
+        return F.transform(
+            _centroid_lit(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub_q, c, lambda v, cc: (v - cc) * (v - cc)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+
+    lut = F.flatten(F.array(*[_sub_lut(j) for j in range(m)]))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), lut.alias("_lut")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda s, j: s
+        + F.element_at(
+            F.col("_lut"), (j * kk + F.element_at(F.col(code_col), j + 1) + 1).cast("int")
+        ),
+    )
+    scored = codes.select(id_col, code_col).join(F.broadcast(q)).select(
+        "query_id", F.col(id_col).alias("vec_id"), adc.alias("adc_dist")
+    )
+    # round_scores: rank on ROUND(adc, n) instead of the raw double —
+    # summation-order float noise (~1e-16) then cannot flip ranks
+    # between engines computing the same distances a different way
+    # (the q34 pinned-quantizer convention)
+    if round_scores is not None:
+        scored = scored.withColumn(
+            "adc_dist", F.round(F.col("adc_dist"), round_scores)
+        )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
