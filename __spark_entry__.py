@@ -101,6 +101,7 @@ round-3 additions (q61-q84):
   multiset INTERSECT/EXCEPT ALL-> q83_multiset_ops
   weighted corpus mixture      -> q84_corpus_mixture
   product-quantization ANN     -> q85_pq_topk (md5-pinned codebooks, full replay)
+  int8 scalar quantization     -> q86_sq8_quantize (train replayed in SQL)
 """
 
 from __future__ import annotations
@@ -4760,6 +4761,48 @@ def q85_sql() -> str:
     """
 
 
+def q86_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (llm/similarity.py::sq8_train/encode):
+    per-dim [min, max] ranges (exact aggregates, rounded to the same
+    6 dp on both engines) + affine floor codes — the 4x embedding
+    compression path, fully replayed in SQL because every step is
+    min/max, rounding, and floor arithmetic on identical doubles."""
+    from swiftbeaver_spark.llm.similarity import sq8_encode, sq8_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train(emb)
+    out = sq8_encode(emb, lo, hi)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("sq8", lambda c: c.cast("string")), ",").alias(
+            "codes"
+        ),
+    ).orderBy("vec_id")
+
+
+def q86_sql() -> str:
+    return """
+    WITH comps AS (
+      SELECT vec_id, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), rng AS (
+      SELECT pos, ROUND(MIN(v), 6) AS lo, ROUND(MAX(v), 6) AS hi
+      FROM comps GROUP BY pos
+    ), coded AS (
+      SELECT c.vec_id, c.pos,
+             CASE WHEN (r.hi - r.lo) / 256.0 <= 0 THEN 0
+                  ELSE GREATEST(0, LEAST(255,
+                       CAST(FLOOR((c.v - r.lo) / ((r.hi - r.lo) / 256.0))
+                            AS INT))) END AS code
+      FROM comps c JOIN rng r USING (pos)
+    )
+    SELECT vec_id,
+           string_agg(code, ',' ORDER BY pos) AS codes
+    FROM coded GROUP BY vec_id ORDER BY vec_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4856,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_multiset_ops": q83_multiset_ops,
         "q84_corpus_mixture": q84_corpus_mixture,
         "q85_pq_topk": q85_pq_topk,
+        "q86_sq8_quantize": q86_sq8_quantize,
     }
 
 
@@ -4948,4 +4992,5 @@ def oracle_sql() -> dict[str, str]:
         "q83_multiset_ops": q83_sql(),
         "q84_corpus_mixture": q84_sql(),
         "q85_pq_topk": q85_sql(),
+        "q86_sq8_quantize": q86_sql(),
     }

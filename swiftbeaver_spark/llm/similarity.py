@@ -538,3 +538,93 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+
+
+# -- scalar quantization (int8) ----------------------------------------------
+
+
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] ranges for affine int8 quantization —
+    one distributed aggregate over (pos, value) pairs (narrow shuffle
+    bounded at dim rows per task); the driver holds 2*dim floats."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    dim = max(int(r["pos"]) for r in rows) + 1
+    lo, hi = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        lo[int(r["pos"])] = round(float(r["lo"]), 6)
+        hi[int(r["pos"])] = round(float(r["hi"]), 6)
+    return lo, hi
+
+
+def sq8_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """Affine scalar quantization to int codes 0..255 (4x smaller than
+    float32, 8x than float64): code = floor((v - lo) / step) clamped,
+    step = (hi - lo) / 256 (degenerate dims -> code 0). Map-only
+    whole-stage-codegen arithmetic; `floor` keeps it engine-exact
+    (identical doubles -> identical codes everywhere).
+
+    Dequantized midpoint lo + (code + 0.5) * step reconstructs within
+    step/2 per dimension — the error bound tests pin this."""
+    dim = len(lo)
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    step_lit = F.array(
+        *[F.lit((float(h) - float(l)) / 256.0) for l, h in zip(lo, hi)]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.element_at(step_lit, i + 1) <= 0.0, F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.element_at(v, i + 1) - F.element_at(lo_lit, i + 1))
+                        / F.element_at(step_lit, i + 1)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def sq8_decode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    code_col: str = "sq8",
+    out_col: str = "dequant",
+) -> Column | DataFrame:
+    """Midpoint dequantization: lo + (code + 0.5) * step per dim."""
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    step_lit = F.array(
+        *[F.lit((float(h) - float(l)) / 256.0) for l, h in zip(lo, hi)]
+    )
+    dim = len(lo)
+    deq = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.element_at(step_lit, i + 1) <= 0.0, F.element_at(lo_lit, i + 1)
+        ).otherwise(
+            F.element_at(lo_lit, i + 1)
+            + (F.element_at(F.col(code_col), i + 1) + 0.5)
+            * F.element_at(step_lit, i + 1)
+        ),
+    )
+    return df.withColumn(out_col, deq)

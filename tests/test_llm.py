@@ -645,3 +645,24 @@ def test_pq_recall_beats_random(embeddings):
         )[:10]
         hits += len(got[qid] & set(exact))
     assert hits >= 10  # >= 20% recall@10 over 5 queries; random ~ 0.5
+
+
+def test_sq8_roundtrip_error_bound(spark, embeddings):
+    """Dequantized midpoints reconstruct within step/2 per dimension;
+    codes are in [0, 255]; encoding is deterministic."""
+    from swiftbeaver_spark.llm.similarity import sq8_decode, sq8_encode, sq8_train
+
+    lo, hi = sq8_train(embeddings)
+    assert len(lo) == 64 and all(l <= h for l, h in zip(lo, hi))
+    enc = sq8_encode(embeddings.limit(50), lo, hi)
+    dec = sq8_decode(enc, lo, hi)
+    rows = dec.select("vec_id", "embedding", "sq8", "dequant").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r["sq8"])
+        for d, (v, q) in enumerate(zip(r["embedding"], r["dequant"])):
+            step = (hi[d] - lo[d]) / 256.0
+            # clamp means values at the max edge sit in the top bin;
+            # within-range values reconstruct to within step/2 + eps
+            if step > 0 and lo[d] <= v <= hi[d]:
+                assert abs(float(v) - q) <= step / 2 + 1e-9, (d, v, q, step)
