@@ -102,6 +102,7 @@ round-3 additions (q61-q84):
   weighted corpus mixture      -> q84_corpus_mixture
   product-quantization ANN     -> q85_pq_topk (md5-pinned codebooks, full replay)
   int8 scalar quantization     -> q86_sq8_quantize (train replayed in SQL)
+  1-bit Hamming ANN            -> q87_binary_hamming_topk (train replayed in SQL)
 """
 
 from __future__ import annotations
@@ -4803,6 +4804,74 @@ def q86_sql() -> str:
     """
 
 
+BQ_TOPK = 10
+
+
+def q87_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization + Hamming ANN (llm/similarity.py::
+    bq_thresholds/bq_encode/bq_topk): per-dim midrange thresholds
+    (exact min/max — no pinning needed), 64 sign bits packed into ONE
+    BIGINT, scoring = bit_count(xor). Everything after the threshold
+    compare is integer-exact, so the full pipeline INCLUDING training
+    replays in SQL. The 100 TB story: the coarse shortlist stage ahead
+    of PQ/exact re-rank, at one machine-word op per candidate."""
+    from swiftbeaver_spark.llm.similarity import (
+        bq_encode,
+        bq_thresholds,
+        bq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mids = bq_thresholds(emb)
+    enc = bq_encode(emb, mids)
+    queries = enc.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("bq").alias("query_bq")
+    )
+    out = bq_topk(enc, queries, k=BQ_TOPK)
+    return out.select("query_id", "vec_id", "hamming", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+def q87_sql() -> str:
+    bitvals = ",\n        ".join(
+        f"({d + 1}, {(1 << d) if d < 63 else -(1 << 63)})" for d in range(64)
+    )
+    return f"""
+    WITH pv(pos, bitval) AS (
+      VALUES {bitvals}
+    ), comps AS (
+      SELECT vec_id, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), mids AS (
+      SELECT pos, ROUND(MIN(v) + (MAX(v) - MIN(v)) / 2.0, 6) AS mid
+      FROM comps GROUP BY pos
+    ), codes AS (
+      SELECT c.vec_id,
+             CAST(SUM(CASE WHEN c.v > m.mid THEN pv.bitval ELSE 0 END)
+                  AS BIGINT) AS bq
+      FROM comps c JOIN mids m USING (pos) JOIN pv USING (pos)
+      GROUP BY c.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, bq AS qbq FROM codes WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(c.bq, q.qbq)) AS INT) AS hamming
+      FROM codes c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, hamming, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {BQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4900,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_corpus_mixture": q84_corpus_mixture,
         "q85_pq_topk": q85_pq_topk,
         "q86_sq8_quantize": q86_sq8_quantize,
+        "q87_binary_hamming_topk": q87_binary_hamming_topk,
     }
 
 
@@ -4993,4 +5063,5 @@ def oracle_sql() -> dict[str, str]:
         "q84_corpus_mixture": q84_sql(),
         "q85_pq_topk": q85_sql(),
         "q86_sq8_quantize": q86_sql(),
+        "q87_binary_hamming_topk": q87_sql(),
     }

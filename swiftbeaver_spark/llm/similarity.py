@@ -628,3 +628,98 @@ def sq8_decode(
         ),
     )
     return df.withColumn(out_col, deq)
+
+
+# -- binary quantization (1-bit) + Hamming ANN --------------------------------
+
+
+def bq_thresholds(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension midrange thresholds (min + (max-min)/2) for 1-bit
+    quantization. Midrange, not mean: min/max are EXACT aggregates, so
+    the thresholds — and therefore every bit — are engine-identical
+    (a float mean would carry summation-order noise into the codes)."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    dim = max(int(r["pos"]) for r in rows) + 1
+    mids = [0.0] * dim
+    for r in rows:
+        mids[int(r["pos"])] = round(
+            float(r["lo"]) + (float(r["hi"]) - float(r["lo"])) / 2.0, 6
+        )
+    return mids
+
+
+def bq_encode(
+    df: DataFrame,
+    thresholds: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "bq",
+) -> Column | DataFrame:
+    """Vector -> ONE BIGINT of sign bits (dim <= 64): bit d set iff
+    v[d] > threshold[d]. 64 floats -> 8 bytes (32x); the whole code
+    fits a machine word, so Hamming distance is a single
+    bit_count(xor) — the cheapest possible ANN scoring. Bits combine
+    with OR (bit 63 makes the long negative in two's complement —
+    harmless, XOR/popcount are bit-level)."""
+    dim = len(thresholds)
+    if dim > 64:
+        raise ValueError("bq_encode packs into one BIGINT: dim <= 64")
+    v = F.col(vec_col).cast("array<double>")
+    thr = F.array(*[F.lit(t) for t in thresholds])
+    # bit values as literals (bit 63 = most-negative long in two's
+    # complement); shiftleft can't take a Column shift amount
+    powers = F.array(
+        *[
+            F.lit((1 << d) if d < 63 else -(1 << 63)).cast("long")
+            for d in range(dim)
+        ]
+    )
+    code = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseOR(
+            F.when(
+                F.element_at(v, (i + 1).cast("int"))
+                > F.element_at(thr, (i + 1).cast("int")),
+                F.element_at(powers, (i + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+    )
+    return df.withColumn(out_col, code)
+
+
+def bq_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "bq",
+    query_id_col: str = "query_id",
+    query_code_col: str = "query_bq",
+) -> DataFrame:
+    """Hamming top-k over 1-bit codes: bit_count(code XOR query_code),
+    rank per query with (distance, id) tie-break. All-integer — exact
+    on any engine — and the scoring is one XOR + popcount per pair:
+    at 100 TB this is the coarse first stage that shortlists
+    candidates for PQ/exact re-ranking."""
+    from pyspark.sql import Window as W
+
+    q = query_codes.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_code_col).alias("_qc"),
+    )
+    scored = codes.select(id_col, code_col).join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.bit_count(F.col(code_col).bitwiseXOR(F.col("_qc"))).cast("int").alias(
+            "hamming"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )

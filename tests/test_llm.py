@@ -666,3 +666,31 @@ def test_sq8_roundtrip_error_bound(spark, embeddings):
             # within-range values reconstruct to within step/2 + eps
             if step > 0 and lo[d] <= v <= hi[d]:
                 assert abs(float(v) - q) <= step / 2 + 1e-9, (d, v, q, step)
+
+
+def test_bq_encode_and_hamming(spark, embeddings):
+    from swiftbeaver_spark.llm.similarity import bq_encode, bq_thresholds, bq_topk
+
+    mids = bq_thresholds(embeddings)
+    assert len(mids) == 64
+    enc = bq_encode(embeddings, mids, out_col="bq")
+    rows = enc.select("vec_id", "bq", "embedding").collect()
+    # python replay: bit d set iff v[d] > mid[d]
+    for r in rows[:10]:
+        want = 0
+        for d, v in enumerate(r["embedding"]):
+            if float(v) > mids[d]:
+                want |= 1 << d
+        if want >= 1 << 63:  # two's-complement view of bit 63
+            want -= 1 << 64
+        assert r["bq"] == want
+    # self-query: hamming 0 -> rank 1 is self
+    queries = enc.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("bq").alias("query_bq")
+    )
+    top1 = bq_topk(enc, queries, k=1)
+    got = {r["query_id"]: (r["vec_id"], r["hamming"]) for r in top1.collect()}
+    for qid, (vid, h) in got.items():
+        assert h == 0
+        # hamming-0 ties resolve to the lowest id; self is always at distance 0
+        assert vid <= qid
