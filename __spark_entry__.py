@@ -4693,7 +4693,8 @@ def q85_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books = _pq_books()
     emb = _t(spark, sf_dir, "embeddings")
-    codes = pq_encode(emb, books)
+    # round_dp=6 pins encode to the oracle's ROUND(dist,6) argmin
+    codes = pq_encode(emb, books, round_dp=6)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -177,7 +177,11 @@ def header_media_duration_ms(payload: bytes) -> int | None:
             else:
                 timescale, duration = struct.unpack_from(">II", payload, body + 12)
             return duration * 1000 // timescale if timescale else None
-    except struct.error:
+    # IndexError too: a truncated/empty mvhd body (size==8 box ending at
+    # end-of-payload) makes `payload[body]` an out-of-range read that
+    # would otherwise escape and fail the whole mapInPandas task on one
+    # malformed payload
+    except (struct.error, IndexError):
         return None
     return None
 

@@ -154,10 +154,20 @@ def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
-def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_cell(
+    vec: Column, centroids: list[list[float]], round_dp: int | None = None
+) -> Column:
     """0-based index of the nearest centroid (ties -> lowest cell):
-    first position of the array minimum. Pure projection, no shuffle."""
+    first position of the array minimum. Pure projection, no shuffle.
+
+    `round_dp` rounds each squared distance before the argmin — the
+    pinned-quantizer convention (cf. ivf_cell_dot): two engines whose
+    distance sums differ only by summation-order float noise (<1e-6)
+    then pick the same cell. Leave None for internal training loops
+    where only self-consistency matters."""
     d = _sq_dists(vec, centroids)
+    if round_dp is not None:
+        d = F.transform(d, lambda x: F.round(x, round_dp))
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
@@ -446,11 +456,18 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Vector -> array<int> of m sub-centroid ids (nearest per
     subspace). Map-only projection — encoding 10^11 vectors is an
     embarrassingly parallel single pass, and downstream storage is the
-    code array instead of the float vector."""
+    code array instead of the float vector.
+
+    Pass `round_dp=6` when the codebooks are pinned for cross-engine
+    oracle replay: the per-subspace argmin then runs over ROUND(d, 6)
+    with lowest-code tiebreak, matching an oracle that rounds before
+    ranking (without it, two sub-centroid distances <1e-6 apart can
+    encode differently across engines)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = F.array(
@@ -458,6 +475,7 @@ def pq_encode(
             ivf_cell(
                 F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub),
                 codebooks[j],
+                round_dp=round_dp,
             )
             for j in range(m)
         ]

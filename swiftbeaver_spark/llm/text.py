@@ -193,10 +193,16 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 relevance of every document against a fixed query-term
     set, with a RATIO idf — idf_r = (N - df + 0.5) / (df + 0.5) — in
-    place of the usual log(idf_r). The ranking is identical (log is
-    monotone) and the arithmetic stays inside IEEE correctly-rounded
-    ops (+,-,*,/), so scores are bit-reproducible across engines —
-    transcendental log is the one piece libms disagree on.
+    place of the usual log(idf_r). This is a rank-similar DETERMINISTIC
+    VARIANT, not standard BM25: log's monotonicity makes the per-TERM
+    contribution order-preserving, but the per-doc score is a SUM over
+    query terms, and summing ratio-idf weights terms differently than
+    summing log-idf — multi-term document rankings can diverge from
+    textbook BM25 (they coincide exactly for single-term queries). The
+    trade is deliberate: the arithmetic stays inside IEEE
+    correctly-rounded ops (+,-,*,/), so scores are bit-reproducible
+    across engines — transcendental log is the one piece libms
+    disagree on.
 
     Scale: doc lengths and per-(doc, term) tfs are one map pass over
     the corpus; df per term and the global avgdl are tiny aggregates

@@ -33,6 +33,8 @@ partition ever holds more than one (key, bucket)'s rows.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -457,6 +459,7 @@ def merge_upsert(
     source: DataFrame,
     key_cols: list[str],
     update_cols: list[str] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Delta/Iceberg-style MERGE as a pure DataFrame op: rows matched
     on `key_cols` take the source's values for `update_cols` (source
@@ -470,9 +473,37 @@ def merge_upsert(
 
     Scale: ONE full-outer equi-join on the key — co-partitioned if
     both sides are bucketed/pre-partitioned on it, in which case the
-    merge is shuffle-free (the table-format MERGE fast path). Keys
-    must be non-null (enforced), as in SQL MERGE.
+    merge is shuffle-free (the table-format MERGE fast path).
+
+    Precondition (CALLER's responsibility, like SQL MERGE's "source
+    must not match a target row twice"): source keys are non-null and
+    unique. Null-key rows pass through the full-outer join unmatched
+    (a null-key source row always INSERTs); duplicate source keys fan
+    out the matched target row. Pass `validate=True` to enforce the
+    precondition eagerly — it runs one extra aggregation job over the
+    source (key-count groupBy, shuffle bounded by distinct keys), so
+    it is off by default on the 100 TB path.
     """
+    if validate:
+        bad = (
+            source.groupBy(*key_cols)
+            .agg(F.count("*").alias("_sb_n"))
+            .where(
+                (F.col("_sb_n") > 1)
+                | functools.reduce(
+                    lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+                )
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0]
+            raise ValueError(
+                f"merge_upsert: source keys must be non-null and unique; "
+                f"offending key={tuple(row[c] for c in key_cols)} "
+                f"(count={row['_sb_n']})"
+            )
     shared = [c for c in source.columns if c in target.columns and c not in key_cols]
     update_cols = shared if update_cols is None else list(update_cols)
     for c in update_cols:

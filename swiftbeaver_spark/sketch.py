@@ -223,8 +223,20 @@ def bloom_probe(
         ).alias("cell"),
     ).select("*", "cell.j", "cell.bucket")
     hit = F.broadcast(bloom.withColumn("_sb_set", F.lit(1)))
+    # count DISTINCT set hash indices, not set rows: a probe value
+    # appearing r times in `probes` contributes r rows per index, so a
+    # plain count would be r*k for true members (false negative) and
+    # could hit exactly k for a duplicated non-member (spurious
+    # positive). Distinct j restores Bloom's no-false-negative bound.
     return (
         keyed.join(hit, ["j", "bucket"], "left")
         .groupBy(value_col)
-        .agg((F.count("_sb_set") == k).alias("maybe_member"))
+        .agg(
+            (
+                F.count_distinct(
+                    F.when(F.col("_sb_set").isNotNull(), F.col("j"))
+                )
+                == k
+            ).alias("maybe_member")
+        )
     )

@@ -508,6 +508,17 @@ def test_header_media_duration():
     assert header_media_duration_ms(_mk_mp4_dur(7250, version=1)) == 7250
     assert header_media_duration_ms(b"doc:not media at all") is None
     assert header_media_duration_ms(b"RIFF\x04\x00\x00\x00WAVE") is None  # no chunks
+    # truncated mvhd: an 8-byte mvhd box ending exactly at end-of-payload
+    # has an EMPTY body — payload[body] used to raise IndexError and kill
+    # the whole mapInPandas task instead of returning None
+    import struct as _s
+
+    trunc = (
+        _s.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+        + _s.pack(">I", 16) + b"moov"
+        + _s.pack(">I", 8) + b"mvhd"
+    )
+    assert header_media_duration_ms(trunc) is None
 
 
 def test_extract_media_meta_real_duration(spark):

@@ -525,6 +525,25 @@ def test_bloom_no_false_negatives_and_bounded(spark):
     assert sum(got[f"x{i}"] for i in range(200)) == 0
 
 
+def test_bloom_probe_duplicate_probe_values(spark):
+    """A probe value appearing r times must test identically to its
+    distinct form: members stay true (r*k set rows used to fail the
+    ==k count), non-members stay false (r * partial hits used to be
+    able to sum to exactly k)."""
+    from swiftbeaver_spark.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)], "v string")
+    bloom = bloom_build(members, "v", k=4, prefix_len=4)
+    probes = spark.createDataFrame(
+        [("m7",)] * 3 + [("nope",)] * 4 + [("m0",)], "v string"
+    )
+    got = {
+        r["v"]: r["maybe_member"]
+        for r in bloom_probe(bloom, probes, "v", k=4, prefix_len=4).collect()
+    }
+    assert got == {"m7": True, "m0": True, "nope": False}
+
+
 def test_bloom_probe_broadcasts(spark):
     from swiftbeaver_spark.sketch import bloom_build, bloom_probe
 
@@ -666,6 +685,24 @@ def test_merge_upsert_restricted_update_cols(spark):
     source = spark.createDataFrame([(1, "ZZZ", 99.0)], "k long, name string, bal double")
     r = merge_upsert(target, source, ["k"], update_cols=["bal"]).collect()[0]
     assert r["name"] == "a" and r["bal"] == 99.0  # name NOT updated
+
+
+def test_merge_upsert_validate_rejects_bad_source_keys(spark):
+    import pytest
+
+    from swiftbeaver_spark.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="non-null and unique"):
+        merge_upsert(target, dup, ["k"], validate=True)
+    nul = spark.createDataFrame([(None, 2.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="non-null and unique"):
+        merge_upsert(target, nul, ["k"], validate=True)
+    # clean source passes with validation on
+    ok = spark.createDataFrame([(1, 9.0)], "k long, bal double")
+    got = merge_upsert(target, ok, ["k"], validate=True).collect()
+    assert got[0]["bal"] == 9.0
 
 
 def test_merge_upsert_rejects_unknown_update_col(spark):
