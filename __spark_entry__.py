@@ -4873,6 +4873,130 @@ def q87_sql() -> str:
     """
 
 
+IVFPQ_NLIST, IVFPQ_NPROBE, IVFPQ_TOPK = 8, 3, 10
+
+
+def _ivfpq_cents() -> list:
+    from swiftbeaver_spark.llm.similarity import md5_centroids
+
+    return md5_centroids(IVFPQ_NLIST, 64, tag="ivfpqcent")
+
+
+def q88_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llm/similarity.py::ivfpq_encode/ivfpq_topk): the
+    FAISS-IndexIVFPQ composition — coarse cell pruning THEN
+    asymmetric-distance scoring over codes in the probed cells only.
+    q34 proved the cell-pruning half (but re-ranked float vectors);
+    q85 proved the ADC half (but scanned every code): this gates the
+    100 TB shape where BOTH compressions compose. Coarse centroids AND
+    codebooks are md5-PINNED, cells assigned by argmax ROUND(dot, 6)
+    (q34 rule), codes by argmin ROUND(dist, 6) (q85 rule), ranks on
+    ROUND(adc, 6) — the oracle replays the entire index, prune and
+    score."""
+    from swiftbeaver_spark.llm.similarity import ivfpq_encode, ivfpq_topk
+
+    cents = _ivfpq_cents()
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = ivfpq_encode(emb, cents, books, round_dp=6)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        codes, queries, cents, books,
+        k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, round_scores=6,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.format_string("%.6f", F.col("adc_dist")).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def q88_sql() -> str:
+    cents = _ivfpq_cents()
+    books = _pq_books()
+    dsub = 64 // PQ_M
+    crows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])" for p, c in enumerate(cents)
+    )
+    brows = ",\n        ".join(
+        f"({j}, {p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for p, c in enumerate(book)
+    )
+    return f"""
+    WITH cents(p, c) AS (
+      VALUES {crows}
+    ), books(j, p, c) AS (
+      VALUES {brows}
+    ), js AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS j
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cents.p AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    ), subs AS (
+      SELECT vec_id, j,
+             list_slice(v, j * {dsub} + 1, (j + 1) * {dsub}) AS sub
+      FROM e CROSS JOIN js
+    ), enc AS (
+      SELECT vec_id, j, p AS code FROM (
+        SELECT s.vec_id, s.j, b.p,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY ROUND(list_dot_product(s.sub, s.sub)
+                                - 2 * list_dot_product(s.sub, b.c)
+                                + list_dot_product(b.c, b.c), 6), b.p
+               ) AS rn
+        FROM subs s JOIN books b ON s.j = b.j
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, cents.p AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents WHERE e.vec_id < 3
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.j, b.p,
+             list_dot_product(s.sub, s.sub)
+               - 2 * list_dot_product(s.sub, b.c)
+               + list_dot_product(b.c, b.c) AS d
+      FROM subs s JOIN books b ON s.j = b.j
+      WHERE s.vec_id < 3
+    ), cand AS (
+      SELECT pr.query_id, a.vec_id
+      FROM assigned a JOIN probe pr ON a.cell = pr.cell
+    ), adc AS (
+      SELECT ca.query_id, ca.vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+      FROM cand ca
+      JOIN enc en ON en.vec_id = ca.vec_id
+      JOIN lut l ON l.query_id = ca.query_id AND en.j = l.j AND en.code = l.p
+      GROUP BY ca.query_id, ca.vec_id
+    )
+    SELECT query_id, vec_id,
+           printf('%.6f', adc_dist) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    WHERE rank <= {IVFPQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -4943,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_pq_topk": q85_pq_topk,
         "q86_sq8_quantize": q86_sq8_quantize,
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q88_ivfpq_topk": q88_ivfpq_topk,
         # --- tail (driver-proven in rounds 1-3; rotated out of the
         # 50-row window, still run by tools/drive_contract.py) -----------
         "q01_chunk_plan": q01_chunk_plan,
@@ -5041,6 +5166,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_pq_topk": q85_sql(),
         "q86_sq8_quantize": q86_sql(),
         "q87_binary_hamming_topk": q87_sql(),
+        "q88_ivfpq_topk": q88_sql(),
         # --- tail --------------------------------------------------------
         "q01_chunk_plan": q01_sql(),
         "q03_scan_counts": q03_sql(),

@@ -483,6 +483,48 @@ def pq_encode(
     return df.withColumn(out_col, codes)
 
 
+def _adc_lut(query_vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """Flat per-query ADC lookup table: entry j*k + c =
+    ||q_sub_j - book_j[c]||^2 — m*k doubles per query, the whole thing
+    broadcast so corpus-side scoring is m array lookups per code.
+    NOTE: the per-subspace lambda must take ONE arg — a two-arg lambda
+    (even via a default binding) makes F.transform pass the array
+    INDEX as the second parameter."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def _sub_lut(j: int) -> Column:
+        sub_q = F.slice(
+            F.col(query_vec_col).cast("array<double>"), j * dsub + 1, dsub
+        )
+        return F.transform(
+            _centroid_lit(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub_q, c, lambda v, cc: (v - cc) * (v - cc)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+
+    return F.flatten(F.array(*[_sub_lut(j) for j in range(m)]))
+
+
+def _adc_score(code_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """SUM of m `_lut` lookups selected by the stored code array —
+    the asymmetric distance of one code against the query's LUT."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda s, j: s
+        + F.element_at(
+            F.col("_lut"),
+            (j * kk + F.element_at(F.col(code_col), j + 1) + 1).cast("int"),
+        ),
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -509,38 +551,11 @@ def pq_topk(
     """
     from pyspark.sql import Window as W
 
-    m = len(codebooks)
-    kk = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    # LUT per query: flat array, entry j*kk + c = ||q_sub_j - book_j[c]||^2.
-    # NOTE: the per-subspace lambda must take ONE arg — a two-arg lambda
-    # (even via a default binding) makes F.transform pass the array
-    # INDEX as the second parameter.
-    def _sub_lut(j: int) -> Column:
-        sub_q = F.slice(
-            F.col(query_vec_col).cast("array<double>"), j * dsub + 1, dsub
-        )
-        return F.transform(
-            _centroid_lit(codebooks[j]),
-            lambda c: F.aggregate(
-                F.zip_with(sub_q, c, lambda v, cc: (v - cc) * (v - cc)),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ),
-        )
-
-    lut = F.flatten(F.array(*[_sub_lut(j) for j in range(m)]))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), lut.alias("_lut")
+        F.col(query_id_col).alias("query_id"),
+        _adc_lut(query_vec_col, codebooks).alias("_lut"),
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda s, j: s
-        + F.element_at(
-            F.col("_lut"), (j * kk + F.element_at(F.col(code_col), j + 1) + 1).cast("int")
-        ),
-    )
+    adc = _adc_score(code_col, codebooks)
     scored = codes.select(id_col, code_col).join(F.broadcast(q)).select(
         "query_id", F.col(id_col).alias("vec_id"), adc.alias("adc_dist")
     )
@@ -548,6 +563,118 @@ def pq_topk(
     # summation-order float noise (~1e-16) then cannot flip ranks
     # between engines computing the same distances a different way
     # (the q34 pinned-quantizer convention)
+    if round_scores is not None:
+        scored = scored.withColumn(
+            "adc_dist", F.round(F.col("adc_dist"), round_scores)
+        )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+
+
+# -- IVF-PQ composition -------------------------------------------------------
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    round_dp: int | None = 6,
+    quantizer: str = "dot",
+) -> DataFrame:
+    """One map-only pass producing BOTH halves of the IVF-PQ index
+    entry: the coarse Voronoi cell (for pruning) and the m-byte PQ code
+    (for ADC scoring). This is the standard 100 TB ANN layout (FAISS
+    IndexIVFPQ, Jegou et al. 2011): store (cell, code) per vector —
+    never the float vector — and partition/cluster storage by `cell`
+    so a probe touches only the probed cells' files.
+
+    quantizer="dot": pinned equal-norm ±1 centroids (md5_centroids),
+    cell = argmax rounded dot — SQL-replayable (the q34 convention).
+    quantizer="l2": nearest centroid by squared L2 (trained ivf_train
+    centroids). `round_dp` pins both the cell argmin/argmax and the PQ
+    sub-centroid argmin for cross-engine determinism.
+
+    Note: codes quantize the RAW vector, not the cell residual — the
+    residual refinement would tie each codebook to its cell (nlist*m*k
+    sub-centroids) and is deliberately skipped: one shared codebook
+    keeps encode a single broadcast-free projection and lets the same
+    LUT serve every probed cell at query time."""
+    vec = F.col(vec_col).cast("array<double>")
+    if quantizer == "dot":
+        cell = ivf_cell_dot(vec, centroids, round_dp if round_dp is not None else 6)
+    elif quantizer == "l2":
+        cell = ivf_cell(vec, centroids, round_dp=round_dp)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    out = df.withColumn(cell_col, cell)
+    return pq_encode(out, codebooks, vec_col=vec_col, out_col=code_col, round_dp=round_dp)
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_scores: int | None = None,
+    quantizer: str = "dot",
+) -> DataFrame:
+    """IVF-PQ top-k: coarse cell pruning THEN asymmetric-distance
+    scoring over codes in the probed cells only — the composition that
+    makes PQ viable at 100 TB (pq_topk alone scans every code per
+    query; ivf_topk alone re-reads float vectors).
+
+    Per query: pick the `nprobe` nearest coarse cells (rounded
+    dot/L2, the same rule encode used), build the m x k ADC LUT once,
+    and broadcast (query_id, cell, LUT) rows. The corpus side is ONE
+    broadcast hash join on `cell` — only codes in probed cells are
+    scored, ~|corpus| * nprobe / nlist candidates per query, each
+    costing m array lookups. No shuffle of the code table, no float
+    vectors read. Recall loss vs exact = coarse pruning (raise nprobe)
+    + quantization error (raise m/k) — both knobs independent."""
+    from pyspark.sql import Window as W
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    if quantizer == "dot":
+        pairs = F.zip_with(
+            _dots(qv, centroids, 6),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, p: F.struct((-d).alias("nd"), p.alias("cell")),
+        )
+    elif quantizer == "l2":
+        pairs = F.zip_with(
+            _sq_dists(qv, centroids),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, p: F.struct(d.alias("d"), p.alias("cell")),
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    probes = F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cell"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _adc_lut(query_vec_col, codebooks).alias("_lut"),
+        F.explode(probes).alias(cell_col),
+    )
+    scored = (
+        codes.select(id_col, cell_col, code_col)
+        .join(F.broadcast(q), cell_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            _adc_score(code_col, codebooks).alias("adc_dist"),
+        )
+    )
     if round_scores is not None:
         scored = scored.withColumn(
             "adc_dist", F.round(F.col("adc_dist"), round_scores)

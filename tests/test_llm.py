@@ -658,6 +658,77 @@ def test_pq_recall_beats_random(embeddings):
     assert hits >= 10  # >= 20% recall@10 over 5 queries; random ~ 0.5
 
 
+def test_ivfpq_recall_beats_random(embeddings):
+    """IVF-PQ (cell pruning + ADC over probed cells only) must keep
+    recall@10 at or above the q85 full-scan-PQ bar — pruning with
+    nprobe=4/8 cells should cost little recall on top of the
+    quantization error."""
+    from swiftbeaver_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        md5_centroids,
+    )
+
+    cents = md5_centroids(8, 64, tag="ivfpqcent")
+    books = [md5_centroids(16, 8, tag=f"pqbook{j}") for j in range(8)]
+    codes = ivfpq_encode(embeddings, cents, books, round_dp=6)
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivfpq_topk(codes, queries, cents, books, k=10, nprobe=4)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(len(v) == 10 for v in got.values())
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in embeddings.collect()}
+    hits = 0
+    for qid in got:
+        q = vecs[qid]
+        exact = sorted(
+            vecs, key=lambda v: (sum((a - b) ** 2 for a, b in zip(vecs[v], q)), v)
+        )[:10]
+        hits += len(got[qid] & set(exact))
+    assert hits >= 10  # same bar as test_pq_recall_beats_random
+
+
+def test_ivfpq_prunes_to_probed_cells(spark, embeddings):
+    """The composition's point: only codes in probed cells are scored.
+    Candidate sets must equal {vectors whose cell is probed}, strictly
+    smaller than the corpus, and the plan must broadcast the query side
+    (one BroadcastHashJoin on cell, no SortMergeJoin)."""
+    from swiftbeaver_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        md5_centroids,
+    )
+
+    cents = md5_centroids(8, 64, tag="ivfpqcent")
+    books = [md5_centroids(16, 8, tag=f"pqbook{j}") for j in range(8)]
+    codes = ivfpq_encode(embeddings, cents, books, round_dp=6).cache()
+    queries = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n = codes.count()
+    # k > corpus so the window keeps EVERY scored candidate
+    out = ivfpq_topk(codes, queries, cents, books, k=n + 1, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    cand = {}
+    for r in out.collect():
+        cand.setdefault(r["query_id"], set()).add(r["vec_id"])
+    cell_of = {r["vec_id"]: r["cell"] for r in codes.select("vec_id", "cell").collect()}
+    cells_present = set(cell_of.values())
+    for qid, ids in cand.items():
+        probed = {cell_of[v] for v in ids}
+        assert len(probed) <= 2
+        # pruning really dropped the unprobed cells' vectors
+        assert ids == {v for v, c in cell_of.items() if c in probed}
+        if len(cells_present) > 2:
+            assert len(ids) < n
+    codes.unpersist()
+
+
 def test_sq8_roundtrip_error_bound(spark, embeddings):
     """Dequantized midpoints reconstruct within step/2 per dimension;
     codes are in [0, 255]; encoding is deterministic."""
