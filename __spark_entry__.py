@@ -4997,6 +4997,129 @@ def q88_sql() -> str:
     """
 
 
+WDS_NSHARDS = 4
+
+
+def q89_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip (llm/webdataset.py::tar_shards/
+    untar_members): every document becomes a two-member sample
+    (NNNNNNNN.txt = the text bytes, NNNNNNNN.json = a tiny metadata
+    record), members pack into one hand-built USTAR archive per shard
+    (applyInPandas writer), and the REAL reader (stdlib-tarfile
+    mapInPandas) explodes the archives back to member rows. The oracle
+    recomputes every (shard, sample_key, ext, size, md5) directly from
+    `documents` — so a reader that drops, truncates, mis-keys, or
+    corrupts any member hash-mismatches. The q30 convention, applied
+    to the multimodal training input layout."""
+    from swiftbeaver_spark.llm.webdataset import tar_shards, untar_members
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = F.format_string("shard-%04d.tar", (F.col("doc_id") % WDS_NSHARDS).cast("int"))
+    key = F.format_string("%08d", F.col("doc_id"))
+    txt = docs.select(
+        shard.alias("shard"),
+        F.concat(key, F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    meta = docs.select(
+        shard.alias("shard"),
+        F.concat(key, F.lit(".json")).alias("name"),
+        F.encode(
+            F.concat(F.lit('{"doc_id":'), F.col("doc_id").cast("string"), F.lit("}")),
+            "utf-8",
+        ).alias("payload"),
+    )
+    archives = tar_shards(txt.unionByName(meta))
+    members = untar_members(archives)
+    return members.select(
+        "shard",
+        "sample_key",
+        "ext",
+        F.col("size").cast("long").alias("size"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("shard", "sample_key", "ext")
+
+
+def q89_sql() -> str:
+    return f"""
+    WITH j AS (
+      SELECT doc_id,
+             '{{"doc_id":' || CAST(doc_id AS VARCHAR) || '}}' AS jm
+      FROM documents
+    ), m AS (
+      SELECT printf('shard-%04d.tar', CAST(doc_id % {WDS_NSHARDS} AS INT)) AS shard,
+             printf('%08d', doc_id) AS sample_key,
+             'txt' AS ext,
+             CAST(strlen(text) AS BIGINT) AS size,
+             md5(text) AS payload_md5
+      FROM documents
+      UNION ALL
+      SELECT printf('shard-%04d.tar', CAST(doc_id % {WDS_NSHARDS} AS INT)),
+             printf('%08d', doc_id),
+             'json',
+             CAST(strlen(jm) AS BIGINT),
+             md5(jm)
+      FROM j
+    )
+    SELECT shard, sample_key, ext, size, payload_md5
+    FROM m ORDER BY shard, sample_key, ext
+    """
+
+
+SHARD_N = 8
+
+
+def q90_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer gate (llm/pipeline.py::shard_assign/
+    write_assigned_shards): write the documents table into SHARD_N
+    real parquet shard directories (deterministic equal-width id
+    spans), then read the FILES back and manifest each shard —
+    row count, id span, md5-prefix content checksum. The oracle
+    recomputes the manifest from `documents` alone, so rows written to
+    the wrong shard, dropped, or duplicated by the writer all
+    hash-mismatch. This gates the layout the data loader will stream,
+    through the actual files on disk — not the plan that was supposed
+    to produce them."""
+    import tempfile
+
+    from swiftbeaver_spark.llm.pipeline import write_assigned_shards
+
+    tmp = tempfile.mkdtemp(prefix="sb_q90_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    write_assigned_shards(docs, tmp, num_shards=SHARD_N, order_col="doc_id")
+    back = spark.read.parquet(tmp)
+    chk = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy(F.col("shard_id").cast("int").alias("shard_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum(chk).cast("long").alias("content_checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def q90_sql() -> str:
+    return f"""
+    WITH mm AS (
+      SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+    ), a AS (
+      SELECT CAST(((doc_id - mn) * {SHARD_N}) // (mx - mn + 1) AS INT) AS shard_id,
+             doc_id, text
+      FROM documents CROSS JOIN mm
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             AS content_checksum
+    FROM a GROUP BY shard_id ORDER BY shard_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5068,6 +5191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_sq8_quantize": q86_sq8_quantize,
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
         "q88_ivfpq_topk": q88_ivfpq_topk,
+        "q89_webdataset": q89_webdataset,
+        "q90_shard_manifest": q90_shard_manifest,
         # --- tail (driver-proven in rounds 1-3; rotated out of the
         # 50-row window, still run by tools/drive_contract.py) -----------
         "q01_chunk_plan": q01_chunk_plan,
@@ -5167,6 +5292,8 @@ def oracle_sql() -> dict[str, str]:
         "q86_sq8_quantize": q86_sql(),
         "q87_binary_hamming_topk": q87_sql(),
         "q88_ivfpq_topk": q88_sql(),
+        "q89_webdataset": q89_sql(),
+        "q90_shard_manifest": q90_sql(),
         # --- tail --------------------------------------------------------
         "q01_chunk_plan": q01_sql(),
         "q03_scan_counts": q03_sql(),

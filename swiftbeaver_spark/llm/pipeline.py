@@ -478,6 +478,59 @@ def write_shards(
     writer.format(fmt).save(out_dir)
 
 
+def shard_assign(
+    df: DataFrame,
+    num_shards: int,
+    order_col: str = "seq_id",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic equal-WIDTH shard assignment over the order key:
+    shard_id = ((o - min) * num_shards) div (max - min + 1), with
+    min/max from one tiny broadcast aggregate. Unlike
+    repartitionByRange's SAMPLED boundaries this is a pure integer
+    function of (min, max, o) — identical across engines, runs, and
+    partitionings, so the resulting layout is oracle-checkable. For the
+    packing pipeline's dense 0..N-1 seq ids (pack_sequences), equal
+    width IS equal count; for sparse keys it is equal key-range (the
+    curriculum-read-friendly layout), not equal rows."""
+    mm = df.agg(
+        F.min(order_col).cast("long").alias("_sb_mn"),
+        F.max(order_col).cast("long").alias("_sb_mx"),
+    )
+    sid = F.expr(
+        f"(({order_col} - _sb_mn) * {int(num_shards)}) div (_sb_mx - _sb_mn + 1)"
+    )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn(out_col, sid.cast("int"))
+        .drop("_sb_mn", "_sb_mx")
+    )
+
+
+def write_assigned_shards(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    order_col: str = "seq_id",
+    fmt: str = "parquet",
+) -> None:
+    """Training-shard writer over the EXPLICIT shard_assign layout:
+    one `shard_id=N/` directory per shard, rows sorted by `order_col`
+    within each. Same one-shuffle cost as write_shards, but the
+    file->content mapping is a deterministic function of the data, so
+    a manifest read back from the actual files is comparable against
+    an independent recomputation (the q90 gate)."""
+    assigned = shard_assign(df, num_shards, order_col)
+    (
+        assigned.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(fmt)
+        .save(out_dir)
+    )
+
+
 def corpus_mixture(
     df: DataFrame,
     weights: dict[str, float],

@@ -56,11 +56,12 @@ def _split_key(name: str) -> tuple[str, str]:
     return key, ext
 
 
-def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
-    """tar shards under `path` -> one row per member:
-    (shard, sample_key, ext, payload, size). Group downstream by
-    (shard, sample_key) to reassemble samples."""
-    shards = spark.read.format("binaryFile").load(path)
+def untar_members(shards: DataFrame) -> DataFrame:
+    """The untar stage alone: (path, content) shard rows -> one row per
+    member (shard, sample_key, ext, payload, size). Arrow-batched,
+    per-shard CPU, no shuffle — factored out of read_webdataset so tar
+    bytes from ANY source (binaryFile, a synthesized column, carved
+    output) go through the same reader."""
 
     def untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,6 +82,85 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return shards.select("path", "content").mapInPandas(untar, WDS_SCHEMA)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """tar shards under `path` -> one row per member:
+    (shard, sample_key, ext, payload, size). Group downstream by
+    (shard, sample_key) to reassemble samples."""
+    return untar_members(spark.read.format("binaryFile").load(path))
+
+
+TAR_SHARD_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def pack_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal deterministic USTAR archive from (name, payload) pairs:
+    hand-built 512-byte headers (fixed mode 0644, uid/gid 0, mtime 0 —
+    byte-identical output for identical input, no tarfile-version or
+    clock dependence), 512-aligned payloads, two zero end blocks. The
+    layout is the public POSIX ustar format; tarfile (and any tar
+    reader) parses it — which also means the reader side of this module
+    round-trips an INDEPENDENTLY constructed archive, not its own
+    serializer's output."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"tar member name too long ({len(nb)} > 100): {name!r}")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb                                  # name
+        hdr[100:108] = b"0000644\x00"                          # mode
+        hdr[108:116] = b"0000000\x00"                          # uid
+        hdr[116:124] = b"0000000\x00"                          # gid
+        hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"  # size
+        hdr[136:148] = b"00000000000\x00"                      # mtime
+        hdr[148:156] = b" " * 8                                # chksum (spaces while summing)
+        hdr[156:157] = b"0"                                    # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"                            # magic
+        hdr[263:265] = b"00"                                   # version
+        chksum = sum(hdr)
+        hdr[148:156] = ("%06o" % chksum).encode() + b"\x00 "
+        out += hdr
+        out += data
+        out += b"\x00" * ((-len(data)) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def tar_shards(
+    members: DataFrame,
+    shard_col: str = "shard",
+    name_col: str = "name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """WebDataset WRITER: pack member rows into one deterministic tar
+    per shard group -> (path, content) rows ready for a binary sink
+    (or untar_members, for a full round trip). Members are packed in
+    name order, so a sample's dotted-extension members (`00042.json`,
+    `00042.txt`) stay contiguous — the format's contract.
+
+    Scale: one shuffle on the shard key; each task builds its shard's
+    tar in memory, so shard size is bounded by executor memory exactly
+    as WebDataset shards are bounded by design (~1 GB). No driver
+    involvement, no global ordering."""
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(name_col)
+        blob = pack_tar(
+            [
+                (str(n), bytes(p))
+                for n, p in zip(pdf[name_col], pdf[payload_col])
+            ]
+        )
+        return pd.DataFrame([(str(key[0]), blob)], columns=["path", "content"])
+
+    return members.groupBy(shard_col).applyInPandas(pack, TAR_SHARD_SCHEMA)
 
 
 def samples(members: DataFrame) -> DataFrame:

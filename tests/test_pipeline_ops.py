@@ -463,6 +463,114 @@ def test_write_shards_contiguous_ranges(spark, tmp_path):
     assert total == packed.count()
 
 
+def test_pack_tar_parses_with_stdlib_tarfile():
+    """The hand-built USTAR bytes must be a valid archive to an
+    independent parser: names, sizes, payloads, and fixed metadata all
+    survive; output is byte-deterministic."""
+    import io
+    import tarfile
+
+    from swiftbeaver_spark.llm.webdataset import pack_tar
+
+    members = [
+        ("00000001.txt", b"hello world"),
+        ("00000001.json", b'{"doc_id":1}'),
+        ("00000002.txt", b"x" * 513),  # crosses a 512 block boundary
+        ("empty.bin", b""),
+    ]
+    blob = pack_tar(members)
+    assert blob == pack_tar(members)  # deterministic
+    assert len(blob) % 512 == 0
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = []
+        for m in tf:
+            assert m.isfile() and m.mtime == 0 and m.uid == 0 and m.mode == 0o644
+            got.append((m.name, tf.extractfile(m).read()))
+    assert got == members
+
+
+def test_pack_tar_rejects_long_names():
+    import pytest
+
+    from swiftbeaver_spark.llm.webdataset import pack_tar
+
+    with pytest.raises(ValueError, match="too long"):
+        pack_tar([("x" * 101, b"")])
+
+
+def test_tar_shards_roundtrip(spark):
+    """Writer -> reader round trip: every member comes back with its
+    payload intact, keyed and grouped per shard; one tar per shard."""
+    from pyspark.sql import functions as FF
+
+    from swiftbeaver_spark.llm.webdataset import tar_shards, untar_members
+
+    rows = [
+        (f"shard-{i % 3}.tar", f"{i:05d}.txt", f"payload {i}".encode())
+        for i in range(30)
+    ]
+    members = spark.createDataFrame(
+        rows, "shard string, name string, payload binary"
+    )
+    archives = tar_shards(members)
+    assert archives.count() == 3
+    back = untar_members(archives)
+    got = {
+        (r["shard"], r["sample_key"], r["ext"]): bytes(r["payload"])
+        for r in back.collect()
+    }
+    assert len(got) == 30
+    for shard, name, payload in rows:
+        key, ext = name.split(".", 1)
+        assert got[(shard, key, ext)] == payload
+
+
+def test_shard_assign_deterministic_spans(spark):
+    """Equal-width spans over a dense key: balanced, contiguous,
+    non-overlapping, and a pure function of the data (stable across
+    repartitionings)."""
+    from swiftbeaver_spark.llm.pipeline import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "seq_id long")
+    a = {r["seq_id"]: r["shard_id"] for r in shard_assign(df, 4).collect()}
+    assert set(a.values()) == {0, 1, 2, 3}
+    for i in range(100):
+        assert a[i] == i // 25  # dense ids: equal width == equal count
+    b = {
+        r["seq_id"]: r["shard_id"]
+        for r in shard_assign(df.repartition(7), 4).collect()
+    }
+    assert a == b
+
+
+def test_write_assigned_shards_directory_layout(spark, tmp_path):
+    """Real files: one shard_id=N dir per shard, each holding exactly
+    its assigned id span, nothing lost or duplicated."""
+    from pyspark.sql import functions as FF
+
+    from swiftbeaver_spark.llm.pipeline import write_assigned_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "assigned")
+    write_assigned_shards(df, out, num_shards=5, order_col="doc_id")
+    back = spark.read.parquet(out)
+    spans = {
+        r["shard_id"]: (r["lo"], r["hi"], r["n"])
+        for r in back.groupBy("shard_id")
+        .agg(
+            FF.min("doc_id").alias("lo"),
+            FF.max("doc_id").alias("hi"),
+            FF.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(spans) == {0, 1, 2, 3, 4}
+    assert all(spans[s] == (40 * s, 40 * s + 39, 40) for s in spans)
+    assert back.count() == 200 and back.select("doc_id").distinct().count() == 200
+
+
 def test_corpus_mixture_proportions(spark):
     """A weight-5 corpus appears ~5x the rate of weight-1 corpora in
     the mixture prefix, regardless of its (equal) size; deterministic
