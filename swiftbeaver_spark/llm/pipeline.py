@@ -207,18 +207,29 @@ def line_dedup(
     elsewhere drop out entirely.
 
     Scale shape: ONE shuffle on the line value (the same shuffle the
-    published C4 pipeline pays), a per-line-key window for the
-    first-occurrence pick, then a per-doc aggregation for reassembly.
-    Nothing is driver-side; reassembly uses collect_list + array_sort
-    inside the aggregate, bounded by document size. Hot keys (empty or
-    boilerplate lines) are the known skew point — filter trivial lines
-    upstream or salt if a corpus is boilerplate-heavy."""
+    published C4 pipeline pays), then a per-doc aggregation for
+    reassembly. The first-occurrence pick is MIN(struct(doc_id, pos))
+    per line — a partial aggregate, not a window: map tasks combine
+    locally, so a boilerplate line occurring in 10^8 documents ships
+    ONE row per map partition through the shuffle instead of funneling
+    10^8 rows into one window partition (the hot-key skew the window
+    formulation had). The min struct carries (doc_id, pos) with it, so
+    no join back to the exploded lines is needed either — the line
+    value itself never traverses the shuffle more than once per
+    (line, map task). Nothing is driver-side; reassembly uses
+    collect_list + array_sort inside the aggregate, bounded by
+    document size."""
     lines = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    kept = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    kept = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_sb_first")
+    ).select(
+        F.col("_sb_first.doc_id").alias("doc_id"),
+        F.col("_sb_first.pos").alias("pos"),
+        "line",
+    )
     return (
         kept.groupBy("doc_id")
         .agg(

@@ -259,6 +259,28 @@ def test_line_dedup_preserves_order(spark):
 # --- repetition_metrics ------------------------------------------------------
 
 
+def test_line_dedup_hot_line_in_every_doc(spark):
+    """Skew case: one boilerplate line planted in EVERY document must
+    survive only in the lowest (doc_id, pos) and every other doc keeps
+    its unique lines — and the plan must contain no Window over the
+    line key (the first-occurrence pick is a partial aggregate, so the
+    hot line combines map-side instead of funneling one partition)."""
+    from swiftbeaver_spark.llm.pipeline import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(i, f"unique line {i}\n{boiler}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    out = line_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r["doc_id"]: (r["deduped_text"], r["n_kept_lines"]) for r in out.collect()}
+    assert got[0] == (f"unique line 0\n{boiler}", 2)
+    for i in range(1, 500):
+        assert got[i] == (f"unique line {i}", 1)
+
+
 def test_repetition_metrics_values(spark):
     df = spark.createDataFrame(
         [
