@@ -67,9 +67,20 @@ def chunk_digests(chunks: DataFrame) -> DataFrame:
 
 def evidence_digest_of_digests(chunks: DataFrame) -> str:
     """Deterministic hash-of-hashes provenance id: sha256 over the
-    ordered per-chunk digests. Collecting only digests (64 B/chunk,
-    ~13 MB per 100 TB) — never the data."""
-    rows = chunk_digests(chunks).select("chunk_id", "chunk_sha256").orderBy("chunk_id").collect()
+    ordered per-chunk digests. The chain is sequential by nature, but
+    the driver never materializes the digest table: `toLocalIterator`
+    streams one ordered range partition at a time (orderBy gives range
+    partitioning, so partitions arrive in chunk order), holding at most
+    one partition of ~40 B rows in driver memory — a few MB at the
+    default shuffle partitioning even for 100 TB / 512 MiB chunks
+    (~200k digests), vs the full table a collect() would pin. Chunk
+    DATA never leaves the executors either way."""
+    rows = (
+        chunk_digests(chunks)
+        .select("chunk_id", "chunk_sha256")
+        .orderBy("chunk_id")
+        .toLocalIterator()
+    )
     h = hashlib.sha256()
     for r in rows:
         h.update(bytes.fromhex(r.chunk_sha256))

@@ -10,9 +10,10 @@ data (zlib-compressed or raw+Adler-32), and `table` sections mapping
 chunk index -> file offset (MSB flags compression). No external
 dependency — usable on any ingest host.
 
-Scope: read single- and multi-segment E01 (E01/E02/...), write
-single-segment E01 (fixture/ingest tool). Checksums are verified on
-read; corrupt descriptors raise EwfFormatError.
+Scope: read AND write single- and multi-segment E01 (E01/E02/...
+chains via `chunks_per_segment`; segment extensions roll E99 -> EAA ->
+EZZ -> FAA like libewf). Checksums are verified on read; corrupt
+descriptors raise EwfFormatError.
 """
 
 from __future__ import annotations

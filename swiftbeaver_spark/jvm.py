@@ -30,6 +30,7 @@ _JAR_NAME = "sb-kernel.jar"
 _SOURCES = (
     "Ac.java",
     "EwfImage.java",
+    "JaccardUdf.java",
     "MinHashUdf.java",
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
@@ -111,6 +112,7 @@ def ensure_kernel(spark: SparkSession) -> bool:
                 "sb_minhash", "sbspark.MinHashUdf", "array<bigint>"
             )
             spark.udf.registerJavaFunction("sb_simhash", "sbspark.SimHashUdf", "bigint")
+            spark.udf.registerJavaFunction("sb_jaccard", "sbspark.JaccardUdf", "double")
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
                 "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"

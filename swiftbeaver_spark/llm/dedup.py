@@ -221,14 +221,18 @@ def minhash_near_dups(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from swiftbeaver_spark.jvm import ensure_kernel
+
     rows_per_band = num_hashes // num_bands
     # persist: the banded self-join and the verify would otherwise
     # recompute the signature pass once per reference
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     pairs = minhash_lsh_pairs(sigs, num_bands, rows_per_band)
     # exact shingle-Jaccard verify on candidates only: join pair ids to
-    # texts, compute set jaccard in a vectorized Arrow pass (python set
-    # ops beat interpreted JVM array lambdas by ~10x here)
+    # texts, then the bit-exact JVM shingle-set kernel (sb_jaccard —
+    # candidates never cross into Python) when it registers, else the
+    # same computation as a vectorized Arrow pass. Either way, python
+    # set ops / JVM HashSets beat interpreted array lambdas ~10x here.
     texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
         pairs.join(
@@ -240,6 +244,14 @@ def minhash_near_dups(
             "doc_b",
         )
     )
+    if ensure_kernel(df.sparkSession):
+        jac = F.call_udf(
+            "sb_jaccard", F.col("text_a"), F.col("text_b"), F.lit(int(shingle_k))
+        )
+        return (
+            joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     out_schema = StructType(
         [
             StructField("doc_a", LongType(), False),
@@ -381,12 +393,20 @@ def simhash_near_dups(
     segments is the published design for the common k<=3 regime; past
     k=4 it explodes combinatorially (k=8 would mean 165 tables), so the
     default drops to keep=1 there — still exact, narrower keys — and
-    callers chasing bucket width at extreme k can raise n_segments."""
+    callers chasing bucket width at extreme k can raise n_segments
+    (keep=2 via n_segments=k+2 trades a C(k+2,2)-fold table explode
+    for quadratically fewer per-bucket collisions; measured at sf0.1
+    the explode costs MORE than the candidate cut saves, so it is not
+    the default)."""
     from itertools import combinations
 
     if n_segments is None:
         n_segments = max_hamming + (3 if max_hamming <= 4 else 1)
-    sims = simhash(df, text_col, id_col)
+    # persist: the blocked self-join references this subtree from both
+    # sides (broadcast build + probe), which would otherwise run the
+    # simhash kernel pass twice — same reason minhash_near_dups
+    # persists its signatures
+    sims = simhash(df, text_col, id_col).persist()
     segs = _segment_widths(64, n_segments)
     keep = n_segments - max_hamming
     if keep < 1:

@@ -237,6 +237,45 @@ def test_minhash_jvm_edge_cases(spark):
     assert set(jvm) == {3, 4, 5, 6, 8}  # 1, 2, 7 dropped by both
 
 
+def test_jaccard_jvm_matches_python_sets(spark):
+    """sb_jaccard must be BIT-exact with the Python shingle-set verify
+    (same normalize, codepoint slicing, max(n-k+1,1) floor, IEEE
+    division) — the near-dup verdicts cannot depend on which engine
+    verified the candidate pair."""
+    import random
+
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    assert ensure_kernel(spark)
+
+    def py_jaccard(a: str, b: str, k: int = 9) -> float:
+        def sh(t):
+            norm = " ".join(t.lower().split())
+            upper = max(len(norm) - k + 1, 1)
+            return {norm[i : i + k] for i in range(upper)}
+
+        sa, sb = sh(a), sh(b)
+        union = len(sa | sb)
+        return len(sa & sb) / union if union else 0.0
+
+    rng = random.Random(11)
+    words = ["near", "dup", "shingle", "öä", "verify", "jaccard", "x"]
+    cases = []
+    for i in range(60):
+        a = " ".join(rng.choice(words) for _ in range(rng.randrange(1, 40)))
+        mut = a + " tail" if i % 2 else a.replace("dup", "DUP  ", 1)
+        cases.append((a, mut))
+    cases += [("short", "short"), ("a", "b"), ("héllo wörld", "héllo wörld x")]
+    df = spark.createDataFrame(cases, "ta string, tb string")
+    from pyspark.sql import functions as FF
+
+    got = df.select(
+        "ta", "tb", FF.call_udf("sb_jaccard", "ta", "tb", FF.lit(9)).alias("j")
+    ).collect()
+    for r in got:
+        assert r["j"] == py_jaccard(r["ta"], r["tb"]), (r["ta"], r["tb"])
+
+
 def test_fuzz_random_patterns_vs_naive(spark):
     """Property fuzz: arbitrary pattern sets (shared prefixes, nested,
     self-overlapping, 1-byte) over adversarial data must match the
