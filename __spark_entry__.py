@@ -5120,6 +5120,95 @@ def q90_sql() -> str:
     """
 
 
+CRF_SHORTLIST, CRF_TOPK = 50, 5
+
+
+def q91_coarse_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (llm/similarity.py::coarse_refine_topk):
+    1-bit Hamming shortlist (q87's coarse stage, 8 B/vector scanned)
+    -> exact cosine re-rank of only the shortlisted vectors — the
+    production composition of the compression ladder's cheapest and
+    most precise rungs. Thresholds train in-query (exact min/max
+    midranges, q87 convention), the shortlist tie-breaks on
+    (hamming, vec_id), the final rank on ROUND(cosine, 6) — every
+    stage SQL-replayable, so the oracle replays shortlist AND
+    re-rank."""
+    from swiftbeaver_spark.llm.similarity import (
+        bq_thresholds,
+        coarse_refine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mids = bq_thresholds(emb)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = coarse_refine_topk(
+        emb, queries, mids, k=CRF_TOPK, shortlist=CRF_SHORTLIST, round_cosine=6
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.format_string("%.6f", F.col("cosine")).alias("cosine"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def q91_sql() -> str:
+    bitvals = ",\n        ".join(
+        f"({d + 1}, {(1 << d) if d < 63 else -(1 << 63)})" for d in range(64)
+    )
+    return f"""
+    WITH pv(pos, bitval) AS (
+      VALUES {bitvals}
+    ), comps AS (
+      SELECT vec_id, p.pos, CAST(embedding[p.pos] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ), mids AS (
+      SELECT pos, ROUND(MIN(v) + (MAX(v) - MIN(v)) / 2.0, 6) AS mid
+      FROM comps GROUP BY pos
+    ), codes AS (
+      SELECT c.vec_id,
+             CAST(SUM(CASE WHEN c.v > m.mid THEN pv.bitval ELSE 0 END)
+                  AS BIGINT) AS bq
+      FROM comps c JOIN mids m USING (pos) JOIN pv USING (pos)
+      GROUP BY c.vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, bq AS qbq FROM codes WHERE vec_id < 3
+    ), short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(c.bq, q.qbq)), c.vec_id) AS rn
+        FROM codes c CROSS JOIN q
+      ) WHERE rn <= {CRF_SHORTLIST}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT query_id, vec_id,
+           printf('%.6f', cosine) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT s.query_id, s.vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY cosine DESC, s.vec_id) AS rank
+      FROM (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(ce.v, qe.v) /
+                     (sqrt(list_dot_product(ce.v, ce.v)) *
+                      sqrt(list_dot_product(qe.v, qe.v))), 6) AS cosine
+        FROM short s
+        JOIN e ce ON ce.vec_id = s.vec_id
+        JOIN e qe ON qe.vec_id = s.query_id
+      ) s
+    )
+    WHERE rank <= {CRF_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5235,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_join": q48_asof_join,
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
+        "q91_coarse_refine_topk": q91_coarse_refine_topk,
     }
 
 
@@ -5335,4 +5425,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_asof_join": q48_sql(),
         "q49_countmin": q49_sql(),
         "q50_weighted_sample": q50_sql(),
+        "q91_coarse_refine_topk": q91_sql(),
     }

@@ -868,3 +868,60 @@ def bq_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+
+
+def coarse_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    thresholds: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_cosine: int | None = None,
+) -> DataFrame:
+    """Two-stage coarse-to-fine retrieval — the production composition
+    the 1-bit codes exist for: (1) Hamming-shortlist the top
+    `shortlist` candidates per query over the packed sign bits (one
+    XOR+popcount per corpus row, codes are 8 B/vector so the coarse
+    stage streams the whole corpus from ~1/32 the bytes), then
+    (2) exact cosine re-rank of ONLY the shortlisted vectors.
+
+    Scale: stage 1 is the bq_topk map-only scan vs broadcast query
+    codes; stage 2 joins the (queries x shortlist)-row shortlist —
+    broadcast — back to the float vectors, so full-precision vectors
+    are read for ~shortlist rows per query instead of the corpus.
+    Recall is governed by `shortlist` (shortlist >= |corpus| is exact
+    brute force). Deterministic end to end: the shortlist tie-breaks
+    on (hamming, vec_id), the final rank on (cosine desc, vec_id) —
+    with round_cosine, every stage is SQL-replayable."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    codes = bq_encode(c, thresholds, vec_col="vec", out_col="bq")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+    )
+    qcodes = bq_encode(q, thresholds, vec_col="query_vec", out_col="query_bq")
+    short = bq_topk(
+        codes.select("vec_id", "bq"),
+        qcodes.select("query_id", "query_bq"),
+        k=shortlist,
+    ).select("query_id", "vec_id")
+    cand = c.join(F.broadcast(short), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    cos = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

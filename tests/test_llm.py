@@ -729,6 +729,68 @@ def test_ivfpq_prunes_to_probed_cells(spark, embeddings):
     codes.unpersist()
 
 
+def test_coarse_refine_exact_when_shortlist_covers_corpus(spark, embeddings):
+    """shortlist >= |corpus| degenerates to exact brute force: the
+    re-ranked top-k must equal exact cosine top-k."""
+    from swiftbeaver_spark.llm.similarity import (
+        bq_thresholds,
+        coarse_refine_topk,
+        cosine_similarity,
+    )
+
+    mids = bq_thresholds(embeddings)
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n = embeddings.count()
+    got = coarse_refine_topk(embeddings, queries, mids, k=5, shortlist=n)
+    exact = {}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in embeddings.collect()}
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in queries.collect():
+        q = [float(x) for x in r["query_vec"]]
+        top = sorted(vecs, key=lambda v: (-cos(vecs[v], q), v))[:5]
+        exact[r["query_id"]] = top
+    for r in got.collect():
+        assert exact[r["query_id"]][r["rank"] - 1] == r["vec_id"]
+
+
+def test_coarse_refine_recall_with_small_shortlist(embeddings):
+    """A 50-vector Hamming shortlist out of ~1000 must still recover
+    most of the exact top-10 — the 1-bit codes preserve neighborhoods
+    well enough to be the coarse stage."""
+    from swiftbeaver_spark.llm.similarity import bq_thresholds, coarse_refine_topk
+
+    mids = bq_thresholds(embeddings)
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {}
+    for r in coarse_refine_topk(embeddings, queries, mids, k=10, shortlist=50).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    import math
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in embeddings.collect()}
+    hits = 0
+    for qid in got:
+        q = vecs[qid]
+
+        def cs(v):
+            dot = sum(x * y for x, y in zip(vecs[v], q))
+            na = math.sqrt(sum(x * x for x in vecs[v]))
+            nb = math.sqrt(sum(x * x for x in q))
+            return dot / (na * nb)
+
+        exact = sorted(vecs, key=lambda v: (-cs(v), v))[:10]
+        hits += len(got[qid] & set(exact))
+    assert hits >= 15  # >=30% recall@10 over 5 queries; random ~ 0.5
+
+
 def test_sq8_roundtrip_error_bound(spark, embeddings):
     """Dequantized midpoints reconstruct within step/2 per dimension;
     codes are in [0, 255]; encoding is deterministic."""
