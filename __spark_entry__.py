@@ -5209,6 +5209,26 @@ def q91_sql() -> str:
     """
 
 
+def q92_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus tokenization (llm/bpe.py::bpe_tokenize) — the encode
+    side of q59: learn BPE_MERGES merges, then tokenize every document
+    via the distinct-word segmentation + ordered per-doc reassembly
+    (the fold runs |V| times, not |corpus| times). Iterative like q59,
+    hence rows-only under the driver; tests/test_bpe.py pins the token
+    stream document-for-document against an independent single-node
+    encoder."""
+    from swiftbeaver_spark.llm.bpe import bpe_learn, bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(docs, num_merges=BPE_MERGES)
+    out = bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5325,6 +5345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
+        # q92: iterative (BPE) -> rows-only, like q59
+        "q92_bpe_tokenize": q92_bpe_tokenize,
     }
 
 

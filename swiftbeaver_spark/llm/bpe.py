@@ -130,3 +130,51 @@ def bpe_segment(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> Da
     for _, a, b, _ in merges:
         out = out.withColumn("syms", _merge_pair_expr(a, b))
     return out
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus tokenization with a learned merge list — the encode side
+    that actually runs over 100 TB. The trick is the same one training
+    uses: segmentation is a pure function of the WORD, so the merge
+    fold runs once per DISTINCT word (|V| rows, language-bounded), and
+    the corpus-sized side only pays a join on the word key plus an
+    ordered per-doc reassembly.
+
+    Shape: (1) distinct-word table -> bpe_segment (the |V|-row fold,
+    one plan — lineage does not grow with corpus size); (2) per-doc
+    word instances (posexplode, normalized like training) join the
+    word->symbols map on `word` — a narrow-key shuffle, and AQE turns
+    it into a broadcast join whenever the segmented vocab is small
+    enough to ship; (3) groupBy doc: sort_array(collect_list) by
+    position, flatten — token order is exactly document word order.
+    Output: (doc_id, tokens array<string>, n_tokens)."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+
+    inst = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != "",
+            )
+        ).alias("pos", "word"),
+    )
+    vocab = bpe_segment(inst.select("word").distinct(), merges).select("word", "syms")
+    joined = inst.join(vocab, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )

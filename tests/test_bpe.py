@@ -69,6 +69,54 @@ def test_bpe_matches_reference(spark, corpus):
     assert got == want
 
 
+def _reference_tokenize(text: str, merges) -> list[str]:
+    """Apply learned merges to one document, word by word — the
+    single-node encode twin of _reference_bpe."""
+    toks: list[str] = []
+    for w in " ".join(text.lower().split()).split(" "):
+        if not w:
+            continue
+        syms = list(w) + [END_MARK]
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_tokenize_matches_reference(spark, corpus):
+    """bpe_tokenize (distinct-word segmentation + ordered per-doc
+    reassembly) must produce exactly the reference encoder's token
+    stream for every document, in document word order."""
+    from swiftbeaver_spark.llm.bpe import bpe_tokenize
+
+    merges = bpe_learn(corpus, num_merges=8)
+    docs = corpus.limit(40).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).cache()
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_tokenize(docs, merges).collect()
+    }
+    for r in docs.collect():
+        want = _reference_tokenize(r["text"], merges)
+        if not want:
+            assert r["doc_id"] not in got  # empty docs drop (no words)
+            continue
+        assert got[r["doc_id"]] == (want, len(want)), r["doc_id"]
+    # lossless segmentation: concatenated tokens reconstruct the
+    # normalized words (END_MARK-separated)
+    some = next(iter(got.values()))[0]
+    assert END_MARK in "".join(some)
+
+
 def test_bpe_merges_monotone_nonincreasing_counts_not_required(spark, corpus):
     """BPE pair counts are NOT monotone (later merges can create more
     frequent pairs) — but ranks must be sequential and symbols grow."""
