@@ -5229,6 +5229,133 @@ def q92_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+EMB_ND_PLANES = 6  # 64 buckets; candidate pairs ~ n^2/64 per-bucket-uniform
+
+
+def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (llm/dedup.py::embedding_near_dups):
+    hyperplane-LSH bucket then exact-cosine verify INSIDE buckets only
+    — the embedding leg of the dedup family (minhash q26 / simhash q27
+    / edit-distance q71). Planes pinned to the md5 constant matrix and
+    the verify cosine rounded to 6 dp, so the oracle replays the whole
+    approximate path (q28 convention): bucket fold, candidate
+    generation, and thresholded verify. Planted dups at vec_id+1e6 are
+    exact 2x scalings — same sign pattern (same bucket, guaranteed
+    candidate) and cosine exactly 1.0 in IEEE on any engine."""
+    from swiftbeaver_spark.llm.dedup import embedding_near_dups
+    from swiftbeaver_spark.llm.similarity import md5_plane_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = embedding_near_dups(
+        corpus,
+        threshold=0.5,
+        plane_matrix=md5_plane_matrix(EMB_ND_PLANES, 64),
+        round_cosine=6,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.format_string("%.6f", F.col("cosine")).alias("cosine"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def q93_sql() -> str:
+    from swiftbeaver_spark.llm.similarity import md5_plane_matrix
+
+    planes = md5_plane_matrix(EMB_ND_PLANES, 64)
+    bucket_terms = []
+    for p, row in enumerate(planes):
+        s = "0.0" + "".join(f" + v[{j + 1}]*({c})" for j, c in enumerate(row))
+        bucket_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+      FROM embeddings WHERE vec_id < 10
+    ), b AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM corpus
+    )
+    SELECT doc_a, doc_b, printf('%.6f', cosine) AS cosine FROM (
+      SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+             ROUND(list_dot_product(l.v, r.v) /
+                   (sqrt(list_dot_product(l.v, l.v)) *
+                    sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    WHERE cosine >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+def q94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints as a blocking key
+    (llm/text.py::fingerprint_pinned): md5 each 16-char shingle of the
+    normalized text, keep the 8 smallest, md5 the joined mins — then
+    self-join on the fingerprint to surface blocked pairs. Planted
+    exact copies at doc_id+1e6 MUST collide (identical normalized
+    text); planted mutations at doc_id+2e6 (' qq tail' suffix)
+    collide only if the appended shingles miss the 8-min set — the
+    oracle computes the identical fingerprint, so either outcome
+    hash-matches. Scale: fingerprint is one codegen pass per doc;
+    the self-join shuffles 16-byte keys, never text."""
+    from swiftbeaver_spark.llm.text import fingerprint_pinned
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq tail")).alias("text"),
+    )
+    fp = (
+        docs.unionByName(copies)
+        .unionByName(mutated)
+        .select("doc_id", fingerprint_pinned(F.col("text")).alias("fp"))
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"), F.col("l.fp").alias("fp"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q94_sql() -> str:
+    fp = (
+        "md5(array_to_string(list_slice(list_sort("
+        "list_transform(list_distinct(list_transform("
+        "generate_series(1, greatest(length(norm) - 15, 1)), "
+        "i -> substr(norm, i, 16))), s -> md5(s))), 1, 8), ','))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+    ), corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM base
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' qq tail' FROM base
+    ), fp AS (
+      SELECT doc_id, {fp} AS fp FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM corpus
+      )
+    )
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.fp AS fp
+    FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5347,6 +5474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         # q92: iterative (BPE) -> rows-only, like q59
         "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
     }
 
 
@@ -5448,4 +5577,6 @@ def oracle_sql() -> dict[str, str]:
         "q49_countmin": q49_sql(),
         "q50_weighted_sample": q50_sql(),
         "q91_coarse_refine_topk": q91_sql(),
+        "q93_embedding_neardup": q93_sql(),
+        "q94_doc_fingerprint": q94_sql(),
     }

@@ -471,16 +471,32 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    plane_matrix: list[list[float]] | None = None,
+    round_cosine: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH bucket (deterministic
-    hash-derived planes) then exact cosine verify inside buckets."""
+    hash-derived planes) then exact cosine verify inside buckets.
+
+    With `plane_matrix` (explicit ±1 literals, e.g. md5_plane_matrix)
+    the bucket fold is a strict left-to-right IEEE sum any engine can
+    replay bit-for-bit, and with `round_cosine` the verify score is
+    rounded before thresholding — together they pin the ENTIRE
+    approximate path for oracle checks (the q28 convention).
+
+    Scale: one shuffle on the bucket key; with 2^num_planes buckets
+    the expected pair count is n^2 / 2^p per-bucket-uniform — size
+    num_planes so buckets hold O(sqrt(candidate budget)) vectors.
+    Cosine verify runs only inside buckets, never all-pairs."""
     from swiftbeaver_spark.llm.similarity import cosine_similarity, hyperplane_bucket
 
     vecs = embeddings.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes))
+    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes, plane_matrix))
     l, r = vecs.alias("l"), vecs.alias("r")
+    cos = cosine_similarity(F.col("l.vec"), F.col("r.vec"))
+    if round_cosine is not None:
+        cos = F.round(cos, round_cosine)
     return (
         l.join(
             r,
@@ -489,7 +505,7 @@ def embedding_near_dups(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            cosine_similarity(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+            cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

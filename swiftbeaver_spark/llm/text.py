@@ -122,6 +122,27 @@ def fingerprint(col: Column, num_shingles: int = 8, shingle_k: int = 16) -> Colu
     return F.xxhash64(F.concat_ws(",", F.transform(mins, lambda h: h.cast("string"))))
 
 
+def fingerprint_pinned(col: Column, num_shingles: int = 8, shingle_k: int = 16) -> Column:
+    """Engine-pinned winnowing fingerprint: md5-hex each k-char shingle
+    of the normalized text, keep the num_shingles lexicographically
+    smallest (hex sort == 128-bit numeric sort), md5 the joined mins.
+    Same blocking semantics as `fingerprint` but every step — normalize,
+    shingle, md5, sort, slice, concat — replays verbatim in ANSI SQL /
+    DuckDB, so oracle gates can hash-match the fingerprints themselves
+    rather than just downstream pair identities. Use `fingerprint`
+    (xxhash64, one codegen pass, no hex materialization) in production
+    paths; this variant exists for cross-engine verification and costs
+    one md5 per shingle."""
+    from swiftbeaver_spark.llm.dedup import char_shingles
+
+    mins = F.slice(
+        F.array_sort(F.transform(char_shingles(col, shingle_k), lambda s: F.md5(s))),
+        1,
+        num_shingles,
+    )
+    return F.md5(F.concat_ws(",", mins))
+
+
 def content_digest(col: Column) -> Column:
     """Stable md5 digest of normalized content (exact-dup key)."""
     from swiftbeaver_spark.llm.dedup import normalized_text

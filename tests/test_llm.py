@@ -275,6 +275,54 @@ def test_fingerprint_stability(spark):
     assert a == b
 
 
+def test_fingerprint_pinned_blocking(spark):
+    from swiftbeaver_spark.llm.text import fingerprint_pinned
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact copy -> identical fingerprint
+            (3, "  THE   quick brown fox jumps over the lazy dog " * 4),
+            (4, "completely different text about spark catalyst optimizer engines"),
+        ],
+        ["id", "text"],
+    )
+    fps = {
+        r.id: r.fp
+        for r in df.select("id", fingerprint_pinned(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]
+    # normalization (case + whitespace collapse) folds 3 into 1... except
+    # the leading-token difference: norm(3) == 'the quick...' == norm(1)
+    assert fps[3] == fps[1]
+    assert fps[4] != fps[1]
+
+
+def test_embedding_near_dups_pinned_planes(spark):
+    from swiftbeaver_spark.llm.dedup import embedding_near_dups
+    from swiftbeaver_spark.llm.similarity import md5_plane_matrix
+
+    rows = [
+        (1, [1.0, 0.0, 0.5, -0.25]),
+        (2, [2.0, 0.0, 1.0, -0.5]),  # exact 2x of 1 -> cosine 1.0, same bucket
+        (3, [-1.0, 0.5, -0.5, 0.25]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dups(
+            df,
+            threshold=0.95,
+            plane_matrix=md5_plane_matrix(4, 4),
+            round_cosine=6,
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
 def test_multimodal_meta(spark):
     media = spark.createDataFrame(
         [
