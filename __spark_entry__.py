@@ -5373,9 +5373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * the irreplaceable composite gates (q02 scan kernel, q30-q33
     #     carve engine),
     #   * every query whose implementation changed this round
-    #     (q26/q27 near-dup verify, q43 line_dedup salting) plus two
-    #     high-value scale ops (q36 clusters, q38 packing),
-    #   * the round-4 additions (q88 IVF-PQ, q89 WebDataset, q90 shards).
+    #     (q26/q27 near-dup verify, q43 line_dedup salting),
+    #   * the round-4 additions (q88 IVF-PQ, q89 WebDataset, q90 shards,
+    #     q93 embedding near-dup, q94 fingerprint blocking); q36/q38
+    #     rotate out (driver-proven r1-r3), q91 waits in the tail.
     # Queries proven green in earlier driver rounds rotate to the tail.
     return {
         # --- driver window (first 50) -----------------------------------
@@ -5386,9 +5387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_carve_remaining": q33_carve_remaining,
         "q26_minhash_neardup": q26_minhash_neardup,
         "q27_simhash_neardup": q27_simhash_neardup,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q38_pack_sequences": q38_pack_sequences,
         "q43_line_dedup": q43_line_dedup,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
         "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
         "q53_stream_interval_join": q53_stream_interval_join,
@@ -5471,11 +5472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_join": q48_asof_join,
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q38_pack_sequences": q38_pack_sequences,
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         # q92: iterative (BPE) -> rows-only, like q59
         "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q93_embedding_neardup": q93_embedding_neardup,
-        "q94_doc_fingerprint": q94_doc_fingerprint,
     }
 
 
@@ -5490,9 +5491,9 @@ def oracle_sql() -> dict[str, str]:
         "q33_carve_remaining": q33_sql(),
         "q26_minhash_neardup": q26_sql(),
         "q27_simhash_neardup": q27_sql(),
-        "q36_dedup_clusters": q36_sql(),
-        "q38_pack_sequences": q38_sql(),
         "q43_line_dedup": q43_sql(),
+        "q93_embedding_neardup": q93_sql(),
+        "q94_doc_fingerprint": q94_sql(),
         "q51_crossdoc_dup": q51_sql(),
         "q52_stream_dedup": q52_sql(),
         "q53_stream_interval_join": q53_sql(),
@@ -5576,7 +5577,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_asof_join": q48_sql(),
         "q49_countmin": q49_sql(),
         "q50_weighted_sample": q50_sql(),
+        "q36_dedup_clusters": q36_sql(),
+        "q38_pack_sequences": q38_sql(),
         "q91_coarse_refine_topk": q91_sql(),
-        "q93_embedding_neardup": q93_sql(),
-        "q94_doc_fingerprint": q94_sql(),
     }
