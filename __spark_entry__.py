@@ -5356,6 +5356,64 @@ def q94_sql() -> str:
     """
 
 
+def q95_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion MinHash near-dup
+    (llm/dedup.py::incremental_minhash_near_dups): the corpus maintains
+    an LSH band index (minhash_band_index); a NEW batch — ' tail'-
+    suffixed copies of doc_id<25 at +1e6, the q26 mutation — computes
+    signatures for the batch only and probes the index with a
+    (band, band_hash) equi-join, then exact-Jaccard-verifies the
+    candidates. Output is the planted slice, whose pairs AND jaccard
+    values DuckDB predicts exactly (char-9 shingle sets) — same oracle
+    math as q26 but exercising the probe-an-index path a continuous
+    crawl runs, where the 100 TB corpus is banded once, not per
+    batch."""
+    from swiftbeaver_spark.llm.dedup import (
+        incremental_minhash_near_dups,
+        minhash_band_index,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_band_index(minhash_signatures(docs))
+    batch = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    hits = incremental_minhash_near_dups(batch, index, docs, threshold=0.5)
+    return (
+        hits.where(F.col("new_doc_id") - F.col("doc_id") == 1_000_000)
+        .select(
+            "new_doc_id",
+            "doc_id",
+            F.format_string("%.6f", F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+def q95_sql() -> str:
+    shingle = (
+        "list_distinct(list_transform(generate_series(1, greatest(length({t}) - 8, 1)), "
+        "i -> substr({t}, i, 9)))"
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id + 1000000 AS new_doc_id, doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS na
+      FROM documents WHERE doc_id < 25
+    ), s AS (
+      SELECT new_doc_id, doc_id,
+             {shingle.format(t="na || ' tail'")} AS sa, {shingle.format(t="na")} AS sb
+      FROM p
+    )
+    SELECT new_doc_id, doc_id,
+           printf('%.6f', CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                          / len(list_distinct(list_concat(sa, sb)))) AS jaccard
+    FROM s ORDER BY new_doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5477,6 +5535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         # q92: iterative (BPE) -> rows-only, like q59
         "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q95_incremental_minhash": q95_incremental_minhash,
     }
 
 
@@ -5580,4 +5639,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_dedup_clusters": q36_sql(),
         "q38_pack_sequences": q38_sql(),
         "q91_coarse_refine_topk": q91_sql(),
+        "q95_incremental_minhash": q95_sql(),
     }

@@ -170,14 +170,16 @@ def minhash_signatures(
     return src.mapInPandas(work, out_schema)
 
 
-def minhash_lsh_pairs(
+def minhash_band_index(
     signatures: DataFrame,
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: equal band-slice -> candidate pair (classic b×r
-    scheme). One shuffle on (band, band_hash); self-join inside buckets."""
-    banded = signatures.select(
+    """(doc_id, band, band_hash) — the LSH band table. This IS the
+    production index for continuous ingestion: persist it partitioned
+    by (band, band_hash) and new batches probe it with an equi-join
+    (incremental_minhash_near_dups) instead of re-banding the corpus."""
+    return signatures.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -191,6 +193,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: equal band-slice -> candidate pair (classic b×r
+    scheme). One shuffle on (band, band_hash); self-join inside buckets."""
+    banded = minhash_band_index(signatures, num_bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -215,24 +227,12 @@ def minhash_near_dups(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact shingle
-    Jaccard >= threshold."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    from swiftbeaver_spark.jvm import ensure_kernel
-
+    Jaccard >= threshold (candidates only — see _verify_jaccard)."""
     rows_per_band = num_hashes // num_bands
     # persist: the banded self-join and the verify would otherwise
     # recompute the signature pass once per reference
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     pairs = minhash_lsh_pairs(sigs, num_bands, rows_per_band)
-    # exact shingle-Jaccard verify on candidates only: join pair ids to
-    # texts, then the bit-exact JVM shingle-set kernel (sb_jaccard —
-    # candidates never cross into Python) when it registers, else the
-    # same computation as a vectorized Arrow pass. Either way, python
-    # set ops / JVM HashSets beat interpreted array lambdas ~10x here.
     texts = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     joined = (
         pairs.join(
@@ -244,7 +244,24 @@ def minhash_near_dups(
             "doc_b",
         )
     )
-    if ensure_kernel(df.sparkSession):
+    return _verify_jaccard(joined, shingle_k, threshold)
+
+
+def _verify_jaccard(joined: DataFrame, shingle_k: int, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verify over candidate pairs carrying
+    (doc_a, doc_b, text_a, text_b): the bit-exact JVM shingle-set
+    kernel (sb_jaccard — candidates never cross into Python) when it
+    registers, else the same computation as a vectorized Arrow pass.
+    Either way, python set ops / JVM HashSets beat interpreted array
+    lambdas ~10x here."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    if ensure_kernel(joined.sparkSession):
         jac = F.call_udf(
             "sb_jaccard", F.col("text_a"), F.col("text_b"), F.lit(int(shingle_k))
         )
@@ -535,6 +552,66 @@ def incremental_exact_dedup(
     return fresh.groupBy("content_hash").agg(
         F.min(F.col(id_col)).alias(id_col),
         F.count("*").cast("long").alias("n_batch_copies"),
+    )
+
+
+def incremental_minhash_near_dups(
+    new: DataFrame,
+    index_bands: DataFrame,
+    corpus_texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 9,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingestion near-dup: probe a NEW batch against a
+    maintained LSH band index (minhash_band_index over the already-
+    ingested corpus) instead of re-banding the corpus per batch —
+    the production shape for continuous crawls, pairing with
+    incremental_exact_dedup the way minhash_near_dups pairs with
+    exact_dedup.
+
+    Returns (new_doc_id, doc_id, jaccard): each new doc against each
+    corpus doc it near-duplicates (exact shingle Jaccard >= threshold,
+    verified on LSH candidates only).
+
+    Scale: signatures are computed for the BATCH only; the probe is an
+    equi-join on (band, band_hash) that AQE broadcasts whenever the
+    batch's band table fits (the common case: batch << corpus),
+    otherwise co-partitions — the 100 TB corpus index is read, never
+    rebuilt. Text joins for the verify touch only candidate ids."""
+    rows_per_band = num_hashes // num_bands
+    new_sigs = minhash_signatures(new, text_col, id_col, num_hashes, shingle_k)
+    new_bands = minhash_band_index(new_sigs, num_bands, rows_per_band).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "band_hash"
+    )
+    cands = (
+        new_bands.join(index_bands, ["band", "band_hash"])
+        .select("new_doc_id", "doc_id")
+        .distinct()
+    )
+    new_texts = new.select(
+        F.col(id_col).alias("new_doc_id"), F.col(text_col).alias("text_a")
+    )
+    old_texts = corpus_texts.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text_b")
+    )
+    joined = (
+        cands.join(new_texts, "new_doc_id")
+        .join(old_texts, "doc_id")
+        .select(
+            F.col("new_doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            "text_a",
+            "text_b",
+        )
+    )
+    return _verify_jaccard(joined, shingle_k, threshold).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("doc_id"),
+        "jaccard",
     )
 
 

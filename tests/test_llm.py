@@ -323,6 +323,33 @@ def test_embedding_near_dups_pinned_planes(spark):
     assert all(a != 3 and b != 3 for a, b in pairs)
 
 
+def test_incremental_minhash_probe(spark):
+    from swiftbeaver_spark.llm.dedup import (
+        incremental_minhash_near_dups,
+        minhash_band_index,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated text about catalyst query optimization"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = minhash_band_index(minhash_signatures(corpus))
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again tail"),
+            (101, "nothing like anything already ingested whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = incremental_minhash_near_dups(batch, index, corpus, threshold=0.5).collect()
+    assert {(r.new_doc_id, r.doc_id) for r in hits} == {(100, 1)}
+    assert all(0.5 <= r.jaccard <= 1.0 for r in hits)
+
+
 def test_multimodal_meta(spark):
     media = spark.createDataFrame(
         [
