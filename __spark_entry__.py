@@ -5414,6 +5414,71 @@ def q95_sql() -> str:
     """
 
 
+def q96_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per nation for one region and
+    a one-year order window, over lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region with the local-supplier constraint
+    (c_nationkey = s_nationkey). Scale design: the fact-fact join
+    (lineitem ⋈ orders) shuffles on orderkey AFTER the date filter
+    pushes into the orders scan; nation/region carry explicit
+    broadcast hints (always tiny); customer/supplier get NO hint —
+    at 100 TB they are far beyond broadcast range, and AQE picks
+    broadcast-vs-shuffle from runtime sizes. DECIMAL arithmetic
+    end-to-end (q24 convention) keeps the aggregate exact
+    cross-engine."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    rev = (price * (F.lit(1).cast("decimal(18,4)") - disc)).cast("decimal(28,6)")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_d"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("rev_d"), "n_name")
+        .select("n_name", F.col("rev_d").cast("string").alias("revenue"), "n_items")
+    )
+
+
+def q96_sql() -> str:
+    return """
+    SELECT n_name, CAST(rev_d AS VARCHAR) AS revenue, n_items FROM (
+      SELECT n_name,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                      AS DECIMAL(28,6))) AS rev_d,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+    ) ORDER BY rev_d DESC, n_name
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5536,6 +5601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q92: iterative (BPE) -> rows-only, like q59
         "q92_bpe_tokenize": q92_bpe_tokenize,
         "q95_incremental_minhash": q95_incremental_minhash,
+        "q96_star_join": q96_star_join,
     }
 
 
@@ -5640,4 +5706,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_pack_sequences": q38_sql(),
         "q91_coarse_refine_topk": q91_sql(),
         "q95_incremental_minhash": q95_sql(),
+        "q96_star_join": q96_sql(),
     }

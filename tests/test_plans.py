@@ -122,3 +122,15 @@ def test_countmin_estimate_broadcasts_sketch(spark):
     est = countmin_estimate(sketch, vals.distinct(), "v", depth=2, prefix_len=2)
     plan = _formatted(est)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_star_join_pushes_date_filter(spark):
+    """q96: the order-date range must reach the orders parquet scan as
+    a pushed filter (partition/row-group pruning at scale), and the
+    always-tiny dims (nation, region) must broadcast."""
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q96_star_join(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan or "Exchange hashpartitioning" in plan
