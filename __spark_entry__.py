@@ -5479,6 +5479,53 @@ def q96_sql() -> str:
     """
 
 
+def q97_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (layout.py::compaction_plan +
+    compaction_summary): a synthetic manifest (one 'file' per document,
+    8 table partitions, size = 331 bytes/char) is binned into ~64 KB
+    rewrite groups by deterministic rolling-sum binning — the
+    maintenance pass every 100 TB table needs after streaming ingest.
+    The plan is a pure function of the manifest; the oracle replays
+    the window arithmetic verbatim."""
+    from swiftbeaver_spark.layout import compaction_plan, compaction_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        (F.col("doc_id") % 8).alias("part_key"),
+        F.format_string("part-%08d", F.col("doc_id")).alias("path"),
+        (F.length("text") * 331).cast("long").alias("size_bytes"),
+    )
+    plan = compaction_plan(files, target_bytes=64_000, partition_col="part_key")
+    return compaction_summary(plan, partition_col="part_key").orderBy(
+        "part_key", "compaction_group"
+    )
+
+
+def q97_sql() -> str:
+    return """
+    WITH files AS (
+      SELECT doc_id % 8 AS part_key,
+             printf('part-%08d', doc_id) AS path,
+             CAST(length(text) * 331 AS BIGINT) AS size_bytes
+      FROM documents
+    ), plan AS (
+      SELECT part_key, path, size_bytes,
+             CAST(FLOOR(COALESCE(SUM(size_bytes) OVER (
+                    PARTITION BY part_key ORDER BY path
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 64000.0) AS BIGINT) AS compaction_group
+      FROM files
+    )
+    SELECT part_key, compaction_group,
+           COUNT(*) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS group_bytes,
+           MIN(path) AS first_path, MAX(path) AS last_path
+    FROM plan
+    GROUP BY part_key, compaction_group
+    ORDER BY part_key, compaction_group
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5602,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_bpe_tokenize": q92_bpe_tokenize,
         "q95_incremental_minhash": q95_incremental_minhash,
         "q96_star_join": q96_star_join,
+        "q97_compaction_plan": q97_compaction_plan,
     }
 
 
@@ -5707,4 +5755,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_coarse_refine_topk": q91_sql(),
         "q95_incremental_minhash": q95_sql(),
         "q96_star_join": q96_sql(),
+        "q97_compaction_plan": q97_sql(),
     }

@@ -61,3 +61,58 @@ def zorder_layout(
     keyed = df.withColumn(key_name, zorder_key([F.col(c) for c in by], bits))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return keyed.repartitionByRange(parts, key_name).sortWithinPartitions(key_name)
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner: assign each file of a table
+    partition to a rewrite group of ~`target_bytes`, the maintenance
+    pass every 100 TB table needs (streaming sinks and incremental
+    ingests leave thousands of KB-scale files; scan cost is then
+    task-scheduling-bound, not IO-bound).
+
+    Deterministic rolling-sum binning: files order by path inside
+    their table partition, and a file joins group
+    floor(cumulative_size_before / target) — every group except a
+    partition's last lands >= target once it closes, and the plan is
+    a pure function of the manifest (replayable in any SQL engine,
+    no greedy loop). Output adds (compaction_group, group_seq).
+
+    Scale: ONE window partitioned by the table-partition column —
+    manifests are rows-per-FILE (a 100 TB table at 512 MiB files is
+    ~200k rows), and no partition's file list funnels through a
+    global sort. Skewed partitions (10^6 tiny files in one partition)
+    stay a single task's worth of 16-byte rows, not data bytes.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    seq = Window.partitionBy(partition_col).orderBy(path_col)
+    return (
+        files.withColumn(
+            "compaction_group",
+            F.floor(before / F.lit(target_bytes)).cast("long"),
+        )
+        .withColumn("group_seq", F.row_number().over(seq).cast("long"))
+    )
+
+
+def compaction_summary(plan: DataFrame, partition_col: str = "partition") -> DataFrame:
+    """Rewrite-group manifest: one row per (partition, group) with the
+    file count and total bytes the rewrite task will read."""
+    return plan.groupBy(partition_col, "compaction_group").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("group_bytes"),
+        F.min("path").alias("first_path"),
+        F.max("path").alias("last_path"),
+    )

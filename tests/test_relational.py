@@ -769,3 +769,35 @@ def test_profile_table_single_scan(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, s string")
     plan = profile_table(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_compaction_plan_invariants(spark):
+    """Every closed group (all but the last per partition) must reach
+    the target once its last file lands; group ids are contiguous from
+    0; files stay in path order within groups."""
+    from swiftbeaver_spark.layout import compaction_plan, compaction_summary
+
+    files = spark.createDataFrame(
+        [(i % 3, f"f-{i:04d}", 700 + (i * 137) % 900) for i in range(60)],
+        "part_key INT, path STRING, size_bytes LONG",
+    )
+    plan = compaction_plan(files, target_bytes=2000, partition_col="part_key")
+    rows = compaction_summary(plan, partition_col="part_key").collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part_key, []).append(r)
+    assert set(by_part) == {0, 1, 2}
+    for part, groups in by_part.items():
+        groups.sort(key=lambda r: r.compaction_group)
+        assert [g.compaction_group for g in groups] == list(range(len(groups)))
+        # floor-binning covers cumsum range [g*T, (g+1)*T): a group can
+        # fall short of T only by less than the largest file (1599 here)
+        for g in groups[:-1]:
+            assert g.group_bytes + 1599 >= 2000
+        # path ordering respected inside each group
+        for g in groups:
+            assert g.first_path <= g.last_path
+    # total bytes conserved
+    assert sum(r.group_bytes for r in rows) == sum(
+        700 + (i * 137) % 900 for i in range(60)
+    )
