@@ -5526,6 +5526,55 @@ def q97_sql() -> str:
     """
 
 
+def q98_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over three lineitem dimensions (returnflag, linestatus,
+    ship year): all 8 grouping-set combinations in ONE pass — Catalyst
+    expands the sets map-side, so the fact table is read once and the
+    partial aggregates shuffle once (vs 8 separate scans). Completes
+    the multi-level-aggregation family next to q74's ROLLUP. Integer
+    cents (q74 convention) keep sums exact cross-engine; grouping_id
+    disambiguates '(all)' labels from real values."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    out = (
+        lineitem.withColumn("cents", cents)
+        .withColumn("ship_year", F.year("l_shipdate").cast("int"))
+        .cube("l_returnflag", "l_linestatus", "ship_year")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("price_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        F.coalesce(F.col("ship_year").cast("string"), F.lit("(all)")).alias("ship_year"),
+        "gid",
+        "n_items",
+        "price_cents",
+    ).orderBy("gid", "returnflag", "linestatus", "ship_year")
+
+
+def q98_sql() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           COALESCE(CAST(ship_year AS VARCHAR), '(all)') AS ship_year,
+           CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS INT) AS gid,
+           COUNT(*) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS price_cents
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+    ORDER BY gid, returnflag, linestatus, ship_year
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5650,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_incremental_minhash": q95_incremental_minhash,
         "q96_star_join": q96_star_join,
         "q97_compaction_plan": q97_compaction_plan,
+        "q98_cube_summary": q98_cube_summary,
     }
 
 
@@ -5756,4 +5806,5 @@ def oracle_sql() -> dict[str, str]:
         "q95_incremental_minhash": q95_sql(),
         "q96_star_join": q96_sql(),
         "q97_compaction_plan": q97_sql(),
+        "q98_cube_summary": q98_sql(),
     }
