@@ -5575,6 +5575,227 @@ def q98_sql() -> str:
     """
 
 
+def _q99_bmp_hex(color_reps: int, w: int, h: int) -> str:
+    """Hex of a solid-color 24-bit BMP header for (w, h) whose body is
+    the color repeated color_reps times (stride must equal w*3)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body_len = stride * h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_len, 0, 0, 0, 0)
+    hdr = b"BM" + struct.pack("<I", 54 + body_len) + b"\x00" * 4 + struct.pack("<I", 54) + dib
+    return hdr.hex()
+
+
+def q99_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize under the oracle (llm/multimodal.py::
+    resize_images / resize_bmp): per doc a solid-color 4x2 24-bit BMP
+    is built IN SQL (color = md5(doc_id) prefix, the q30 build-bytes
+    trick), the real numpy nearest-neighbor kernel resizes it to 2x2,
+    and the oracle predicts the COMPLETE output file byte-for-byte
+    (solid color in, solid color out: header + 2 rows of color*2 +
+    2 pad bytes). Proves the Arrow plumbing AND the pixel math, not
+    just schema shape."""
+    from swiftbeaver_spark.llm.multimodal import resize_images
+
+    in_hdr = _q99_bmp_hex(8, 4, 2)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    color = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(in_hdr), F.repeat(color, 8))).alias("payload"),
+    )
+    out = resize_images(media, 2, 2)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "status",
+    ).orderBy("media_id")
+
+
+def q99_sql() -> str:
+    out_hdr = _q99_bmp_hex(0, 2, 2)
+    return f"""
+    SELECT doc_id AS media_id, 2 AS width, 2 AS height,
+           '{out_hdr}' || c || c || '0000' || c || c || '0000' AS payload_hex,
+           'resized' AS status
+    FROM (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS c
+      FROM documents WHERE doc_id < 200
+    )
+    ORDER BY media_id
+    """
+
+
+_Q100_SIZES = (12, 16, 20)
+
+
+def _q100_mp4_layout() -> tuple[str, str]:
+    """(pre_hex, post_hex) around the three mdat frame spans for the
+    q100 fixture MP4 — same box layout the pytest fixture builds, so
+    the real sample-table walk (mp4_sample_index) sees genuine stts/
+    stsz/stsc/stco tables."""
+    import struct
+
+    sizes, timescale, delta = _Q100_SIZES, 1000, 40
+
+    def box(name: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + name + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+    mdat_hdr = struct.pack(">I", 8 + sum(sizes)) + b"mdat"
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, len(sizes), delta))
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, len(sizes), 1))
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">I", len(ftyp) + 8))
+    stbl = box(b"stbl", stts + stsz + stsc + stco)
+    mdhd = box(
+        b"mdhd",
+        b"\x00" * 4
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, len(sizes) * delta)
+        + b"\x00" * 4,
+    )
+    moov = box(b"moov", box(b"trak", box(b"mdia", mdhd + box(b"minf", stbl))))
+    return (ftyp + mdat_hdr).hex(), moov.hex()
+
+
+def q100_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free video frame sampling under the oracle
+    (llm/multimodal.py::sample_video_frames / mp4_sample_index): per
+    doc an MP4 with REAL sample tables (stts/stsz/stsc/stco) is built
+    in SQL around three md5-derived frame spans; the real box walk
+    recovers each encoded frame's (t_ms, offset, size) and slices the
+    bytes, and the oracle predicts every frame row closed-form —
+    parser vs prediction, the q30 convention."""
+    from swiftbeaver_spark.llm.multimodal import sample_video_frames
+
+    pre_hex, post_hex = _q100_mp4_layout()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # two md5s per frame: the largest span (20 B = 40 hex) exceeds one
+    # md5's 32 hex chars
+    frames = [
+        F.substring(
+            F.concat(
+                F.md5(F.format_string(f"f{i}:%d", F.col("doc_id"))),
+                F.md5(F.format_string(f"g{i}:%d", F.col("doc_id"))),
+            ),
+            1,
+            2 * s,
+        )
+        for i, s in enumerate(_Q100_SIZES)
+    ]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(pre_hex), *frames, F.lit(post_hex))).alias("payload"),
+    )
+    out = sample_video_frames(media, stride=1)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+        "status",
+    ).orderBy("media_id", "frame_idx")
+
+
+def q100_sql() -> str:
+    rows = []
+    for i, s in enumerate(_Q100_SIZES):
+        rows.append(
+            f"SELECT doc_id AS media_id, {i} AS frame_idx, CAST({i * 40} AS BIGINT) AS t_ms, "
+            f"substr(md5(printf('f{i}:%d', doc_id)) || md5(printf('g{i}:%d', doc_id)),"
+            f" 1, {2 * s}) AS frame_hex, "
+            f"'ok' AS status FROM documents WHERE doc_id < 100"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    SELECT * FROM (
+      {union}
+    ) ORDER BY media_id, frame_idx
+    """
+
+
+_Q101_PCM_BYTES = 24  # 3 exact 1-second windows at byte_rate 8
+
+
+def _q101_wav_header_hex() -> str:
+    """RIFF/WAVE header for a mono PCM stream: byte_rate 8, block_align
+    2, data chunk of _Q101_PCM_BYTES."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 4, 8, 2, 16)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + _Q101_PCM_BYTES)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", _Q101_PCM_BYTES)
+    )
+    return hdr.hex()
+
+
+def q101_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM window slicing under the oracle (llm/multimodal.py::
+    sample_audio_windows): per doc a WAV with md5-derived PCM is built
+    in SQL (byte_rate 8 -> three exact 1 s windows of 8 bytes), the
+    real fmt/data chunk walk maps milliseconds to aligned byte spans,
+    and the oracle predicts every (window_idx, t_ms, pcm) row
+    closed-form — parser vs prediction, the q30 convention."""
+    from swiftbeaver_spark.llm.multimodal import sample_audio_windows
+
+    hdr = _q101_wav_header_hex()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pcm_hex = F.substring(
+        F.concat(
+            F.md5(F.format_string("a:%d", F.col("doc_id"))),
+            F.md5(F.format_string("b:%d", F.col("doc_id"))),
+        ),
+        1,
+        2 * _Q101_PCM_BYTES,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(hdr), pcm_hex)).alias("payload"),
+    )
+    out = sample_audio_windows(media, window_ms=1000)
+    return out.select(
+        "media_id",
+        "window_idx",
+        "t_ms",
+        F.lower(F.hex("pcm")).alias("pcm_hex"),
+        "status",
+    ).orderBy("media_id", "window_idx")
+
+
+def q101_sql() -> str:
+    rows = []
+    for i in range(3):
+        rows.append(
+            f"SELECT doc_id AS media_id, {i} AS window_idx,"
+            f" CAST({i * 1000} AS BIGINT) AS t_ms,"
+            f" substr(md5(printf('a:%d', doc_id)) || md5(printf('b:%d', doc_id)),"
+            f" {16 * i + 1}, 16) AS pcm_hex,"
+            f" 'ok' AS status FROM documents WHERE doc_id < 100"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    SELECT * FROM (
+      {union}
+    ) ORDER BY media_id, window_idx
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5700,6 +5921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_star_join": q96_star_join,
         "q97_compaction_plan": q97_compaction_plan,
         "q98_cube_summary": q98_cube_summary,
+        "q99_resize_images": q99_resize_images,
+        "q100_frame_sample": q100_frame_sample,
+        "q101_audio_windows": q101_audio_windows,
     }
 
 
@@ -5807,4 +6031,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_star_join": q96_sql(),
         "q97_compaction_plan": q97_sql(),
         "q98_cube_summary": q98_sql(),
+        "q99_resize_images": q99_sql(),
+        "q100_frame_sample": q100_sql(),
+        "q101_audio_windows": q101_sql(),
     }

@@ -913,3 +913,112 @@ def test_bq_encode_and_hamming(spark, embeddings):
         assert h == 0
         # hamming-0 ties resolve to the lowest id; self is always at distance 0
         assert vid <= qid
+
+
+def _box(name: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + name + payload
+
+
+def _mk_mp4_with_samples(frames: list[bytes], timescale: int = 1000, delta: int = 40) -> bytes:
+    """Minimal ISO-BMFF file whose stbl tables really describe the mdat
+    frame spans — the fixture for codec-free frame sampling."""
+    import struct as _s
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_off = len(ftyp) + 8  # first frame's absolute offset
+    stts = _box(b"stts", b"\x00" * 4 + _s.pack(">III", 1, len(frames), delta))
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4 + _s.pack(">II", 0, len(frames))
+        + b"".join(_s.pack(">I", len(f)) for f in frames),
+    )
+    stsc = _box(b"stsc", b"\x00" * 4 + _s.pack(">I", 1) + _s.pack(">III", 1, len(frames), 1))
+    stco = _box(b"stco", b"\x00" * 4 + _s.pack(">I", 1) + _s.pack(">I", mdat_off))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    mdhd = _box(
+        b"mdhd", b"\x00" * 4 + _s.pack(">II", 0, 0) + _s.pack(">II", timescale, len(frames) * delta) + b"\x00" * 4
+    )
+    mdia = _box(b"mdia", mdhd + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def _mk_bmp24(width: int, height: int, pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bit bottom-up BMP; pixels[y][x] = (b, g, r) in top-down order."""
+    import struct as _s
+
+    stride = (width * 3 + 3) & ~3
+    body = b""
+    for y in range(height - 1, -1, -1):  # bottom-up rows
+        row = b"".join(bytes(pixels[y][x]) for x in range(width))
+        body += row + b"\x00" * (stride - len(row))
+    dib = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return (
+        b"BM" + _s.pack("<I", 54 + len(body)) + b"\x00" * 4 + _s.pack("<I", 54) + dib + body
+    )
+
+
+def test_resize_bmp_real_pixels():
+    from swiftbeaver_spark.llm.multimodal import header_image_dims, resize_bmp
+
+    # 4x2 image, distinct pixels; nearest-neighbor to 2x1 picks
+    # logical row 0, columns 0 and 2
+    pix = [
+        [(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)],
+        [(5, 5, 5), (6, 6, 6), (7, 7, 7), (8, 8, 8)],
+    ]
+    src = _mk_bmp24(4, 2, pix)
+    out = resize_bmp(src, 2, 1)
+    assert out is not None and header_image_dims(out) == (2, 1)
+    reparsed = resize_bmp(out, 2, 1)  # output is itself a valid BMP
+    assert reparsed is not None
+    body = out[54:]
+    assert body[0:3] == bytes((1, 1, 1)) and body[3:6] == bytes((3, 3, 3))
+    assert resize_bmp(b"\xff\xd8notabmp", 2, 2) is None
+
+
+def test_mp4_sample_index_and_frames(spark):
+    from swiftbeaver_spark.llm.multimodal import mp4_sample_index, sample_video_frames
+
+    frames = [b"AA", b"BBB", b"CCCC"]
+    blob = _mk_mp4_with_samples(frames)
+    idx = mp4_sample_index(blob)
+    assert idx is not None and len(idx) == 3
+    assert [t for _, t, _, _ in idx] == [0, 40, 80]
+    for (si, _t, off, size), expect in zip(idx, frames):
+        assert blob[off : off + size] == expect
+    media = spark.createDataFrame(
+        [(1, blob), (2, b"not a video")], "media_id LONG, payload BINARY"
+    )
+    rows = sample_video_frames(media, stride=2).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    assert bytes(got[(1, 0)].frame_bytes) == b"AA"
+    assert bytes(got[(1, 2)].frame_bytes) == b"CCCC"
+    assert (1, 1) not in got  # stride 2 skips the middle frame
+    assert got[(2, -1)].status == "unsupported"
+
+
+def test_wav_audio_windows(spark):
+    import struct as _s
+
+    from swiftbeaver_spark.llm.multimodal import sample_audio_windows
+
+    # 8 bytes/sec, block_align 2 -> 1s windows = 8 bytes
+    pcm = bytes(range(20))
+    fmt = _s.pack("<HHIIHH", 1, 1, 4, 8, 2, 16)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(pcm)) + pcm
+    )
+    media = spark.createDataFrame([(7, wav)], "media_id LONG, payload BINARY")
+    rows = sorted(sample_audio_windows(media, window_ms=1000).collect(), key=lambda r: r.window_idx)
+    assert [r.t_ms for r in rows] == [0, 1000, 2000]
+    assert bytes(rows[0].pcm) == pcm[0:8]
+    assert bytes(rows[2].pcm) == pcm[16:20]  # final partial window
