@@ -5796,6 +5796,108 @@ def q101_sql() -> str:
     """
 
 
+def q102_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity week,
+    counted distinct per (cohort_week, week_offset) — the standard
+    product-analytics rollup. Scale shape: distinct (user, week) is
+    ONE shuffle of narrow keys; the per-user min is a partial
+    aggregate; the cohort join keys on user_id (AQE broadcasts the
+    cohort table when it fits — it is rows-per-USER, not per-event);
+    the final matrix is bounded by weeks^2."""
+    events = _t(spark, sf_dir, "events")
+    active = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q102_sql() -> str:
+    return """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM active JOIN cohorts USING (user_id)
+    GROUP BY cohorts.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """
+
+
+def q103_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: per user, consecutive
+    event-type pairs (lag window ordered by ts, event_id — ties break
+    deterministically) counted into (from_type, to_type, n,
+    probability). The window partitions by user_id (bounded per-user
+    history, never a global sort); the matrix is |types|^2. The
+    probability denominators come from a second small aggregate over
+    the matrix itself, not another pass over events."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "probability",
+            F.format_string(
+                "%.6f", F.col("n") / F.sum("n").over(totals)
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q103_sql() -> str:
+    return """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), m AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           printf('%.6f', CAST(n AS DOUBLE) /
+                          SUM(n) OVER (PARTITION BY from_type)) AS probability
+    FROM m ORDER BY from_type, to_type
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -5924,6 +6026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_resize_images": q99_resize_images,
         "q100_frame_sample": q100_frame_sample,
         "q101_audio_windows": q101_audio_windows,
+        "q102_retention_cohorts": q102_retention_cohorts,
+        "q103_event_transitions": q103_event_transitions,
     }
 
 
@@ -6034,4 +6138,6 @@ def oracle_sql() -> dict[str, str]:
         "q99_resize_images": q99_sql(),
         "q100_frame_sample": q100_sql(),
         "q101_audio_windows": q101_sql(),
+        "q102_retention_cohorts": q102_sql(),
+        "q103_event_transitions": q103_sql(),
     }
