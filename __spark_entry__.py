@@ -5898,6 +5898,58 @@ def q103_sql() -> str:
     """
 
 
+def q104_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup probe under the hash gate
+    (streaming.py::neardup_probe_stream): the corpus's MinHash band
+    index is built once; the planted q95 batch (' tail' copies of
+    doc_id<25 at +1e6) arrives as TWO parquet files consumed in
+    micro-batches (maxFilesPerTrigger=1), each probing the static
+    index via foreachBatch and appending hits exactly-once. The union
+    of per-batch hits must equal the q95 batch answer — jaccard
+    values and all (tempdir round-trip is the local-harness device,
+    as in q52)."""
+    import tempfile
+
+    from swiftbeaver_spark.llm.dedup import minhash_band_index, minhash_signatures
+    from swiftbeaver_spark.streaming import neardup_probe_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist: every micro-batch references the index; without it each
+    # foreachBatch job would re-run the corpus signature pass
+    index = minhash_band_index(minhash_signatures(docs)).persist()
+    mutated = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sb_q104_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    mutated.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    mutated.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = neardup_probe_stream(stream, index, docs, out, ckpt, threshold=0.5)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q104 streaming near-dup probe did not finish in 300s")
+    hits = spark.read.parquet(out)
+    return (
+        hits.where(F.col("new_doc_id") - F.col("doc_id") == 1_000_000)
+        .select(
+            "new_doc_id",
+            "doc_id",
+            F.format_string("%.6f", F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+def q104_sql() -> str:
+    return q95_sql()
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6028,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_audio_windows": q101_audio_windows,
         "q102_retention_cohorts": q102_retention_cohorts,
         "q103_event_transitions": q103_event_transitions,
+        "q104_stream_neardup": q104_stream_neardup,
     }
 
 
@@ -6140,4 +6193,5 @@ def oracle_sql() -> dict[str, str]:
         "q101_audio_windows": q101_sql(),
         "q102_retention_cohorts": q102_sql(),
         "q103_event_transitions": q103_sql(),
+        "q104_stream_neardup": q104_sql(),
     }

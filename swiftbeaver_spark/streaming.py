@@ -201,3 +201,42 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def neardup_probe_stream(
+    batches: DataFrame,
+    index_bands: DataFrame,
+    corpus_texts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    available_now: bool = True,
+):
+    """Continuous-ingest near-dup: each micro-batch of new documents
+    probes the maintained MinHash-LSH band index
+    (llm/dedup.py::incremental_minhash_near_dups) and appends its hits
+    — the streaming face of the q95 batch probe, and the production
+    loop a continuous crawl runs: the 100 TB corpus is banded once;
+    only arriving documents compute signatures.
+
+    foreachBatch (not a pure streaming DAG) because the probe needs a
+    stream-batch -> static equi-join plus an Arrow/JVM verify — the
+    same reason the scan pipeline uses it (see module docstring).
+    Exactly-once: the parquet sink + checkpoint make batch replays
+    idempotent."""
+    from swiftbeaver_spark.llm.dedup import incremental_minhash_near_dups
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hits = incremental_minhash_near_dups(
+            batch_df, index_bands, corpus_texts, threshold=threshold
+        )
+        hits.write.mode("append").parquet(out_dir)
+
+    writer = (
+        batches.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
