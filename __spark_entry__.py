@@ -5950,6 +5950,37 @@ def q104_sql() -> str:
     return q95_sql()
 
 
+def q105_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (llm/pipeline.py::
+    chunk_documents): 128-char windows advancing 96 chars (32 overlap)
+    over every document — the pre-embedding splitter. Fully
+    SQL-replayable (ceil count, per-chunk offsets, substring), so the
+    oracle checks every chunk's offset AND text."""
+    from swiftbeaver_spark.llm.pipeline import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, window_chars=128, overlap_chars=32).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q105_sql() -> str:
+    return """
+    WITH n AS (
+      SELECT doc_id, text,
+             CAST(GREATEST(CEIL((length(text) - 32) / 96.0), 1) AS INT) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 96 AS BIGINT) AS char_start,
+           substr(text, i * 96 + 1, 128) AS chunk_text,
+           CAST(length(substr(text, i * 96 + 1, 128)) AS BIGINT) AS n_chars
+    FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6081,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_retention_cohorts": q102_retention_cohorts,
         "q103_event_transitions": q103_event_transitions,
         "q104_stream_neardup": q104_stream_neardup,
+        "q105_chunk_documents": q105_chunk_documents,
     }
 
 
@@ -6194,4 +6226,5 @@ def oracle_sql() -> dict[str, str]:
         "q102_retention_cohorts": q102_sql(),
         "q103_event_transitions": q103_sql(),
         "q104_stream_neardup": q104_sql(),
+        "q105_chunk_documents": q105_sql(),
     }

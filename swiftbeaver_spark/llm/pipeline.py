@@ -583,3 +583,49 @@ def corpus_mixture(
         .orderBy("mix_pos", id_col)
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window_chars: int = 512,
+    overlap_chars: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter
+    an embedding/RAG pipeline runs before vectorizing: each doc yields
+    ceil((len - overlap) / step) chunks of `window_chars` chars
+    advancing by (window - overlap), each carrying (chunk_idx,
+    char_start, chunk_text, n_chars). Short docs yield exactly one
+    chunk. Pure Catalyst (sequence + transform + substring in one
+    codegen pass — no UDF, no shuffle: chunking is embarrassingly
+    row-local, and the explode factor is len/step per doc).
+
+    Complements pack_sequences (q38): packing concatenates SHORT docs
+    up to a budget; chunking splits LONG docs down to one."""
+    if overlap_chars >= window_chars:
+        raise ValueError("overlap_chars must be < window_chars")
+    step = window_chars - overlap_chars
+    n = F.greatest(
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap_chars)) / F.lit(step)),
+        F.lit(1),
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * step).cast("long").alias("char_start"),
+                F.substring(
+                    F.col(text_col), (i * step + 1).cast("int"), window_chars
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias("doc_id"), chunk.alias("c")).select(
+        "doc_id",
+        "c.chunk_idx",
+        "c.char_start",
+        "c.chunk_text",
+        F.length("c.chunk_text").cast("long").alias("n_chars"),
+    )

@@ -622,3 +622,26 @@ def test_corpus_mixture_size_independent(spark):
     out = corpus_mixture(df, {}, k=100)
     by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
     assert abs(by.get("big", 0) - by.get("small", 0)) < 40  # ~50/50
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    from swiftbeaver_spark.llm.pipeline import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(300))
+    df = spark.createDataFrame([(1, text), (2, "short")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, window_chars=128, overlap_chars=32).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    doc1 = [r for r in rows if r.doc_id == 1]
+    # ceil((300-32)/96) = 3 chunks at starts 0, 96, 192
+    assert [r.char_start for r in doc1] == [0, 96, 192]
+    for r in doc1:
+        assert r.chunk_text == text[r.char_start : r.char_start + 128]
+    # consecutive chunks share exactly the 32-char overlap
+    assert doc1[0].chunk_text[96:] == doc1[1].chunk_text[:32]
+    # full coverage: concatenating steps reconstructs the doc
+    rebuilt = doc1[0].chunk_text + doc1[1].chunk_text[32:] + doc1[2].chunk_text[32:]
+    assert rebuilt == text
+    short = [r for r in rows if r.doc_id == 2]
+    assert len(short) == 1 and short[0].chunk_text == "short"
