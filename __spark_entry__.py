@@ -5981,6 +5981,138 @@ def q105_sql() -> str:
     """
 
 
+def q106_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags (llm/text.py::gopher_quality_flags,
+    Rae et al. 2021 thresholds): corpus docs plus planted failures —
+    a 3-word doc at +1e6 (word-count rule) and a '###'-salted copy at
+    +2e6 (symbol-ratio rule). Every rule is integer cross-multiplied,
+    so the oracle replays each flag exactly — no float ratios."""
+    from swiftbeaver_spark.llm.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    short = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.lit("one two three").alias("text")
+    )
+    salted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.repeat(F.lit(" ###"), 20)).alias("text"),
+    )
+    out = gopher_quality_flags(docs.unionByName(short).unionByName(salted))
+    return out.select(
+        "doc_id",
+        "g_n_words",
+        "g_word_chars",
+        "g_alpha_words",
+        "g_symbols",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "alpha_frac_ok",
+        "symbol_ratio_ok",
+        "bullet_frac_ok",
+        "passes_gopher",
+    ).orderBy("doc_id")
+
+
+def q106_sql() -> str:
+    words = (
+        "list_filter(string_split_regex(trim(t), '\\s+'), w -> length(w) > 0)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text AS t FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000, 'one two three' FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id + 2000000, text || repeat(' ###', 20)
+      FROM documents WHERE doc_id < 10
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS g_n_words,
+             CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+               AS g_word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+               AS g_alpha_words,
+             CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS g_symbols,
+             CAST(len(list_filter(string_split(t, chr(10)),
+                                  ln -> regexp_matches(trim(ln), '^[-*•]'))) AS BIGINT)
+               AS g_bullet_lines,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS g_n_lines
+      FROM (SELECT doc_id, t, {words} AS w FROM corpus)
+    )
+    SELECT doc_id, g_n_words, g_word_chars, g_alpha_words, g_symbols,
+           (g_n_words >= 50 AND g_n_words <= 100000) AS word_count_ok,
+           (g_word_chars >= 3 * g_n_words AND g_word_chars <= 10 * g_n_words)
+             AS mean_word_len_ok,
+           (5 * g_alpha_words >= 4 * g_n_words) AS alpha_frac_ok,
+           (10 * g_symbols <= g_n_words) AS symbol_ratio_ok,
+           (10 * g_bullet_lines <= 9 * g_n_lines) AS bullet_frac_ok,
+           ((g_n_words >= 50 AND g_n_words <= 100000)
+            AND (g_word_chars >= 3 * g_n_words AND g_word_chars <= 10 * g_n_words)
+            AND (5 * g_alpha_words >= 4 * g_n_words)
+            AND (10 * g_symbols <= g_n_words)
+            AND (10 * g_bullet_lines <= 9 * g_n_lines)) AS passes_gopher
+    FROM m ORDER BY doc_id
+    """
+
+
+def q107_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (llm/text.py::c4_clean_lines, Raffel et
+    al. 2020 heuristics): docs get synthesized 4-line structure — a
+    terminal-punctuated sentence (kept), a raw substring with no
+    terminal punctuation (dropped), a 2-word sentence (dropped:
+    < 3 words), and a '!'-terminated substring (kept) — and every
+    10th doc gains a '{' (whole-doc drop). The oracle rebuilds the
+    same lines and replays keep/drop per line."""
+    from swiftbeaver_spark.llm.text import c4_clean_lines
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    structured = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 30), F.lit(" sentence ends here.")),
+        F.substring("text", 31, 25),
+        F.lit("two words."),
+        F.concat(F.substring("text", 56, 25), F.lit(" and it ends!")),
+    )
+    doc = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(structured, F.lit("{")))
+        .otherwise(structured)
+        .alias("text"),
+    )
+    return c4_clean_lines(doc).orderBy("doc_id")
+
+
+def q107_sql() -> str:
+    keepable = (
+        "ln -> regexp_matches(trim(ln), '[.!?\"]$') AND "
+        "len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> length(w) > 0)) >= 3"
+    )
+    return f"""
+    WITH built AS (
+      SELECT doc_id,
+             substr(text, 1, 30) || ' sentence ends here.' || chr(10) ||
+             substr(text, 31, 25) || chr(10) ||
+             'two words.' || chr(10) ||
+             substr(text, 56, 25) || ' and it ends!' ||
+             (CASE WHEN doc_id % 10 = 0 THEN '{{' ELSE '' END) AS t
+      FROM documents WHERE doc_id < 100
+    ), split AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+             list_filter(string_split(t, chr(10)), {keepable}) AS kept,
+             (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')) AS ok
+      FROM built
+    )
+    SELECT doc_id,
+           CASE WHEN ok THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text,
+           CAST(CASE WHEN ok THEN len(kept) ELSE 0 END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN ok THEN len(lines) - len(kept) ELSE len(lines) END AS BIGINT)
+             AS n_dropped
+    FROM split ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6113,6 +6245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_event_transitions": q103_event_transitions,
         "q104_stream_neardup": q104_stream_neardup,
         "q105_chunk_documents": q105_chunk_documents,
+        "q106_gopher_flags": q106_gopher_flags,
+        "q107_c4_clean": q107_c4_clean,
     }
 
 
@@ -6227,4 +6361,6 @@ def oracle_sql() -> dict[str, str]:
         "q103_event_transitions": q103_sql(),
         "q104_stream_neardup": q104_sql(),
         "q105_chunk_documents": q105_sql(),
+        "q106_gopher_flags": q106_sql(),
+        "q107_c4_clean": q107_sql(),
     }

@@ -302,3 +302,86 @@ def token_rarity(
         F.sum("rar_milli").cast("long").alias("rarity_sum_milli"),
         (F.sum("rar_milli") / F.count("*")).alias("mean_rarity_milli"),
     )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021, published repetition/
+    format filters; the named sibling of the generic quality_features):
+    per-doc booleans for the word-count window, mean-word-length
+    window, alphabetic-word fraction, symbol-to-word ratio, and
+    bullet-line fraction, plus the conjunction `passes_gopher`.
+
+    Every threshold is evaluated by INTEGER cross-multiplication
+    (e.g. 5*alpha_words >= 4*n_words instead of ratio >= 0.8), so the
+    flags are bit-identical on any engine and partitioning — no float
+    ratios anywhere. One codegen pass, no shuffle."""
+    c = F.trim(F.col(text_col))
+    words = F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    word_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    out = df.select(
+        "*",
+        n_words.cast("long").alias("g_n_words"),
+        word_chars.cast("long").alias("g_word_chars"),
+        alpha_words.cast("long").alias("g_alpha_words"),
+        symbols.cast("long").alias("g_symbols"),
+        bullet_lines.cast("long").alias("g_bullet_lines"),
+        n_lines.cast("long").alias("g_n_lines"),
+    )
+    words_ok = (F.col("g_n_words") >= 50) & (F.col("g_n_words") <= 100_000)
+    mwl_ok = (F.col("g_word_chars") >= 3 * F.col("g_n_words")) & (
+        F.col("g_word_chars") <= 10 * F.col("g_n_words")
+    )
+    alpha_ok = 5 * F.col("g_alpha_words") >= 4 * F.col("g_n_words")
+    symbol_ok = 10 * F.col("g_symbols") <= F.col("g_n_words")
+    bullet_ok = 10 * F.col("g_bullet_lines") <= 9 * F.col("g_n_lines")
+    return (
+        out.withColumn("word_count_ok", words_ok)
+        .withColumn("mean_word_len_ok", mwl_ok)
+        .withColumn("alpha_frac_ok", alpha_ok)
+        .withColumn("symbol_ratio_ok", symbol_ok)
+        .withColumn("bullet_frac_ok", bullet_ok)
+        .withColumn(
+            "passes_gopher",
+            words_ok & mwl_ok & alpha_ok & symbol_ok & bullet_ok,
+        )
+    )
+
+
+def c4_clean_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020): keep only lines
+    that end in terminal punctuation (. ! ? ") and contain >= 3 words;
+    drop the whole document if it mentions 'lorem ipsum' or contains
+    '{'. Returns (doc_id, clean_text, n_kept, n_dropped) with kept
+    lines rejoined in order.
+
+    Row-local array ops (split / filter / array_join) in one codegen
+    pass — line order is preserved by construction, so no window or
+    shuffle exists anywhere."""
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: F.length(w) > 0)) >= 3),
+    )
+    doc_ok = ~F.lower(F.col(text_col)).contains("lorem ipsum") & ~F.col(
+        text_col
+    ).contains("{")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(doc_ok, F.array_join(keep, "\n")).otherwise(F.lit("")).alias("clean_text"),
+        F.when(doc_ok, F.size(keep)).otherwise(F.lit(0)).cast("long").alias("n_kept"),
+        F.when(doc_ok, F.size(lines) - F.size(keep))
+        .otherwise(F.size(lines))
+        .cast("long")
+        .alias("n_dropped"),
+    )

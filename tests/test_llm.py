@@ -1022,3 +1022,27 @@ def test_wav_audio_windows(spark):
     assert [r.t_ms for r in rows] == [0, 1000, 2000]
     assert bytes(rows[0].pcm) == pcm[0:8]
     assert bytes(rows[2].pcm) == pcm[16:20]  # final partial window
+
+
+def test_gopher_and_c4_filters(spark):
+    from swiftbeaver_spark.llm.text import c4_clean_lines, gopher_quality_flags
+
+    good = " ".join(["word"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " ###" * 20)], ["doc_id", "text"]
+    )
+    flags = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert flags[1].passes_gopher
+    assert not flags[2].word_count_ok
+    assert not flags[3].symbol_ratio_ok
+
+    doc = spark.createDataFrame(
+        [
+            (1, "a good long sentence.\nno punct line\ntwo words.\nanother good line!"),
+            (2, "fine sentence here.\nbut it has lorem ipsum inside."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_clean_lines(doc).collect()}
+    assert out[1].n_kept == 2 and "no punct" not in out[1].clean_text
+    assert out[2].n_kept == 0 and out[2].clean_text == ""
