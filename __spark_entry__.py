@@ -6113,6 +6113,65 @@ def q107_sql() -> str:
     """
 
 
+HLL_P = 9
+
+
+def q108_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimation (sketch.py::hll_registers/
+    hll_estimate) over lineitem part keys — the APPROXIMATE estimate
+    itself sits under the cross-engine hash gate (the q46/q49 sketch
+    convention): md5-derived 60-bit hashes, exact binary-string-length
+    rho, exact integer harmonic sum, ONE final rounded float division.
+    Output includes the exact distinct count for the accuracy story
+    (|est - exact| / exact is the published ~1.04/sqrt(2^p))."""
+    from swiftbeaver_spark.sketch import hll_estimate, hll_registers
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    regs = hll_registers(lineitem, "l_partkey", p=HLL_P)
+    est = hll_estimate(regs, p=HLL_P)
+    exact = lineitem.agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "n_zero_registers",
+        "harmonic_scaled",
+        F.format_string("%.3f", F.col("estimate")).alias("estimate"),
+        "exact_distinct",
+    )
+
+
+def q108_sql() -> str:
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    width = 60 - HLL_P
+    rmax = width + 1
+    s_total = f"s_filled + ({m} - n_filled) * (CAST(1 AS BIGINT) << {rmax})"
+    return f"""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM lineitem
+    ), regs AS (
+      SELECT h % {m} AS bucket,
+             MAX(CASE WHEN h // {m} > 0
+                      THEN {width} - length(bin(h // {m})) + 1
+                      ELSE {rmax} END) AS max_rho
+      FROM h GROUP BY bucket
+    ), agg AS (
+      SELECT COUNT(*) AS n_filled,
+             SUM(CAST(1 AS BIGINT) << ({rmax} - max_rho)) AS s_filled
+      FROM regs
+    )
+    SELECT CAST({m} - n_filled AS BIGINT) AS n_zero_registers,
+           CAST({s_total} AS BIGINT) AS harmonic_scaled,
+           printf('%.3f', ROUND(CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                  * CAST(CAST(1 AS BIGINT) << {rmax} AS DOUBLE)
+                  / CAST({s_total} AS DOUBLE), 3)) AS estimate,
+           (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+             AS exact_distinct
+    FROM agg
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6247,6 +6306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_chunk_documents": q105_chunk_documents,
         "q106_gopher_flags": q106_gopher_flags,
         "q107_c4_clean": q107_c4_clean,
+        "q108_hll_distinct": q108_hll_distinct,
     }
 
 
@@ -6363,4 +6423,5 @@ def oracle_sql() -> dict[str, str]:
         "q105_chunk_documents": q105_sql(),
         "q106_gopher_flags": q106_sql(),
         "q107_c4_clean": q107_sql(),
+        "q108_hll_distinct": q108_sql(),
     }

@@ -240,3 +240,64 @@ def bloom_probe(
             ).alias("maybe_member")
         )
     )
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = 9) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) with every step
+    engine-neutral: h = 60-bit integer from the md5 hex prefix,
+    bucket = h mod 2^p, and rho = leading-zero rank of the remaining
+    (60 - p) bits computed EXACTLY as (60 - p) - len(binary(w)) + 1 —
+    binary-string length, not float log2. Returns one (bucket,
+    max_rho) row per non-empty register.
+
+    Mergeable: registers of two corpus halves combine by MAX — the
+    groupBy here IS the merge, so partial aggregation bounds the
+    shuffle at 2^p rows per map task regardless of corpus size."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    m = 1 << p
+    w = F.shiftright(h, p)  # exact integer shift: h < 2^60 fits a long
+    width = 60 - p
+    # len(bin(w)) = floor(log2 w) + 1 exactly; w == 0 -> all zero -> width+1
+    rho = F.when(w > 0, F.lit(width) - F.length(F.conv(w, 10, 2)) + 1).otherwise(
+        F.lit(width + 1)
+    )
+    return (
+        df.select((h % m).cast("long").alias("bucket"), rho.cast("long").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Raw HLL cardinality estimate from a register table: the
+    harmonic sum uses EXACT integer arithmetic — with rmax = 60-p+1
+    (the largest possible rho), S = sum over all 2^p registers of
+    2^(rmax - M_j), zero registers contributing 2^rmax — bounded by
+    m * 2^rmax < 2^63, no overflow — and the one float division
+    happens once on the aggregated values, so ROUND(estimate, 3) is
+    bit-identical on any engine/partitioning. Emits
+    (n_zero_registers, harmonic_scaled, estimate) in one row.
+    alpha_m for m >= 128 is the published 0.7213/(1 + 1.079/m)."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_filled"),
+        # shiftleft with a COLUMN bit count only exists in SQL form
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({rmax} - max_rho as int))"))
+        .cast("long")
+        .alias("s_filled"),
+    )
+    n_zero = F.lit(m) - F.col("n_filled")
+    s_total = F.col("s_filled") + n_zero * F.lit(1 << rmax).cast("long")
+    return agg.select(
+        n_zero.cast("long").alias("n_zero_registers"),
+        s_total.cast("long").alias("harmonic_scaled"),
+        F.round(
+            F.lit(alpha * m * m) * F.lit(float(1 << rmax)) / s_total.cast("double"), 3
+        ).alias("estimate"),
+    )

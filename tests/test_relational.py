@@ -801,3 +801,29 @@ def test_compaction_plan_invariants(spark):
     assert sum(r.group_bytes for r in rows) == sum(
         700 + (i * 137) % 900 for i in range(60)
     )
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """Estimate within ~3 standard errors (1.04/sqrt(m)) of truth, and
+    registers of two halves merged by MAX equal the whole-corpus
+    registers — the mergeable-sketch property."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.sketch import hll_estimate, hll_registers
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") % 7919).alias("v"))  # 7919 distinct
+    p = 9
+    est = hll_estimate(hll_registers(df, "v", p=p), p=p).collect()[0]
+    se = 1.04 / (1 << p) ** 0.5
+    assert abs(est.estimate - 7919) / 7919 < 3 * se
+
+    left = hll_registers(df.where(F.col("id") < n // 2), "v", p=p)
+    right = hll_registers(df.where(F.col("id") >= n // 2), "v", p=p)
+    merged = (
+        left.unionByName(right)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = {(r.bucket, r.max_rho) for r in hll_registers(df, "v", p=p).collect()}
+    assert {(r.bucket, r.max_rho) for r in merged.collect()} == whole
