@@ -342,9 +342,15 @@ def mp4_sample_index(payload: bytes) -> list[tuple[int, int, int, int]] | None:
             )[0]
             if not timescale:
                 return None
+            # Allocation guard: corrupted count fields (forged 2^32
+            # entries) must fail cleanly, not OOM the executor — no
+            # genuine table can have more entries than payload bytes.
+            cap = len(payload)
             # stsz: uniform size or per-sample table
             slo = boxes[b"stsz"][0]
             uniform, count = struct.unpack_from(">II", payload, slo + 4)
+            if count > cap:
+                return None
             sizes = (
                 [uniform] * count
                 if uniform
@@ -353,13 +359,21 @@ def mp4_sample_index(payload: bytes) -> list[tuple[int, int, int, int]] | None:
             # stts: (sample_count, delta) runs -> per-sample timestamps
             tlo = boxes[b"stts"][0]
             (nruns,) = struct.unpack_from(">I", payload, tlo + 4)
+            if nruns > cap:
+                return None
             deltas: list[int] = []
             for i in range(nruns):
                 sc, dt = struct.unpack_from(">II", payload, tlo + 8 + 8 * i)
-                deltas.extend([dt] * sc)
+                if sc > cap:
+                    return None
+                deltas.extend([dt] * min(sc, count - len(deltas)))
+                if len(deltas) >= count:
+                    break
             # stco/co64: chunk offsets
             clo = co[0]
             (nchunks,) = struct.unpack_from(">I", payload, clo + 4)
+            if nchunks > cap:
+                return None
             wide = b"co64" in boxes and boxes.get(b"co64") == co
             fmt, sz = (">Q", 8) if wide else (">I", 4)
             chunk_offs = [
@@ -369,6 +383,8 @@ def mp4_sample_index(payload: bytes) -> list[tuple[int, int, int, int]] | None:
             # stsc: (first_chunk, samples_per_chunk, _) runs
             sclo = boxes[b"stsc"][0]
             (nsc,) = struct.unpack_from(">I", payload, sclo + 4)
+            if nsc > cap:
+                return None
             runs = [
                 struct.unpack_from(">III", payload, sclo + 8 + 12 * i)[:2]
                 for i in range(nsc)

@@ -103,3 +103,57 @@ def test_random_noise_no_false_positives_survive_validation(tmp_path):
             assert rec.size > 0
             assert rec.md5 and rec.sha256
             assert rec.global_end == rec.global_start + rec.size - 1
+
+
+# --- multimodal codec-free parsers must never raise ---------------------------
+
+
+def test_mp4_sample_index_survives_truncation_and_noise():
+    """Every prefix truncation of a valid MP4 and arbitrary byte noise
+    must return None or a valid index — never raise (one raise inside
+    mapInPandas fails the whole task)."""
+    from tests.test_llm import _mk_mp4_with_samples
+
+    from swiftbeaver_spark.llm.multimodal import mp4_sample_index
+
+    blob = _mk_mp4_with_samples([b"AA", b"BBB", b"CCCC"])
+    for cut in range(0, len(blob)):
+        out = mp4_sample_index(blob[:cut])
+        assert out is None or isinstance(out, list)
+    import hashlib
+
+    for seed in range(50):
+        noise = hashlib.sha256(f"n{seed}".encode()).digest() * 8
+        assert mp4_sample_index(noise) is None
+        # corrupt one byte of a valid file
+        pos = seed * 2 % len(blob)
+        mutated = blob[:pos] + bytes([blob[pos] ^ 0xFF]) + blob[pos + 1 :]
+        out = mp4_sample_index(mutated)
+        assert out is None or isinstance(out, list)
+
+
+def test_resize_bmp_and_wav_span_survive_malformed():
+    from tests.test_llm import _mk_bmp24
+
+    from swiftbeaver_spark.llm.multimodal import _wav_data_span, resize_bmp
+
+    bmp = _mk_bmp24(4, 2, [[(i, j, 0) for i in range(4)] for j in range(2)])
+    for cut in range(0, len(bmp)):
+        out = resize_bmp(bmp[:cut], 2, 2)
+        assert out is None or isinstance(out, bytes)
+    import hashlib
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 4, 8, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 20) + bytes(range(20))
+    )
+    for cut in range(0, len(wav)):
+        out = _wav_data_span(wav[:cut])
+        assert out is None or isinstance(out, tuple)
+    for seed in range(50):
+        noise = hashlib.sha256(f"m{seed}".encode()).digest() * 4
+        assert resize_bmp(noise, 2, 2) is None
+        assert _wav_data_span(noise) is None
