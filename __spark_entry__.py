@@ -6172,6 +6172,41 @@ def q108_sql() -> str:
     """
 
 
+def q109_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (llm/pipeline.py::
+    boilerplate_line_removal): every doc gets a unique line, a global
+    cookie banner, and a per-group footer shared by ~20 docs; at
+    min_doc_freq=3 both shared lines must vanish from EVERY doc and
+    the unique line must survive — closed-form for the oracle. The
+    doc-frequency count is a partial aggregate over distinct
+    (line, doc), never a window (the q43 skew lesson applied to
+    whole-line boilerplate)."""
+    from swiftbeaver_spark.llm.pipeline import boilerplate_line_removal
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.format_string("u%d:", F.col("doc_id")),
+            F.lit("accept cookies to continue"),
+            F.format_string("footer group %d", F.col("doc_id") % 5),
+        ).alias("text"),
+    )
+    return boilerplate_line_removal(built, min_doc_freq=3).orderBy("doc_id")
+
+
+def q109_sql() -> str:
+    return """
+    SELECT doc_id,
+           printf('u%d:', doc_id) AS clean_text,
+           CAST(1 AS BIGINT) AS n_kept_lines,
+           CAST(2 AS BIGINT) AS n_boilerplate_lines
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6307,6 +6342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_gopher_flags": q106_gopher_flags,
         "q107_c4_clean": q107_c4_clean,
         "q108_hll_distinct": q108_hll_distinct,
+        "q109_boilerplate_removal": q109_boilerplate_removal,
     }
 
 
@@ -6424,4 +6460,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_gopher_flags": q106_sql(),
         "q107_c4_clean": q107_sql(),
         "q108_hll_distinct": q108_sql(),
+        "q109_boilerplate_removal": q109_sql(),
     }

@@ -629,3 +629,66 @@ def chunk_documents(
         "c.chunk_text",
         F.length("c.chunk_text").cast("long").alias("n_chars"),
     )
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal: a line appearing in >=
+    `min_doc_freq` DISTINCT documents (nav bars, cookie banners,
+    license footers) is dropped from EVERY document — the web-corpus
+    cleaner that complements line_dedup (which keeps first
+    occurrences; this keeps none). Docs reassemble from surviving
+    lines in original order; returns (doc_id, clean_text,
+    n_kept_lines, n_boilerplate_lines).
+
+    Scale shape: distinct (line, doc) then a partial-agg count per
+    line — both map-side combinable, so a banner in 10^8 docs ships
+    one row per map task; the boilerplate set joins back as a
+    broadcast/left-anti on the line value (AQE: the flagged set is
+    tiny next to the corpus), and reassembly is the same bounded
+    collect_list-per-doc as line_dedup."""
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    flagged = (
+        lines.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(flagged, "line", "left_anti")
+    dropped = lines.join(flagged, "line", "left_semi")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept_lines"),
+    )
+    drop_counts = dropped.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_boilerplate_lines")
+    )
+    all_docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        all_docs.join(kept_agg, "doc_id", "left")
+        .join(drop_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+            F.coalesce("n_boilerplate_lines", F.lit(0))
+            .cast("long")
+            .alias("n_boilerplate_lines"),
+        )
+    )

@@ -645,3 +645,29 @@ def test_chunk_documents_offsets_and_overlap(spark):
     assert rebuilt == text
     short = [r for r in rows if r.doc_id == 2]
     assert len(short) == 1 and short[0].chunk_text == "short"
+
+
+def test_boilerplate_removal_thresholds(spark):
+    from swiftbeaver_spark.llm.pipeline import boilerplate_line_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nbanner\nrare"),
+            (2, "unique two\nbanner\nrare"),
+            (3, "unique three\nbanner"),
+            (4, "all mine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in boilerplate_line_removal(docs, min_doc_freq=3).collect()}
+    # 'banner' in 3 docs -> dropped; 'rare' in only 2 -> kept
+    assert out[1].clean_text == "unique one\nrare"
+    assert out[1].n_boilerplate_lines == 1
+    assert out[3].clean_text == "unique three" and out[3].n_boilerplate_lines == 1
+    assert out[4].clean_text == "all mine" and out[4].n_boilerplate_lines == 0
+    # a line repeated WITHIN one doc counts once for doc-frequency
+    docs2 = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r for r in boilerplate_line_removal(docs2, min_doc_freq=2).collect()}
+    assert out2[1].clean_text == "x\nx\nx"  # df('x') == 1, survives
