@@ -6207,6 +6207,107 @@ def q109_sql() -> str:
     """
 
 
+def q110_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the multi-level
+    aggregation family (q74 ROLLUP, q98 CUBE): per-region totals,
+    per-priority totals, and the grand total in ONE fact pass, WITHOUT
+    the 8-set expansion CUBE would pay for the same three answers
+    (grouping-set expansion is map-side; sets you don't ask for cost
+    nothing). Integer cents, grouping_id disambiguation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    )
+    joined.createOrReplaceTempView("_sb_q110")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, '(all)') AS region,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(grouping_id() AS INT) AS gid,
+               CAST(COUNT(*) AS LONG) AS n_orders,
+               CAST(SUM(cents) AS LONG) AS revenue_cents
+        FROM _sb_q110
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        ORDER BY gid, region, priority
+        """
+    )
+
+
+def q110_sql() -> str:
+    return """
+    SELECT COALESCE(r_name, '(all)') AS region,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(r_name, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+    ORDER BY gid, region, priority
+    """
+
+
+def q111_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE moving aggregate: per event, the count and
+    integer-micro sum of the same user's events in the preceding hour
+    (rangeBetween over epoch seconds — a true range frame, not a row
+    frame). Partitioned by user (bounded history, no global sort);
+    micro-unit sums are order-exact cross-engine."""
+    events = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    epoch = F.unix_timestamp("ts")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.select("event_id", "user_id", epoch.alias("epoch"), micro.alias("micro"))
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("long").alias("n_last_hour"),
+            F.sum("micro").over(w).cast("long").alias("micro_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q111_sql() -> str:
+    return """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(micro) OVER w AS BIGINT) AS micro_last_hour
+    FROM (
+      SELECT event_id, user_id,
+             CAST(epoch(ts) AS BIGINT) AS ep,
+             CAST(ROUND(value * 1e6) AS BIGINT) AS micro
+      FROM events WHERE event_id < 2000
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6343,6 +6444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_c4_clean": q107_c4_clean,
         "q108_hll_distinct": q108_hll_distinct,
         "q109_boilerplate_removal": q109_boilerplate_removal,
+        "q110_grouping_sets": q110_grouping_sets,
+        "q111_moving_window": q111_moving_window,
     }
 
 
@@ -6461,4 +6564,6 @@ def oracle_sql() -> dict[str, str]:
         "q107_c4_clean": q107_sql(),
         "q108_hll_distinct": q108_sql(),
         "q109_boilerplate_removal": q109_sql(),
+        "q110_grouping_sets": q110_sql(),
+        "q111_moving_window": q111_sql(),
     }
