@@ -6308,6 +6308,119 @@ def q111_sql() -> str:
     """
 
 
+def q112_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (relational.py::snapshot_diff): the new
+    snapshot deletes orderkeys ending in 7, bumps totalprice on keys
+    ending in 3, and inserts fresh keys at +10^7 — the diff must
+    report exactly those as deleted/updated/inserted and NOTHING for
+    untouched keys. Rows reduce to (key, digest) before the full
+    outer join, so the shuffle never carries payload columns."""
+    from swiftbeaver_spark.relational import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    new = (
+        orders.where(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") < 50).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def q112_sql() -> str:
+    return """
+    SELECT o_orderkey, 'deleted' AS change_type
+    FROM orders WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey, 'updated'
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'inserted'
+    FROM orders WHERE o_orderkey < 50
+    ORDER BY o_orderkey
+    """
+
+
+def q113_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per foreign-key
+    relationship via left-anti joins — lineitem→orders with every
+    10th order removed from the parent side (planted orphans),
+    orders→customer and customer→nation intact (expected 0). The
+    anti-join shuffles only the key column; AQE broadcasts parent
+    key-sets that fit."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    holey_orders = orders.where(F.col("o_orderkey") % 10 != 0)
+    checks = [
+        (
+            "lineitem.l_orderkey -> orders(minus 10th)",
+            lineitem.join(
+                holey_orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            orders.join(
+                customer.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            customer.join(
+                nation.select("n_nationkey"),
+                customer.c_nationkey == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for name, orphans in checks:
+        row = orphans.agg(F.count("*").cast("long").alias("n_orphans")).select(
+            F.lit(name).alias("relationship"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+def q113_sql() -> str:
+    return """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey -> orders(minus 10th)' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    ) ORDER BY relationship
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6446,6 +6559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_boilerplate_removal": q109_boilerplate_removal,
         "q110_grouping_sets": q110_grouping_sets,
         "q111_moving_window": q111_moving_window,
+        "q112_snapshot_diff": q112_snapshot_diff,
+        "q113_fk_orphans": q113_fk_orphans,
     }
 
 
@@ -6566,4 +6681,6 @@ def oracle_sql() -> dict[str, str]:
         "q109_boilerplate_removal": q109_sql(),
         "q110_grouping_sets": q110_sql(),
         "q111_moving_window": q111_sql(),
+        "q112_snapshot_diff": q112_sql(),
+        "q113_fk_orphans": q113_sql(),
     }

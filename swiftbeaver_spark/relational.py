@@ -612,3 +612,48 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack}) as "
         "(column, n_nonnull, n_distinct, min_value, max_value)"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data report between two snapshots of the same table:
+    per key, 'inserted' (new only), 'deleted' (old only), or
+    'updated' (both sides, any compared column differs) — unchanged
+    rows drop out. The CDC diff a lakehouse emits between versions.
+
+    Scale: rows reduce to (key, md5-of-compared-columns) BEFORE the
+    full outer join, so the shuffle moves fixed-width digests, never
+    payload columns; the join co-partitions on the key (or AQE
+    broadcasts a small side). Null-safe: compared columns hash via
+    coalesce with a type-tagged sentinel, so NULL != '' != 'NULL'."""
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cells = [
+            F.coalesce(F.concat(F.lit("s:"), F.col(c).cast("string")), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws("\x01", *cells)).alias(alias),
+        )
+
+    o = hashed(old, "_old_h")
+    n = hashed(new, "_new_h")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_h").isNull(), F.lit("inserted"))
+        .when(F.col("_new_h").isNull(), F.lit("deleted"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("updated"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -827,3 +827,27 @@ def test_hll_accuracy_and_mergeability(spark):
     )
     whole = {(r.bucket, r.max_rho) for r in hll_registers(df, "v", p=p).collect()}
     assert {(r.bucket, r.max_rho) for r in merged.collect()} == whole
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """NULL vs '' vs the literal string 'NULL' must all be distinct
+    cell states; unchanged rows (including all-NULL ones) emit
+    nothing."""
+    from swiftbeaver_spark.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "NULL"), (4, "same"), (5, "gone")],
+        "k INT, v STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, ""), (2, "NULL"), (3, None), (4, "same"), (6, "fresh")],
+        "k INT, v STRING",
+    )
+    got = {(r.k, r.change_type) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        (1, "updated"),
+        (2, "updated"),
+        (3, "updated"),
+        (5, "deleted"),
+        (6, "inserted"),
+    }
