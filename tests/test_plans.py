@@ -134,3 +134,54 @@ def test_star_join_pushes_date_filter(spark):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan or "Exchange hashpartitioning" in plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """q105: chunking is row-local — the plan must contain no Exchange
+    (no shuffle) and no Window."""
+    from swiftbeaver_spark.llm.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
+    plan = _formatted(chunk_documents(df))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_compaction_plan_window_is_partitioned(spark):
+    """q97: the rolling-sum window must partition by the table
+    partition column — no global window over the whole manifest."""
+    from swiftbeaver_spark.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(1, "a", 10)], "part_key int, path string, size_bytes long"
+    )
+    plan = _formatted(compaction_plan(files, 100, partition_col="part_key"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("part_key" in s for s in specs), plan
+
+
+def test_boilerplate_removal_no_window(spark):
+    """q109: doc-frequency counting must be aggregates (map-side
+    combinable), never a window over exploded lines."""
+    from swiftbeaver_spark.llm.pipeline import boilerplate_line_removal
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = _formatted(boilerplate_line_removal(df))
+    assert "Window" not in plan, plan
+
+
+def test_snapshot_diff_shuffles_digests_not_payload(spark):
+    """q112: the full-outer join inputs must be (key, md5 digest)
+    projections — the payload columns may not appear in any Exchange
+    output schema."""
+    from swiftbeaver_spark.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "p" * 10, 1.0)], "k int, payload string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "p" * 10, 2.0)], "k int, payload string, v double"
+    )
+    plan = _formatted(snapshot_diff(old, new, ["k"]))
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "payload" not in m.group(0), m.group(0)
