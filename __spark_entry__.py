@@ -6421,6 +6421,47 @@ def q113_sql() -> str:
     """
 
 
+def q114_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard round-trip (llm/tfrecord.py): documents pack
+    into 4 shards (spec framing: little-endian length + masked
+    crc32c of length and payload — crc32c itself pinned in pytest to
+    the RFC 3720 check value), the reader walks the streams
+    re-verifying every CRC, and the oracle recomputes each record's
+    (shard, idx, size, md5) directly from the table — so record
+    order, sizes, payload digests AND crc verdicts are all gated."""
+    from swiftbeaver_spark.llm.tfrecord import tfrecord_members, tfrecord_shards
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    members = docs.select(
+        F.concat(F.lit("shard-"), (F.col("doc_id") % 4).cast("string")).alias("shard"),
+        F.format_string("%08d", F.col("doc_id")).alias("name"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    shards = tfrecord_shards(members)
+    out = tfrecord_members(shards.selectExpr("path", "content"))
+    return out.select(
+        "shard",
+        "record_idx",
+        "size",
+        F.md5("payload").alias("payload_md5"),
+        "crc_ok",
+    ).orderBy("shard", "record_idx")
+
+
+def q114_sql() -> str:
+    return """
+    SELECT 'shard-' || CAST(doc_id % 4 AS VARCHAR) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                                   ORDER BY printf('%08d', doc_id)) - 1 AS BIGINT)
+             AS record_idx,
+           CAST(length(text) AS BIGINT) AS size,
+           md5(text) AS payload_md5,
+           TRUE AS crc_ok
+    FROM documents WHERE doc_id < 200
+    ORDER BY shard, record_idx
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6561,6 +6602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_moving_window": q111_moving_window,
         "q112_snapshot_diff": q112_snapshot_diff,
         "q113_fk_orphans": q113_fk_orphans,
+        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
     }
 
 
@@ -6683,4 +6725,5 @@ def oracle_sql() -> dict[str, str]:
         "q111_moving_window": q111_sql(),
         "q112_snapshot_diff": q112_sql(),
         "q113_fk_orphans": q113_sql(),
+        "q114_tfrecord_roundtrip": q114_sql(),
     }

@@ -671,3 +671,48 @@ def test_boilerplate_removal_thresholds(spark):
     )
     out2 = {r.doc_id: r for r in boilerplate_line_removal(docs2, min_doc_freq=2).collect()}
     assert out2[1].clean_text == "x\nx\nx"  # df('x') == 1, survives
+
+
+def test_crc32c_spec_vectors():
+    """Pin crc32c to the RFC 3720 check value and the masking formula
+    — the implementation is verified against the SPEC, not itself."""
+    from swiftbeaver_spark.llm.tfrecord import crc32c, masked_crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0x0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 all-zeros vector
+    c = crc32c(b"123456789")
+    assert masked_crc32c(b"123456789") == (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_tfrecord_pack_unpack_and_corruption():
+    from swiftbeaver_spark.llm.tfrecord import pack_tfrecord, unpack_tfrecords
+
+    recs = [b"alpha", b"", b"x" * 1000]
+    blob = pack_tfrecord(recs)
+    out = unpack_tfrecords(blob)
+    assert [r for r, _ in out] == recs
+    assert all(ok for _, ok in out)
+    # flip a payload byte -> that record's crc fails, others survive
+    pos = blob.index(b"alpha")
+    bad = blob[:pos] + b"Alpha" + blob[pos + 5 :]
+    out2 = unpack_tfrecords(bad)
+    assert [ok for _, ok in out2] == [False, True, True]
+    # truncated tail stops cleanly
+    assert len(unpack_tfrecords(blob[: len(blob) - 3])) == 2
+
+
+def test_tfrecord_spark_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.tfrecord import tfrecord_members, tfrecord_shards
+
+    members = spark.createDataFrame(
+        [("s0", f"{i:04d}", bytes([i]) * (i + 1)) for i in range(10)],
+        "shard STRING, name STRING, payload BINARY",
+    )
+    shards = tfrecord_shards(members)
+    back = tfrecord_members(shards).orderBy("record_idx").collect()
+    assert [r.size for r in back] == list(range(1, 11))
+    assert all(r.crc_ok for r in back)
+    assert bytes(back[3].payload) == bytes([3]) * 4
