@@ -6462,6 +6462,117 @@ def q114_sql() -> str:
     """
 
 
+def q115_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete median (percentile_disc semantics: the
+    value at rank ceil(n/2) under (value, orderkey) ordering — an
+    actual row's value, integer-exact, no interpolation float canon).
+    Windows partition by the group key (market segment via customer
+    join — bounded per-group, no global sort); the broadcast dim join
+    feeds the window's partition key."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    ranked = joined.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(
+            "c_mktsegment",
+            F.col("cents").alias("median_cents"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q115_sql() -> str:
+    return """
+    SELECT c_mktsegment, CAST(cents AS BIGINT) AS median_cents,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (
+      SELECT c_mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM (
+        SELECT c_mktsegment,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      )
+    )
+    WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ORDER BY c_mktsegment
+    """
+
+
+def q116_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then lexicographically smallest value): the most frequent
+    order priority per market segment. Two partial-agg levels — count
+    per (group, value), then argmax via MAX(struct(count, inverted
+    tiebreak)) — NO window: the candidate set per group is |distinct
+    values|, so a map-side combine bounds the shuffle regardless of
+    row count (the q43 skew principle applied to mode)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    counts = joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # argmax by (cnt, -lex(value)): invert the value ordering by
+    # negating each byte is fragile — instead keep MIN over a struct
+    # sorted by (-cnt, value)
+    return (
+        counts.groupBy("c_mktsegment")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("o_orderpriority"))).alias(
+                "m"
+            )
+        )
+        .select(
+            "c_mktsegment",
+            F.col("m.o_orderpriority").alias("mode_priority"),
+            (-F.col("m.neg")).cast("long").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q116_sql() -> str:
+    return """
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ), ranked AS (
+      SELECT c_mktsegment, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY c_mktsegment
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6603,6 +6714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_snapshot_diff": q112_snapshot_diff,
         "q113_fk_orphans": q113_fk_orphans,
         "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
+        "q115_grouped_median": q115_grouped_median,
+        "q116_grouped_mode": q116_grouped_mode,
     }
 
 
@@ -6726,4 +6839,6 @@ def oracle_sql() -> dict[str, str]:
         "q112_snapshot_diff": q112_sql(),
         "q113_fk_orphans": q113_sql(),
         "q114_tfrecord_roundtrip": q114_sql(),
+        "q115_grouped_median": q115_sql(),
+        "q116_grouped_mode": q116_sql(),
     }
