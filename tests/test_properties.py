@@ -181,3 +181,79 @@ def test_scd2_intervals_cover_and_collapse(spark, changes):
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"]  # contiguous chain
             assert a["state"] != b["state"]  # collapsed no-ops
+
+
+@_settings
+@given(
+    text=st.text(alphabet="abc \n", min_size=0, max_size=400),
+    window=st.integers(min_value=2, max_value=100),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_reconstructs(spark, text, window, overlap_frac):
+    """For ANY text/window/overlap: chunk offsets step uniformly,
+    every chunk equals the substring at its offset, and stitching
+    chunk[0] + tails of the rest reproduces the document exactly."""
+    from swiftbeaver_spark.llm.pipeline import chunk_documents
+
+    overlap = min(int(window * overlap_frac), window - 1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window_chars=window, overlap_chars=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    step = window - overlap
+    assert [r.char_start for r in rows] == [i * step for i in range(len(rows))]
+    for r in rows:
+        assert r.chunk_text == text[r.char_start : r.char_start + window]
+    rebuilt = rows[0].chunk_text + "".join(r.chunk_text[overlap:] for r in rows[1:])
+    assert rebuilt == text
+    # coverage: the last chunk reaches the end of the doc
+    assert rows[-1].char_start + window >= len(text)
+
+
+@_settings
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=40),
+    target=st.integers(min_value=100, max_value=4000),
+)
+def test_compaction_conserves_and_orders(spark, sizes, target):
+    """For ANY manifest: bytes are conserved, group ids are contiguous
+    from 0 per partition, and each group's files are a contiguous
+    path-ordered run (no interleaving across groups)."""
+    from swiftbeaver_spark.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(i % 2, f"f-{i:05d}", s) for i, s in enumerate(sizes)],
+        "part_key INT, path STRING, size_bytes LONG",
+    )
+    rows = compaction_plan(files, target_bytes=target, partition_col="part_key").collect()
+    assert sum(r.size_bytes for r in rows) == sum(sizes)
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part_key, []).append(r)
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r.path)
+        gids = [r.compaction_group for r in rs]
+        # non-decreasing in path order, starting at 0; ids may SKIP
+        # when one file spans several target widths (floor binning)
+        assert gids[0] == 0
+        assert all(b >= a for a, b in zip(gids, gids[1:]))
+        # replay the rolling-sum rule
+        cum = 0
+        for r in rs:
+            assert r.compaction_group == cum // target
+            cum += r.size_bytes
+
+
+@_settings
+@given(
+    records=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+)
+def test_tfrecord_roundtrip_any_payloads(spark, records):
+    """pack -> unpack is the identity with all CRCs valid, for ANY
+    byte payloads including empty records and empty streams."""
+    from swiftbeaver_spark.llm.tfrecord import pack_tfrecord, unpack_tfrecords
+
+    out = unpack_tfrecords(pack_tfrecord(records))
+    assert [r for r, _ in out] == records
+    assert all(ok for _, ok in out)
