@@ -6573,6 +6573,66 @@ def q116_sql() -> str:
     """
 
 
+def q117_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination (llm/pipeline.py::
+    contamination_scores — the GPT-3/PaLM-style n-gram overlap
+    FRACTION, beyond q42's boolean): bench = docs<20; train = clean
+    docs 20-199 plus ' contaminated copy'-suffixed bench copies at
+    +2e6, which must score near 10000 bp while clean docs score
+    whatever their genuine overlap is — the oracle recomputes every
+    ratio exactly (integer basis points)."""
+    from swiftbeaver_spark.llm.pipeline import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    train = (
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 200))
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" contaminated copy")).alias("text"),
+            )
+        )
+    )
+    return contamination_scores(train, bench, ngram_n=DECON_N).orderBy("doc_id")
+
+
+def q117_sql() -> str:
+    n = DECON_N
+    grams = (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
+    )
+    toks = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+    ), train AS (
+      SELECT doc_id, text FROM base WHERE doc_id >= 20 AND doc_id < 200
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' contaminated copy'
+      FROM base WHERE doc_id < 20
+    ), eg AS (
+      SELECT DISTINCT unnest({grams}) AS ng
+      FROM (SELECT {toks} AS toks FROM base WHERE doc_id < 20)
+    ), tg AS (
+      SELECT doc_id, unnest({grams}) AS ng
+      FROM (SELECT doc_id, {toks} AS toks FROM train)
+    ), m AS (
+      SELECT doc_id,
+             COUNT(DISTINCT ng) AS n_ngrams,
+             COUNT(DISTINCT CASE WHEN ng IN (SELECT ng FROM eg) THEN ng END)
+               AS n_contaminated
+      FROM tg GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(FLOOR(10000 * n_contaminated / GREATEST(n_ngrams, 1)) AS BIGINT)
+             AS contamination_bp
+    FROM m ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6716,6 +6776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
         "q115_grouped_median": q115_grouped_median,
         "q116_grouped_mode": q116_grouped_mode,
+        "q117_contamination_scores": q117_contamination_scores,
     }
 
 
@@ -6841,4 +6902,5 @@ def oracle_sql() -> dict[str, str]:
         "q114_tfrecord_roundtrip": q114_sql(),
         "q115_grouped_median": q115_sql(),
         "q116_grouped_mode": q116_sql(),
+        "q117_contamination_scores": q117_sql(),
     }

@@ -692,3 +692,52 @@ def boilerplate_line_removal(
             .alias("n_boilerplate_lines"),
         )
     )
+
+
+def contamination_scores(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Graded contamination (the published n-gram-overlap metric, e.g.
+    GPT-3 appendix C / PaLM contamination analysis): for EVERY train
+    doc, the fraction of its distinct word n-grams that appear in the
+    eval set — not just q42's boolean hit. Returns (doc_id, n_ngrams,
+    n_contaminated, contamination_pct) with the ratio as integer
+    basis points (floor(10000 * shared / total)) so the score is
+    engine-exact.
+
+    Scale: the eval gram set broadcasts (eval corpora are small by
+    construction); per-doc totals and hits are partial aggregates over
+    the exploded grams — one shuffle on doc_id, map-side combined.
+    Docs shorter than n grams score 0 of 1 sentinel gram (never
+    divide by zero)."""
+    egrams = bench.select(
+        F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng")
+    ).distinct()
+    tgrams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng"),
+    )
+    hits = tgrams.join(F.broadcast(egrams), "ng", "left_semi").groupBy("doc_id").agg(
+        F.count_distinct("ng").cast("long").alias("n_contaminated")
+    )
+    totals = tgrams.groupBy("doc_id").agg(
+        F.count_distinct("ng").cast("long").alias("n_ngrams")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_bp",
+            F.floor(
+                10000 * F.col("n_contaminated") / F.greatest(F.col("n_ngrams"), F.lit(1))
+            ).cast("long"),
+        )
+    )
