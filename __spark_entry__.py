@@ -6633,6 +6633,119 @@ def q117_sql() -> str:
     """
 
 
+def q118_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE v2 — the round-4 ops composed as real pipeline stages,
+    one SQL oracle replaying the WHOLE chain: Gopher rule filter
+    (q106, integer cross-mult) -> graded contamination filter vs the
+    doc<20 bench (q117, keep < 2500 bp) -> winnowing-fingerprint
+    dedup (q94, lowest id per fingerprint) -> sliding-window chunking
+    (q105). Output is each surviving chunk's (doc_id, chunk_idx,
+    char_start, n_chars, md5) — filters, dedup canon AND chunk
+    geometry all hash-gated end-to-end."""
+    from swiftbeaver_spark.llm.pipeline import chunk_documents, contamination_scores
+    from swiftbeaver_spark.llm.text import fingerprint_pinned, gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    train = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 300))
+    passed = (
+        gopher_quality_flags(train)
+        .where(F.col("passes_gopher"))
+        .select("doc_id", "text")
+    )
+    clean_ids = (
+        contamination_scores(passed, bench, ngram_n=DECON_N)
+        .where(F.col("contamination_bp") < 2500)
+        .select("doc_id")
+    )
+    clean = passed.join(clean_ids, "doc_id")
+    fp = clean.select("doc_id", "text", fingerprint_pinned(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(canon.select("doc_id"), "doc_id").select("doc_id", "text")
+    chunks = chunk_documents(kept, window_chars=128, overlap_chars=32)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "char_start",
+        "n_chars",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q118_sql() -> str:
+    n = DECON_N
+    grams = (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(toks) - {n - 1}, 1))])"
+    )
+    toks = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    fp = (
+        "md5(array_to_string(list_slice(list_sort("
+        "list_transform(list_distinct(list_transform("
+        "generate_series(1, greatest(length(norm) - 15, 1)), "
+        "i -> substr(norm, i, 16))), s -> md5(s))), 1, 8), ','))"
+    )
+    return f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20 AND doc_id < 300
+    ), gw AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> length(w) > 0) AS wl
+      FROM train
+    ), g AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(wl) AS nw,
+               COALESCE(list_sum(list_transform(wl, x -> length(x))), 0) AS wc,
+               len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS sym,
+               len(list_filter(string_split(text, chr(10)),
+                               ln -> regexp_matches(trim(ln), '^[-*•]'))) AS bl,
+               len(string_split(text, chr(10))) AS nl
+        FROM gw
+      )
+      WHERE nw >= 50 AND nw <= 100000
+        AND wc >= 3 * nw AND wc <= 10 * nw
+        AND 5 * aw >= 4 * nw AND 10 * sym <= nw AND 10 * bl <= 9 * nl
+    ), eg AS (
+      SELECT DISTINCT unnest({grams}) AS ng
+      FROM (SELECT {toks} AS toks FROM documents WHERE doc_id < 20)
+    ), tg AS (
+      SELECT doc_id, unnest({grams}) AS ng
+      FROM (SELECT doc_id, {toks} AS toks FROM g)
+    ), scores AS (
+      SELECT doc_id, COUNT(DISTINCT ng) AS nn,
+             COUNT(DISTINCT CASE WHEN ng IN (SELECT ng FROM eg) THEN ng END) AS nc
+      FROM tg GROUP BY doc_id
+    ), clean AS (
+      SELECT g.doc_id, g.text FROM g JOIN scores USING (doc_id)
+      WHERE FLOOR(10000 * nc / GREATEST(nn, 1)) < 2500
+    ), fps AS (
+      SELECT doc_id, text, {fp} AS fp FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM clean
+      )
+    ), canon AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), kept AS (
+      SELECT f.doc_id, f.text FROM fps f JOIN canon c ON f.doc_id = c.doc_id
+    ), nchunks AS (
+      SELECT doc_id, text,
+             CAST(GREATEST(CEIL((length(text) - 32) / 96.0), 1) AS INT) AS n_chunks
+      FROM kept
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 96 AS BIGINT) AS char_start,
+           CAST(length(substr(text, i * 96 + 1, 128)) AS BIGINT) AS n_chars,
+           md5(substr(text, i * 96 + 1, 128)) AS chunk_md5
+    FROM nchunks, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6777,6 +6890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_grouped_median": q115_grouped_median,
         "q116_grouped_mode": q116_grouped_mode,
         "q117_contamination_scores": q117_contamination_scores,
+        "q118_curation_v2": q118_curation_v2,
     }
 
 
@@ -6903,4 +7017,5 @@ def oracle_sql() -> dict[str, str]:
         "q115_grouped_median": q115_sql(),
         "q116_grouped_mode": q116_sql(),
         "q117_contamination_scores": q117_sql(),
+        "q118_curation_v2": q118_sql(),
     }
