@@ -6746,6 +6746,48 @@ def q118_sql() -> str:
     """
 
 
+def q119_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llm/pipeline.py::
+    train_val_test_split, the q39 md5-gate convention): per-split doc
+    counts plus an order-insensitive id checksum (SUM of doc_ids —
+    exact integers), so the oracle verifies EVERY doc's assignment,
+    not just the counts. A doc's split is a pure function of its id —
+    stable under corpus growth and any partitioning."""
+    from swiftbeaver_spark.llm.pipeline import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        train_val_test_split(docs, val_pct=10, test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+def q119_sql() -> str:
+    val_hi = 65536 * 10 // 100
+    test_hi = val_hi + 65536 * 10 // 100
+    return f"""
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN b < {val_hi} THEN 'val'
+                  WHEN b < {test_hi} THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) AS b
+        FROM documents
+      )
+    )
+    GROUP BY split ORDER BY split
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6891,6 +6933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_grouped_mode": q116_grouped_mode,
         "q117_contamination_scores": q117_contamination_scores,
         "q118_curation_v2": q118_curation_v2,
+        "q119_split_assignment": q119_split_assignment,
     }
 
 
@@ -7018,4 +7061,5 @@ def oracle_sql() -> dict[str, str]:
         "q116_grouped_mode": q116_sql(),
         "q117_contamination_scores": q117_sql(),
         "q118_curation_v2": q118_sql(),
+        "q119_split_assignment": q119_sql(),
     }

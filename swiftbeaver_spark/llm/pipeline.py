@@ -741,3 +741,38 @@ def contamination_scores(
             ).cast("long"),
         )
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic corpus split: an md5 gate over the document id
+    maps each doc to train/val/test with the requested integer
+    percentages — stable across runs, partitionings, engines, and
+    corpus growth (a doc's split never changes when other docs are
+    added, the property random assignment lacks). Adds a `split`
+    column; percentages are exact in expectation, not exact-k (use
+    stratified_fixed_k for exact counts).
+
+    The gate is the q39 hash_sample convention: bucket = first 4 md5
+    hex digits of 'salt:id' as an integer in [0, 65536); val takes
+    the lowest val_pct% of bucket space, test the next test_pct%."""
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must be < 100")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    val_hi = 65536 * val_pct // 100
+    test_hi = val_hi + 65536 * test_pct // 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_hi, F.lit("val"))
+        .when(bucket < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

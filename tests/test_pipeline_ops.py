@@ -716,3 +716,26 @@ def test_tfrecord_spark_roundtrip(spark):
     assert [r.size for r in back] == list(range(1, 11))
     assert all(r.crc_ok for r in back)
     assert bytes(back[3].payload) == bytes([3]) * 4
+
+
+def test_split_stability_and_fractions(spark):
+    """A doc's split never changes when the corpus grows; fractions
+    land near the requested percentages."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.pipeline import train_val_test_split
+
+    small = spark.range(2000).withColumnRenamed("id", "doc_id")
+    big = spark.range(10000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in train_val_test_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in train_val_test_split(big).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())  # growth-stable
+    counts = (
+        train_val_test_split(big)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    frac = {r.split: r.n / 10000 for r in counts}
+    assert 0.07 < frac["val"] < 0.13 and 0.07 < frac["test"] < 0.13
+    assert frac["train"] > 0.74
