@@ -6788,6 +6788,132 @@ def q119_sql() -> str:
     """
 
 
+def q120_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (llm/similarity.py, residual=True) — the full
+    FAISS IndexIVFPQ refinement on top of q88: codes quantize
+    (v - centroid[cell]) instead of the raw vector, and each query
+    builds one ADC LUT per PROBED CELL from its own residual. Same
+    pinned centroids/codebooks and rounding rules as q88; the oracle
+    replays cell assignment, residual sub-encoding, per-cell query
+    LUTs, and the ADC ranking. Pytest additionally pins the whole
+    path against an independent pure-Python replay."""
+    from swiftbeaver_spark.llm.similarity import ivfpq_encode, ivfpq_topk
+
+    cents = _ivfpq_cents()
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = ivfpq_encode(emb, cents, books, round_dp=6, residual=True)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        codes, queries, cents, books,
+        k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, round_scores=6, residual=True,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.format_string("%.6f", F.col("adc_dist")).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def q120_sql() -> str:
+    cents = _ivfpq_cents()
+    books = _pq_books()
+    dsub = 64 // PQ_M
+    crows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])" for p, c in enumerate(cents)
+    )
+    brows = ",\n        ".join(
+        f"({j}, {p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for p, c in enumerate(book)
+    )
+    return f"""
+    WITH cents(p, c) AS (
+      VALUES {crows}
+    ), books(j, p, c) AS (
+      VALUES {brows}
+    ), js AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS j
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cents.p AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT e.vec_id, a.cell,
+             [e.v[i] - cents.c[i] for i in generate_series(1, 64)] AS r
+      FROM e JOIN assigned a USING (vec_id) JOIN cents ON cents.p = a.cell
+    ), subs AS (
+      SELECT vec_id, j,
+             list_slice(r, j * {dsub} + 1, (j + 1) * {dsub}) AS sub
+      FROM resid CROSS JOIN js
+    ), enc AS (
+      SELECT vec_id, j, p AS code FROM (
+        SELECT s.vec_id, s.j, b.p,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY ROUND(list_dot_product(s.sub, s.sub)
+                                - 2 * list_dot_product(s.sub, b.c)
+                                + list_dot_product(b.c, b.c), 6), b.p
+               ) AS rn
+        FROM subs s JOIN books b ON s.j = b.j
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, cents.p AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_dot_product(e.v, cents.c), 6) DESC,
+                                           cents.p) AS rn
+        FROM e CROSS JOIN cents WHERE e.vec_id < 3
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ), qres AS (
+      SELECT pr.query_id, pr.cell,
+             [e.v[i] - cents.c[i] for i in generate_series(1, 64)] AS r
+      FROM probe pr JOIN e ON e.vec_id = pr.query_id
+      JOIN cents ON cents.p = pr.cell
+    ), lut AS (
+      SELECT q.query_id, q.cell, js.j, b.p,
+             list_dot_product(s.sub, s.sub)
+               - 2 * list_dot_product(s.sub, b.c)
+               + list_dot_product(b.c, b.c) AS d
+      FROM qres q CROSS JOIN js
+      CROSS JOIN LATERAL (
+        SELECT list_slice(q.r, js.j * {dsub} + 1, (js.j + 1) * {dsub}) AS sub
+      ) s
+      JOIN books b ON b.j = js.j
+    ), cand AS (
+      SELECT pr.query_id, a.vec_id, a.cell
+      FROM assigned a JOIN probe pr ON a.cell = pr.cell
+    ), adc AS (
+      SELECT ca.query_id, ca.vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+      FROM cand ca
+      JOIN enc en ON en.vec_id = ca.vec_id
+      JOIN lut l ON l.query_id = ca.query_id AND l.cell = ca.cell
+                AND en.j = l.j AND en.code = l.p
+      GROUP BY ca.query_id, ca.vec_id
+    )
+    SELECT query_id, vec_id,
+           printf('%.6f', adc_dist) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    )
+    WHERE rank <= {IVFPQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -6934,6 +7060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_contamination_scores": q117_contamination_scores,
         "q118_curation_v2": q118_curation_v2,
         "q119_split_assignment": q119_split_assignment,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
     }
 
 
@@ -7062,4 +7189,5 @@ def oracle_sql() -> dict[str, str]:
         "q117_contamination_scores": q117_sql(),
         "q118_curation_v2": q118_sql(),
         "q119_split_assignment": q119_sql(),
+        "q120_ivfpq_residual": q120_sql(),
     }

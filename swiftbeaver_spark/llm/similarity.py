@@ -492,11 +492,12 @@ def _adc_lut(query_vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     INDEX as the second parameter."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    qv = (
+        F.col(query_vec_col) if isinstance(query_vec_col, str) else query_vec_col
+    )
 
     def _sub_lut(j: int) -> Column:
-        sub_q = F.slice(
-            F.col(query_vec_col).cast("array<double>"), j * dsub + 1, dsub
-        )
+        sub_q = F.slice(qv.cast("array<double>"), j * dsub + 1, dsub)
         return F.transform(
             _centroid_lit(codebooks[j]),
             lambda c: F.aggregate(
@@ -585,6 +586,7 @@ def ivfpq_encode(
     code_col: str = "pq_code",
     round_dp: int | None = 6,
     quantizer: str = "dot",
+    residual: bool = False,
 ) -> DataFrame:
     """One map-only pass producing BOTH halves of the IVF-PQ index
     entry: the coarse Voronoi cell (for pruning) and the m-byte PQ code
@@ -599,11 +601,15 @@ def ivfpq_encode(
     centroids). `round_dp` pins both the cell argmin/argmax and the PQ
     sub-centroid argmin for cross-engine determinism.
 
-    Note: codes quantize the RAW vector, not the cell residual — the
-    residual refinement would tie each codebook to its cell (nlist*m*k
-    sub-centroids) and is deliberately skipped: one shared codebook
-    keeps encode a single broadcast-free projection and lets the same
-    LUT serve every probed cell at query time."""
+    `residual=False` quantizes the RAW vector with ONE shared codebook
+    — encode stays a broadcast-free projection and a single LUT serves
+    every probed cell at query time. `residual=True` quantizes
+    (v - centroid[cell]) — the full FAISS IndexIVFPQ refinement:
+    residuals are smaller and better centered than raw vectors, so
+    the same m x k codebook wastes less of its quantization budget;
+    the price is one LUT per (query, probed cell) instead of one per
+    query (still nprobe * m * k doubles — broadcast-sized). Encode is
+    STILL map-only: the centroid table is a plan literal."""
     vec = F.col(vec_col).cast("array<double>")
     if quantizer == "dot":
         cell = ivf_cell_dot(vec, centroids, round_dp if round_dp is not None else 6)
@@ -612,6 +618,15 @@ def ivfpq_encode(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
     out = df.withColumn(cell_col, cell)
+    if residual:
+        res = F.zip_with(
+            vec,
+            F.element_at(_centroid_lit(centroids), F.col(cell_col) + 1),
+            lambda v, c: v - c,
+        )
+        out = out.withColumn("_res", res)
+        out = pq_encode(out, codebooks, vec_col="_res", out_col=code_col, round_dp=round_dp)
+        return out.drop("_res")
     return pq_encode(out, codebooks, vec_col=vec_col, out_col=code_col, round_dp=round_dp)
 
 
@@ -629,6 +644,7 @@ def ivfpq_topk(
     query_vec_col: str = "query_vec",
     round_scores: int | None = None,
     quantizer: str = "dot",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse cell pruning THEN asymmetric-distance
     scoring over codes in the probed cells only — the composition that
@@ -642,7 +658,13 @@ def ivfpq_topk(
     scored, ~|corpus| * nprobe / nlist candidates per query, each
     costing m array lookups. No shuffle of the code table, no float
     vectors read. Recall loss vs exact = coarse pruning (raise nprobe)
-    + quantization error (raise m/k) — both knobs independent."""
+    + quantization error (raise m/k) — both knobs independent.
+
+    With `residual=True` (codes from ivfpq_encode(residual=True)) the
+    LUT is built per PROBED CELL from the query residual
+    (q - centroid[cell]) — the broadcast grows from m*k to
+    nprobe*m*k doubles per query (still tiny) and the join/score
+    shape is unchanged."""
     from pyspark.sql import Window as W
 
     qv = F.col(query_vec_col).cast("array<double>")
@@ -661,11 +683,26 @@ def ivfpq_topk(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
     probes = F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cell"])
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _adc_lut(query_vec_col, codebooks).alias("_lut"),
-        F.explode(probes).alias(cell_col),
-    )
+    if residual:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col),
+            F.explode(probes).alias(cell_col),
+        )
+        qres = F.zip_with(
+            F.col(query_vec_col).cast("array<double>"),
+            F.element_at(_centroid_lit(centroids), F.col(cell_col) + 1),
+            lambda v, c: v - c,
+        )
+        q = q.select(
+            "query_id", _adc_lut(qres, codebooks).alias("_lut"), cell_col
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _adc_lut(query_vec_col, codebooks).alias("_lut"),
+            F.explode(probes).alias(cell_col),
+        )
     scored = (
         codes.select(id_col, cell_col, code_col)
         .join(F.broadcast(q), cell_col)

@@ -1046,3 +1046,76 @@ def test_gopher_and_c4_filters(spark):
     out = {r.doc_id: r for r in c4_clean_lines(doc).collect()}
     assert out[1].n_kept == 2 and "no punct" not in out[1].clean_text
     assert out[2].n_kept == 0 and out[2].clean_text == ""
+
+
+def test_ivfpq_residual_matches_python_reference(spark):
+    """Residual IVF-PQ (encode residual=True + topk residual=True) on a
+    tiny pinned fixture must reproduce an exact Python replay of the
+    whole index: cell assignment, residual sub-codes, per-cell query
+    LUTs, and ADC sums."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        md5_centroids,
+        md5_plane_matrix,
+    )
+
+    dim, m, kk, nlist = 8, 2, 4, 4
+    cents = md5_centroids(nlist, dim)
+    books = [
+        [row[:4] for row in md5_plane_matrix(kk, dim)],
+        [row[4:8] for row in md5_plane_matrix(kk, dim)],
+    ]
+    vecs = [
+        [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(dim)] for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    codes = ivfpq_encode(df, cents, books, round_dp=6, residual=True)
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r.query_id, r.vec_id): round(r.adc_dist, 6)
+        for r in ivfpq_topk(
+            codes, queries, cents, books, k=6, nprobe=nlist, residual=True
+        ).collect()
+    }
+
+    # pure-Python replay
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cell_of(v):
+        ds = [round(dot(v, c), 6) for c in cents]
+        return max(range(nlist), key=lambda p: (ds[p], -p))
+
+    def encode(v):
+        cell = cell_of(v)
+        r = [x - c for x, c in zip(v, cents[cell])]
+        code = []
+        for j in range(m):
+            sub = r[j * 4 : j * 4 + 4]
+            dists = [
+                round(sum((s - c) ** 2 for s, c in zip(sub, book)), 6)
+                for book in books[j]
+            ]
+            code.append(min(range(kk), key=lambda p: (dists[p], p)))
+        return cell, code
+
+    enc = {i: encode(v) for i, v in enumerate(vecs)}
+    for (qid, vid), adc in got.items():
+        qv = vecs[qid]
+        cell, code = enc[vid]
+        qr = [x - c for x, c in zip(qv, cents[cell])]
+        want = 0.0
+        for j in range(m):
+            sub = qr[j * 4 : j * 4 + 4]
+            book = books[j][code[j]]
+            want += sum((s - c) ** 2 for s, c in zip(sub, book))
+        assert abs(adc - want) < 1e-6, (qid, vid, adc, want)
+    # full probe -> every vector is a candidate for every query
+    assert len(got) == 12
