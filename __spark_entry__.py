@@ -6914,6 +6914,71 @@ def q120_sql() -> str:
     """
 
 
+def q121_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k restricted to a metadata
+    predicate (label match), the retrieval shape every production
+    vector store serves ("nearest docs WHERE lang='en'"). Expressed
+    declaratively: the label filter composes BEFORE the scoring join,
+    so Catalyst pushes it into the parquet scan (plan-tested) and the
+    broadcast probe scores only surviving vectors — approximate
+    indexes never see filtered-out vectors (no post-filter recall
+    loss, the classic filtered-ANN pitfall). Exact cosine ranking
+    with the q23 round-before-rank convention."""
+    from swiftbeaver_spark.llm.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    filtered = emb.where(F.col("label") == 2).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scored = filtered.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("vec"), F.col("query_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            F.format_string("%.6f", F.col("cosine")).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q121_sql() -> str:
+    return """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label = 2
+    )
+    SELECT query_id, vec_id, printf('%.6f', cosine) AS cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM (
+        SELECT q.query_id, c.vec_id,
+               ROUND(list_dot_product(c.v, q.qv) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM c CROSS JOIN q
+      )
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7061,6 +7126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_curation_v2": q118_curation_v2,
         "q119_split_assignment": q119_split_assignment,
         "q120_ivfpq_residual": q120_ivfpq_residual,
+        "q121_filtered_ann": q121_filtered_ann,
     }
 
 
@@ -7190,4 +7256,5 @@ def oracle_sql() -> dict[str, str]:
         "q118_curation_v2": q118_sql(),
         "q119_split_assignment": q119_sql(),
         "q120_ivfpq_residual": q120_sql(),
+        "q121_filtered_ann": q121_sql(),
     }

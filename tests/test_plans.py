@@ -185,3 +185,13 @@ def test_snapshot_diff_shuffles_digests_not_payload(spark):
     plan = _formatted(snapshot_diff(old, new, ["k"]))
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
         assert "payload" not in m.group(0), m.group(0)
+
+
+def test_filtered_ann_pushes_label_filter(spark):
+    """q121: the label predicate must reach the parquet scan as a
+    pushed filter — the index never sees filtered-out vectors."""
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q121_filtered_ann(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"PushedFilters:.*EqualTo\(label,2\)", plan), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
