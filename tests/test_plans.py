@@ -192,6 +192,10 @@ def test_filtered_ann_pushes_label_filter(spark):
     pushed filter — the index never sees filtered-out vectors."""
     import __spark_entry__ as em
 
+    # another module's cached embeddings fixture can swap the parquet
+    # scan for an InMemoryRelation (no PushedFilters line); clear it
+    # so this asserts the cold-scan plan the driver sees
+    spark.catalog.clearCache()
     plan = _formatted(em.q121_filtered_ann(spark, "/root/testdata/sf0.001"))
     assert re.search(r"PushedFilters:.*EqualTo\(label,2\)", plan), plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
