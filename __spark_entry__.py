@@ -6979,6 +6979,79 @@ def q121_sql() -> str:
     """
 
 
+SEMDEDUP_NLIST = 16  # cells; pair work ~ n^2/nlist per-cell-uniform
+
+
+def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llm/similarity.py::semantic_dedup, Abbas et al. 2023):
+    cluster the embedding space (pinned md5 ±1 centroids, the q34
+    convention), pairwise rounded cosine INSIDE cells only, and per dup
+    pair drop the member closest to its centroid (the paper's
+    keep-the-edge-points policy; (centroid_cos, vec_id) total order).
+    Planted copies at vec_id+1e6 are 3x scalings — same cell (argmax
+    dot is scale-covariant), pair cosine exactly 1.0, and centroid_cos
+    EQUAL, so the id tiebreak deterministically drops the copy. Output
+    is keep/drop for the WHOLE corpus, hash-gated."""
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    cents = md5_centroids(SEMDEDUP_NLIST, 64, tag="semdedup")
+    return semantic_dedup(corpus, cents, threshold=0.95).orderBy("vec_id")
+
+
+def q122_sql() -> str:
+    from swiftbeaver_spark.llm.similarity import md5_centroids
+
+    cents = md5_centroids(SEMDEDUP_NLIST, 64, tag="semdedup")
+    rows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in c)}]::DOUBLE[])" for p, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(p, c) AS (
+      VALUES {rows}
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 3.0)
+      FROM embeddings WHERE vec_id < 10
+    ), assigned AS (
+      SELECT vec_id, v, cell, ROUND(d / (sqrt(list_dot_product(v, v)) * nc), 6)
+               AS centroid_cos
+      FROM (
+        SELECT corpus.vec_id, corpus.v, cents.p AS cell,
+               list_dot_product(corpus.v, cents.c) AS d,
+               sqrt(list_dot_product(cents.c, cents.c)) AS nc,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+                                  ORDER BY ROUND(list_dot_product(corpus.v, cents.c), 6)
+                                             DESC, cents.p) AS rn
+        FROM corpus CROSS JOIN cents
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT l.vec_id AS a, l.centroid_cos AS a_cc,
+             r.vec_id AS b, r.centroid_cos AS b_cc
+      FROM assigned l JOIN assigned r
+        ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE ROUND(list_dot_product(l.v, r.v) /
+                  (sqrt(list_dot_product(l.v, l.v)) *
+                   sqrt(list_dot_product(r.v, r.v))), 6) >= 0.95
+    ), dropped AS (
+      SELECT DISTINCT CASE WHEN a_cc > b_cc OR (a_cc = b_cc AND a > b)
+                           THEN a ELSE b END AS vec_id
+      FROM pairs
+    )
+    SELECT s.vec_id, s.cell, printf('%.6f', s.centroid_cos) AS centroid_cos,
+           (d.vec_id IS NOT NULL) AS dropped
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7127,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_split_assignment": q119_split_assignment,
         "q120_ivfpq_residual": q120_ivfpq_residual,
         "q121_filtered_ann": q121_filtered_ann,
+        "q122_semantic_dedup": q122_semantic_dedup,
     }
 
 
@@ -7257,4 +7331,5 @@ def oracle_sql() -> dict[str, str]:
         "q119_split_assignment": q119_sql(),
         "q120_ivfpq_residual": q120_sql(),
         "q121_filtered_ann": q121_sql(),
+        "q122_semantic_dedup": q122_sql(),
     }

@@ -962,3 +962,93 @@ def coarse_refine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark semantic duplicates INSIDE each cluster
+    only — the curation step that removes semantically redundant
+    training examples an exact/minhash dedup can't see (different
+    words, same meaning).
+
+    Mechanics (every step engine-replayable, the q34 pinned-quantizer
+    convention):
+      1. assign each vector to its cell: argmax of ROUND(dot, round_dp)
+         against the pinned equal-norm centroids, ties -> lowest cell
+         (ivf_cell_dot) — a map-only projection;
+      2. pairwise rounded cosine WITHIN cells (self-join on the cell
+         key, id< to halve the pairs);
+      3. for each pair with cosine >= threshold, drop the member closer
+         to its centroid — the paper's keep-the-edge-points policy —
+         with (centroid_cos, vec_id) as the deterministic total order
+         (drop the greater struct; ties cannot survive the id tiebreak).
+
+    Output: one row per input vector — (vec_id, cell, centroid_cos as
+    %.6f string, dropped) — so keep/drop for the WHOLE corpus is
+    hash-gated, not just the dup pairs.
+
+    Scale: the only shuffle is the self-join on the cell key; with
+    nlist cells sized so a cell holds O(sqrt(pair budget)) vectors,
+    pair work is n^2/nlist per-cell-uniform (the paper runs ~100M docs
+    with k=50k clusters). Assignment and the drop-side aggregation are
+    map-local; no all-pairs stage exists anywhere."""
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
+    # rounded cosine to the OWN cell's centroid (keep-policy ordering)
+    cent = _centroid_lit(centroids)
+    own = F.element_at(cent, F.col("cell") + 1)
+    ccos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vec"), own, lambda v, c: v * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        / (norm(F.col("vec")) * norm(own)),
+        round_dp,
+    )
+    assigned = assigned.withColumn("centroid_cos", ccos)
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pair_cos = F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), round_dp)
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .where(pair_cos >= F.lit(threshold))
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("l.centroid_cos").alias("a_cc"),
+            F.col("r.vec_id").alias("b"),
+            F.col("r.centroid_cos").alias("b_cc"),
+        )
+    )
+    # per pair, the member with the GREATER (centroid_cos, vec_id) is
+    # dropped (closest to the centroid = most redundant; id breaks ties)
+    dropped = pairs.select(
+        F.when(
+            F.struct(F.col("a_cc").alias("c"), F.col("a").alias("i"))
+            > F.struct(F.col("b_cc").alias("c"), F.col("b").alias("i")),
+            F.col("a"),
+        )
+        .otherwise(F.col("b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.format_string("%.6f", F.col("centroid_cos")).alias("centroid_cos"),
+            F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"),
+        )
+    )

@@ -1119,3 +1119,40 @@ def test_ivfpq_residual_matches_python_reference(spark):
         assert abs(adc - want) < 1e-6, (qid, vid, adc, want)
     # full probe -> every vector is a candidate for every query
     assert len(got) == 12
+
+
+def test_semantic_dedup_drops_planted_copy(spark, embeddings):
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    planted = embeddings.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(planted)
+    cents = md5_centroids(8, 64, tag="semdedup")
+    out = {r.vec_id: r for r in semantic_dedup(corpus, cents, threshold=0.95).collect()}
+    assert len(out) == corpus.count()
+    for vid in range(5):
+        orig, copy = out[vid], out[vid + 1_000_000]
+        # scale-covariant cell + scale-invariant centroid cosine
+        assert orig.cell == copy.cell
+        assert orig.centroid_cos == copy.centroid_cos
+        # id tiebreak drops exactly the planted (higher-id) copy
+        assert copy.dropped and not orig.dropped
+
+
+def test_semantic_dedup_no_cross_cell_pairs(spark):
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    # two IDENTICAL vectors forced into different rows but the same
+    # cell are a dup pair; a third orthogonal-ish vector in another
+    # cell must never be dropped even though the corpus is tiny
+    cents = md5_centroids(4, 4, tag="sdtest")
+    v_a = cents[0]
+    v_b = [-x for x in cents[0]]
+    df = spark.createDataFrame(
+        [(1, v_a), (2, v_a), (3, v_b)], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert not out[1].dropped and out[2].dropped
+    assert out[3].cell != out[1].cell and not out[3].dropped
