@@ -7052,6 +7052,75 @@ def q122_sql() -> str:
     """
 
 
+def q123_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering
+    (llm/dedup.py::prefix_filter_near_dups — the AllPairs/PPJoin
+    blocking, Bayardo 2007 / Xiao 2008): word-set Jaccard >= 0.7 pairs
+    without an all-pairs stage — candidates only from an equi-join on
+    each doc's RAREST p = n - ceil(0.7n) + 1 tokens (global df order).
+    The exact member of the near-dup family (q26/q27/q71/q93 are
+    approximate blockings). Planted ' zqz zrz' copies of doc_id<25 at
+    +1e6 differ by exactly 2 tokens (Jaccard = n/(n+2)). All-integer
+    arithmetic; the oracle replays df table, prefix cut, candidate
+    join and cross-multiplied verify."""
+    from swiftbeaver_spark.llm.dedup import prefix_filter_near_dups
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqz zrz")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return prefix_filter_near_dups(corpus, threshold_num=7, threshold_den=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q123_sql() -> str:
+    return """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zqz zrz'
+      FROM documents WHERE doc_id < 25
+    ), tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS token
+      FROM corpus
+    ), tok2 AS (
+      SELECT id, token FROM tok WHERE token <> ''
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok2 GROUP BY token
+    ), arr AS (
+      SELECT id,
+             list_transform(list_sort(list({'df': df, 'token': token})),
+                            s -> s.token) AS tokens,
+             COUNT(*) AS n
+      FROM tok2 JOIN dfreq USING (token) GROUP BY id
+    ), pref AS (
+      SELECT id, unnest(tokens[1:(n - ((7*n + 9) // 10) + 1)]) AS token
+      FROM arr
+    ), cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM pref l JOIN pref r ON l.token = r.token AND l.id < r.id
+    ), pairs AS (
+      SELECT a, b,
+             len(list_intersect(la.tokens, lb.tokens)) AS inter,
+             la.n AS na, lb.n AS nb
+      FROM cand
+      JOIN arr la ON cand.a = la.id
+      JOIN arr lb ON cand.b = lb.id
+    )
+    SELECT a AS doc_a, b AS doc_b,
+           CAST(inter AS INT) AS inter,
+           CAST(na AS INT) AS na, CAST(nb AS INT) AS nb,
+           CAST(FLOOR(10000 * inter / (na + nb - inter)) AS BIGINT) AS jaccard_bp
+    FROM pairs
+    WHERE 17 * inter >= 7 * (na + nb)
+    ORDER BY doc_a, doc_b
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7201,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_ivfpq_residual": q120_ivfpq_residual,
         "q121_filtered_ann": q121_filtered_ann,
         "q122_semantic_dedup": q122_semantic_dedup,
+        "q123_prefix_filter_join": q123_prefix_filter_join,
     }
 
 
@@ -7332,4 +7402,5 @@ def oracle_sql() -> dict[str, str]:
         "q120_ivfpq_residual": q120_sql(),
         "q121_filtered_ann": q121_sql(),
         "q122_semantic_dedup": q122_sql(),
+        "q123_prefix_filter_join": q123_sql(),
     }

@@ -675,3 +675,113 @@ def edit_distance_near_dups(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def prefix_filter_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (the
+    PPJoin/AllPairs blocking of Chaudhuri et al. 2006 / Xiao et al.
+    2008): pairs of documents whose word-SET Jaccard >= num/den,
+    without an all-pairs stage and without approximation.
+
+    The filter: order every document's token set by global rarity
+    (document frequency asc, token asc); two sets with Jaccard >= t
+    MUST share a token within each other's first
+    p = |s| - ceil(t*|s|) + 1 rarest tokens, so candidates come only
+    from an equi-join on PREFIX tokens — the rarest tokens generate
+    the fewest collisions, which is the whole trick. Completes the
+    near-dup family as its one EXACT member (minhash q26 / simhash
+    q27 / edit-distance q71 / embedding q93 are all approximate
+    blockings).
+
+    All arithmetic is integer (ceil via (num*n + den - 1) div den;
+    Jaccard threshold via den*inter >= num*(union) cross-mult), so
+    the whole path — df table, prefix cut, candidates, verify — is
+    bit-replayable in any SQL engine.
+
+    Scale: df is one partial-agg shuffle on the token key; the
+    candidate join shuffles only prefix tokens (~(1-t)*|s|+1 per
+    doc); verify is candidate-only over carried sorted arrays
+    (array_intersect, JVM-side). No stage is quadratic in the corpus
+    — pair work concentrates exactly where real duplicates are."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # per doc: tokens sorted by (df asc, token asc) — rarest first
+    arr = (
+        tok.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("toks")
+        )
+        .select(
+            "id",
+            F.transform(F.col("toks"), lambda s: s["token"]).alias("tokens"),
+            F.size(F.col("toks")).alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1  (integer ceil)
+    p = (
+        F.col("n")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("n") + F.lit(threshold_den - 1))
+            / F.lit(threshold_den)
+        ).cast("int")
+        + F.lit(1)
+    )
+    pref = arr.select(
+        "id", F.explode(F.slice(F.col("tokens"), F.lit(1), p)).alias("token")
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.token") == F.col("r.token"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    full = arr.select("id", "tokens", "n")
+    inter = F.size(F.array_intersect(F.col("la.tokens"), F.col("lb.tokens")))
+    pairs = (
+        cand.join(full.alias("la"), F.col("a") == F.col("la.id"))
+        .join(full.alias("lb"), F.col("b") == F.col("lb.id"))
+        .select(
+            F.col("a"),
+            F.col("b"),
+            inter.alias("inter"),
+            F.col("la.n").alias("na"),
+            F.col("lb.n").alias("nb"),
+        )
+        # den*inter >= num*(na+nb-inter)  <=>  Jaccard >= num/den
+        .where(
+            F.lit(threshold_den + threshold_num) * F.col("inter")
+            >= F.lit(threshold_num) * (F.col("na") + F.col("nb"))
+        )
+    )
+    return pairs.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.col("inter").cast("int").alias("inter"),
+        F.col("na").cast("int").alias("na"),
+        F.col("nb").cast("int").alias("nb"),
+        F.floor(
+            F.lit(10000)
+            * F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    )

@@ -1156,3 +1156,45 @@ def test_semantic_dedup_no_cross_cell_pairs(spark):
     out = {r.vec_id: r for r in semantic_dedup(df, cents, threshold=0.99).collect()}
     assert not out[1].dropped and out[2].dropped
     assert out[3].cell != out[1].cell and not out[3].dropped
+
+
+def test_prefix_filter_join_complete_vs_bruteforce(spark, documents):
+    from swiftbeaver_spark.llm.dedup import normalized_text, prefix_filter_near_dups
+
+    docs = documents.limit(40).select("doc_id", "text")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_near_dups(docs, threshold_num=7, threshold_den=10).collect()
+    }
+    # brute force over all pairs: exact word-set Jaccard >= 0.7
+    toks = {
+        r.doc_id: set(
+            t for t in r.norm.split(" ") if t
+        )
+        for r in docs.select(
+            "doc_id", normalized_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    ids = sorted(toks)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            if 10 * inter >= 7 * len(toks[a] | toks[b]):
+                want.add((a, b))
+    assert got == want  # prefix filter is EXACT: no loss, no extras
+
+
+def test_prefix_filter_planted_pair_scores(spark):
+    from swiftbeaver_spark.llm.dedup import prefix_filter_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota"), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in prefix_filter_near_dups(df, threshold_num=7, threshold_den=10).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r.inter, r.na, r.nb) == (8, 8, 9)
+    assert r.jaccard_bp == 8888  # floor(10000*8/9)
