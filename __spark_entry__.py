@@ -7121,6 +7121,68 @@ def q123_sql() -> str:
     """
 
 
+def q124_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction (llm/text.py::html_extract_text) —
+    the crawl-curation stage before any quality/dedup op. Each doc is
+    wrapped into a full HTML page IN SQL (the q30 build-bytes trick):
+    title, style block, comment, script body containing a raw '<', and
+    a tail paragraph exercising &lt; &#39; &nbsp; and the
+    &amp;-decoded-last rule. The oracle replays the identical
+    regex/entity chain, so extraction is byte-gated, including the
+    script/style drops and entity decode order."""
+    from swiftbeaver_spark.llm.text import html_extract_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"),
+        F.lit("<!-- hidden comment --><h1>Title &amp;lt; more</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<p>Tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>"),
+    )
+    out = docs.select(
+        "doc_id", html_extract_text(html).alias("extracted")
+    ).withColumn("n_chars", F.length("extracted").cast("int"))
+    return out.orderBy("doc_id")
+
+
+def q124_sql() -> str:
+    return r"""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style>p { color: red; }</style></head><body>' ||
+             '<!-- hidden comment --><h1>Title &amp;lt; more</h1><p>' || text ||
+             '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+             '<p>Tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g') AS t
+      FROM page
+    ), decoded AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM stripped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
+           CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS INT) AS n_chars
+    FROM decoded
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7271,6 +7333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_filtered_ann": q121_filtered_ann,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q123_prefix_filter_join": q123_prefix_filter_join,
+        "q124_html_extract": q124_html_extract,
     }
 
 
@@ -7403,4 +7466,5 @@ def oracle_sql() -> dict[str, str]:
         "q121_filtered_ann": q121_sql(),
         "q122_semantic_dedup": q122_sql(),
         "q123_prefix_filter_join": q123_sql(),
+        "q124_html_extract": q124_sql(),
     }

@@ -385,3 +385,37 @@ def c4_clean_lines(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def html_extract_text(col: Column) -> Column:
+    """Visible-text extraction from HTML — the first stage of every
+    web-crawl curation pipeline (the boilerplate CONTENT selection that
+    trafilatura/jusText refine; this is the deterministic regex core):
+
+      1. drop <script>/<style> element BODIES (their text is code, not
+         content) and <!-- comments -->;
+      2. strip remaining tags to a space (space, not empty — adjacent
+         block elements must not weld words together);
+      3. decode the five standard named entities plus &#39;, with
+         &amp; decoded LAST so '&amp;lt;' correctly yields the literal
+         '&lt;' instead of double-decoding to '<';
+      4. collapse whitespace.
+
+    Pure regexp_replace/replace chain — whole-stage codegen, one
+    projection, no Python. Patterns are shared Java-regex/RE2 subset
+    ((?is) inline flags, lazy .*?, \\b) so any SQL engine replays the
+    extraction byte-for-byte."""
+    t = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

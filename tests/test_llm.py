@@ -1198,3 +1198,23 @@ def test_prefix_filter_planted_pair_scores(spark):
     r = rows[(1, 2)]
     assert (r.inter, r.na, r.nb) == (8, 8, 9)
     assert r.jaccard_bp == 8888  # floor(10000*8/9)
+
+
+def test_html_extract_text_semantics(spark):
+    from swiftbeaver_spark.llm.text import html_extract_text
+
+    cases = [
+        # script body with raw '<' must vanish BEFORE tag stripping
+        ("<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>", "a b"),
+        ("<style>p > a { }</style>hello", "hello"),
+        ("<!-- note -->x<!-- two\nlines -->y", "x y"),
+        # adjacent blocks must not weld words
+        ("<div>one</div><div>two</div>", "one two"),
+        # &amp; decoded last: literal '&lt;' survives as text
+        ("a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f", 'a &lt; b <c> "d" \'e\' f'),
+        ("  lots   of\n\nspace  ", "lots of space"),
+    ]
+    df = spark.createDataFrame(cases, ["html", "want"])
+    rows = df.select(html_extract_text(F.col("html")).alias("got"), "want").collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
