@@ -7183,6 +7183,92 @@ def q124_sql() -> str:
     """
 
 
+WARC_NARCH = 4
+
+
+def q125_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round trip (llm/warc.py) — the container web crawls arrive
+    in (ISO 28500; Common Crawl's on-disk format). Every document
+    becomes one response record (HTTP headers + text as the payload),
+    records serialize into one archive per doc_id%4 group via the
+    deterministic writer, and the REAL reader walks the archives back
+    to record rows. The oracle recomputes every field closed-form —
+    including each record's BYTE OFFSET as a prefix sum of exact
+    serialized record sizes — so a reader that drops, shifts, or
+    mis-frames any record hash-mismatches. q89's convention applied to
+    the crawl-ingest layout."""
+    from swiftbeaver_spark.llm.warc import warc_archives, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recs = docs.select(
+        F.format_string("warc-%02d.warc", (F.col("doc_id") % WARC_NARCH).cast("int")).alias(
+            "archive"
+        ),
+        F.col("doc_id").alias("order_key"),
+        F.lit("response").alias("warc_type"),
+        F.format_string(
+            "<urn:uuid:00000000-0000-0000-0000-%012d>", F.col("doc_id")
+        ).alias("record_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")).alias(
+            "target_uri"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+                F.col("text"),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    out = warc_records(warc_archives(recs))
+    return out.select(
+        "archive",
+        "rec_offset",
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+        F.coalesce(F.col("truncated"), F.lit("none")).alias("truncated"),
+    ).orderBy("archive", "rec_offset")
+
+
+def q125_sql() -> str:
+    # serialized record size, closed form (fixed header order of
+    # llm/warc.py::serialize_record with type='response' and the
+    # 47-char urn:uuid record id):
+    #   139 + len(uri) + len(str(clen)) + clen
+    return f"""
+    WITH r AS (
+      SELECT printf('warc-%02d.warc', CAST(doc_id % {WARC_NARCH} AS INT)) AS archive,
+             doc_id,
+             '<urn:uuid:00000000-0000-0000-0000-' || printf('%012d', doc_id) || '>'
+               AS record_id,
+             'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+             'Content-Type: text/plain' || chr(13) || chr(10) ||
+             chr(13) || chr(10) || text AS payload
+      FROM documents
+    ), sized AS (
+      SELECT archive, doc_id, record_id, target_uri,
+             CAST(strlen(payload) AS BIGINT) AS content_length,
+             md5(payload) AS payload_md5,
+             139 + strlen(target_uri) + strlen(CAST(strlen(payload) AS VARCHAR))
+                 + strlen(payload) AS rec_size
+      FROM r
+    )
+    SELECT archive,
+           CAST(SUM(rec_size) OVER (PARTITION BY archive ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - rec_size
+                AS BIGINT) AS rec_offset,
+           'response' AS warc_type,
+           record_id, target_uri, content_length, payload_md5,
+           'none' AS truncated
+    FROM sized
+    ORDER BY archive, rec_offset
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7334,6 +7420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_semantic_dedup": q122_semantic_dedup,
         "q123_prefix_filter_join": q123_prefix_filter_join,
         "q124_html_extract": q124_html_extract,
+        "q125_warc_roundtrip": q125_warc_roundtrip,
     }
 
 
@@ -7467,4 +7554,5 @@ def oracle_sql() -> dict[str, str]:
         "q122_semantic_dedup": q122_sql(),
         "q123_prefix_filter_join": q123_sql(),
         "q124_html_extract": q124_sql(),
+        "q125_warc_roundtrip": q125_sql(),
     }
