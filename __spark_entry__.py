@@ -7269,6 +7269,120 @@ def q125_sql() -> str:
     """
 
 
+def q126_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar-aggregate subquery
+    ("lineitems below 20% of their part's average quantity"),
+    DECORRELATED the way Catalyst rewrites it: one partial-agg shuffle
+    builds per-part (count, sum_qty), joined back to the fact table.
+    The threshold is the integer cross-multiplication
+    5*qty*cnt < sum_qty (qty < 0.2*avg with no division, no floats),
+    so membership is bit-exact on any engine. Revenue in DECIMAL.
+    Scale: two shuffles on l_partkey (stats + join; AQE picks the
+    strategy), part's p_size filter pushed to its scan; no
+    per-row subquery execution anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    stats = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum(qty).alias("sum_qty")
+    )
+    picked = (
+        li.select("l_partkey", qty.alias("qty"),
+                  F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+        .join(stats, "l_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        picked.groupBy("p_brand")
+        .agg(
+            F.sum("price").cast("string").alias("total_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q126_sql() -> str:
+    return """
+    WITH stats AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN stats USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """
+
+
+def q127_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM plausibility scoring (llm/text.py::bigram_lm_score) —
+    the CCNet/KenLM-style corpus-LM quality filter with all-integer
+    conditional probabilities P(w2|w1) in milli-units. Planted probes
+    at +1e6: each doc<10's words RE-SORTED alphabetically — identical
+    VOCABULARY, different TRANSITIONS — score differently from the
+    natural originals (sorted text concentrates repeated/adjacent
+    tokens into deterministic continuations), proving the signal reads
+    word ORDER where q67's unigram rarity is provably identical on
+    both. The oracle replays bigram/prefix counts and every
+    per-instance integer division."""
+    from swiftbeaver_spark.llm.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.array_sort(F.split(norm, " ")), " ").alias("text"),
+    )
+    return bigram_lm_score(docs.unionByName(planted)).orderBy("doc_id")
+
+
+def q127_sql() -> str:
+    return """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_sort(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ')
+      FROM documents WHERE doc_id < 10
+    ), t AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS toks
+      FROM corpus
+    ), inst AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1
+    ), scored AS (
+      SELECT doc_id, FLOOR(1000 * c2.c2 / c1.c1) AS cond_milli
+      FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cond_milli) AS BIGINT) AS sum_cond_milli,
+           CAST(FLOOR(SUM(cond_milli) / COUNT(*)) AS BIGINT) AS mean_cond_milli
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7421,6 +7535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_prefix_filter_join": q123_prefix_filter_join,
         "q124_html_extract": q124_html_extract,
         "q125_warc_roundtrip": q125_warc_roundtrip,
+        "q126_small_qty_revenue": q126_small_qty_revenue,
+        "q127_bigram_lm": q127_bigram_lm,
     }
 
 
@@ -7555,4 +7671,6 @@ def oracle_sql() -> dict[str, str]:
         "q123_prefix_filter_join": q123_sql(),
         "q124_html_extract": q124_sql(),
         "q125_warc_roundtrip": q125_sql(),
+        "q126_small_qty_revenue": q126_sql(),
+        "q127_bigram_lm": q127_sql(),
     }

@@ -419,3 +419,65 @@ def html_extract_text(col: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model plausibility score — the
+    CCNet/KenLM-style quality signal (Wenzek et al. 2020 filter docs by
+    LM perplexity; this is its deterministic integer-arithmetic bigram
+    core). For every bigram INSTANCE (w1, w2) in a doc, the corpus
+    conditional probability P(w2|w1) = C(w1 w2) / C(w1 ·) is expressed
+    in integer milli-units ((1000 * c2) div c1); a doc's score is the
+    integer mean over its instances. Low score = improbable word
+    transitions (garbled/boilerplate-free text), high = common ones —
+    rank-equivalent to negated bigram log-perplexity up to the
+    arithmetic-vs-geometric mean, with NO transcendentals, so every
+    value is bit-reproducible on any engine.
+
+    Output: (doc_id, n_bigrams, sum_cond_milli, mean_cond_milli).
+
+    Scale: two partial-agg shuffles build C2 (bigram counts) and C1
+    (prefix counts); instances join each on its key — the join keys are
+    the grams themselves, so work is proportional to corpus token
+    count, and the model "table" is never collected anywhere (unlike a
+    broadcast KenLM binary, this trains and scores in the same
+    distributed pass)."""
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    inst = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = inst.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        inst.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn(
+            "cond_milli", F.floor(F.lit(1000) * F.col("c2") / F.col("c1"))
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cond_milli").cast("bigint").alias("sum_cond_milli"),
+        )
+        .withColumn(
+            "mean_cond_milli",
+            F.floor(F.col("sum_cond_milli") / F.col("n_bigrams")).cast("bigint"),
+        )
+    )

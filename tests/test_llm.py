@@ -1218,3 +1218,33 @@ def test_html_extract_text_semantics(spark):
     rows = df.select(html_extract_text(F.col("html")).alias("got"), "want").collect()
     for r in rows:
         assert r.got == r.want, (r.got, r.want)
+
+
+def test_bigram_lm_score_discriminates_broken_transitions(spark):
+    from swiftbeaver_spark.llm.text import bigram_lm_score
+
+    # 20 copies of a fixed sentence make its transitions near-certain;
+    # one probe doc uses the SAME words in an order never seen
+    # elsewhere -> its conditionals are 1/C1 fractions, far lower
+    template = "the cat sat on the mat"
+    rows = [(i, template) for i in range(20)]
+    rows.append((999, "mat the on sat cat the"))
+    out = {
+        r.doc_id: r.mean_cond_milli
+        for r in bigram_lm_score(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0] > 700  # near-deterministic transitions
+    assert out[999] < out[0] / 2  # broken transitions score far lower
+
+
+def test_bigram_lm_score_exact_tiny(spark):
+    from swiftbeaver_spark.llm.text import bigram_lm_score
+
+    # corpus: "a b" x2 and "a c" x1 -> C1(a)=3, C2(a,b)=2, C2(a,c)=1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert rows[1].mean_cond_milli == 666  # floor(1000*2/3)
+    assert rows[3].mean_cond_milli == 333  # floor(1000*1/3)
+    assert rows[1].n_bigrams == 1
