@@ -7383,6 +7383,71 @@ def q127_sql() -> str:
     """
 
 
+HILBERT_BITS = 8
+
+
+def q128_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (layout.py::with_hilbert_key) over
+    (user_id mod 256, event_id mod 256) — q66's Z-order upgraded to
+    the curve with unit-step locality (Delta liquid clustering's
+    choice). The public xy2d quadrant-fold algorithm unrolled into 8
+    rounds of pure Catalyst conditionals (per-round materialized
+    projections — the nested-Column form grows exponentially); the
+    oracle replays every round with div/mod/CASE arithmetic, so each
+    of the 65536 cell mappings is hash-gated."""
+    from swiftbeaver_spark.layout import with_hilbert_key
+
+    events = _t(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.col("event_id") % 256).cast("long")
+    keyed = with_hilbert_key(
+        events.select("event_id", x.alias("x"), y.alias("y")),
+        F.col("x"),
+        F.col("y"),
+        bits=HILBERT_BITS,
+        out_col="h",
+    )
+    return keyed.select("event_id", "x", "y", "h").orderBy("event_id")
+
+
+def q128_sql() -> str:
+    n = 1 << HILBERT_BITS
+    ctes = [
+        "e0 AS (SELECT event_id, user_id % 256 AS hx, event_id % 256 AS hy,"
+        " user_id % 256 AS x, event_id % 256 AS y, 0 AS d FROM events)"
+    ]
+    i = 0
+    s = n >> 1
+    while s > 0:
+        rx = f"((x // {s}) % 2)"
+        ry = f"((y // {s}) % 2)"
+        quad = (
+            f"CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END"
+        )
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n - 1} - y "
+            f"ELSE y END) ELSE x END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n - 1} - x "
+            f"ELSE x END) ELSE y END"
+        )
+        ctes.append(
+            f"e{i + 1} AS (SELECT event_id, hx, hy, {nx} AS x, {ny} AS y, "
+            f"d + {s * s} * ({quad}) AS d FROM e{i})"
+        )
+        i += 1
+        s >>= 1
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT event_id, CAST(hx AS BIGINT) AS x, CAST(hy AS BIGINT) AS y,
+           CAST(d AS BIGINT) AS h
+    FROM e{i} ORDER BY event_id
+    """
+    )
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7537,6 +7602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_warc_roundtrip": q125_warc_roundtrip,
         "q126_small_qty_revenue": q126_small_qty_revenue,
         "q127_bigram_lm": q127_bigram_lm,
+        "q128_hilbert": q128_hilbert,
     }
 
 
@@ -7673,4 +7739,5 @@ def oracle_sql() -> dict[str, str]:
         "q125_warc_roundtrip": q125_sql(),
         "q126_small_qty_revenue": q126_sql(),
         "q127_bigram_lm": q127_sql(),
+        "q128_hilbert": q128_sql(),
     }

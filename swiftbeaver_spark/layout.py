@@ -116,3 +116,91 @@ def compaction_summary(plan: DataFrame, partition_col: str = "partition") -> Dat
         F.min("path").alias("first_path"),
         F.max("path").alias("last_path"),
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    xc: Column,
+    yc: Column,
+    bits: int = 8,
+    out_col: str = "h",
+) -> DataFrame:
+    """Hilbert-curve index of a 2-D cell — the space-filling curve with
+    strictly better locality than the Morton key above (every unit step
+    along the curve is a unit step in the grid; Z-order jumps across
+    the plane at quadrant boundaries), which is why Delta's liquid
+    clustering moved from Z-order to Hilbert. Public xy2d bit
+    algorithm (quadrant fold + rotate), unrolled `bits` times into
+    pure Catalyst conditionals — whole-stage codegen, no UDF, and any
+    SQL engine replays it with div/mod/CASE arithmetic.
+
+    DataFrame-level (adds `out_col`), not a bare Column: each round's
+    (x, y, d) must be MATERIALIZED as named projection columns — a
+    single nested Column expression references the previous round's
+    x and y several times per round, and the eagerly-built tree grows
+    exponentially (bits=8 OOMs the driver). Per-round projections keep
+    the plan linear; CollapseProject leaves multiply-referenced
+    non-cheap expressions alone, so it stays linear through the
+    optimizer too.
+
+    Inputs must lie in [0, 2^bits); bucket first, as with zorder_key.
+    """
+    n = 1 << bits
+    tx, ty, td = "_hk_x", "_hk_y", "_hk_d"
+    out = df.withColumns(
+        {tx: xc.cast("long"), ty: yc.cast("long"), td: F.lit(0).cast("long")}
+    )
+    s = n >> 1
+    while s > 0:
+        x, y, d = F.col(tx), F.col(ty), F.col(td)
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        # (3*rx) XOR ry over {0,1}^2 -> 0,1,3,2 (Gray-coded quadrant)
+        quad = (
+            F.when((rx == 0) & (ry == 0), F.lit(0))
+            .when(rx == 0, F.lit(1))
+            .when(ry == 0, F.lit(3))
+            .otherwise(F.lit(2))
+        )
+        # rotate/reflect the quadrant so recursion sees canonical frame
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - y).otherwise(y)).otherwise(x)
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - x).otherwise(x)).otherwise(y)
+        out = out.withColumns(
+            {tx: nx, ty: ny, td: d + F.lit(s * s) * quad}
+        )
+        s >>= 1
+    return out.withColumn(out_col, F.col(td)).drop(tx, ty, td)
+
+
+def hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Driver-side reference of hilbert_key_2d (same public algorithm)
+    for tests and planner-side bucketing decisions."""
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_layout(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 8,
+    num_partitions: int | None = None,
+    key_name: str = "_h",
+) -> DataFrame:
+    """zorder_layout's Hilbert twin: range-repartition + sort by the
+    Hilbert key of two bucketed columns. Same single-shuffle cost,
+    tighter per-file min/max boxes."""
+    keyed = with_hilbert_key(df, F.col(x), F.col(y), bits, out_col=key_name)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(parts, key_name).sortWithinPartitions(key_name)

@@ -851,3 +851,34 @@ def test_snapshot_diff_null_semantics(spark):
         (5, "deleted"),
         (6, "inserted"),
     }
+
+
+def test_hilbert_key_matches_reference_exhaustive(spark):
+    from swiftbeaver_spark.layout import hilbert_xy2d, with_hilbert_key
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    keyed = with_hilbert_key(grid, F.col("x"), F.col("y"), bits=bits)
+    got = {(r.x, r.y): r.h for r in keyed.collect()}
+    for x in range(n):
+        for y in range(n):
+            assert got[(x, y)] == hilbert_xy2d(n, x, y)
+    # bijection onto [0, n^2)
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_unit_step_locality():
+    """The property Z-order lacks: consecutive curve positions are
+    ALWAYS grid neighbours (Manhattan distance 1)."""
+    from swiftbeaver_spark.layout import hilbert_xy2d
+
+    n = 16
+    by_d = {}
+    for x in range(n):
+        for y in range(n):
+            by_d[hilbert_xy2d(n, x, y)] = (x, y)
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
