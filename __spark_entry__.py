@@ -7448,6 +7448,68 @@ def q128_sql() -> str:
     )
 
 
+def q129_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (sketch.py::kmv_pairwise_set_ops):
+    audience-overlap estimates |A∩B| / |A∪B| / Jaccard for every
+    unordered pair of event types, computed from the per-type KMV
+    sketches ALONE (one stream scan builds them; every estimate is
+    O(k) sketch arithmetic — the DataSketches theta model). Extends
+    q46's single-set KMV to the set-algebra the sketch family exists
+    for. Every step is integer math under min(theta_a, theta_b), so
+    the APPROXIMATE estimates themselves hash-gate cross-engine."""
+    from swiftbeaver_spark.sketch import kmv_pairwise_set_ops
+
+    events = _t(spark, sf_dir, "events")
+    return kmv_pairwise_set_ops(
+        events, "event_type", "user_id", k=KMV_K, mult=KMV_MULT, space=KMV_SPACE
+    ).orderBy("group_a", "group_b")
+
+
+def q129_sql() -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g,
+             (user_id * {KMV_MULT}) % {KMV_SPACE} AS h
+      FROM events
+    ), sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {KMV_K}
+    ), stats AS (
+      SELECT g,
+             CASE WHEN COUNT(*) < {KMV_K} THEN {KMV_SPACE}
+                  ELSE MAX(h) END AS theta
+      FROM sk GROUP BY g
+    ), pairs AS (
+      SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
+      FROM stats a JOIN stats b ON a.g < b.g
+    ), inter AS (
+      SELECT x.g AS ga, y.g AS gb, COUNT(*) AS inter_ct
+      FROM sk x JOIN sk y ON x.h = y.h AND x.g < y.g
+      JOIN pairs p ON p.ga = x.g AND p.gb = y.g
+      WHERE x.h < p.theta
+      GROUP BY x.g, y.g
+    ), un AS (
+      SELECT ga, gb, theta, COUNT(*) AS union_ct FROM (
+        SELECT DISTINCT p.ga, p.gb, p.theta, u.h
+        FROM pairs p JOIN sk u ON u.g = p.ga OR u.g = p.gb
+        WHERE u.h < p.theta
+      ) GROUP BY ga, gb, theta
+    )
+    SELECT un.ga AS group_a, un.gb AS group_b,
+           CAST(COALESCE(inter_ct, 0) AS BIGINT) AS inter_ct,
+           CAST(union_ct AS BIGINT) AS union_ct,
+           CAST(FLOOR(COALESCE(inter_ct, 0) * {KMV_SPACE}.0 / theta) AS BIGINT)
+             AS est_inter,
+           CAST(FLOOR(union_ct * {KMV_SPACE}.0 / theta) AS BIGINT) AS est_union,
+           CAST(FLOOR(1000.0 * COALESCE(inter_ct, 0) / GREATEST(union_ct, 1))
+                AS BIGINT) AS jaccard_milli
+    FROM un LEFT JOIN inter ON un.ga = inter.ga AND un.gb = inter.gb
+    ORDER BY group_a, group_b
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7603,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_small_qty_revenue": q126_small_qty_revenue,
         "q127_bigram_lm": q127_bigram_lm,
         "q128_hilbert": q128_hilbert,
+        "q129_kmv_set_ops": q129_kmv_set_ops,
     }
 
 
@@ -7740,4 +7803,5 @@ def oracle_sql() -> dict[str, str]:
         "q126_small_qty_revenue": q126_sql(),
         "q127_bigram_lm": q127_sql(),
         "q128_hilbert": q128_sql(),
+        "q129_kmv_set_ops": q129_sql(),
     }

@@ -301,3 +301,97 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
             F.lit(alpha * m * m) * F.lit(float(1 << rmax)) / s_total.cast("double"), 3
         ).alias("estimate"),
     )
+
+
+def kmv_pairwise_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    mult: int = 2654435761,
+    space: int = 1 << 32,
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS between per-group KMV sketches
+    (Dasgupta et al., the Apache DataSketches theta model): for every
+    unordered pair of groups, estimate |A∩B|, |A∪B| and the Jaccard
+    from the SKETCHES ALONE — the stream is scanned once to build k
+    minimum hash values per group, then every pairwise estimate is
+    O(k) arithmetic on sketch rows, never a rescan. This is the
+    mergeable-summary property that makes cross-partition / cross-day
+    audience-overlap queries tractable at 100 TB.
+
+    Estimator (every step integer, engine-replayable): with
+    theta_g = k-th smallest hash (or the full hash space when the
+    group has < k distinct values, i.e. the sketch is exact) and
+    theta = min(theta_a, theta_b):
+      est_inter = floor(|S_a ∩ S_b under theta| * space / theta)
+      est_union = floor(|S_a ∪ S_b under theta| * space / theta)
+      jaccard_milli = floor(1000 * inter_ct / union_ct)
+    'Under theta' is the strict h < theta — hashes below theta are a
+    uniform sample of each set at rate theta/space, so counts scale by
+    space/theta.
+
+    Scale: ONE shuffle over the stream (distinct (group, hash)); the
+    per-group row_number window ranks within groups only; everything
+    after operates on k-row sketches (broadcast-sized)."""
+    g = F.col(group_col)
+    hashed = df.select(
+        g.alias("g"), ((F.col(value_col) * mult) % space).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    stats = sk.groupBy("g").agg(
+        F.max("h").alias("hk"), F.count("*").alias("k_seen")
+    )
+    stats = stats.withColumn(
+        "theta",
+        F.when(F.col("k_seen") < k, F.lit(space)).otherwise(F.col("hk")),
+    ).select("g", "theta")
+    pairs = (
+        stats.alias("a")
+        .join(stats.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("theta"),
+        )
+    )
+    m = sk.select("g", "h")
+    inter = (
+        m.alias("x")
+        .join(m.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.g") < F.col("y.g")))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"), F.col("x.h").alias("h"))
+        .join(pairs, ["ga", "gb"])
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("inter_ct"))
+    )
+    # union candidates per pair: distinct sketch hashes of either side
+    union = (
+        pairs.join(m.alias("u"), (F.col("u.g") == F.col("ga")) | (F.col("u.g") == F.col("gb")))
+        .where(F.col("u.h") < F.col("theta"))
+        .select("ga", "gb", "theta", F.col("u.h").alias("h"))
+        .distinct()
+        .groupBy("ga", "gb", "theta")
+        .agg(F.count("*").alias("union_ct"))
+    )
+    out = (
+        union.join(inter, ["ga", "gb"], "left")
+        .withColumn("inter_ct", F.coalesce(F.col("inter_ct"), F.lit(0)))
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("inter_ct").cast("long").alias("inter_ct"),
+            F.col("union_ct").cast("long").alias("union_ct"),
+            F.floor(F.col("inter_ct") * F.lit(space) / F.col("theta"))
+            .cast("long")
+            .alias("est_inter"),
+            F.floor(F.col("union_ct") * F.lit(space) / F.col("theta"))
+            .cast("long")
+            .alias("est_union"),
+            F.floor(F.lit(1000) * F.col("inter_ct") / F.greatest(F.col("union_ct"), F.lit(1)))
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return out

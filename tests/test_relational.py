@@ -882,3 +882,30 @@ def test_hilbert_unit_step_locality():
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_kmv_set_ops_estimates_known_overlap(spark):
+    from swiftbeaver_spark.sketch import kmv_pairwise_set_ops
+
+    # A = 0..3999, B = 2000..5999 -> inter 2000, union 6000, J = 1/3
+    rows = [("A", v) for v in range(4000)] + [("B", v) for v in range(2000, 6000)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = kmv_pairwise_set_ops(df, "grp", "val", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    # k=256 -> ~1/sqrt(k) ~ 6% relative error; allow 3 sigma
+    assert abs(r.est_union - 6000) / 6000 < 0.2
+    assert abs(r.est_inter - 2000) / 2000 < 0.3
+    assert abs(r.jaccard_milli - 333) < 100
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    from swiftbeaver_spark.sketch import kmv_pairwise_set_ops
+
+    # both groups fewer than k distinct -> theta = space, estimates exact
+    rows = [("A", v) for v in range(30)] + [("B", v) for v in range(20, 50)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    r = kmv_pairwise_set_ops(df, "grp", "val", k=64).collect()[0]
+    assert r.est_inter == 10 and r.est_union == 50
+    assert r.jaccard_milli == 200  # floor(1000*10/50)
