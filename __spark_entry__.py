@@ -7510,6 +7510,72 @@ def q129_sql() -> str:
     """
 
 
+def q130_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus balancing (llm/pipeline.py::
+    temperature_sample) — the XLM-R multilingual sampling rule
+    (n_l^alpha, alpha=0.5): each language downsampled at md5-gate rate
+    floor(65536*sqrt(n_min/n_l)), so kept counts scale with sqrt(n_l).
+    Completes the sampling family with the rate-DERIVED-from-counts
+    member (q39 fixed rates / q50 weighted / q68 fixed-k / q84 mixture
+    weights). Output: per-language audit row (corpus size, derived
+    threshold, kept count, order-insensitive id checksum — the q119
+    convention, so every individual membership decision is gated)."""
+    from swiftbeaver_spark.llm.pipeline import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = temperature_sample(docs)
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    totals = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        kept.groupBy("lang", "keep_threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(chk).cast("long").alias("id_checksum"),
+        )
+        .join(totals, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "keep_threshold",
+            "n_kept",
+            "id_checksum",
+        )
+        .orderBy("lang")
+    )
+
+
+def q130_sql() -> str:
+    return """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n,
+             CAST(FLOOR(65536 * sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                                     / n)) AS BIGINT) AS keep_threshold
+      FROM counts
+    ), kept AS (
+      SELECT d.doc_id, d.lang, r.keep_threshold, r.n
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+            < r.keep_threshold
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           keep_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT)) AS BIGINT) AS id_checksum
+    FROM kept GROUP BY lang, keep_threshold
+    ORDER BY lang
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7666,6 +7732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_bigram_lm": q127_bigram_lm,
         "q128_hilbert": q128_hilbert,
         "q129_kmv_set_ops": q129_kmv_set_ops,
+        "q130_temperature_sample": q130_temperature_sample,
     }
 
 
@@ -7804,4 +7871,5 @@ def oracle_sql() -> dict[str, str]:
         "q127_bigram_lm": q127_sql(),
         "q128_hilbert": q128_sql(),
         "q129_kmv_set_ops": q129_sql(),
+        "q130_temperature_sample": q130_sql(),
     }

@@ -776,3 +776,47 @@ def train_val_test_split(
         .when(bucket < test_hi, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-scaled corpus balancing — the multilingual sampling
+    rule of mBERT/XLM-R (Conneau et al. 2020 sample languages with
+    p_l proportional to n_l^alpha, alpha=0.5): downsample each group
+    at rate sqrt(n_min / n_g), so sampled sizes scale with sqrt(n_g) —
+    big languages stop drowning small ones without discarding the
+    size signal entirely.
+
+    Determinism: membership is the q39 md5-gate — keep a row iff the
+    first 16 bits of md5(id) fall below floor(65536 * sqrt(n_min/n_g)).
+    The rate computation is one double division + sqrt + floor, all
+    IEEE-correctly-rounded ops any engine reproduces bit-for-bit; the
+    gate compare is then pure integers. No RNG, no seed shipping,
+    stable under corpus partitioning.
+
+    Scale: one partial-agg shuffle for group counts; rates join back
+    as a broadcast (|groups| rows); the filter is map-side. Returns
+    the kept rows with `keep_threshold` attached."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.floor(
+            F.lit(65536)
+            * F.sqrt(F.col("_nmin").cast("double") / F.col("_n"))
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(gate < F.col("keep_threshold"))
+    )

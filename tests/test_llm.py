@@ -1248,3 +1248,25 @@ def test_bigram_lm_score_exact_tiny(spark):
     assert rows[1].mean_cond_milli == 666  # floor(1000*2/3)
     assert rows[3].mean_cond_milli == 333  # floor(1000*1/3)
     assert rows[1].n_bigrams == 1
+
+
+def test_temperature_sample_sqrt_scaling(spark):
+    from swiftbeaver_spark.llm.pipeline import temperature_sample
+
+    # groups sized 100 / 400 / 10000: sqrt scaling keeps ~all of the
+    # smallest, ~half of 4x, ~10% of 100x
+    rows = (
+        [(i, "small") for i in range(100)]
+        + [(1000 + i, "mid") for i in range(400)]
+        + [(10_000 + i, "big") for i in range(10_000)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_sample(df).groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in kept}
+    # expected keep rates: 1.0, 0.5, 0.1 (md5 gate ~ binomial)
+    assert by["small"] > 85
+    assert 120 < by["mid"] < 280
+    assert 700 < by["big"] < 1350
+    # stability: membership is a pure function of the id set
+    again = temperature_sample(df).groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in again} == by
