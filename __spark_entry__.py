@@ -7576,6 +7576,153 @@ def q130_sql() -> str:
     """
 
 
+CRAWL_LM_MIN_MILLI = 20  # bigram-LM floor; natural corpus docs score ~40
+
+
+def q131_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE v3 — the CRAWL-INGEST side composed end-to-end, every
+    stage this round's real operator, one SQL oracle replaying the
+    whole chain: documents wrapped as HTML pages inside HTTP responses
+    inside WARC archives (built by the q125 writer), then
+      REAL WARC reader (q125) -> HTTP body split -> HTML visible-text
+      extraction (q124) -> corpus bigram-LM scoring (q127) -> quality
+      floor -> temperature-balanced sampling over the SURVIVORS
+      (q130; thresholds derived from post-filter counts, so the
+      cascade itself is gated).
+    Output: one audit row per sampled doc (id, lang, extracted-text
+    md5 + length, LM score, the language's derived keep threshold)."""
+    from swiftbeaver_spark.llm.pipeline import temperature_sample
+    from swiftbeaver_spark.llm.text import bigram_lm_score, html_extract_text
+    from swiftbeaver_spark.llm.warc import warc_archives, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"),
+        F.lit("<!-- hidden comment --><h1>Title &amp;lt; more</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<p>Tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>"),
+    )
+    recs = docs.select(
+        F.format_string("warc-%02d.warc", (F.col("doc_id") % WARC_NARCH).cast("int")).alias(
+            "archive"
+        ),
+        F.col("doc_id").alias("order_key"),
+        F.lit("response").alias("warc_type"),
+        F.format_string(
+            "<urn:uuid:00000000-0000-0000-0000-%012d>", F.col("doc_id")
+        ).alias("record_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")).alias(
+            "target_uri"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    parsed = warc_records(warc_archives(recs)).select(
+        F.substring(F.col("record_id"), 35, 12).cast("bigint").alias("doc_id"),
+        F.split(F.decode(F.col("payload"), "UTF-8"), "\r\n\r\n", 2)
+        .getItem(1)
+        .alias("html"),
+    )
+    extracted = parsed.select(
+        "doc_id", html_extract_text(F.col("html")).alias("extracted")
+    )
+    scores = bigram_lm_score(extracted, text_col="extracted").select(
+        "doc_id", "mean_cond_milli"
+    )
+    survivors = (
+        extracted.join(scores, "doc_id")
+        .where(F.col("mean_cond_milli") >= CRAWL_LM_MIN_MILLI)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    sampled = temperature_sample(survivors)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.length("extracted").cast("int").alias("n_chars"),
+        F.md5("extracted").alias("extracted_md5"),
+        F.col("mean_cond_milli").cast("bigint").alias("lm_milli"),
+        "keep_threshold",
+    ).orderBy("doc_id")
+
+
+def q131_sql() -> str:
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(lower(extracted), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return rf"""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style>p {{ color: red; }}</style></head><body>' ||
+             '<!-- hidden comment --><h1>Title &amp;lt; more</h1><p>' || text ||
+             '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+             '<p>Tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g') AS t
+      FROM page
+    ), ex AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS extracted
+      FROM stripped
+    ), tkn AS (
+      SELECT doc_id, {toks} AS toks FROM ex
+    ), inst AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM tkn, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1
+    ), sc AS (
+      SELECT doc_id,
+             CAST(FLOOR(SUM(FLOOR(1000 * c2.c2 / c1.c1)) / COUNT(*)) AS BIGINT)
+               AS lm_milli
+      FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id
+    ), surv AS (
+      SELECT ex.doc_id, ex.extracted, sc.lm_milli, d.lang
+      FROM ex JOIN sc USING (doc_id) JOIN documents d USING (doc_id)
+      WHERE sc.lm_milli >= {CRAWL_LM_MIN_MILLI}
+    ), counts AS (
+      SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang
+    ), rates AS (
+      SELECT lang,
+             CAST(FLOOR(65536 * sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                                     / n)) AS BIGINT) AS keep_threshold
+      FROM counts
+    )
+    SELECT s.doc_id, s.lang,
+           CAST(length(s.extracted) AS INT) AS n_chars,
+           md5(s.extracted) AS extracted_md5,
+           s.lm_milli,
+           r.keep_threshold
+    FROM surv s JOIN rates r ON s.lang = r.lang
+    WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+          < r.keep_threshold
+    ORDER BY s.doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7733,6 +7880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_hilbert": q128_hilbert,
         "q129_kmv_set_ops": q129_kmv_set_ops,
         "q130_temperature_sample": q130_temperature_sample,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
     }
 
 
@@ -7872,4 +8020,5 @@ def oracle_sql() -> dict[str, str]:
         "q128_hilbert": q128_sql(),
         "q129_kmv_set_ops": q129_sql(),
         "q130_temperature_sample": q130_sql(),
+        "q131_crawl_pipeline": q131_sql(),
     }
