@@ -7723,6 +7723,66 @@ def q131_sql() -> str:
     """
 
 
+def q132_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped WEIGHTED median (relational.py::
+    grouped_weighted_median): per return flag, the lineitem price-cent
+    value at the 50% point of the QUANTITY-weight distribution —
+    completing the exact order-statistic family (q115 unweighted
+    median, q116 mode). Integer cross-mult pick (2*cum >= total) over
+    a deterministic (value, orderkey, linenumber) order; price cents
+    via the proven DECIMAL(18,2) cast convention."""
+    from swiftbeaver_spark.relational import grouped_weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return grouped_weighted_median(
+        li,
+        group_col="l_returnflag",
+        value_col="price_cents",
+        weight_col="qty",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    ).orderBy("l_returnflag")
+
+
+def q132_sql() -> str:
+    return """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price_cents, qty, l_orderkey, l_linenumber,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+      FROM li
+    ), q AS (
+      SELECT l_returnflag, price_cents, c, tot,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY price_cents, l_orderkey, l_linenumber)
+               AS rn
+      FROM cum WHERE 2 * c >= tot
+    )
+    SELECT l_returnflag,
+           price_cents AS weighted_median,
+           CAST(tot AS BIGINT) AS total_weight,
+           CAST(c AS BIGINT) AS cum_at_median
+    FROM q WHERE rn = 1
+    ORDER BY l_returnflag
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7881,6 +7941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_kmv_set_ops": q129_kmv_set_ops,
         "q130_temperature_sample": q130_temperature_sample,
         "q131_crawl_pipeline": q131_crawl_pipeline,
+        "q132_weighted_median": q132_weighted_median,
     }
 
 
@@ -8021,4 +8082,5 @@ def oracle_sql() -> dict[str, str]:
         "q129_kmv_set_ops": q129_sql(),
         "q130_temperature_sample": q130_sql(),
         "q131_crawl_pipeline": q131_sql(),
+        "q132_weighted_median": q132_sql(),
     }

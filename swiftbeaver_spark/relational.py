@@ -657,3 +657,50 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Exact per-group WEIGHTED median — the robust-statistics member
+    completing q115's unweighted discrete median / q116's mode: the
+    first value (in (value, tiebreak) order) whose running weight
+    reaches half the group's total, i.e. the 50% point of the weight
+    distribution rather than the row-count distribution. All-integer:
+    the pick condition is the cross-multiplication
+    2 * cum_weight >= total_weight, no interpolation, and the result
+    is always an actual row's value.
+
+    Scale: one window partitioned by the group key over (value,
+    tiebreaks) — the inherent cost of an exact order statistic (same
+    shape as q115) — plus a broadcast-sized per-group totals join.
+    Weights must be non-negative integers."""
+    w = Window.partitionBy(group_col).orderBy(
+        value_col, *tiebreak_cols
+    )
+    cum = F.sum(F.col(weight_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col)).alias("_tot")
+    )
+    qualified = (
+        df.withColumn("_cum", cum)
+        .join(F.broadcast(tot), group_col)
+        .where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+    )
+    pick = Window.partitionBy(group_col).orderBy(value_col, *tiebreak_cols)
+    return (
+        qualified.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            group_col,
+            F.col(value_col).alias("weighted_median"),
+            F.col("_tot").cast("long").alias("total_weight"),
+            F.col("_cum").cast("long").alias("cum_at_median"),
+        )
+    )

@@ -909,3 +909,23 @@ def test_kmv_set_ops_exact_when_small(spark):
     r = kmv_pairwise_set_ops(df, "grp", "val", k=64).collect()[0]
     assert r.est_inter == 10 and r.est_union == 50
     assert r.jaccard_milli == 200  # floor(1000*10/50)
+
+
+def test_grouped_weighted_median_exact(spark):
+    from swiftbeaver_spark.relational import grouped_weighted_median
+
+    # group g: values 1(w3), 2(w1), 3(w1): total 5, half-point inside
+    # value 1's mass (cum 3, 2*3 >= 5) -> weighted median 1
+    # group h: values 10(w1), 20(w1): 2*1 >= 2 at the first row -> 10
+    df = spark.createDataFrame(
+        [("g", 1, 3, 1), ("g", 2, 1, 2), ("g", 3, 1, 3),
+         ("h", 10, 1, 1), ("h", 20, 1, 2)],
+        ["grp", "val", "wt", "tb"],
+    )
+    rows = {
+        r.grp: r
+        for r in grouped_weighted_median(df, "grp", "val", "wt", ["tb"]).collect()
+    }
+    assert rows["g"].weighted_median == 1 and rows["g"].total_weight == 5
+    assert rows["h"].weighted_median == 10
+    # contrast: the UNWEIGHTED median of g's values would be 2
