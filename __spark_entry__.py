@@ -7783,6 +7783,97 @@ def q132_sql() -> str:
     """
 
 
+def q133_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON ingestion — the sidecar-metadata shape
+    every crawl/events pipeline carries (events.props IS a JSON string
+    column; this query is its first consumer). The flat props are
+    genuinely parsed (from_json -> k), then wrapped into a NESTED
+    document (object-in-object + array) built in SQL, and the nested
+    fields extracted back with a typed from_json schema — Spark's
+    idiomatic JSON path (typed struct, codegen field access, no
+    regex). The oracle parses the same strings with DuckDB's
+    json_extract, so both engines' JSON PARSERS must agree on every
+    row, not just the arithmetic. Aggregated per (event_type, first
+    tag): integer sums of both extracted numbers."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json(
+        F.col("props"), StructType([StructField("k", IntegerType())])
+    )["k"]
+    doc = F.concat(
+        F.lit('{"meta":{"k":'),
+        k.cast("string"),
+        F.lit(',"tags":["t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('","u"]},"v":'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("}"),
+    )
+    schema = StructType(
+        [
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("k", IntegerType()),
+                        StructField("tags", ArrayType(StringType())),
+                    ]
+                ),
+            ),
+            StructField("v", IntegerType()),
+        ]
+    )
+    parsed = events.select(
+        "event_type", F.from_json(doc, schema).alias("j")
+    ).select(
+        "event_type",
+        F.col("j.meta.k").alias("k"),
+        F.element_at(F.col("j.meta.tags"), 1).alias("tag"),
+        F.col("j.v").alias("v"),
+    )
+    return (
+        parsed.groupBy("event_type", "tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .orderBy("event_type", "tag")
+    )
+
+
+def q133_sql() -> str:
+    return """
+    WITH doc AS (
+      SELECT event_type,
+             '{"meta":{"k":' ||
+             CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) ||
+             ',"tags":["t' || CAST(event_id % 3 AS VARCHAR) ||
+             '","u"]},"v":' || CAST(event_id % 7 AS VARCHAR) || '}' AS j
+      FROM events
+    ), parsed AS (
+      SELECT event_type,
+             CAST(json_extract(j, '$.meta.k') AS INT) AS k,
+             json_extract_string(j, '$.meta.tags[0]') AS tag,
+             CAST(json_extract(j, '$.v') AS INT) AS v
+      FROM doc
+    )
+    SELECT event_type, tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM parsed GROUP BY event_type, tag
+    ORDER BY event_type, tag
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -7942,6 +8033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_temperature_sample": q130_temperature_sample,
         "q131_crawl_pipeline": q131_crawl_pipeline,
         "q132_weighted_median": q132_weighted_median,
+        "q133_json_extract": q133_json_extract,
     }
 
 
@@ -8083,4 +8175,5 @@ def oracle_sql() -> dict[str, str]:
         "q130_temperature_sample": q130_sql(),
         "q131_crawl_pipeline": q131_sql(),
         "q132_weighted_median": q132_sql(),
+        "q133_json_extract": q133_sql(),
     }

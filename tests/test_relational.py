@@ -929,3 +929,17 @@ def test_grouped_weighted_median_exact(spark):
     assert rows["g"].weighted_median == 1 and rows["g"].total_weight == 5
     assert rows["h"].weighted_median == 10
     # contrast: the UNWEIGHTED median of g's values would be 2
+
+
+def test_from_json_malformed_yields_null_not_failure(spark):
+    """The q133 JSON path must tolerate damaged sidecar metadata: Spark
+    from_json returns NULL for unparseable rows (PERMISSIVE), it never
+    fails the task."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ("{broken",), (None,), ('{"k": "notint"}',)], ["props"]
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    rows = df.select(F.from_json("props", schema)["k"].alias("k")).collect()
+    assert [r.k for r in rows] == [7, None, None, None]
