@@ -7874,6 +7874,69 @@ def q133_sql() -> str:
     """
 
 
+BFS_MAX_DIST = 4
+BFS_SEED_MOD = 100
+
+
+def q134_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS over the q80 user-interaction graph
+    (relational.py::bfs_distances): frontier-expansion rounds with an
+    anti-join against the settled set, seeds = users ≡ 0 mod 100.
+    Completes the iterative-graph family (q36 connected components,
+    q80 pagerank) with the reachability/distance member — and the
+    oracle is a genuine WITH RECURSIVE traversal of the same edges, so
+    Spark's iterative joins are gated against a SQL engine's recursive
+    evaluation, not an unrolled replay."""
+    from swiftbeaver_spark.relational import bfs_distances
+
+    events = _t(spark, sf_dir, "events")
+    bucket = F.expr(f"({ts_unix_micros_sql('ts')}) div {3600 * 1_000_000}L")
+    w_lag = Window.partitionBy("event_type", bucket.alias("b")).orderBy(
+        ts_unix_micros(F.col("ts")), "event_id"
+    )
+    prev_u = F.lag("user_id").over(w_lag)
+    edges = (
+        events.withColumn("src", prev_u)
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .select("src", F.col("user_id").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.col("node") % BFS_SEED_MOD == 0)
+    return bfs_distances(edges, seeds, max_dist=BFS_MAX_DIST).orderBy("node")
+
+
+def q134_sql() -> str:
+    span_us = 3600 * 1_000_000
+    return f"""
+    WITH RECURSIVE lagged AS (
+      SELECT user_id AS dst,
+             lag(user_id) OVER (PARTITION BY event_type,
+                                  epoch_us(CAST(ts AS TIMESTAMP)) // {span_us}
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                         event_id) AS src
+      FROM events
+    ), e AS (
+      SELECT DISTINCT src, dst FROM lagged
+      WHERE src IS NOT NULL AND src <> dst
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ), r(node, dist) AS (
+      SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.dst, r.dist + 1
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.dist < {BFS_MAX_DIST}
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM r GROUP BY node ORDER BY node
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8034,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_crawl_pipeline": q131_crawl_pipeline,
         "q132_weighted_median": q132_weighted_median,
         "q133_json_extract": q133_json_extract,
+        "q134_bfs_distances": q134_bfs_distances,
     }
 
 
@@ -8176,4 +8240,5 @@ def oracle_sql() -> dict[str, str]:
         "q131_crawl_pipeline": q131_sql(),
         "q132_weighted_median": q132_sql(),
         "q133_json_extract": q133_sql(),
+        "q134_bfs_distances": q134_sql(),
     }

@@ -704,3 +704,47 @@ def grouped_weighted_median(
             F.col("_cum").cast("long").alias("cum_at_median"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_dist: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum-hop BFS distances from a seed set — the iterative
+    frontier-expansion primitive behind graph reachability/diffusion
+    features (Pregel's canonical example), run as `max_dist` rounds of
+    (frontier JOIN edges) with an anti-join against the settled set.
+    BFS order guarantees the first time a node is reached IS its
+    minimum distance, so no re-relaxation round is needed.
+
+    Scale: each round shuffles only the FRONTIER joined to its
+    out-edges (not the whole graph); settled/frontier persist between
+    rounds, and the loop exits early on an empty frontier (one bounded
+    driver-side emptiness check per level, <= max_dist actions).
+    Deterministic — set semantics, no ordering dependence."""
+    dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    dist.persist()
+    frontier = dist
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    for level in range(1, max_dist + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(level)
+        )
+        new.persist()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new)
+        dist.persist()
+        frontier = new
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -943,3 +943,28 @@ def test_from_json_malformed_yields_null_not_failure(spark):
     schema = StructType([StructField("k", IntegerType())])
     rows = df.select(F.from_json("props", schema)["k"].alias("k")).collect()
     assert [r.k for r in rows] == [7, None, None, None]
+
+
+def test_bfs_distances_chain_and_unreachable(spark):
+    from swiftbeaver_spark.relational import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4 -> 5, island 9 -> 10; seed = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_dist=3).collect()}
+    # cut off at max_dist: 5 (dist 4) and the island never appear
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_min_over_multiple_paths(spark):
+    from swiftbeaver_spark.relational import bfs_distances
+
+    # two paths to 4: 1->2->3->4 (3 hops) and 1->4 (1 hop) -> min wins
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_dist=4).collect()}
+    assert got[4] == 1 and got[3] == 2
