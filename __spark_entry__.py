@@ -7937,6 +7937,84 @@ def q134_sql() -> str:
     """
 
 
+def q135_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format sink/source gate: documents written to REAL
+    CSV, JSON-lines and ORC files (Spark's built-in sinks, lang-
+    partitioned directories), read back from disk, and manifested per
+    (format, lang) — row count plus an order-insensitive md5-prefix
+    checksum over doc_id AND text, so quoting/escaping damage in any
+    format's writer-reader pair (commas under CSV quoting, unicode
+    escapes in JSON, ORC encoding) breaks the hash. The oracle
+    computes the manifest once from `documents` and replicates it per
+    format: all three round trips must be lossless and AGREE. Extends
+    the on-disk-gate family (q90 parquet shards, q89 tar, q114
+    TFRecord, q125 WARC) to the three remaining mainstream formats."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        tmp = tempfile.mkdtemp(prefix=f"sb_q135_{fmt}_")
+        w = docs.write.mode("overwrite").partitionBy("lang")
+        if fmt == "csv":
+            w.option("header", True).csv(tmp)
+            back = (
+                spark.read.option("header", True)
+                .schema("doc_id BIGINT, text STRING, lang STRING")
+                .csv(tmp)
+            )
+        elif fmt == "json":
+            w.json(tmp)
+            back = spark.read.schema("doc_id BIGINT, text STRING, lang STRING").json(
+                tmp
+            )
+        else:
+            w.orc(tmp)
+            back = spark.read.orc(tmp)
+        chk = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        outs.append(
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+                F.sum(chk).cast("long").alias("checksum"),
+            )
+            .withColumn("format", F.lit(fmt))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("format", "lang", "n_rows", "min_id", "max_id", "checksum").orderBy(
+        "format", "lang"
+    )
+
+
+def q135_sql() -> str:
+    return """
+    WITH m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id,
+             CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                          1, 8) AS BIGINT)) AS BIGINT) AS checksum
+      FROM documents GROUP BY lang
+    ), fmts(format) AS (VALUES ('csv'), ('json'), ('orc'))
+    SELECT format, lang, n_rows, min_id, max_id, checksum
+    FROM fmts CROSS JOIN m
+    ORDER BY format, lang
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8098,6 +8176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_weighted_median": q132_weighted_median,
         "q133_json_extract": q133_json_extract,
         "q134_bfs_distances": q134_bfs_distances,
+        "q135_format_roundtrip": q135_format_roundtrip,
     }
 
 
@@ -8241,4 +8320,5 @@ def oracle_sql() -> dict[str, str]:
         "q132_weighted_median": q132_sql(),
         "q133_json_extract": q133_sql(),
         "q134_bfs_distances": q134_sql(),
+        "q135_format_roundtrip": q135_sql(),
     }
