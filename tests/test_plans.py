@@ -199,3 +199,39 @@ def test_filtered_ann_pushes_label_filter(spark):
     plan = _formatted(em.q121_filtered_ann(spark, "/root/testdata/sf0.001"))
     assert re.search(r"PushedFilters:.*EqualTo\(label,2\)", plan), plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q126_pushes_part_size_filter(spark):
+    """q126: the p_size predicate must reach the part parquet scan."""
+    import __spark_entry__ as em
+
+    spark.catalog.clearCache()
+    plan = _formatted(em.q126_small_qty_revenue(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(p_size,5\)", plan), plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """q130: the derived per-group rate table (|groups| rows) joins
+    back as a broadcast — the corpus side never shuffles for it."""
+    from swiftbeaver_spark.llm.pipeline import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)], ["doc_id", "lang"]
+    )
+    plan = _formatted(temperature_sample(df))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """q123: candidates come from the prefix-token equi-join — no
+    cartesian/nested-loop stage may appear anywhere in the plan."""
+    from swiftbeaver_spark.llm.dedup import prefix_filter_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        ["doc_id", "text"],
+    )
+    plan = _formatted(prefix_filter_near_dups(df, threshold_num=7, threshold_den=10))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
