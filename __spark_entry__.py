@@ -8015,6 +8015,95 @@ def q135_sql() -> str:
     """
 
 
+ESD_N = 8  # exact-substring dedup window, tokens
+
+
+def q136_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (llm/pipeline.py::
+    exact_substring_dedup — Lee et al. 2022 ExactSubstr as distributed
+    n-gram anchoring): planted copies of doc<10 at +1e6, wrapped in
+    unique sentinels ('zzq u<id> ' ... ' zqq e<id>'), must lose their
+    entire shared interior to the canonical originals, while the
+    originals keep theirs (min (doc,pos) canon). The rewrite q51 only
+    measures. Oracle replays gram stats, canon election, window
+    coverage and the reassembled text md5 per doc."""
+    from swiftbeaver_spark.llm.pipeline import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zzq u"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            F.lit(" zqq e"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(docs.unionByName(planted), ngram_n=ESD_N)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+def q136_sql() -> str:
+    n = ESD_N
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'zzq u' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+             ' zqq e' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id < 10
+    ), t AS (
+      SELECT doc_id, {toks} AS toks FROM corpus
+    ), tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS w
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+    ), grams AS (
+      SELECT doc_id, p, array_to_string(toks[p:p+{n - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - {n - 1})) AS g(p)
+    ), st AS (
+      SELECT gram, COUNT(*) OVER (PARTITION BY gram) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn,
+             doc_id, p
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, p FROM st WHERE cnt > 1 AND rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos
+      FROM dup, unnest(generate_series(p, p + {n - 1})) AS c(pos)
+    ), kept AS (
+      SELECT tok.doc_id, tok.pos, tok.w
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.pos IS NULL
+    ), cleaned AS (
+      SELECT doc_id,
+             string_agg(w, ' ' ORDER BY pos) AS cleaned,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(c.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8177,6 +8266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_json_extract": q133_json_extract,
         "q134_bfs_distances": q134_bfs_distances,
         "q135_format_roundtrip": q135_format_roundtrip,
+        "q136_substring_dedup": q136_substring_dedup,
     }
 
 
@@ -8321,4 +8411,5 @@ def oracle_sql() -> dict[str, str]:
         "q133_json_extract": q133_sql(),
         "q134_bfs_distances": q134_sql(),
         "q135_format_roundtrip": q135_sql(),
+        "q136_substring_dedup": q136_sql(),
     }

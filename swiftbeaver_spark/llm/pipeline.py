@@ -820,3 +820,100 @@ def temperature_sample(
         df.join(F.broadcast(rates), group_col)
         .where(gate < F.col("keep_threshold"))
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    ngram_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): delete from every document each token span that
+    appears verbatim elsewhere in the corpus, keeping only the
+    CANONICAL first occurrence (min (doc, pos)). Their single-machine
+    suffix array becomes a distributed n-gram anchoring: a token is
+    removed iff some duplicated non-canonical `ngram_n`-gram window
+    covers it. Every window inside a shared span of >= ngram_n tokens
+    is itself duplicated, so shared-span interiors are removed
+    EXACTLY at n-gram granularity — the q51 diagnostic turned into
+    the rewrite it measures.
+
+    Scale: the only corpus-keyed shuffle is the gram table (gram ->
+    min (doc,pos) + count, both partial-aggregating); coverage
+    explodes each duplicated window to its n positions (bounded
+    n-fold fan-out of DUP windows only, not the corpus) and
+    anti-joins tokens; reassembly is a per-doc bounded aggregation.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned) with `cleaned`
+    the space-joined surviving tokens in original order."""
+    toks_arr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks_arr.alias("toks"))
+    base.persist()
+    tok = base.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    n = ngram_n
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    # empty, so docs shorter than the window need an explicit empty
+    # window list (slice(start=0) is an executor error)
+    windows = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", F.posexplode(windows).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    stats = grams.groupBy("gram").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "p")).alias("canon"),
+    )
+    dup_windows = (
+        grams.join(stats, "gram")
+        .where(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("canon.doc_id") == F.col("doc_id"))
+                & (F.col("canon.p") == F.col("p"))
+            )
+        )
+        .select("doc_id", "p")
+    )
+    covered = dup_windows.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )

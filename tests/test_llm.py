@@ -1270,3 +1270,38 @@ def test_temperature_sample_sqrt_scaling(spark):
     # stability: membership is a pure function of the id set
     again = temperature_sample(df).groupBy("lang").count().collect()
     assert {r.lang: r["count"] for r in again} == by
+
+
+def test_exact_substring_dedup_semantics(spark):
+    from swiftbeaver_spark.llm.pipeline import exact_substring_dedup
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared),                          # canonical -> untouched
+        (2, "pre " + shared + " post"),       # copy -> interior removed
+        (3, "totally different words with no duplicated spans at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), ngram_n=8
+        ).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].cleaned == shared
+    # doc 2: all 10 shared tokens covered by duplicated windows;
+    # sentinels survive
+    assert out[2].cleaned == "pre post"
+    assert out[2].n_removed == 10
+    assert out[3].n_removed == 0
+
+
+def test_exact_substring_dedup_short_docs_untouched(spark):
+    from swiftbeaver_spark.llm.pipeline import exact_substring_dedup
+
+    # < n tokens -> no windows -> duplicated SHORT texts stay (this is
+    # substring dedup with threshold n, not exact-doc dedup)
+    rows = [(1, "a b c"), (2, "a b c")]
+    out = exact_substring_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]), ngram_n=8
+    ).collect()
+    assert all(r.n_removed == 0 for r in out)
