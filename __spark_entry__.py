@@ -8104,6 +8104,83 @@ def q136_sql() -> str:
     """
 
 
+KM_K = 8
+KM_ITERS = 2
+
+
+def q137_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means with the TRAINING LOOP itself under the
+    hash gate (llm/similarity.py::kmeans_micro): vectors in integer
+    micro-units, md5-ordered deterministic seeds, two Lloyd
+    iterations (exact BIGINT argmin assignment, floor-division means,
+    empty cells carry forward), final assignment with exact integer
+    inertia. The oracle unrolls both iterations in SQL (the q80
+    pagerank convention) — so the distributed training pass, not just
+    a pinned quantizer's inference, is proven equal cross-engine."""
+    from swiftbeaver_spark.llm.similarity import kmeans_micro
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_micro(emb, k=KM_K, iters=KM_ITERS).orderBy("cell")
+
+
+def q137_sql() -> str:
+    dist = (
+        "list_sum([(iv[j] - civ[j]) * (iv[j] - civ[j]) "
+        "for j in generate_series(1, len(iv))])"
+    )
+    it = f"""
+    , a{{i}} AS (
+      SELECT vec_id, cidx, iv, dist FROM (
+        SELECT v.vec_id, c.cidx, v.iv, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist}, c.cidx) AS rn
+        FROM v CROSS JOIN c{{j}} c
+      ) WHERE rn = 1
+    ), m{{i}} AS (
+      SELECT cidx, pos,
+             CAST(FLOOR(CAST(SUM(iv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM a{{i}}, unnest(generate_series(1, len(iv))) AS t(pos)
+      GROUP BY cidx, pos
+    ), n{{i}} AS (
+      SELECT cidx, list(m ORDER BY pos) AS nciv FROM m{{i}} GROUP BY cidx
+    ), c{{i}} AS (
+      SELECT c.cidx, COALESCE(n.nciv, c.civ) AS civ
+      FROM c{{j}} c LEFT JOIN n{{i}} n ON c.cidx = n.cidx
+    )"""
+    iters = "".join(it.format(i=i + 1, j=i) for i in range(KM_ITERS))
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                  AS INT) AS cidx,
+             iv AS civ
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {KM_K}
+    ){iters}
+    , fin AS (
+      SELECT vec_id, cidx, dist FROM (
+        SELECT v.vec_id, c.cidx, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist}, c.cidx) AS rn
+        FROM v CROSS JOIN c{KM_ITERS} c
+      ) WHERE rn = 1
+    ), summary AS (
+      SELECT cidx, COUNT(*) AS n_members, SUM(dist) AS inertia
+      FROM fin GROUP BY cidx
+    )
+    SELECT c.cidx AS cell,
+           CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia,
+           md5(array_to_string(list_transform(c.civ,
+               x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5
+    FROM c{KM_ITERS} c LEFT JOIN summary s ON c.cidx = s.cidx
+    ORDER BY cell
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8267,6 +8344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_bfs_distances": q134_bfs_distances,
         "q135_format_roundtrip": q135_format_roundtrip,
         "q136_substring_dedup": q136_substring_dedup,
+        "q137_kmeans": q137_kmeans,
     }
 
 
@@ -8412,4 +8490,5 @@ def oracle_sql() -> dict[str, str]:
         "q134_bfs_distances": q134_sql(),
         "q135_format_roundtrip": q135_sql(),
         "q136_substring_dedup": q136_sql(),
+        "q137_kmeans": q137_sql(),
     }

@@ -1052,3 +1052,103 @@ def semantic_dedup(
             F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def kmeans_micro(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means whose ENTIRE training loop is
+    engine-replayable — the gated counterpart of ivf_train (which
+    trains with float means and is therefore only self-consistent):
+    vectors quantize to integer MICRO-units (round(x * 1e6)), so
+    distances are exact BIGINT sums, means are floor-divisions, and
+    every iteration's centroids are bit-identical on any engine.
+
+    Deterministic seeding without RNG: the k vectors with the
+    smallest md5(id) (hex string order). Each iteration:
+      assign  — crossJoin against the BROADCAST k-row centroid table,
+                exact integer argmin with (dist, cidx) tie-break;
+      update  — per-(cell, dimension) integer mean via posexplode +
+                partial-agg shuffle (k*dim rows out), empty cells keep
+                their previous centroid.
+    A final assignment computes members and exact integer inertia.
+
+    Scale ceilings, stated: per-cell per-dimension micro sums must fit
+    2^53 for the floor(sum/count) double division to be exact — with
+    |x| <= 2 (micro <= 2e6) that is ~4e9 members per cell. Beyond
+    that, shard cells or pre-aggregate in BIGINT `div` semantics.
+
+    Returns per-cell: (cell, n_members, inertia, centroid_md5) where
+    centroid_md5 hashes the comma-joined micro components."""
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("bigint"),
+        ).alias("iv"),
+    )
+    v.persist()
+    seed_w = Window.orderBy("_m")
+    cents = (
+        v.withColumn("_m", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_m")
+        .limit(k)
+        .withColumn("cidx", (F.row_number().over(seed_w) - 1).cast("int"))
+        .select("cidx", F.col("iv").alias("civ"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        a = v.crossJoin(F.broadcast(cent_df))
+        dist = F.aggregate(
+            F.zip_with(F.col("iv"), F.col("civ"), lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        aw = Window.partitionBy("vec_id").orderBy("dist", "cidx")
+        return (
+            a.withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cidx", "iv", "dist")
+        )
+
+    for _ in range(iters):
+        asg = assign(cents)
+        means = (
+            asg.select("cidx", F.posexplode("iv").alias("pos", "val"))
+            .groupBy("cidx", "pos")
+            .agg(
+                F.floor(F.sum("val") / F.count("val")).cast("bigint").alias("m")
+            )
+        )
+        new_cents = means.groupBy("cidx").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("nciv")
+        )
+        cents = (
+            cents.join(new_cents, "cidx", "left")
+            .select(
+                "cidx", F.coalesce(F.col("nciv"), F.col("civ")).alias("civ")
+            )
+        )
+    final = assign(cents)
+    summary = final.groupBy("cidx").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    return (
+        cents.join(summary, "cidx", "left")
+        .select(
+            F.col("cidx").alias("cell"),
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce(F.col("inertia"), F.lit(0)).cast("long").alias("inertia"),
+            F.md5(F.array_join(F.transform("civ", lambda x: x.cast("string")), ","))
+            .alias("centroid_md5"),
+        )
+    )

@@ -1305,3 +1305,33 @@ def test_exact_substring_dedup_short_docs_untouched(spark):
         spark.createDataFrame(rows, ["doc_id", "text"]), ngram_n=8
     ).collect()
     assert all(r.n_removed == 0 for r in out)
+
+
+def test_kmeans_micro_partitions_and_improves(spark, embeddings):
+    from swiftbeaver_spark.llm.similarity import kmeans_micro
+
+    one = kmeans_micro(embeddings, k=8, iters=0)
+    two = kmeans_micro(embeddings, k=8, iters=2)
+    n0 = {r.cell: r.n_members for r in one.collect()}
+    rows2 = two.collect()
+    n2 = {r.cell: r.n_members for r in rows2}
+    total = embeddings.count()
+    assert sum(n0.values()) == total and sum(n2.values()) == total
+    # Lloyd iterations never increase inertia on the same data
+    inertia0 = sum(r.inertia for r in one.collect())
+    inertia2 = sum(r.inertia for r in rows2)
+    assert inertia2 <= inertia0
+    # deterministic: identical rerun
+    again = {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in kmeans_micro(embeddings, k=8, iters=2).collect()}
+    assert again == {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in rows2}
+
+
+def test_kmeans_micro_separated_clusters(spark):
+    from swiftbeaver_spark.llm.similarity import kmeans_micro
+
+    # two far-apart blobs -> k=2 must split them exactly
+    rows = [(i, [10.0 + 0.001 * i, 10.0]) for i in range(10)]
+    rows += [(100 + i, [-10.0 - 0.001 * i, -10.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_micro(df, k=2, iters=2).collect()
+    assert sorted(r.n_members for r in out) == [10, 10]
