@@ -8181,6 +8181,47 @@ def q137_sql() -> str:
     """
 
 
+KANON_K = 5
+
+
+def q138_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    2007) — the privacy screen a training-data release needs beyond
+    q40's PII scrubbing: treating (lang, length-bucket) as the
+    quasi-identifier, report every equivalence class with its size,
+    k-anonymity violation flag (size < k), and l-diversity (distinct
+    `source` values — the sensitive attribute) with its own
+    singleton-disclosure flag. One partial-agg shuffle on the QI key;
+    the count_distinct is per-class exact."""
+    docs = _t(spark, sf_dir, "documents")
+    qi_bucket = (F.col("n_chars") / 50).cast("int").alias("len_bucket")
+    return (
+        docs.select("lang", qi_bucket, "source")
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct("source").cast("long").alias("l_diversity"),
+        )
+        .withColumn("k_violation", F.col("class_size") < KANON_K)
+        .withColumn("l_singleton", F.col("l_diversity") == 1)
+        .orderBy("lang", "len_bucket")
+    )
+
+
+def q138_sql() -> str:
+    return f"""
+    SELECT lang,
+           CAST(n_chars // 50 AS INT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS l_diversity,
+           COUNT(*) < {KANON_K} AS k_violation,
+           COUNT(DISTINCT source) = 1 AS l_singleton
+    FROM documents
+    GROUP BY lang, CAST(n_chars // 50 AS INT)
+    ORDER BY lang, len_bucket
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8345,6 +8386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_format_roundtrip": q135_format_roundtrip,
         "q136_substring_dedup": q136_substring_dedup,
         "q137_kmeans": q137_kmeans,
+        "q138_privacy_audit": q138_privacy_audit,
     }
 
 
@@ -8491,4 +8533,5 @@ def oracle_sql() -> dict[str, str]:
         "q135_format_roundtrip": q135_sql(),
         "q136_substring_dedup": q136_sql(),
         "q137_kmeans": q137_sql(),
+        "q138_privacy_audit": q138_sql(),
     }
