@@ -8222,6 +8222,72 @@ def q138_sql() -> str:
     """
 
 
+def q139_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid features over REAL pixels (llm/multimodal.py::
+    bmp_patch_means): per doc a 4x4 24-bit BMP with md5-derived
+    PER-PIXEL colors is built in SQL (bottom-up row order — the q99
+    trick upgraded from solid color to a gradient), the real parser
+    extracts the pixel array and emits 2x2-patch integer channel
+    means — the tensor a vision transformer's patch embedding
+    consumes. The oracle recomputes every patch mean from the pixel
+    construction closed-form, so the BMP row-order handling and the
+    patch arithmetic are both gated."""
+    from swiftbeaver_spark.llm.multimodal import bmp_patch_means
+
+    hdr = _q99_bmp_hex(0, 4, 4)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    parts = [F.lit(hdr)]
+    for r in range(4):  # file rows bottom-up
+        y = 3 - r
+        for x in range(4):
+            parts.append(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.lit(str(y)),
+                            F.lit(str(x)),
+                        )
+                    ),
+                    1,
+                    6,
+                )
+            )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.unhex(F.concat(*parts)).alias("payload")
+    )
+    return bmp_patch_means(media, 2).orderBy("media_id", "patch_row", "patch_col")
+
+
+def q139_sql() -> str:
+    ch = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(2*py+dy AS VARCHAR) || ':' || CAST(2*qx+dx AS VARCHAR)), {o}, 2) "
+        "AS INT)"
+    )
+    return f"""
+    WITH p(py, qx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+    o(dy, dx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+    px AS (
+      SELECT doc_id, py, qx,
+             {ch.format(o=1)} AS b,
+             {ch.format(o=3)} AS g,
+             {ch.format(o=5)} AS r
+      FROM documents CROSS JOIN p CROSS JOIN o
+      WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id,
+           py AS patch_row, qx AS patch_col,
+           CAST(SUM(b) // 4 AS INT) AS mean_b,
+           CAST(SUM(g) // 4 AS INT) AS mean_g,
+           CAST(SUM(r) // 4 AS INT) AS mean_r,
+           'ok' AS status
+    FROM px GROUP BY doc_id, py, qx
+    ORDER BY media_id, patch_row, patch_col
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8387,6 +8453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_substring_dedup": q136_substring_dedup,
         "q137_kmeans": q137_kmeans,
         "q138_privacy_audit": q138_privacy_audit,
+        "q139_patch_means": q139_patch_means,
     }
 
 
@@ -8534,4 +8601,5 @@ def oracle_sql() -> dict[str, str]:
         "q136_substring_dedup": q136_sql(),
         "q137_kmeans": q137_sql(),
         "q138_privacy_audit": q138_sql(),
+        "q139_patch_means": q139_sql(),
     }

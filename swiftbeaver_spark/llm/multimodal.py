@@ -186,13 +186,10 @@ def header_media_duration_ms(payload: bytes) -> int | None:
     return None
 
 
-def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize for uncompressed 24/32-bit BMP —
-    raw pixel rows, no codec needed (the one mainstream image format
-    whose pixels are plain bytes). Returns a well-formed 24-bit BMP of
-    (target_w, target_h), or None when the payload isn't an
-    uncompressed BMP this understands. numpy fancy indexing does the
-    resample — one vectorized gather, no per-pixel Python."""
+def bmp_pixels(payload: bytes):
+    """Parse an uncompressed 24/32-bit BMP to a top-down (h, w, 3)
+    BGR uint8 array; None when the payload isn't one this understands.
+    Shared by resize_bmp and bmp_patch_means."""
     import numpy as np
 
     try:
@@ -218,6 +215,25 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
         px = rows.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)[:, :, :3]
         if not top_down:
             px = px[::-1]  # bottom-up storage -> top-down logical order
+        return px
+    except (struct.error, ValueError):
+        return None
+
+
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for uncompressed 24/32-bit BMP —
+    raw pixel rows, no codec needed (the one mainstream image format
+    whose pixels are plain bytes). Returns a well-formed 24-bit BMP of
+    (target_w, target_h), or None when the payload isn't an
+    uncompressed BMP this understands. numpy fancy indexing does the
+    resample — one vectorized gather, no per-pixel Python."""
+    import numpy as np
+
+    try:
+        px = bmp_pixels(payload)
+        if px is None:
+            return None
+        h, w = px.shape[0], px.shape[1]
         ys = (np.arange(target_h) * h) // target_h
         xs = (np.arange(target_w) * w) // target_w
         out = px[ys][:, xs]  # nearest-neighbor gather
@@ -646,3 +662,57 @@ def carved_files_as_media(carved: DataFrame, evidence_path: str) -> DataFrame:
     return rows.select("global_start", "size", "file_type", "modality").mapInPandas(
         fetch, MEDIA_SCHEMA
     )
+
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("patch_row", IntegerType(), True),
+        StructField("patch_col", IntegerType(), True),
+        StructField("mean_b", IntegerType(), True),
+        StructField("mean_g", IntegerType(), True),
+        StructField("mean_r", IntegerType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def bmp_patch_means(media: DataFrame, patch: int) -> DataFrame:
+    """ViT-style patch grid over real pixels: split each uncompressed
+    BMP into (h/patch) x (w/patch) non-overlapping patches and emit
+    each patch's integer channel means (floor) — the deterministic
+    stand-in for the patch-embedding projection every vision
+    transformer pipeline starts with (the downstream learned linear
+    layer consumes exactly these patch tensors). Codec formats and
+    non-divisible dimensions report status='unsupported' with one row.
+
+    Scale: same contract as resize_images — one Arrow pass, payloads
+    never leave executors, output rows = patches per image; the means
+    are one vectorized reshape+sum per image (no per-pixel Python)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = bmp_pixels(bytes(payload))
+                if px is None or px.shape[0] % patch or px.shape[1] % patch:
+                    rows.append((int(mid), None, None, None, None, None, "unsupported"))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                hp, wp = h // patch, w // patch
+                sums = (
+                    px.astype("int64")
+                    .reshape(hp, patch, wp, patch, 3)
+                    .sum(axis=(1, 3))
+                )
+                means = sums // (patch * patch)
+                for py in range(hp):
+                    for qx in range(wp):
+                        b, g, r = (int(v) for v in means[py, qx])
+                        rows.append((int(mid), py, qx, b, g, r, "ok"))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in PATCH_SCHEMA],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(work, PATCH_SCHEMA)

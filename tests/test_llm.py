@@ -1335,3 +1335,35 @@ def test_kmeans_micro_separated_clusters(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = kmeans_micro(df, k=2, iters=2).collect()
     assert sorted(r.n_members for r in out) == [10, 10]
+
+
+def test_bmp_patch_means_exact_and_edge_cases(spark):
+    import struct
+
+    from swiftbeaver_spark.llm.multimodal import bmp_patch_means
+
+    def bmp(w, h, px_rows):
+        # px_rows: top-down [[(b,g,r),...]]; serialize bottom-up
+        stride = (w * 3 + 3) & ~3
+        body = b""
+        for row in reversed(px_rows):
+            line = b"".join(bytes(p) for p in row)
+            body += line + b"\x00" * (stride - len(line))
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+        return (
+            b"BM" + struct.pack("<I", 54 + stride * h) + b"\x00" * 4
+            + struct.pack("<I", 54) + dib + body
+        )
+
+    # 2x2 image, patch=2 -> one patch, floor means
+    img = bmp(2, 2, [[(0, 10, 20), (1, 11, 21)], [(2, 12, 22), (4, 13, 23)]])
+    rows = bmp_patch_means(
+        spark.createDataFrame([(1, img), (2, b"not a bmp"), (3, bmp(3, 2, [[(0, 0, 0)] * 3] * 2))],
+                              ["media_id", "payload"]),
+        2,
+    ).collect()
+    by = {(r.media_id, r.patch_row, r.patch_col): r for r in rows}
+    ok = by[(1, 0, 0)]
+    assert (ok.mean_b, ok.mean_g, ok.mean_r) == (1, 11, 21)  # floor(7/4)=1
+    assert by[(2, None, None)].status == "unsupported"       # not a BMP
+    assert by[(3, None, None)].status == "unsupported"       # 3 % 2 != 0
