@@ -8288,6 +8288,85 @@ def q139_sql() -> str:
     """
 
 
+def q140_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl ingest under the hash gate (streaming.py::
+    crawl_ingest_stream): WARC archives (built by the real q125
+    writer, shipped as parquet (path, content) rows consumed in
+    micro-batches) are parsed by the real reader inside foreachBatch,
+    content-digested, and deduplicated three ways — in-batch (min
+    doc_id per digest), against the corpus digest table (docs < 100,
+    the q58 incremental shape), and against prior batches via the
+    reread accepted table. Stream = docs 50..199 plus same-payload
+    copies of 150..159 at +1e6 placed IN THE SAME ARCHIVE as their
+    originals (so dedup is batch-boundary-independent). Accepted set
+    must be exactly docs 100..199, whatever the batching."""
+    import tempfile
+
+    from swiftbeaver_spark.llm.warc import warc_archives
+    from swiftbeaver_spark.streaming import crawl_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    payload_of = lambda txt: F.encode(
+        F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), txt),
+        "utf-8",
+    )
+    seen = (
+        docs.where(F.col("doc_id") < 100)
+        .select(F.md5(payload_of(F.col("text"))).alias("digest"))
+        .distinct()
+    )
+    base = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 200))
+    copies = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 160)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    stream_docs = base.unionByName(copies)
+    # archive group keyed by the BASE id so a copy always shares its
+    # original's archive (dedup then never depends on batch order)
+    arch_key = F.when(
+        F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
+    ).otherwise(F.col("doc_id"))
+    recs = stream_docs.select(
+        F.format_string("warc-%02d.warc", (arch_key % WARC_NARCH).cast("int")).alias(
+            "archive"
+        ),
+        F.col("doc_id").alias("order_key"),
+        F.lit("response").alias("warc_type"),
+        F.format_string(
+            "<urn:uuid:00000000-0000-0000-0000-%012d>", F.col("doc_id")
+        ).alias("record_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")).alias(
+            "target_uri"
+        ),
+        payload_of(F.col("text")).alias("payload"),
+    )
+    archives = warc_archives(recs)
+    tmp = tempfile.mkdtemp(prefix="sb_q140_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    archives.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("path string, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = crawl_ingest_stream(stream, seen, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q140 streaming crawl ingest did not finish in 300s")
+    return spark.read.parquet(out).select("doc_id", "digest").orderBy("doc_id")
+
+
+def q140_sql() -> str:
+    return """
+    SELECT doc_id,
+           md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/plain' || chr(13) || chr(10) ||
+               chr(13) || chr(10) || text) AS digest
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id < 200
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8454,6 +8533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_kmeans": q137_kmeans,
         "q138_privacy_audit": q138_privacy_audit,
         "q139_patch_means": q139_patch_means,
+        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
     }
 
 
@@ -8602,4 +8682,5 @@ def oracle_sql() -> dict[str, str]:
         "q137_kmeans": q137_sql(),
         "q138_privacy_audit": q138_sql(),
         "q139_patch_means": q139_sql(),
+        "q140_stream_crawl_ingest": q140_sql(),
     }

@@ -240,3 +240,57 @@ def neardup_probe_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def crawl_ingest_stream(
+    archives: DataFrame,
+    seen_digests: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous CRAWL ingest: micro-batches of WARC archives are
+    parsed by the real reader (llm/warc.py::warc_records), their
+    response payloads content-digested, deduplicated IN-BATCH (min
+    doc_id per digest), against the already-ingested corpus
+    (`seen_digests`, the q58 incremental shape), AND against prior
+    batches (the accepted table in `out_dir` is reread per batch),
+    then appended exactly-once. This is q131's batch pipeline as the
+    loop a crawler actually runs: the corpus is represented only by
+    its digest table; arriving archives do all the work.
+
+    foreachBatch for the same reason as the siblings above: the batch
+    must run a mapInPandas parse plus static joins. Checkpoint +
+    parquet append keep batch replays idempotent (re-runs of an
+    already-committed batch re-reject their rows via the accepted
+    table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.warc import warc_records
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recs = warc_records(batch_df)
+        new = recs.select(
+            F.substring(F.col("record_id"), 35, 12).cast("bigint").alias("doc_id"),
+            F.md5(F.col("payload")).alias("digest"),
+        )
+        keep = new.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+        keep = keep.join(seen_digests, "digest", "left_anti")
+        if os.path.exists(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            accepted = spark.read.parquet(out_dir).select("digest")
+            keep = keep.join(accepted, "digest", "left_anti")
+        keep.select("doc_id", "digest").write.mode("append").parquet(out_dir)
+
+    writer = (
+        archives.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
