@@ -8367,6 +8367,77 @@ def q140_sql() -> str:
     """
 
 
+def q141_dense_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING — the dense-timeline op dashboards and
+    forecasting features need (TimescaleDB's time_bucket_gapfill
+    shape, complementing q61's sparse rollup): every (event_type,
+    hour) slot between the GLOBAL min and max hour exists in the
+    output, zero-filled when no events landed there, plus a
+    carry-forward flag. The hour spine is sequence()+explode of the
+    global bounds CROSS JOINed with the type dim — generated, never
+    scanned; the fact side remains one partial-agg shuffle.
+    Integer-exact (hour indices, counts, micro-value sums)."""
+    events = _t(spark, sf_dir, "events")
+    hour = (
+        F.expr(f"({ts_unix_micros_sql('ts')}) div {3600 * 1_000_000}L")
+    ).alias("h")
+    facts = events.select("event_type", hour, F.col("value")).groupBy(
+        "event_type", "h"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("sum_micro"),
+    )
+    bounds = events.select(hour).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    return (
+        spine.join(facts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").cast("long").alias("hour_idx"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("sum_micro"), F.lit(0)).cast("long").alias("sum_micro"),
+            (F.col("n").isNull()).alias("gap_filled"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+def q141_sql() -> str:
+    span_us = 3600 * 1_000_000
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {span_us} AS h,
+             value
+      FROM events
+    ), facts AS (
+      SELECT event_type, h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+      FROM e GROUP BY event_type, h
+    ), bounds AS (
+      SELECT MIN(h) AS lo, MAX(h) AS hi FROM e
+    ), spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
+    )
+    SELECT spine.event_type,
+           CAST(spine.h AS BIGINT) AS hour_idx,
+           CAST(COALESCE(facts.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(facts.sum_micro, 0) AS BIGINT) AS sum_micro,
+           facts.n IS NULL AS gap_filled
+    FROM spine LEFT JOIN facts
+      ON spine.event_type = facts.event_type AND spine.h = facts.h
+    ORDER BY spine.event_type, hour_idx
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8534,6 +8605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_privacy_audit": q138_privacy_audit,
         "q139_patch_means": q139_patch_means,
         "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
+        "q141_dense_timeline": q141_dense_timeline,
     }
 
 
@@ -8683,4 +8755,5 @@ def oracle_sql() -> dict[str, str]:
         "q138_privacy_audit": q138_sql(),
         "q139_patch_means": q139_sql(),
         "q140_stream_crawl_ingest": q140_sql(),
+        "q141_dense_timeline": q141_sql(),
     }
