@@ -8438,6 +8438,62 @@ def q141_sql() -> str:
     """
 
 
+def q142_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the reality of any
+    long-lived 100 TB table: generation v1 writes (doc_id, lang),
+    generation v2 adds a `quality` column; the union is read back
+    from the actual files with mergeSchema, so old files surface the
+    new column as NULL. The audit aggregates per (lang, generation):
+    counts, null-count of the late column, and its sum where present
+    — proving v1 rows are neither dropped nor fabricated values.
+    Spark-native path: parquet mergeSchema (schema-on-read), the
+    mechanism Delta/Iceberg formalize."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="sb_q142_")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.lit("v1").alias("gen")
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.lit("v2").alias("gen"),
+        F.col("n_chars").cast("long").alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{tmp}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(f"{tmp}/gen=1", f"{tmp}/gen=2")
+    return (
+        back.groupBy("lang", "gen")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("quality").isNull().cast("int")).cast("long").alias("n_null_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("sum_quality"),
+        )
+        .orderBy("lang", "gen")
+    )
+
+
+def q142_sql() -> str:
+    return """
+    WITH g AS (
+      SELECT lang, 'v1' AS gen, NULL::BIGINT AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, 'v2', CAST(n_chars AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, gen,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_quality,
+           CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality
+    FROM g GROUP BY lang, gen
+    ORDER BY lang, gen
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8606,6 +8662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_patch_means": q139_patch_means,
         "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
         "q141_dense_timeline": q141_dense_timeline,
+        "q142_schema_evolution": q142_schema_evolution,
     }
 
 
@@ -8756,4 +8813,5 @@ def oracle_sql() -> dict[str, str]:
         "q139_patch_means": q139_sql(),
         "q140_stream_crawl_ingest": q140_sql(),
         "q141_dense_timeline": q141_sql(),
+        "q142_schema_evolution": q142_sql(),
     }
