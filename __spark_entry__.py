@@ -8494,6 +8494,73 @@ def q142_sql() -> str:
     """
 
 
+def q143_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log TIME TRAVEL — the Delta/Iceberg snapshot
+    reconstruction primitive, completing the table-format family
+    (q76 MERGE, q112 CDC diff, q97 compaction, q142 schema
+    evolution): a commit log of ADD/REMOVE file actions is replayed
+    to the live file set AT EVERY VERSION. Log synthesized from
+    documents (file i ADDed at version i%5, REMOVEd two versions
+    later when i%7=0); live(V) = added<=V and not removed<=V.
+    The reconstruction is one range-join-free pass: per version
+    audit rows with live count, span and checksum — a pure function
+    of the log, replayable anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    add_v = (F.col("doc_id") % 5).cast("int")
+    rem_v = F.when(F.col("doc_id") % 7 == 0, add_v + 2).otherwise(F.lit(None))
+    log = docs.select(
+        F.col("doc_id").alias("file_id"),
+        add_v.alias("add_version"),
+        rem_v.cast("int").alias("remove_version"),
+    )
+    versions = spark.range(0, 7).select(F.col("id").cast("int").alias("version"))
+    chk = F.conv(F.substring(F.md5(F.col("file_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    live = log.crossJoin(F.broadcast(versions)).where(
+        (F.col("add_version") <= F.col("version"))
+        & (
+            F.col("remove_version").isNull()
+            | (F.col("remove_version") > F.col("version"))
+        )
+    )
+    return (
+        live.groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.min("file_id").alias("min_file"),
+            F.max("file_id").alias("max_file"),
+            F.sum(chk).cast("long").alias("checksum"),
+        )
+        .orderBy("version")
+    )
+
+
+def q143_sql() -> str:
+    return """
+    WITH log AS (
+      SELECT doc_id AS file_id,
+             CAST(doc_id % 5 AS INT) AS add_version,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(doc_id % 5 + 2 AS INT) END
+               AS remove_version
+      FROM documents
+    ), v AS (
+      SELECT unnest(generate_series(0, 6)) AS version
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           MIN(file_id) AS min_file,
+           MAX(file_id) AS max_file,
+           CAST(SUM(CAST('0x' || substr(md5(CAST(file_id AS VARCHAR)), 1, 8)
+                         AS BIGINT)) AS BIGINT) AS checksum
+    FROM log JOIN v
+      ON add_version <= version
+     AND (remove_version IS NULL OR remove_version > version)
+    GROUP BY version
+    ORDER BY version
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8663,6 +8730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
         "q141_dense_timeline": q141_dense_timeline,
         "q142_schema_evolution": q142_schema_evolution,
+        "q143_time_travel": q143_time_travel,
     }
 
 
@@ -8814,4 +8882,5 @@ def oracle_sql() -> dict[str, str]:
         "q140_stream_crawl_ingest": q140_sql(),
         "q141_dense_timeline": q141_sql(),
         "q142_schema_evolution": q142_sql(),
+        "q143_time_travel": q143_sql(),
     }
