@@ -8561,6 +8561,157 @@ def q143_sql() -> str:
     """
 
 
+COLLOC_TOPK = 50
+COLLOC_MIN_COUNT = 5
+
+
+def q144_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction — corpus bigrams ranked by an
+    integer-scaled PMI surrogate (Church & Hanks 1990): score =
+    (c_ab * N * 1000) div (c_a * c_b), a monotone transform of
+    exp(PMI) so the ranking is PMI's ranking with NO transcendentals
+    (the q62 ratio-idf convention). Min-count floor kills the
+    hapax-pair degeneracy; deterministic (score desc, w1, w2) total
+    order; compiles to TakeOrdered — no global sort. Reuses q127's
+    instance/unigram tables: one explode pass, two partial-agg
+    shuffles, a broadcast-sized totals row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    nn = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(nn - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(nn - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    inst = docs.select(F.explode(pairs).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    inst.persist()
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    c_left = inst.groupBy("w1").agg(F.count("*").alias("c_a"))
+    c_right = inst.groupBy("w2").agg(F.count("*").alias("c_b"))
+    total = inst.count()
+    scored = (
+        c2.where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(c_left, "w1")
+        .join(c_right, "w2")
+        .withColumn(
+            "pmi_scaled",
+            F.floor(
+                F.col("c_ab") * F.lit(total) * F.lit(1000)
+                / (F.col("c_a") * F.col("c_b"))
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_scaled"), "w1", "w2")
+        .limit(COLLOC_TOPK)
+        .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"), "pmi_scaled")
+    )
+
+
+def q144_sql() -> str:
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), inst AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM inst GROUP BY w1, w2
+    ), ca AS (
+      SELECT w1, COUNT(*) AS c_a FROM inst GROUP BY w1
+    ), cb AS (
+      SELECT w2, COUNT(*) AS c_b FROM inst GROUP BY w2
+    ), n AS (
+      SELECT COUNT(*) AS total FROM inst
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(FLOOR(c_ab * total * 1000.0 / (c_a * c_b)) AS BIGINT)
+             AS pmi_scaled
+    FROM c2 JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+    WHERE c_ab >= {COLLOC_MIN_COUNT}
+    ORDER BY pmi_scaled DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
+    """
+
+
+KEYWORDS_PER_DOC = 3
+
+
+def q145_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — the top-k most characteristic terms
+    per document (the classic doc-representation op; q62's BM25 ranks
+    DOCS for a query, this ranks TERMS for a doc). Ratio-idf integer
+    scoring (q62's transcendental-free convention): score =
+    (tf * N_docs * 1000) div df — monotone in tf*idf, bit-exact
+    anywhere. df counts DISTINCT docs per term (partial-agg shuffle);
+    the per-doc rank window partitions on doc_id. Deterministic
+    (score desc, term asc) tie-break."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    inst = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_tbl, "term").withColumn(
+        "score",
+        F.floor(F.col("tf") * F.lit(n_docs) * F.lit(1000) / F.col("df")).cast(
+            "bigint"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "term", F.col("tf").cast("long").alias("tf"), "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q145_sql() -> str:
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+    ), inst AS (
+      SELECT doc_id, unnest({toks}) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM inst GROUP BY doc_id, term
+    ), dfb AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM d
+    ), scored AS (
+      SELECT doc_id, term, tf,
+             CAST(FLOOR(tf * n_docs * 1000.0 / df) AS BIGINT) AS score
+      FROM tf JOIN dfb USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, score FROM (
+      SELECT doc_id, term, tf, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {KEYWORDS_PER_DOC}
+    ORDER BY doc_id, rank
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8731,6 +8882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_dense_timeline": q141_dense_timeline,
         "q142_schema_evolution": q142_schema_evolution,
         "q143_time_travel": q143_time_travel,
+        "q144_collocations": q144_collocations,
+        "q145_tfidf_keywords": q145_tfidf_keywords,
     }
 
 
@@ -8883,4 +9036,6 @@ def oracle_sql() -> dict[str, str]:
         "q141_dense_timeline": q141_sql(),
         "q142_schema_evolution": q142_sql(),
         "q143_time_travel": q143_sql(),
+        "q144_collocations": q144_sql(),
+        "q145_tfidf_keywords": q145_sql(),
     }
