@@ -8712,6 +8712,93 @@ def q145_sql() -> str:
     """
 
 
+BATCH_TOKEN_BUDGET = 4096
+
+
+def q146_inference_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed INFERENCE batching — the serving-side packing
+    problem (q38 packs training tokens contiguously; an inference
+    server instead groups similar-length sequences and pads to the
+    bucket): each doc's whitespace token count rounds up to a
+    power-of-two bucket; a bucket's batch capacity is budget div
+    bucket_len; batch_id = rank-within-bucket div capacity (md5 rank —
+    deterministic, partition-independent). The audit reports per
+    (bucket, batch): size, real tokens, and PADDING WASTE
+    (bucket_len * n - real) — the utilization number batching exists
+    to optimize. One shuffle on the bucket key; rank windows partition
+    per bucket."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+            lambda t: t != "",
+        )
+    )
+    # next power of two >= ntok, via the BIT LENGTH of (n-1) — exact
+    # integer arithmetic (float log2 of exact powers of two rounds
+    # differently across engines; ceil would then be off by one)
+    sized = docs.select(
+        "doc_id",
+        ntok.cast("int").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_m"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN n_tokens <= 1 THEN 1 "
+            "ELSE shiftleft(1, length(bin(n_tokens - 1))) END AS INT)"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("_m", "doc_id")
+    cap = F.greatest(
+        (F.lit(BATCH_TOKEN_BUDGET) / F.col("bucket")).cast("int"), F.lit(1)
+    )
+    assigned = sized.withColumn("rk", F.row_number().over(w) - 1).withColumn(
+        "batch_id", (F.col("rk") / cap).cast("int")
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("bucket").cast("long") * F.col("n_seqs") - F.col("real_tokens")).cast(
+                "long"
+            ),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+def q146_sql() -> str:
+    toks = (
+        "list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS INT) AS n_tokens,
+             CAST(CASE WHEN len({toks}) <= 1 THEN 1
+                       ELSE (1 << length(bin(len({toks}) - 1))) END AS INT) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS m
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY m, doc_id) - 1)
+                  // GREATEST({BATCH_TOKEN_BUDGET} // bucket, 1) AS INT) AS batch_id
+      FROM sized
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste
+    FROM assigned GROUP BY bucket, batch_id
+    ORDER BY bucket, batch_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8884,6 +8971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_time_travel": q143_time_travel,
         "q144_collocations": q144_collocations,
         "q145_tfidf_keywords": q145_tfidf_keywords,
+        "q146_inference_batching": q146_inference_batching,
     }
 
 
@@ -9038,4 +9126,5 @@ def oracle_sql() -> dict[str, str]:
         "q143_time_travel": q143_sql(),
         "q144_collocations": q144_sql(),
         "q145_tfidf_keywords": q145_sql(),
+        "q146_inference_batching": q146_sql(),
     }
