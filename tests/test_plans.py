@@ -235,3 +235,21 @@ def test_prefix_filter_join_no_cartesian(spark):
     plan = _formatted(prefix_filter_near_dups(df, threshold_num=7, threshold_den=10))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_collocations_compiles_to_take_ordered(spark):
+    """q144: the top-k cut must be TakeOrdered, never a global sort of
+    the full bigram table."""
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q144_collocations(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dense_timeline_broadcasts_spine_sides(spark):
+    """q141: the generated hour spine joins the facts without a
+    cartesian product; bounds are broadcast."""
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q141_dense_timeline(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
