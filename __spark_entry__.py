@@ -8799,6 +8799,45 @@ def q146_sql() -> str:
     """
 
 
+def q147_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector index PERSISTENCE: q88's IVF-PQ index written to disk as
+    a cell-PARTITIONED parquet table (the production layout — a probe
+    of nprobe cells touches only those cells' files; with dynamic
+    partition pruning the unprobed partitions are never read), read
+    back from the files, and queried. Results must hash-match q88's
+    oracle exactly — the on-disk round trip of (vec_id, cell, pq_code)
+    including the partition-column type round trip is what's gated;
+    build-once query-many is the whole point of an index."""
+    import tempfile
+
+    from swiftbeaver_spark.llm.similarity import ivfpq_encode, ivfpq_topk
+
+    cents = _ivfpq_cents()
+    books = _pq_books()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = ivfpq_encode(emb, cents, books, round_dp=6)
+    tmp = tempfile.mkdtemp(prefix="sb_q147_")
+    codes.select("vec_id", "cell", "pq_code").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    back = spark.read.parquet(tmp).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "pq_code"
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        back, queries, cents, books,
+        k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, round_scores=6,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.format_string("%.6f", F.col("adc_dist")).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -8972,6 +9011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_collocations": q144_collocations,
         "q145_tfidf_keywords": q145_tfidf_keywords,
         "q146_inference_batching": q146_inference_batching,
+        "q147_persisted_index": q147_persisted_index,
     }
 
 
@@ -9127,4 +9167,5 @@ def oracle_sql() -> dict[str, str]:
         "q144_collocations": q144_sql(),
         "q145_tfidf_keywords": q145_sql(),
         "q146_inference_batching": q146_sql(),
+        "q147_persisted_index": q88_sql(),
     }
