@@ -8838,6 +8838,108 @@ def q147_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q148_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS under the hash gate — the one
+    Structured Streaming behavior q47/q52 never exercised (their
+    single batch starts at watermark -inf, so nothing is ever late).
+    Files with EXPLICIT ascending mtimes (os.utime — no sleeps)
+    consumed oldest-first one per trigger (maxFilesPerTrigger=1):
+    batch 1 = even-event_id rows, batch 2 = a filler row at
+    max(even ts) (measured here: the input-side late filter uses the
+    watermark from TWO batches back, so the even-batch watermark is
+    active only from batch 3 on), batch 3 = odd rows — those whose 1h
+    window closed below max(even ts) - 1 min MUST be dropped — batch 4
+    = the far-future sentinel closing every window. The oracle replays
+    the drop rule closed-form: an odd row survives iff its window end
+    > max(even ts) - 60s. Counts per (window, type) therefore differ
+    from the naive GROUP BY by exactly the late rows."""
+    import os
+    import shutil
+    import tempfile
+
+    events = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="sb_q148_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(src)
+
+    def write_one(df, name, mtime):
+        d = f"{tmp}/_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = f"{src}/{name}.parquet"
+        shutil.copyfile(f"{d}/{part}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    even = events.where(F.col("event_id") % 2 == 0).select("event_type", "ts")
+    odd = events.where(F.col("event_id") % 2 == 1).select("event_type", "ts")
+    filler = even.agg(
+        F.lit("__filler__").alias("event_type"), F.max("ts").alias("ts")
+    )
+    sentinel = events.agg(
+        F.lit("__sentinel__").alias("event_type"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+    )
+    t0 = 1_600_000_000
+    write_one(even, "b1", t0)
+    write_one(filler, "b2", t0 + 1000)
+    write_one(odd, "b3", t0 + 2000)
+    write_one(sentinel, "b4", t0 + 3000)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q148 watermark stream did not finish in 300s")
+    return (
+        spark.read.parquet(out)
+        .where(~F.col("event_type").isin("__sentinel__", "__filler__"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q148_sql() -> str:
+    # watermark after batch 1 = max(even ts) - 60s; an odd row is kept
+    # iff its window END (hour start + 1h) is above that watermark
+    return """
+    WITH wm AS (
+      SELECT MAX(ts) - INTERVAL 60 SECOND AS w
+      FROM events WHERE event_id % 2 = 0
+    ), kept AS (
+      SELECT event_type, ts FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, ts FROM events, wm
+      WHERE event_id % 2 = 1
+        AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM kept
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY win_start, event_type
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9012,6 +9114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_tfidf_keywords": q145_tfidf_keywords,
         "q146_inference_batching": q146_inference_batching,
         "q147_persisted_index": q147_persisted_index,
+        "q148_watermark_late_drop": q148_watermark_late_drop,
     }
 
 
@@ -9168,4 +9271,5 @@ def oracle_sql() -> dict[str, str]:
         "q145_tfidf_keywords": q145_sql(),
         "q146_inference_batching": q146_sql(),
         "q147_persisted_index": q88_sql(),
+        "q148_watermark_late_drop": q148_sql(),
     }
