@@ -8940,6 +8940,106 @@ def q148_sql() -> str:
     """
 
 
+def q149_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join under the hash gate —
+    q53's inner join completed with the outer semantics only a
+    streaming engine makes interesting: a purchase with NO view in
+    its 4-hour lookback emits (purchase, NULL) only after the
+    watermark proves no matching view can still arrive. Far-future
+    sentinel rows on BOTH streams advance the global watermark so
+    every real purchase's window provably closes (the sentinels'
+    own windows never close, so they self-exclude from the append
+    output). The oracle is a plain LEFT JOIN with the identical
+    interval predicate: streaming-with-watermarks and batch must
+    agree row-for-row, nulls included."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sb_q149_")
+    psrc, vsrc, out, ckpt = f"{tmp}/p", f"{tmp}/v", f"{tmp}/out", f"{tmp}/ckpt"
+    far = F.expr("INTERVAL 100 DAYS")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    p_sent = events.agg(
+        F.lit(-1).cast("long").alias("p_event"),
+        F.lit(-1).cast("long").alias("p_user"),
+        (F.max("ts") + far).alias("p_ts"),
+    )
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    v_sent = events.agg(
+        F.lit(-2).cast("long").alias("v_event"),
+        F.lit(-2).cast("long").alias("v_user"),
+        (F.max("ts") + far).alias("v_ts"),
+    )
+    p.unionByName(p_sent).write.mode("overwrite").parquet(psrc)
+    v.unionByName(v_sent).write.mode("overwrite").parquet(vsrc)
+    purchases = (
+        spark.readStream.schema("p_event long, p_user long, p_ts timestamp")
+        .parquet(psrc)
+        .withWatermark("p_ts", "1 minute")
+    )
+    views = (
+        spark.readStream.schema("v_event long, v_user long, v_ts timestamp")
+        .parquet(vsrc)
+        .withWatermark("v_ts", f"{STREAM_JOIN_HOURS + 1} hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"""p_user = v_user AND
+                v_ts BETWEEN p_ts - INTERVAL {STREAM_JOIN_HOURS} HOURS
+                         AND p_ts"""
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q149 stream outer join did not finish in 300s")
+    res = spark.read.parquet(out).where(F.col("p_event") >= 0)
+    return res.select(
+        "p_event",
+        "p_user",
+        F.col("v_event").cast("long").alias("v_event"),
+        F.when(
+            F.col("v_ts").isNotNull(),
+            F.expr("CAST(unix_micros(p_ts) - unix_micros(v_ts) AS BIGINT)"),
+        ).alias("lag_us"),
+    ).orderBy("p_event", "v_event")
+
+
+def q149_sql() -> str:
+    return f"""
+    SELECT p.event_id AS p_event,
+           p.user_id AS p_user,
+           v.event_id AS v_event,
+           CASE WHEN v.event_id IS NOT NULL THEN
+             epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(v.ts AS TIMESTAMP)) END AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP)
+         BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL {STREAM_JOIN_HOURS} HOUR
+             AND CAST(p.ts AS TIMESTAMP)
+    ORDER BY p_event, v_event
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9115,6 +9215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_inference_batching": q146_inference_batching,
         "q147_persisted_index": q147_persisted_index,
         "q148_watermark_late_drop": q148_watermark_late_drop,
+        "q149_stream_outer_join": q149_stream_outer_join,
     }
 
 
@@ -9272,4 +9373,5 @@ def oracle_sql() -> dict[str, str]:
         "q146_inference_batching": q146_sql(),
         "q147_persisted_index": q88_sql(),
         "q148_watermark_late_drop": q148_sql(),
+        "q149_stream_outer_join": q149_sql(),
     }
