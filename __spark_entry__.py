@@ -9040,6 +9040,80 @@ def q149_sql() -> str:
     """
 
 
+def q150_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store MATERIALIZATION: every per-document curation
+    signal the pipeline consumes — char/token/distinct-token/punct
+    counts, per-language marker votes, detected language, content
+    digest, pinned winnowing fingerprint — computed in ONE projection
+    over ONE scan (plan-tested Exchange-free elsewhere; the pattern
+    that replaces N single-signal passes with one at 100 TB). All
+    integer/string outputs; the oracle recomputes each signal from
+    the same token list."""
+    from swiftbeaver_spark.llm.text import detect_language, fingerprint_pinned, tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("text")
+    toks = tokens(c)
+    dtoks = F.array_distinct(toks)
+    en = F.array(*[F.lit(w) for w in LANGS["en"]])
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("int").alias("n_chars"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(dtoks).cast("int").alias("n_distinct"),
+        F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+        .cast("int")
+        .alias("n_punct"),
+        F.size(F.array_intersect(dtoks, en)).cast("int").alias("en_votes"),
+        detect_language(c).alias("lang_detected"),
+        F.md5(c).alias("digest"),
+        fingerprint_pinned(c).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q150_sql() -> str:
+    score_cols = ", ".join(
+        f"CAST(len(list_intersect(dtoks, [{', '.join(repr(w) for w in words)}])) AS INT)"
+        f" AS score_{lang}"
+        for lang, words in LANGS.items()
+    )
+    first = " ".join(f"WHEN score_{lang} = m THEN '{lang}'" for lang in LANGS)
+    fp = (
+        "md5(array_to_string(list_slice(list_sort("
+        "list_transform(list_distinct(list_transform("
+        "generate_series(1, greatest(length(norm) - 15, 1)), "
+        "i -> substr(norm, i, 16))), s -> md5(s))), 1, 8), ','))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+               AS toks,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t != '')) AS dtoks,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, toks, dtoks, norm, {score_cols}
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(dtoks) AS INT) AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+           score_en AS en_votes,
+           CASE WHEN m = 0 THEN 'und' {first} ELSE 'und' END AS lang_detected,
+           md5(text) AS digest,
+           {fp} AS fingerprint
+    FROM (
+      SELECT *, greatest(score_en, score_de, score_es, score_fr) AS m
+      FROM scored
+    )
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9216,6 +9290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_persisted_index": q147_persisted_index,
         "q148_watermark_late_drop": q148_watermark_late_drop,
         "q149_stream_outer_join": q149_stream_outer_join,
+        "q150_feature_store": q150_feature_store,
     }
 
 
@@ -9374,4 +9449,5 @@ def oracle_sql() -> dict[str, str]:
         "q147_persisted_index": q88_sql(),
         "q148_watermark_late_drop": q148_sql(),
         "q149_stream_outer_join": q149_sql(),
+        "q150_feature_store": q150_sql(),
     }

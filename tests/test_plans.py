@@ -253,3 +253,17 @@ def test_dense_timeline_broadcasts_spine_sides(spark):
 
     plan = _formatted(em.q141_dense_timeline(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_store_single_pass_no_exchange(spark):
+    """q150: all per-doc signals in ONE projection over ONE scan — the
+    plan may contain no Exchange (the orderBy sort is driver-gate
+    presentation; check the pre-sort subtree by dropping it)."""
+    import __spark_entry__ as em
+
+    spark.catalog.clearCache()
+    df = em.q150_feature_store(spark, "/root/testdata/sf0.001")
+    # strip the presentation orderBy: re-derive the same projection
+    plan = _formatted(df.limit(1000000))
+    body = plan.split("Sort")[0] if "Sort" in plan else plan
+    assert "Exchange hashpartitioning" not in body, plan
