@@ -9114,6 +9114,135 @@ def q150_sql() -> str:
     """
 
 
+SEMDECON_TAU = 0.95
+
+
+def q151_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space analog
+    of q42/q117's n-gram overlap (the leakage n-grams can't see:
+    paraphrased eval items): drop a training vector when its rounded
+    cosine to ANY benchmark vector reaches tau. Bench = vec_id < 20
+    (broadcast — eval sets are small by nature, so the scan is
+    map-only over the corpus at any scale); planted 2x-scaled bench
+    copies at +1e6 have cosine exactly 1.0 and MUST drop. Output is
+    the per-vector audit (kept/dropped + max bench cosine), so every
+    decision is hash-gated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("b_vec"),
+    )
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    train = (
+        emb.where(F.col("vec_id") >= 20)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    )
+    from swiftbeaver_spark.llm.similarity import cosine_similarity
+
+    cos = F.round(cosine_similarity(F.col("vec"), F.col("b_vec")), 6)
+    scored = (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_bench_cos"))
+    )
+    return scored.select(
+        "vec_id",
+        F.format_string("%.6f", F.col("max_bench_cos")).alias("max_bench_cos"),
+        (F.col("max_bench_cos") >= SEMDECON_TAU).alias("dropped"),
+    ).orderBy("vec_id")
+
+
+def q151_sql() -> str:
+    return f"""
+    WITH bench AS (
+      SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
+      FROM embeddings WHERE vec_id < 20
+    ), train AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 20
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT t.vec_id,
+             MAX(ROUND(list_dot_product(t.v, b.bv) /
+                       (sqrt(list_dot_product(t.v, t.v)) *
+                        sqrt(list_dot_product(b.bv, b.bv))), 6)) AS mc
+      FROM train t CROSS JOIN bench b
+      GROUP BY t.vec_id
+    )
+    SELECT vec_id, printf('%.6f', mc) AS max_bench_cos,
+           mc >= {SEMDECON_TAU} AS dropped
+    FROM scored ORDER BY vec_id
+    """
+
+
+def q152_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representative by QUALITY — production near-dup dedup
+    keeps the BEST member of each duplicate cluster, not the smallest
+    id (q36's canonical-min policy): over the same synthesized pair
+    graph, elect per connected component the member with max n_chars
+    (doc_id tiebreak). The oracle recomputes components with a
+    recursive CTE and replays the argmax election — so both the
+    iterative min-label fixpoint AND the quality policy are gated.
+    One extra component-key window over q36's cost."""
+    from swiftbeaver_spark.llm.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = connected_components(_q36_edges_spark(docs))
+    quality = docs.select("doc_id", F.col("n_chars").cast("int").alias("quality"))
+    joined = comps.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("rk") == 1).alias("kept_best"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q152_sql() -> str:
+    # q36's recursive component ground truth + per-component argmax
+    return """
+    WITH RECURSIVE e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id < 60 AND doc_id % 5 <> 4
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id < 60 AND doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 4, doc_id FROM documents WHERE doc_id < 60 AND doc_id % 20 = 0
+    ), edges AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT a AS n FROM edges
+    ), r(n, c) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.a, r.c FROM r JOIN edges e ON e.b = r.n WHERE r.c < e.a
+    ), comp AS (
+      SELECT n AS doc_id, MIN(c) AS component FROM r GROUP BY n
+    ), q AS (
+      SELECT comp.doc_id, comp.component, CAST(d.n_chars AS INT) AS quality
+      FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+    )
+    SELECT doc_id, component, quality,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality DESC, doc_id) = 1 AS kept_best
+    FROM q
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9291,6 +9420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_watermark_late_drop": q148_watermark_late_drop,
         "q149_stream_outer_join": q149_stream_outer_join,
         "q150_feature_store": q150_feature_store,
+        "q151_semantic_decontamination": q151_semantic_decontamination,
+        "q152_cluster_best_keep": q152_cluster_best_keep,
     }
 
 
@@ -9450,4 +9581,6 @@ def oracle_sql() -> dict[str, str]:
         "q148_watermark_late_drop": q148_sql(),
         "q149_stream_outer_join": q149_sql(),
         "q150_feature_store": q150_sql(),
+        "q151_semantic_decontamination": q151_sql(),
+        "q152_cluster_best_keep": q152_sql(),
     }
