@@ -257,3 +257,86 @@ def test_tfrecord_roundtrip_any_payloads(spark, records):
     out = unpack_tfrecords(pack_tfrecord(records))
     assert [r for r, _ in out] == records
     assert all(ok for _, ok in out)
+
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=1, max_size=8), min_size=2, max_size=8
+    ),
+    num=st.sampled_from([1, 5, 7, 9]),
+)
+def test_prefix_filter_join_matches_bruteforce(spark, docs, num):
+    """AllPairs prefix filtering is EXACT at any threshold num/10:
+    identical pairs to the all-pairs brute force — no loss (blocking
+    completeness), no extras (verify correctness)."""
+    from swiftbeaver_spark.llm.dedup import prefix_filter_near_dups
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_near_dups(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            threshold_num=num,
+            threshold_den=10,
+        ).collect()
+    }
+    sets = {i: set(t) for i, t in enumerate(docs)}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and 10 * len(sets[a] & sets[b]) >= num * len(sets[a] | sets[b])
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=40), min_size=1, max_size=5
+    )
+)
+def test_warc_roundtrip_random_payloads(spark, payloads):
+    """serialize -> parse is the identity for ANY payload bytes,
+    including ones embedding the record separator or header magic."""
+    from swiftbeaver_spark.llm.warc import parse_warc_bytes, serialize_record
+
+    blob = b"".join(
+        serialize_record("response", f"<urn:uuid:{i}>", f"http://x/{i}", p)
+        for i, p in enumerate(payloads)
+    )
+    rows = parse_warc_bytes("a", blob)
+    assert [bytes(r[6]) for r in rows] == payloads
+    assert all(r[7] is None for r in rows)
+
+
+@_settings
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_hilbert_bijection_random_bits(spark, seed):
+    """with_hilbert_key is a bijection [0,2^b)^2 -> [0,4^b) for small
+    grids (driver-side reference; the Spark twin is pinned to it by
+    the exhaustive 16x16 test)."""
+    from swiftbeaver_spark.layout import hilbert_xy2d
+
+    bits = 3 + seed % 3
+    n = 1 << bits
+    seen = {hilbert_xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert seen == set(range(n * n))
+
+
+def test_kmeans_micro_partition_invariant(spark):
+    """Distributed determinism: the result is independent of input
+    partitioning (the property float means would break)."""
+    from swiftbeaver_spark.llm.similarity import kmeans_micro
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(60)]
+    a = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    b = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(16)
+    ra = {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in kmeans_micro(a, k=4, iters=2).collect()}
+    rb = {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in kmeans_micro(b, k=4, iters=2).collect()}
+    assert ra == rb
