@@ -9243,6 +9243,110 @@ def q152_sql() -> str:
     """
 
 
+def _q153_png_constants() -> tuple[str, str]:
+    """(signature+IHDR hex, IEND hex) for a 4x2 8-bit RGB PNG — fixed
+    chunks with real CRCs, computed once driver-side."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return _s.pack(">I", len(b)) + t + b + _s.pack(">I", _z.crc32(t + b))
+
+    ihdr = chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+    iend = chunk(b"IEND", b"")
+    return (b"\x89PNG\r\n\x1a\x0a" + ihdr).hex(), iend.hex()
+
+
+def q153_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the oracle (llm/multimodal.py::
+    png_pixels — stdlib zlib inflate + scanline unfilter, no imaging
+    library): per doc a COMPLETE valid 4x2 RGB PNG is built in SQL —
+    stored-mode deflate blocks make the IDAT constructible byte-wise,
+    the adler32 is closed-form integer arithmetic over the md5-derived
+    pixel bytes, and the chunk CRC computed with the built-in crc32 —
+    then the real decoder + resampler emit a 2x1 24-bit BMP whose
+    every byte the oracle predicts (nearest-neighbor picks pixels
+    (0,0) and (0,2); RGB->BGR reorder included). PNG thereby leaves
+    the codec stub the way BMP did in q99."""
+    from swiftbeaver_spark.llm.multimodal import resize_images
+
+    head_hex, iend_hex = _q153_png_constants()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def px_hex(y: int, x: int) -> Column:
+        return F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(str(y)), F.lit(str(x))
+                )
+            ),
+            1,
+            6,
+        )
+
+    # raw scanlines (top-down): filter byte 00 + 4 RGB pixels per row
+    raw_parts = []
+    byte_exprs = []  # (expr for byte value as int) in stream order
+    for y in range(2):
+        raw_parts.append(F.lit("00"))
+        byte_exprs.append(F.lit(0))
+        for x in range(4):
+            h = px_hex(y, x)
+            raw_parts.append(h)
+            for ch in range(3):
+                byte_exprs.append(
+                    F.conv(F.substring(h, 1 + 2 * ch, 2), 16, 10).cast("long")
+                )
+    raw_hex = F.concat(*raw_parts)
+    L = len(byte_exprs)  # 26
+    s1 = F.lit(1)
+    s2 = F.lit(L)
+    for i, b in enumerate(byte_exprs, start=1):
+        s1 = s1 + b
+        s2 = s2 + F.lit(L - i + 1) * b
+    adler_hex = F.format_string("%04x%04x", (s2 % 65521).cast("int"), (s1 % 65521).cast("int"))
+    # zlib stream: header 7801, stored-final block (01), LEN/NLEN LE
+    zstream_hex = F.concat(
+        F.lit("7801" + "01" + "1a00" + "e5ff"), raw_hex, adler_hex
+    )
+    idat_len = 2 + 5 + L + 4  # header + stored hdr + raw + adler
+    crc = F.crc32(F.unhex(F.concat(F.lit("49444154"), zstream_hex)))
+    idat_hex = F.concat(
+        F.lit(f"{idat_len:08x}" + "49444154"),
+        zstream_hex,
+        F.format_string("%08x", crc),  # crc32 yields a non-negative BIGINT
+    )
+    payload = F.unhex(
+        F.concat(F.lit(head_hex), idat_hex, F.lit(iend_hex))
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    out = resize_images(media, 2, 1)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "status",
+    ).orderBy("media_id")
+
+
+def q153_sql() -> str:
+    out_hdr = _q99_bmp_hex(0, 2, 1)
+    bgr = (
+        "substr(md5(CAST(doc_id AS VARCHAR) || ':0:{x}'), 5, 2) || "
+        "substr(md5(CAST(doc_id AS VARCHAR) || ':0:{x}'), 3, 2) || "
+        "substr(md5(CAST(doc_id AS VARCHAR) || ':0:{x}'), 1, 2)"
+    )
+    return f"""
+    SELECT doc_id AS media_id, 2 AS width, 1 AS height,
+           '{out_hdr}' || {bgr.format(x=0)} || {bgr.format(x=2)} || '0000'
+             AS payload_hex,
+           'resized' AS status
+    FROM documents WHERE doc_id < 200
+    ORDER BY media_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9422,6 +9526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_feature_store": q150_feature_store,
         "q151_semantic_decontamination": q151_semantic_decontamination,
         "q152_cluster_best_keep": q152_cluster_best_keep,
+        "q153_png_decode": q153_png_decode,
     }
 
 
@@ -9583,4 +9688,5 @@ def oracle_sql() -> dict[str, str]:
         "q150_feature_store": q150_sql(),
         "q151_semantic_decontamination": q151_sql(),
         "q152_cluster_best_keep": q152_sql(),
+        "q153_png_decode": q153_sql(),
     }

@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/feature plumbing.
 
-The container has no image/audio codecs, so the PIXEL decode kernel is
-STUBBED: `decode_image` raises NotImplementedError by design, and the
-deterministic fake (`fake_decode_meta`) stands in so the Spark-side
-plumbing — schema, partitioning, mapInPandas batch shape, feature
-columns — is real and tested end-to-end. Swap `_DECODERS` entries for
-Pillow/torchaudio/av kernels on a cluster with codecs installed.
+The container has no image/audio CODEC libraries, so decode is real
+exactly where the format needs none: BMP pixels are raw rows
+(bmp_pixels) and PNG is structure + DEFLATE, both fully decodable with
+the standard library (png_pixels: zlib inflate + all five scanline
+filters). Only genuinely codec-requiring formats (JPEG entropy coding,
+video/audio codecs) remain STUBBED: `decode_image` raises
+NotImplementedError by design, and the deterministic fake
+(`fake_decode_meta`) stands in so the Spark-side plumbing — schema,
+partitioning, mapInPandas batch shape, feature columns — is real and
+tested end-to-end. Swap `_DECODERS` entries for Pillow/torchaudio/av
+kernels on a cluster with codecs installed.
 
 DIMENSIONS, however, are real where the format allows: BMP/PNG/GIF/
 JPEG headers declare width/height in plain structure (the same header
@@ -220,35 +225,40 @@ def bmp_pixels(payload: bytes):
         return None
 
 
-def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize for uncompressed 24/32-bit BMP —
-    raw pixel rows, no codec needed (the one mainstream image format
-    whose pixels are plain bytes). Returns a well-formed 24-bit BMP of
-    (target_w, target_h), or None when the payload isn't an
-    uncompressed BMP this understands. numpy fancy indexing does the
-    resample — one vectorized gather, no per-pixel Python."""
+def _resample_to_bmp(px, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample of a top-down (h, w, 3) BGR array to
+    a well-formed 24-bit BMP — one vectorized gather, no per-pixel
+    Python. Shared by the BMP and PNG resize paths."""
     import numpy as np
 
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    out = px[ys][:, xs]  # nearest-neighbor gather
+    out_stride = (target_w * 3 + 3) & ~3
+    body = np.zeros((target_h, out_stride), dtype=np.uint8)
+    body[:, : target_w * 3] = out[::-1].reshape(target_h, target_w * 3)
+    dib_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0,
+        out_stride * target_h, 0, 0, 0, 0,
+    )
+    fsize = 14 + 40 + out_stride * target_h
+    return (
+        b"BM" + struct.pack("<I", fsize) + b"\x00" * 4 + struct.pack("<I", 54)
+        + dib_hdr + body.tobytes()
+    )
+
+
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for uncompressed 24/32-bit BMP —
+    raw pixel rows, no codec needed. Returns a well-formed 24-bit BMP
+    of (target_w, target_h), or None when the payload isn't an
+    uncompressed BMP this understands."""
     try:
         px = bmp_pixels(payload)
         if px is None:
             return None
-        h, w = px.shape[0], px.shape[1]
-        ys = (np.arange(target_h) * h) // target_h
-        xs = (np.arange(target_w) * w) // target_w
-        out = px[ys][:, xs]  # nearest-neighbor gather
-        out_stride = (target_w * 3 + 3) & ~3
-        body = np.zeros((target_h, out_stride), dtype=np.uint8)
-        body[:, : target_w * 3] = out[::-1].reshape(target_h, target_w * 3)
-        dib_hdr = struct.pack(
-            "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0,
-            out_stride * target_h, 0, 0, 0, 0,
-        )
-        fsize = 14 + 40 + out_stride * target_h
-        return (
-            b"BM" + struct.pack("<I", fsize) + b"\x00" * 4 + struct.pack("<I", 54)
-            + dib_hdr + body.tobytes()
-        )
+        return _resample_to_bmp(px, target_w, target_h)
     except (struct.error, ValueError):
         return None
 
@@ -266,11 +276,12 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Batch image resize over the media table: REAL pixels for
-    uncompressed BMP (resize_bmp), 'unsupported' rows (null payload,
-    header dims when declared) for codec-requiring formats — plug a
-    Pillow kernel into the unsupported branch on a codec-enabled
-    cluster; the Spark plumbing (Arrow batches, binary out, schema)
-    does not change.
+    uncompressed BMP (raw rows) AND 8-bit RGB/RGBA PNG (stdlib zlib
+    inflate + scanline unfilter, png_pixels); 'unsupported' rows
+    (null payload, header dims when declared) for codec-requiring
+    formats — plug a Pillow kernel into the unsupported branch on a
+    codec-enabled cluster; the Spark plumbing (Arrow batches, binary
+    out, schema) does not change. Output is always a 24-bit BMP.
 
     Scale: payloads never leave executors; one Arrow pass, output
     bytes proportional to target dims (a 4K->224x224 thumbnail pass
@@ -281,7 +292,12 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
-                resized = resize_bmp(blob, target_w, target_h)
+                px = image_pixels(blob)
+                resized = (
+                    _resample_to_bmp(px, target_w, target_h)
+                    if px is not None
+                    else None
+                )
                 if resized is not None:
                     rows.append((int(mid), target_w, target_h, resized, "resized"))
                 else:
@@ -694,7 +710,7 @@ def bmp_patch_means(media: DataFrame, patch: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = bmp_pixels(bytes(payload))
+                px = image_pixels(bytes(payload))
                 if px is None or px.shape[0] % patch or px.shape[1] % patch:
                     rows.append((int(mid), None, None, None, None, None, "unsupported"))
                     continue
@@ -716,3 +732,90 @@ def bmp_patch_means(media: DataFrame, patch: int) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(work, PATCH_SCHEMA)
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG decode for 8-bit RGB/RGBA non-interlaced images —
+    stdlib zlib inflate + full scanline unfiltering (all five filter
+    types: None/Sub/Up/Average/Paeth), no imaging library. Returns a
+    top-down (h, w, 3) BGR uint8 array (bmp_pixels' convention, so the
+    resize/patch kernels are format-agnostic); None when the payload
+    isn't a PNG this understands. This removes PNG from the
+    codec-stub's scope the way BMP left it: the format is pure
+    structure + DEFLATE, both in the standard library."""
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\x0a":
+            return None
+        pos, w, h, bpp, idat = 8, None, None, None, []
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                return None
+            if ctype == b"IHDR":
+                w, h, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or color not in (2, 6) or interlace != 0:
+                    return None
+                bpp = 3 if color == 2 else 4
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + body + crc
+        if not w or not h or bpp is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = 1 + w * bpp
+        if len(raw) < stride * h:
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        prev = np.zeros(w * bpp, dtype=np.int32)
+        for y in range(h):
+            f = int(rows[y, 0])
+            cur = rows[y, 1:].astype(np.int32)
+            if f == 0:
+                rec = cur
+            elif f == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+                rec = np.zeros(w * bpp, dtype=np.int32)
+                for i in range(w * bpp):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    if f == 1:
+                        rec[i] = (cur[i] + a) & 0xFF
+                    elif f == 3:
+                        rec[i] = (cur[i] + (a + b) // 2) & 0xFF
+                    else:
+                        c = prev[i - bpp] if i >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        rec[i] = (cur[i] + pred) & 0xFF
+            else:
+                return None
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        px = out.reshape(h, w, bpp)[:, :, :3]
+        return px[:, :, ::-1].copy()  # RGB -> BGR (bmp_pixels convention)
+    except (struct.error, ValueError, zlib.error):
+        return None
+
+
+def image_pixels(payload: bytes):
+    """Format-dispatched real pixel decode: BMP (raw rows) or PNG
+    (inflate + unfilter); None for codec-requiring formats."""
+    px = bmp_pixels(payload)
+    if px is not None:
+        return px
+    return png_pixels(payload)

@@ -1367,3 +1367,37 @@ def test_bmp_patch_means_exact_and_edge_cases(spark):
     assert (ok.mean_b, ok.mean_g, ok.mean_r) == (1, 11, 21)  # floor(7/4)=1
     assert by[(2, None, None)].status == "unsupported"       # not a BMP
     assert by[(3, None, None)].status == "unsupported"       # 3 % 2 != 0
+
+
+def test_resize_images_mixed_bmp_png_junk(spark):
+    import struct
+    import zlib
+
+    from swiftbeaver_spark.llm.multimodal import resize_images
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    # 2x2 PNG, solid red (RGB ff0000)
+    raw = bytes([0]) + b"\xff\x00\x00" * 2 + bytes([0]) + b"\xff\x00\x00" * 2
+    png = (
+        b"\x89PNG\r\n\x1a\x0a"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    stride = 8  # 2 px * 3 B rounded to 4
+    bmp = (
+        b"BM" + struct.pack("<I", 54 + stride * 2) + b"\x00" * 4 + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, stride * 2, 0, 0, 0, 0)
+        + (b"\x00\x00\xff" * 2 + b"\x00\x00") * 2  # BGR red rows + pad
+    )
+    df = spark.createDataFrame(
+        [(1, png), (2, bmp), (3, b"not an image")], ["media_id", "payload"]
+    )
+    rows = {r.media_id: r for r in resize_images(df, 1, 1).collect()}
+    # both real formats decode to the same 1x1 red BMP
+    assert rows[1].status == "resized" and rows[2].status == "resized"
+    assert bytes(rows[1].payload) == bytes(rows[2].payload)
+    assert bytes(rows[1].payload)[54:57] == b"\x00\x00\xff"  # BGR red
+    assert rows[3].status == "unsupported"
