@@ -9347,6 +9347,60 @@ def q153_sql() -> str:
     """
 
 
+def q154_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PCM energy features (llm/multimodal.py::
+    audio_window_energy) — the voice-activity / silence-trim signal
+    an audio curation pipeline filters on, ALL-INTEGER (sum of squared
+    amplitudes + peak): the q101 WAVs are 16-BIT mono (block_align 2),
+    so each 1 s window's 8 md5-derived bytes decode as four signed
+    little-endian samples; the real fmt/data walk and window math run,
+    and the oracle recomputes every window's energy and peak from the
+    same hex bytes closed-form (lo + 256*hi, two's complement)."""
+    from swiftbeaver_spark.llm.multimodal import audio_window_energy
+
+    hdr = _q101_wav_header_hex()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pcm_hex = F.substring(
+        F.concat(
+            F.md5(F.format_string("a:%d", F.col("doc_id"))),
+            F.md5(F.format_string("b:%d", F.col("doc_id"))),
+        ),
+        1,
+        2 * _Q101_PCM_BYTES,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(hdr), pcm_hex)).alias("payload"),
+    )
+    return audio_window_energy(media, window_ms=1000).orderBy(
+        "media_id", "window_idx"
+    )
+
+
+def q154_sql() -> str:
+    rows = []
+    hx = "md5(printf('a:%d', doc_id)) || md5(printf('b:%d', doc_id))"
+    for i in range(3):
+        # window i = bytes 8i..8i+7 -> 4 signed 16-bit LE samples
+        raw = (
+            f"[CAST('0x' || substr({hx}, {16 * i} + 4*j - 3, 2) AS BIGINT)"
+            f" + 256 * CAST('0x' || substr({hx}, {16 * i} + 4*j - 1, 2) AS BIGINT)"
+            f" for j in generate_series(1, 4)]"
+        )
+        b = f"list_transform({raw}, v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)"
+        rows.append(
+            f"SELECT doc_id AS media_id, {i} AS window_idx,"
+            f" CAST({i * 1000} AS BIGINT) AS t_ms,"
+            f" 4 AS n_samples,"
+            f" CAST(list_sum(list_transform({b}, x -> x * x)) AS BIGINT) AS energy,"
+            f" CAST(list_max(list_transform({b}, x -> abs(x))) AS INT) AS peak,"
+            f" 'ok' AS status"
+            f" FROM documents WHERE doc_id < 100"
+        )
+
+    return " UNION ALL ".join(rows) + " ORDER BY media_id, window_idx"
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9527,6 +9581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_semantic_decontamination": q151_semantic_decontamination,
         "q152_cluster_best_keep": q152_cluster_best_keep,
         "q153_png_decode": q153_png_decode,
+        "q154_audio_energy": q154_audio_energy,
     }
 
 
@@ -9689,4 +9744,5 @@ def oracle_sql() -> dict[str, str]:
         "q151_semantic_decontamination": q151_sql(),
         "q152_cluster_best_keep": q152_sql(),
         "q153_png_decode": q153_sql(),
+        "q154_audio_energy": q154_sql(),
     }

@@ -1401,3 +1401,28 @@ def test_resize_images_mixed_bmp_png_junk(spark):
     assert bytes(rows[1].payload) == bytes(rows[2].payload)
     assert bytes(rows[1].payload)[54:57] == b"\x00\x00\xff"  # BGR red
     assert rows[3].status == "unsupported"
+
+
+def test_audio_window_energy_exact(spark):
+    import struct
+
+    from swiftbeaver_spark.llm.multimodal import audio_window_energy
+
+    def wav(byte_rate, block_align, pcm):
+        fmt = struct.pack("<HHIIHH", 1, 1, byte_rate // block_align, byte_rate,
+                          block_align, 8 * block_align)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    # 8-bit: samples 128,130,126 -> amplitudes 0,+2,-2: energy 8, peak 2
+    w8 = wav(3, 1, bytes([128, 130, 126]))
+    # 16-bit LE: +5, -3 -> energy 34, peak 5
+    w16 = wav(4, 2, struct.pack("<hh", 5, -3))
+    df = spark.createDataFrame(
+        [(1, w8), (2, w16), (3, b"junk")], ["media_id", "payload"]
+    )
+    rows = {r.media_id: r for r in audio_window_energy(df, window_ms=1000).collect()}
+    assert (rows[1].energy, rows[1].peak, rows[1].n_samples) == (8, 2, 3)
+    assert (rows[2].energy, rows[2].peak, rows[2].n_samples) == (34, 5, 2)
+    assert rows[3].status == "unsupported"
