@@ -9401,6 +9401,83 @@ def q154_sql() -> str:
     return " UNION ALL ".join(rows) + " ORDER BY media_id, window_idx"
 
 
+def q155_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level storage dedup
+    (llm/pipeline.py::cdc_chunks — the LBFS/restic primitive):
+    boundaries fall where the 8-gram md5 starts with hex '0', so a
+    planted copy with an INSERTED PREFIX (' inserted prefix ' + text
+    at +1e6) resynchronizes after one or two chunks and shares almost
+    everything downstream — the property fixed-size chunking (q01,
+    q105) structurally lacks, and the reason dedup storage uses CDC.
+    Output per doc: chunk count/bytes plus how many of its chunks are
+    SHARED with another doc (the storage-dedup win, visibly high for
+    the planted pairs). Oracle replays boundaries, spans, hashes and
+    the sharing join."""
+    from swiftbeaver_spark.llm.pipeline import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    planted = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(" inserted prefix "), F.col("text")).alias("text"),
+    )
+    chunks = cdc_chunks(docs.unionByName(planted), k=8)
+    chunks.persist()
+    sharing = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(sharing, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("length").cast("long").alias("total_len"),
+            F.sum((F.col("n_docs") > 1).cast("int")).cast("long").alias("n_shared"),
+        )
+    )
+    return per_doc.orderBy("doc_id")
+
+
+def q155_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, {norm} AS norm FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 1000000,
+             {norm.replace("text", "' inserted prefix ' || text")}
+      FROM documents WHERE doc_id < 25
+    ), b AS (
+      SELECT doc_id, norm,
+             [i for i in generate_series(8, greatest(length(norm), 8))
+              if i <= length(norm)
+              and substr(md5(substr(norm, i - 7, 8)), 1, 1) = '0'] AS bounds
+      FROM corpus
+    ), spans AS (
+      SELECT doc_id, norm,
+             [0] || bounds AS starts,
+             bounds || [length(norm)] AS ends
+      FROM b
+    ), ch AS (
+      SELECT doc_id,
+             ends[j] - starts[j] AS length,
+             md5(substr(norm, starts[j] + 1, ends[j] - starts[j])) AS chunk_md5
+      FROM spans, unnest(generate_series(1, len(starts))) AS u(j)
+      WHERE ends[j] - starts[j] > 0
+    ), sharing AS (
+      SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk_md5
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ch.length) AS BIGINT) AS total_len,
+           CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM ch JOIN sharing s ON ch.chunk_md5 = s.chunk_md5
+    GROUP BY ch.doc_id
+    ORDER BY ch.doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9582,6 +9659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_cluster_best_keep": q152_cluster_best_keep,
         "q153_png_decode": q153_png_decode,
         "q154_audio_energy": q154_audio_energy,
+        "q155_cdc_dedup": q155_cdc_dedup,
     }
 
 
@@ -9745,4 +9823,5 @@ def oracle_sql() -> dict[str, str]:
         "q152_cluster_best_keep": q152_sql(),
         "q153_png_decode": q153_sql(),
         "q154_audio_energy": q154_sql(),
+        "q155_cdc_dedup": q155_sql(),
     }

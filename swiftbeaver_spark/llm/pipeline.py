@@ -917,3 +917,60 @@ def exact_substring_dedup(
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the LBFS/restic/borg storage-dedup
+    primitive, Muthitacharoen et al. 2001): chunk boundaries fall
+    where the k-char window's hash hits a target pattern (first md5
+    hex digit '0' -> ~1/16 boundary rate, mean chunk ~16 chars), so
+    boundaries RESYNCHRONIZE after insertions — a shifted copy shares
+    almost all its chunks with the original, which fixed-size
+    chunking (build_chunks, chunk_documents) structurally cannot do.
+    The window hash is position-independent (md5 of the k-gram
+    itself), so any engine replays the exact boundary set.
+
+    Returns one row per chunk: (doc_id, chunk_idx, start, length,
+    chunk_md5) — join chunk_md5 across docs for the storage-dedup
+    ratio. All array ops JVM-side; one explode, no shuffle until the
+    caller aggregates."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n = F.length(norm)
+    # boundary AFTER position i (1-based) when the k-gram ending at i
+    # hashes into the target space
+    bounds = F.filter(
+        F.sequence(F.lit(k), F.greatest(n, F.lit(k))),
+        lambda i: (i <= n)
+        & (F.substring(F.md5(F.substring(norm, i - (k - 1), k)), 1, 1) == "0"),
+    )
+    starts = F.concat(F.array(F.lit(0)), bounds)
+    ends = F.concat(bounds, F.array(n))
+    spans = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), (e - s).alias("len")),
+        ),
+        lambda sp: sp["len"] > 0,
+    )
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_norm"), spans.alias("_spans")
+    ).select(
+        "doc_id",
+        F.posexplode("_spans").alias("chunk_idx", "sp"),
+        F.col("_norm"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("sp.s").cast("int").alias("start"),
+        F.col("sp.len").cast("int").alias("length"),
+        F.md5(F.substring(F.col("_norm"), F.col("sp.s") + 1, F.col("sp.len"))).alias(
+            "chunk_md5"
+        ),
+    )
