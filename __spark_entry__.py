@@ -9478,6 +9478,115 @@ def q155_sql() -> str:
     """
 
 
+_Q156_PALETTE = ["1e2430", "66ccff", "ff8800", "112233"]
+
+
+def _q156_gif_head_hex() -> str:
+    """GIF89a header for a 4x2 frame with the fixed 4-color global
+    palette, through the image descriptor + min-code-size + sub-block
+    length byte; the per-doc LZW bytes follow."""
+    pal = "".join(_Q156_PALETTE)
+    return (
+        "474946383961"  # GIF89a
+        + "04000200"    # 4 x 2
+        + "81"          # GCT present, size bits 1 -> 4 entries
+        + "0000"        # bg, aspect
+        + pal
+        + "2c" + "00000000" + "0400" + "0200" + "00"  # image descriptor
+        + "02"          # LZW min code size
+        + "05"          # one 5-byte data sub-block
+    )
+
+
+def q156_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the oracle (llm/multimodal.py::
+    gif_pixels — full LZW with variable code widths over the
+    sub-block stream; the decoder is independently validated against
+    the canonical public 1x1 GIF in pytest): per doc a COMPLETE valid
+    4x2 GIF is built in SQL — with literal-only LZW coding the
+    dictionary growth (and therefore every code's bit width:
+    3,3,3,3 then 4x6) is data-independent, so the 36-bit packed
+    stream is one closed-form integer of the 8 md5-derived palette
+    indices, emitted as 5 bytes. The real decoder + resampler emit a
+    2x1 BMP the oracle predicts byte-for-byte (palette lookup + RGB
+    -> BGR). BMP (q99), PNG (q153), GIF: the lossless trio decodes
+    for real."""
+    from swiftbeaver_spark.llm.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def idx(y: int, x: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.lit(str(y)),
+                            F.lit(str(x)),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        )
+    # literal-only LZW: value = clear | p0<<3 | p1<<6 | p2<<9 | p3<<12
+    #   | p4<<16 | p5<<20 | p6<<24 | p7<<28 | eoi<<32
+    shifts = [3, 6, 9, 12, 16, 20, 24, 28]
+    value = F.lit(4).cast("long") + F.lit(5).cast("long") * F.lit(1 << 32)
+    pix = [idx(y, x) for y in range(2) for x in range(4)]
+    for p, sh in zip(pix, shifts):
+        value = value + p * F.lit(1 << sh)
+    lzw_hex = F.concat(
+        *[
+            F.format_string("%02x", (F.floor(value / F.lit(256**k)) % 256).cast("int"))
+            for k in range(5)
+        ]
+    )
+    payload = F.unhex(
+        F.concat(F.lit(_q156_gif_head_hex()), lzw_hex, F.lit("003b"))
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    out = resize_images(media, 2, 1)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "status",
+    ).orderBy("media_id")
+
+
+def q156_sql() -> str:
+    out_hdr = _q99_bmp_hex(0, 2, 1)
+    pal_rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(_Q156_PALETTE))
+    bgr = (
+        "substr(p{x}.c, 5, 2) || substr(p{x}.c, 3, 2) || substr(p{x}.c, 1, 2)"
+    )
+    return f"""
+    WITH pal(i, c) AS (VALUES {pal_rows}),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0:0'), 1, 1)
+                  AS BIGINT) % 4 AS i0,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0:2'), 1, 1)
+                  AS BIGINT) % 4 AS i2
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id, 2 AS width, 1 AS height,
+           '{out_hdr}' || {bgr.format(x=0)} || {bgr.format(x=2)} || '0000'
+             AS payload_hex,
+           'resized' AS status
+    FROM d JOIN pal p0 ON d.i0 = p0.i JOIN pal p2 ON d.i2 = p2.i
+    ORDER BY media_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9660,6 +9769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_png_decode": q153_png_decode,
         "q154_audio_energy": q154_audio_energy,
         "q155_cdc_dedup": q155_cdc_dedup,
+        "q156_gif_decode": q156_gif_decode,
     }
 
 
@@ -9824,4 +9934,5 @@ def oracle_sql() -> dict[str, str]:
         "q153_png_decode": q153_sql(),
         "q154_audio_energy": q154_sql(),
         "q155_cdc_dedup": q155_sql(),
+        "q156_gif_decode": q156_sql(),
     }

@@ -1467,3 +1467,41 @@ def test_cdc_chunks_cover_text_exactly(spark):
         assert r.start == pos
         pos += r.length
     assert pos == len(text)
+
+
+def test_gif_decode_canonical_public_fixture():
+    """The widely-published minimal 1x1 white GIF — an INDEPENDENT
+    fixture (not this module's own encoder) — must decode to one
+    white pixel."""
+    from swiftbeaver_spark.llm.multimodal import gif_pixels
+
+    gif = bytes.fromhex(
+        "474946383961" "01000100" "80" "0000" "ffffff" "000000"
+        "2c" "00000000" "0100" "0100" "00" "02" "02" "4401" "00" "3b"
+    )
+    px = gif_pixels(gif)
+    assert px is not None and px.shape == (1, 1, 3)
+    assert (px[0, 0] == [255, 255, 255]).all()  # BGR white
+
+
+def test_gif_decode_compressed_runs():
+    """A stream exercising genuine LZW COMPRESSION codes (not just
+    literals): dictionary entries referenced back, including the
+    code==next special case (cScSc pattern)."""
+    from swiftbeaver_spark.llm.multimodal import gif_pixels
+
+    # 1 color-bit image, 4x1, pixels [0,0,0,0] encoded as
+    # [clear(4), 0, 6, 0] with code 6 = "0,0" referenced while being
+    # defined (the KwKwK case), then EOI
+    # min_code=2: clear=4, eoi=5; widths: 3,3,3,3,3 -> 15 bits
+    val = 4 | (0 << 3) | (6 << 6) | (0 << 9) | (5 << 12)
+    data = bytes([val & 0xFF, (val >> 8) & 0xFF])
+    gif = (
+        bytes.fromhex("474946383961") + bytes.fromhex("04000100")
+        + bytes.fromhex("800000") + bytes.fromhex("ffffff000000")
+        + bytes.fromhex("2c00000000" + "0400" + "0100" + "00")
+        + bytes([2, len(data)]) + data + bytes.fromhex("003b")
+    )
+    px = gif_pixels(gif)
+    assert px is not None and px.shape == (1, 4, 3)
+    assert (px == 255).all()  # four white pixels via the KwKwK entry
