@@ -9587,6 +9587,122 @@ def q156_sql() -> str:
     """
 
 
+BITEXT_K = 4
+BITEXT_MARGIN_MILLI = 1050
+
+
+def q157_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT MINING with margin scoring (Artetxe & Schwenk 2019 — the
+    parallel-corpus mining step that feeds MT training): label 0
+    embeddings are the source language, label 1 (plus planted
+    1.5x-scaled clones of the first five sources at +1e6) the target;
+    each source's best target is scored by the RATIO margin — its
+    cosine against the mean of both sides' k-NN cosines — which
+    suppresses hubness that raw cosine thresholds can't. ALL-INTEGER:
+    cosines in micro-units, margins in milli (floor of an integer
+    ratio), so every mined decision hash-gates. Brute force within
+    the label pair here; at scale the candidate generation is exactly
+    the IVF/PQ index family (q34/q88) feeding the same margin math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from swiftbeaver_spark.llm.similarity import cosine_similarity
+
+    src = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").cast("array<double>").alias("xv"),
+    )
+    tgt_real = emb.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").cast("array<double>").alias("yv"),
+    )
+    planted = (
+        src.orderBy("x_id")
+        .limit(5)
+        .select(
+            (F.col("x_id") + 1_000_000).alias("y_id"),
+            F.transform(F.col("xv"), lambda v: v * F.lit(1.5)).alias("yv"),
+        )
+    )
+    tgt = tgt_real.unionByName(planted)
+    cos_micro = F.round(
+        cosine_similarity(F.col("xv"), F.col("yv")) * 1_000_000
+    ).cast("bigint")
+    pairs = src.crossJoin(tgt).select("x_id", "y_id", cos_micro.alias("cm"))
+    pairs.persist()
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cm"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cm"), "x_id")
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    sum_x = (
+        ranked.where(F.col("rx") <= BITEXT_K)
+        .groupBy("x_id")
+        .agg(F.sum("cm").alias("sx"))
+    )
+    sum_y = (
+        ranked.where(F.col("ry") <= BITEXT_K)
+        .groupBy("y_id")
+        .agg(F.sum("cm").alias("sy"))
+    )
+    best = ranked.where(F.col("rx") == 1).select("x_id", "y_id", "cm")
+    out = (
+        best.join(sum_x, "x_id")
+        .join(sum_y, "y_id")
+        .withColumn(
+            "margin_milli",
+            F.floor(
+                F.lit(1000 * 2 * BITEXT_K) * F.col("cm")
+                / (F.col("sx") + F.col("sy"))
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        "x_id",
+        F.col("y_id").alias("best_y"),
+        F.col("cm").alias("cos_micro"),
+        "margin_milli",
+        (F.col("margin_milli") >= BITEXT_MARGIN_MILLI).alias("mined"),
+    ).orderBy("x_id")
+
+
+def q157_sql() -> str:
+    return f"""
+    WITH src AS (
+      SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
+      FROM embeddings WHERE label = 0
+    ), tgt AS (
+      SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
+      FROM embeddings WHERE label = 1
+      UNION ALL
+      SELECT x_id + 1000000, list_transform(xv, v -> v * 1.5)
+      FROM (SELECT x_id, xv FROM src ORDER BY x_id LIMIT 5)
+    ), pairs AS (
+      SELECT x_id, y_id,
+             CAST(ROUND(1000000 * list_dot_product(xv, yv) /
+                        (sqrt(list_dot_product(xv, xv)) *
+                         sqrt(list_dot_product(yv, yv)))) AS BIGINT) AS cm
+      FROM src CROSS JOIN tgt
+    ), ranked AS (
+      SELECT x_id, y_id, cm,
+             ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cm DESC, y_id) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cm DESC, x_id) AS ry
+      FROM pairs
+    ), sx AS (
+      SELECT x_id, SUM(cm) AS sx FROM ranked WHERE rx <= {BITEXT_K} GROUP BY x_id
+    ), sy AS (
+      SELECT y_id, SUM(cm) AS sy FROM ranked WHERE ry <= {BITEXT_K} GROUP BY y_id
+    ), best AS (
+      SELECT x_id, y_id, cm FROM ranked WHERE rx = 1
+    )
+    SELECT b.x_id, b.y_id AS best_y, b.cm AS cos_micro,
+           CAST(FLOOR({1000 * 2 * BITEXT_K} * b.cm / (sx.sx + sy.sy)) AS BIGINT)
+             AS margin_milli,
+           FLOOR({1000 * 2 * BITEXT_K} * b.cm / (sx.sx + sy.sy))
+             >= {BITEXT_MARGIN_MILLI} AS mined
+    FROM best b JOIN sx ON b.x_id = sx.x_id JOIN sy ON b.y_id = sy.y_id
+    ORDER BY b.x_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9770,6 +9886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_audio_energy": q154_audio_energy,
         "q155_cdc_dedup": q155_cdc_dedup,
         "q156_gif_decode": q156_gif_decode,
+        "q157_bitext_mining": q157_bitext_mining,
     }
 
 
@@ -9935,4 +10052,5 @@ def oracle_sql() -> dict[str, str]:
         "q154_audio_energy": q154_sql(),
         "q155_cdc_dedup": q155_sql(),
         "q156_gif_decode": q156_sql(),
+        "q157_bitext_mining": q157_sql(),
     }

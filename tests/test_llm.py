@@ -1505,3 +1505,19 @@ def test_gif_decode_compressed_runs():
     px = gif_pixels(gif)
     assert px is not None and px.shape == (1, 4, 3)
     assert (px == 255).all()  # four white pixels via the KwKwK entry
+
+
+def test_bitext_margin_prefers_planted_clone(spark, embeddings):
+    import __spark_entry__ as em
+
+    out = {r.x_id: r for r in em.q157_bitext_mining(
+        spark.sparkSession if hasattr(spark, "sparkSession") else spark,
+        "/root/testdata/sf0.001",
+    ).collect()}
+    planted_sources = sorted(out)[:5]
+    for x in planted_sources:
+        r = out[x]
+        # the 1.5x clone is cosine-1.0 and must be the best target
+        assert r.best_y == x + 1_000_000
+        assert r.cos_micro == 1_000_000
+        assert r.mined
