@@ -9703,6 +9703,76 @@ def q157_sql() -> str:
     """
 
 
+def _q158_tiff_parts() -> tuple[str, str]:
+    """(pre-data hex, IFD hex) for a 4x2 uncompressed RGB
+    little-endian TIFF with pixel data at offset 8 and the IFD after
+    it — every tag value inline."""
+    import struct as _s
+
+    def tag(t: int, typ: int, cnt: int, val: int) -> bytes:
+        return _s.pack("<HHI", t, typ, cnt) + _s.pack("<I", val)
+
+    data_off, data_len = 8, 24
+    ifd_off = data_off + data_len
+    tags = [
+        tag(256, 3, 1, 4),        # ImageWidth
+        tag(257, 3, 1, 2),        # ImageLength
+        tag(259, 3, 1, 1),        # Compression = none
+        tag(262, 3, 1, 2),        # Photometric = RGB
+        tag(273, 4, 1, data_off), # StripOffsets
+        tag(277, 3, 1, 3),        # SamplesPerPixel
+        tag(278, 3, 1, 2),        # RowsPerStrip
+        tag(279, 4, 1, data_len), # StripByteCounts
+    ]
+    ifd = _s.pack("<H", len(tags)) + b"".join(tags) + _s.pack("<I", 0)
+    pre = b"II*\x00" + _s.pack("<I", ifd_off)
+    return pre.hex(), ifd.hex()
+
+
+def q158_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode under the oracle (llm/multimodal.py::
+    tiff_pixels — IFD walk, uncompressed strip concatenation): the
+    fourth raster format built in SQL and decoded for real (BMP raw
+    rows q99, PNG DEFLATE q153, GIF LZW q156, TIFF strips here).
+    Per doc a complete little-endian TIFF carries the q153 md5 pixel
+    gradient as its strip data; decode + resample emit a 2x1 BMP the
+    oracle predicts byte-for-byte."""
+    from swiftbeaver_spark.llm.multimodal import resize_images
+
+    pre_hex, ifd_hex = _q158_tiff_parts()
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    parts = [F.lit(pre_hex)]
+    for y in range(2):  # TIFF strips are top-down
+        for x in range(4):
+            parts.append(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.lit(str(y)),
+                            F.lit(str(x)),
+                        )
+                    ),
+                    1,
+                    6,
+                )
+            )
+    parts.append(F.lit(ifd_hex))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(*parts)).alias("payload"),
+    )
+    out = resize_images(media, 2, 1)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "status",
+    ).orderBy("media_id")
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9887,6 +9957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_cdc_dedup": q155_cdc_dedup,
         "q156_gif_decode": q156_gif_decode,
         "q157_bitext_mining": q157_bitext_mining,
+        "q158_tiff_decode": q158_tiff_decode,
     }
 
 
@@ -10053,4 +10124,5 @@ def oracle_sql() -> dict[str, str]:
         "q155_cdc_dedup": q155_sql(),
         "q156_gif_decode": q156_sql(),
         "q157_bitext_mining": q157_sql(),
+        "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
     }

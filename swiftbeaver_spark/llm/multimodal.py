@@ -814,15 +814,19 @@ def png_pixels(payload: bytes):
 
 def image_pixels(payload: bytes):
     """Format-dispatched real pixel decode: BMP (raw rows), PNG
-    (inflate + unfilter) or GIF (LZW); None for codec-requiring
-    formats (JPEG entropy coding and friends)."""
+    (inflate + unfilter), GIF (LZW) or TIFF (uncompressed strips);
+    None for codec-requiring formats (JPEG entropy coding and
+    friends)."""
     px = bmp_pixels(payload)
     if px is not None:
         return px
     px = png_pixels(payload)
     if px is not None:
         return px
-    return gif_pixels(payload)
+    px = gif_pixels(payload)
+    if px is not None:
+        return px
+    return tiff_pixels(payload)
 
 
 AUDIO_ENERGY_SCHEMA = StructType(
@@ -1005,3 +1009,56 @@ def gif_pixels(payload: bytes):
     except (struct.error, ValueError, IndexError):
         return None
     return None
+
+
+def tiff_pixels(payload: bytes):
+    """REAL TIFF decode for uncompressed 8-bit RGB/grayscale strips —
+    the fourth raster format decoded from pure structure (BMP raw
+    rows, PNG DEFLATE, GIF LZW, TIFF strips). Walks the IFD (both
+    byte orders), requires Compression=1, concatenates strips, and
+    returns a top-down (h, w, 3) BGR uint8 array; None otherwise."""
+    import numpy as np
+
+    try:
+        if payload[:4] == b"II*\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+        (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for t in range(n_tags):
+            base = ifd_off + 2 + 12 * t
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue
+            total = size * cnt
+            off = base + 8 if total <= 4 else struct.unpack_from(e + "I", payload, base + 8)[0]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                struct.unpack_from(e + fmt * cnt, payload, off)
+            )
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        comp = tags.get(259, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8])
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if not w or not h or comp != 1 or offs is None or cnts is None:
+            return None
+        if spp not in (1, 3) or any(b != 8 for b in bits[:spp]):
+            return None
+        data = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+        need = w * h * spp
+        if len(data) < need:
+            return None
+        px = np.frombuffer(data, dtype=np.uint8, count=need).reshape(h, w, spp)
+        if spp == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, ::-1].copy()  # RGB -> BGR
+    except (struct.error, ValueError, IndexError):
+        return None

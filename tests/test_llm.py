@@ -1521,3 +1521,39 @@ def test_bitext_margin_prefers_planted_clone(spark, embeddings):
         assert r.best_y == x + 1_000_000
         assert r.cos_micro == 1_000_000
         assert r.mined
+
+
+def test_tiff_decode_both_byte_orders_and_grayscale():
+    import struct
+
+    from swiftbeaver_spark.llm.multimodal import tiff_pixels
+
+    def tiff(e, spp, data, w, h):
+        def tag(t, typ, cnt, val):
+            # inline values are LEFT-justified in the 4-byte field:
+            # a SHORT occupies the first two bytes in either byte order
+            payload = (
+                struct.pack(e + "H", val) + b"\x00\x00"
+                if typ == 3
+                else struct.pack(e + "I", val)
+            )
+            return struct.pack(e + "HHI", t, typ, cnt) + payload
+
+        tags = [
+            tag(256, 3, 1, w), tag(257, 3, 1, h), tag(259, 3, 1, 1),
+            tag(262, 3, 1, 2 if spp == 3 else 1),
+            tag(273, 4, 1, 8), tag(277, 3, 1, spp), tag(279, 4, 1, len(data)),
+        ]
+        ifd = struct.pack(e + "H", len(tags)) + b"".join(tags) + struct.pack(e + "I", 0)
+        magic = b"II*\x00" if e == "<" else b"MM\x00*"
+        return magic + struct.pack(e + "I", 8 + len(data)) + data + ifd
+
+    rgb = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+    for e in ("<", ">"):
+        px = tiff_pixels(tiff(e, 3, rgb, 2, 1))
+        assert px is not None and px.shape == (1, 2, 3)
+        assert list(px[0, 0]) == [30, 20, 10]  # BGR
+    gray = bytes([7, 200])
+    px = tiff_pixels(tiff("<", 1, gray, 2, 1))
+    assert list(px[0, 1]) == [200, 200, 200]
+    assert tiff_pixels(b"II*\x00garbage") is None
