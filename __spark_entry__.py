@@ -9773,6 +9773,70 @@ def q158_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+DATACARD_BUDGET_TOKENS = 1_000_000
+
+
+def q159_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA CARD generation — the per-source composition table every
+    dataset release publishes (Gebru et al. datasheets; the mixtures
+    table in LLM model cards): per (source, lang): docs, whitespace
+    tokens, corpus share in basis points, and EFFECTIVE EPOCHS in
+    milli at a fixed training token budget with uniform mixing
+    (budget * share / tokens = budget / total — made per-row explicit
+    so repetition risk per slice is visible). All-integer; one
+    partial-agg pass plus a broadcast totals row."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+            lambda t: t != "",
+        )
+    )
+    per = docs.select("source", "lang", ntok.alias("n")).groupBy(
+        "source", "lang"
+    ).agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.lit(10000) * F.col("n_tokens") / F.col("_tot"))
+            .cast("bigint")
+            .alias("share_bp"),
+            F.floor(F.lit(1000) * F.lit(DATACARD_BUDGET_TOKENS) / F.col("_tot"))
+            .cast("bigint")
+            .alias("effective_epochs_milli"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def q159_sql() -> str:
+    toks = (
+        "len(list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> ''))"
+    )
+    return f"""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n_docs, SUM({toks}) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t FROM per
+    )
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(10000 * n_tokens / t) AS BIGINT) AS share_bp,
+           CAST(FLOOR(1000 * {DATACARD_BUDGET_TOKENS} / t) AS BIGINT)
+             AS effective_epochs_milli
+    FROM per CROSS JOIN tot
+    ORDER BY source, lang
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -9958,6 +10022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_gif_decode": q156_gif_decode,
         "q157_bitext_mining": q157_bitext_mining,
         "q158_tiff_decode": q158_tiff_decode,
+        "q159_data_card": q159_data_card,
     }
 
 
@@ -10125,4 +10190,5 @@ def oracle_sql() -> dict[str, str]:
         "q156_gif_decode": q156_sql(),
         "q157_bitext_mining": q157_sql(),
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
+        "q159_data_card": q159_sql(),
     }
