@@ -10033,6 +10033,150 @@ def q160_sql() -> str:
     """
 
 
+def q161_raster_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format decoder CONSISTENCY: the SAME 4x2 image (pixels =
+    the q156 md5-derived palette indices) is serialized into all four
+    real containers — BMP (raw bottom-up BGR rows), PNG (stored
+    deflate, top-down RGB + filter bytes), GIF (LZW indices), TIFF
+    (top-down RGB strips) — and every payload decodes through
+    image_pixels to a row-major BGR grid. All four rows per doc must
+    carry the IDENTICAL grid hex, and the oracle predicts it
+    closed-form from the palette: four independent decode paths
+    cross-validate each other AND the prediction."""
+    from swiftbeaver_spark.llm.multimodal import decode_grid_hex
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def idx(y: int, x: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.lit(str(y)),
+                            F.lit(str(x)),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        )
+
+    def pal_hex(i: Column) -> Column:  # RGB hex of palette entry
+        return F.element_at(F.array(*[F.lit(c) for c in _Q156_PALETTE]), (i + 1).cast("int"))
+
+    def pal_bgr_hex(i: Column) -> Column:
+        c = pal_hex(i)
+        return F.concat(
+            F.substring(c, 5, 2), F.substring(c, 3, 2), F.substring(c, 1, 2)
+        )
+
+    def pal_ch(i: Column, ch: int) -> Column:  # channel int (0=r,1=g,2=b)
+        vals = [int(c[2 * ch : 2 * ch + 2], 16) for c in _Q156_PALETTE]
+        return F.element_at(F.array(*[F.lit(v) for v in vals]), (i + 1).cast("int"))
+
+    ids = {(y, x): idx(y, x) for y in range(2) for x in range(4)}
+    # --- BMP: header + bottom-up BGR rows (stride 12, no padding)
+    bmp_parts = [F.lit(_q99_bmp_hex(0, 4, 2))]
+    for r in range(2):
+        y = 1 - r
+        for x in range(4):
+            bmp_parts.append(pal_bgr_hex(ids[(y, x)]))
+    bmp = F.unhex(F.concat(*bmp_parts))
+    # --- PNG: stored-deflate rows (top-down RGB + filter byte)
+    head_hex, iend_hex = _q153_png_constants()
+    raw_parts, byte_exprs = [], []
+    for y in range(2):
+        raw_parts.append(F.lit("00"))
+        byte_exprs.append(F.lit(0))
+        for x in range(4):
+            raw_parts.append(pal_hex(ids[(y, x)]))
+            for ch in range(3):
+                byte_exprs.append(pal_ch(ids[(y, x)], ch))
+    L = len(byte_exprs)
+    s1, s2 = F.lit(1), F.lit(L)
+    for i, b in enumerate(byte_exprs, start=1):
+        s1 = s1 + b
+        s2 = s2 + F.lit(L - i + 1) * b
+    adler_hex = F.format_string(
+        "%04x%04x", (s2 % 65521).cast("int"), (s1 % 65521).cast("int")
+    )
+    zstream = F.concat(F.lit("7801011a00e5ff"), F.concat(*raw_parts), adler_hex)
+    idat_len = 2 + 5 + L + 4
+    crc = F.crc32(F.unhex(F.concat(F.lit("49444154"), zstream)))
+    png = F.unhex(
+        F.concat(
+            F.lit(head_hex),
+            F.lit(f"{idat_len:08x}" + "49444154"),
+            zstream,
+            F.format_string("%08x", crc),
+            F.lit(iend_hex),
+        )
+    )
+    # --- GIF: q156 literal-only LZW of the same indices
+    shifts = [3, 6, 9, 12, 16, 20, 24, 28]
+    value = F.lit(4).cast("long") + F.lit(5).cast("long") * F.lit(1 << 32)
+    for (y, x), sh in zip([(y, x) for y in range(2) for x in range(4)], shifts):
+        value = value + ids[(y, x)] * F.lit(1 << sh)
+    lzw_hex = F.concat(
+        *[
+            F.format_string("%02x", (F.floor(value / F.lit(256**k)) % 256).cast("int"))
+            for k in range(5)
+        ]
+    )
+    gif = F.unhex(F.concat(F.lit(_q156_gif_head_hex()), lzw_hex, F.lit("003b")))
+    # --- TIFF: top-down RGB strips
+    pre_hex, ifd_hex = _q158_tiff_parts()
+    tiff_parts = [F.lit(pre_hex)]
+    for y in range(2):
+        for x in range(4):
+            tiff_parts.append(pal_hex(ids[(y, x)]))
+    tiff_parts.append(F.lit(ifd_hex))
+    tiff = F.unhex(F.concat(*tiff_parts))
+
+    # decode each format's stream separately so the format label stays
+    # attached to its rows
+    outs = []
+    for fmt, payload in (("bmp", bmp), ("png", png), ("gif", gif), ("tiff", tiff)):
+        part = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+        outs.append(
+            decode_grid_hex(part).withColumn("format", F.lit(fmt))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "media_id", "format", "width", "height", "grid_hex", "status"
+    ).orderBy("media_id", "format")
+
+
+def q161_sql() -> str:
+    pal_rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(_Q156_PALETTE))
+    cell = (
+        "(SELECT substr(p.c, 5, 2) || substr(p.c, 3, 2) || substr(p.c, 1, 2) "
+        "FROM pal p WHERE p.i = CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "
+        "|| ':{y}:{x}'), 1, 1) AS BIGINT) % 4)"
+    )
+    grid = " || ".join(cell.format(y=y, x=x) for y in range(2) for x in range(4))
+    return f"""
+    WITH pal(i, c) AS (VALUES {pal_rows}),
+    g AS (
+      SELECT d.doc_id, {grid} AS grid_hex
+      FROM documents d WHERE d.doc_id < 100
+    ), fmts(format) AS (VALUES ('bmp'), ('gif'), ('png'), ('tiff'))
+    SELECT doc_id AS media_id, format, 4 AS width, 2 AS height,
+           grid_hex, 'ok' AS status
+    FROM g CROSS JOIN fmts
+    ORDER BY media_id, format
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10220,6 +10364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q159_data_card": q159_data_card,
         "q160_mmr_rerank": q160_mmr_rerank,
+        "q161_raster_consistency": q161_raster_consistency,
     }
 
 
@@ -10389,4 +10534,5 @@ def oracle_sql() -> dict[str, str]:
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
         "q159_data_card": q159_sql(),
         "q160_mmr_rerank": q160_sql(),
+        "q161_raster_consistency": q161_sql(),
     }

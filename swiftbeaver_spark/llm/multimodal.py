@@ -1062,3 +1062,42 @@ def tiff_pixels(payload: bytes):
         return px[:, :, ::-1].copy()  # RGB -> BGR
     except (struct.error, ValueError, IndexError):
         return None
+
+
+GRID_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("grid_hex", StringType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def decode_grid_hex(media: DataFrame) -> DataFrame:
+    """Decode every payload with the format-dispatched image_pixels
+    and emit the full pixel grid as row-major BGR hex — the
+    cross-format consistency probe: the same logical image through
+    different containers must produce byte-identical grids."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = image_pixels(bytes(payload))
+                if px is None:
+                    rows.append((int(mid), None, None, None, "unsupported"))
+                else:
+                    rows.append(
+                        (
+                            int(mid),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            px.tobytes().hex(),
+                            "ok",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in GRID_SCHEMA])
+
+    return media.select("media_id", "payload").mapInPandas(work, GRID_SCHEMA)
