@@ -10177,6 +10177,79 @@ def q161_sql() -> str:
     """
 
 
+SFT_SYS_TOKENS = 3  # "You are helpful."
+
+
+def q162_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT LOSS-MASK span preparation — the chat-template step between
+    curation and training: each doc renders as a four-segment
+    conversation (system | user = first half of the words | assistant
+    = second half | end marker), and the output is the per-segment
+    TOKEN SPAN table with its trainable flag (loss masked on
+    system/user, unmasked on assistant/end) — exactly the mask tensor
+    an SFT dataloader builds. Marker tokens count 1 each; spans are
+    closed-form integer arithmetic over the doc's whitespace token
+    count, so every offset is engine-exact. One projection + explode,
+    no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+            lambda t: t != "",
+        )
+    )
+    n_user = F.ceil(n / 2).cast("long")
+    n_asst = (n - n_user).cast("long")
+    sys_len = F.lit(1 + SFT_SYS_TOKENS).cast("long")      # <|system|> + prompt
+    user_len = (F.lit(1) + n_user).cast("long")           # <|user|> + words
+    asst_len = (F.lit(1) + n_asst).cast("long")           # <|assistant|> + words
+    end_len = F.lit(1).cast("long")                       # <|end|>
+    seg = F.array(
+        F.struct(F.lit("system").alias("segment"), F.lit(0).cast("long").alias("start_tok"), sys_len.alias("n_tok"), F.lit(False).alias("trainable")),
+        F.struct(F.lit("user").alias("segment"), sys_len.alias("start_tok"), user_len.alias("n_tok"), F.lit(False).alias("trainable")),
+        F.struct(F.lit("assistant").alias("segment"), (sys_len + user_len).alias("start_tok"), asst_len.alias("n_tok"), F.lit(True).alias("trainable")),
+        F.struct(F.lit("end").alias("segment"), (sys_len + user_len + asst_len).alias("start_tok"), end_len.alias("n_tok"), F.lit(True).alias("trainable")),
+    )
+    return (
+        docs.select("doc_id", F.explode(seg).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.segment").alias("segment"),
+            F.col("s.start_tok").alias("start_tok"),
+            F.col("s.n_tok").alias("n_tok"),
+            F.col("s.trainable").alias("trainable"),
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+def q162_sql() -> str:
+    toks = (
+        "len(list_filter(string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> ''))"
+    )
+    s = 1 + SFT_SYS_TOKENS
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {toks} AS n,
+             CAST(CEIL({toks} / 2.0) AS BIGINT) AS nu
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, 'system' AS segment, CAST(0 AS BIGINT) AS start_tok,
+             CAST({s} AS BIGINT) AS n_tok, FALSE AS trainable FROM d
+      UNION ALL
+      SELECT doc_id, 'user', {s}, 1 + nu, FALSE FROM d
+      UNION ALL
+      SELECT doc_id, 'assistant', {s} + 1 + nu, 1 + (n - nu), TRUE FROM d
+      UNION ALL
+      SELECT doc_id, 'end', {s} + 2 + n, 1, TRUE FROM d
+    )
+    SELECT doc_id, segment, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(n_tok AS BIGINT) AS n_tok, trainable
+    FROM seg ORDER BY doc_id, start_tok
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10365,6 +10438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_data_card": q159_data_card,
         "q160_mmr_rerank": q160_mmr_rerank,
         "q161_raster_consistency": q161_raster_consistency,
+        "q162_sft_spans": q162_sft_spans,
     }
 
 
@@ -10535,4 +10609,5 @@ def oracle_sql() -> dict[str, str]:
         "q159_data_card": q159_sql(),
         "q160_mmr_rerank": q160_sql(),
         "q161_raster_consistency": q161_sql(),
+        "q162_sft_spans": q162_sql(),
     }
