@@ -178,7 +178,9 @@ def warc_archives(
             serialize_record(
                 str(t),
                 str(r),
-                None if u is None else str(u),
+                # null URIs arrive as None OR pandas NaN — both mean
+                # "omit the header", never the literal string 'nan'
+                None if u is None or (isinstance(u, float) and pd.isna(u)) else str(u),
                 bytes(p),
             )
             for t, r, u, p in zip(

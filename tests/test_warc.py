@@ -79,3 +79,25 @@ def test_spark_roundtrip(spark):
     )
     assert bytes(by_id["<urn:uuid:3>"].payload) == b"three"
     assert all(r.truncated is None for r in out)
+
+
+def test_null_target_uri_omits_header(spark):
+    import pandas as pd
+
+    recs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "archive": ["w0", "w0"],
+                "order_key": [1, 2],
+                "warc_type": ["metadata", "response"],
+                "record_id": ["<urn:uuid:1>", "<urn:uuid:2>"],
+                "target_uri": [None, "http://x/2"],
+                "payload": [b"m", b"r"],
+            }
+        )
+    )
+    out = {r.record_id: r for r in warc_records(warc_archives(recs)).collect()}
+    # null URI (None or pandas NaN) omits the header entirely — the
+    # parser must see no WARC-Target-URI, never the string 'nan'
+    assert out["<urn:uuid:1>"].target_uri is None
+    assert out["<urn:uuid:2>"].target_uri == "http://x/2"
