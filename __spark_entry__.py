@@ -10250,6 +10250,97 @@ def q162_sql() -> str:
     """
 
 
+PREFIX_CACHE_K = 8
+
+
+def q163_prefix_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache planning — the vLLM/SGLang radix-cache accounting
+    over a prompt corpus: prompts sharing their first k tokens reuse
+    one KV-cache entry, so the savings of a shared-prefix group of n
+    prompts is (n-1)*k cached tokens. Prompts are synthesized with
+    template skew (doc_id%7 selects one of 7 instruction prefixes
+    prepended to the text), the realistic shape where a few templates
+    dominate. Output per shared-prefix group (n >= 2): group size,
+    tokens saved, and the md5 prefix key. One partial-agg shuffle on
+    the 16-byte prefix hash — never the prompt text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    template = F.element_at(
+        F.array(
+            *[
+                F.lit(t)
+                for t in (
+                    "summarize the following document carefully and briefly",
+                    "translate this text into formal english right now",
+                    "answer the question using only the context below",
+                    "extract every named entity from the passage given",
+                    "classify the sentiment of this review as stars",
+                    "rewrite the paragraph to be simpler and shorter",
+                    "list the key facts contained in this article",
+                )
+            ]
+        ),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    prompt = F.concat(template, F.lit(" "), F.col("text"))
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(prompt), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    prefix_key = F.md5(
+        F.array_join(F.slice(toks, 1, PREFIX_CACHE_K), " ")
+    )
+    keyed = docs.select("doc_id", prefix_key.alias("prefix_key")).where(
+        F.size(toks) >= PREFIX_CACHE_K
+    )
+    return (
+        keyed.groupBy("prefix_key")
+        .agg(F.count("*").alias("n_prompts"), F.min("doc_id").alias("min_doc"))
+        .where(F.col("n_prompts") >= 2)
+        .select(
+            "prefix_key",
+            F.col("n_prompts").cast("long").alias("n_prompts"),
+            ((F.col("n_prompts") - 1) * PREFIX_CACHE_K)
+            .cast("long")
+            .alias("tokens_saved"),
+            F.col("min_doc").alias("min_doc"),
+        )
+        .orderBy("prefix_key")
+    )
+
+
+def q163_sql() -> str:
+    templates = (
+        "summarize the following document carefully and briefly",
+        "translate this text into formal english right now",
+        "answer the question using only the context below",
+        "extract every named entity from the passage given",
+        "classify the sentiment of this review as stars",
+        "rewrite the paragraph to be simpler and shorter",
+        "list the key facts contained in this article",
+    )
+    tl = ", ".join(f"'{t}'" for t in templates)
+    k = PREFIX_CACHE_K
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(
+               ([{tl}])[CAST(doc_id % 7 + 1 AS INT)] || ' ' || text
+             ), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, md5(array_to_string(toks[1:{k}], ' ')) AS prefix_key
+      FROM p WHERE len(toks) >= {k}
+    )
+    SELECT prefix_key,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST((COUNT(*) - 1) * {k} AS BIGINT) AS tokens_saved,
+           MIN(doc_id) AS min_doc
+    FROM keyed GROUP BY prefix_key
+    HAVING COUNT(*) >= 2
+    ORDER BY prefix_key
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10439,6 +10530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_mmr_rerank": q160_mmr_rerank,
         "q161_raster_consistency": q161_raster_consistency,
         "q162_sft_spans": q162_sft_spans,
+        "q163_prefix_cache_plan": q163_prefix_cache_plan,
     }
 
 
@@ -10610,4 +10702,5 @@ def oracle_sql() -> dict[str, str]:
         "q160_mmr_rerank": q160_sql(),
         "q161_raster_consistency": q161_sql(),
         "q162_sft_spans": q162_sql(),
+        "q163_prefix_cache_plan": q163_sql(),
     }
