@@ -1580,3 +1580,18 @@ def test_mmr_rerank_diversifies(spark):
         # relevance along picks is NOT forced monotone (diversity term)
         rels = [p.rel_micro for p in picks]
         assert rels[0] == max(rels)
+
+
+def test_prefix_cache_groups_and_boundary(spark):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    rows = em.q163_prefix_cache_plan(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 7  # at least one group per template
+    for r in rows:
+        assert r.n_prompts >= 2
+        assert r.tokens_saved == (r.n_prompts - 1) * 8
+    # groups are disjoint doc sets: total grouped prompts <= corpus+...
+    total = sum(r.n_prompts for r in rows)
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert total <= corpus
