@@ -10341,6 +10341,72 @@ def q163_sql() -> str:
     """
 
 
+def q164_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the NESTED semi-join chain (suppliers having
+    a part whose stock exceeds half of one year's shipped quantity):
+    an EXISTS inside an EXISTS, decorrelated into two leftsemi joins
+    with the inner aggregate pushed into a per-(part, supplier)
+    grouped table and the threshold as an integer cross-mult
+    (2 * availqty > sum_shipped, synthesizing availqty as a
+    deterministic function of the keys — the part table carries no
+    stock column). Completes the join-shape inventory: inner/left/
+    anti (q42/q113), star (q96), scalar-agg decorrelation (q126),
+    nested SEMI here. Both semi joins keep the probe side unexpanded
+    — no fan-out, the plan every EXISTS chain should compile to."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    year = F.year(F.col("l_shipdate")) == 1995
+    shipped = (
+        li.where(year)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_shipped"))
+    )
+    # deterministic synthetic stock: availqty = (partkey*31 + suppkey*17) % 8
+    # (range chosen so only a minority of grouped rows clear the bar --
+    # a threshold that filters, not a tautology)
+    avail = (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 8
+    qualifying = shipped.where(F.lit(2) * avail > F.col("sum_shipped")).select(
+        "l_partkey", "l_suppkey"
+    )
+    # inner EXISTS: the part must be a 'forest'-ish subset (p_size < 20)
+    qual_parts = qualifying.join(
+        part.where(F.col("p_size") < 20).select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "leftsemi",
+    )
+    # outer EXISTS: suppliers with at least one qualifying part
+    out = supplier.join(
+        qual_parts,
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "leftsemi",
+    )
+    return out.select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+def q164_sql() -> str:
+    return """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_shipped
+        FROM lineitem
+        WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1995
+        GROUP BY l_partkey, l_suppkey
+      ) q
+      WHERE q.l_suppkey = s.s_suppkey
+        AND 2 * ((q.l_partkey * 31 + q.l_suppkey * 17) % 8) > q.sum_shipped
+        AND EXISTS (
+          SELECT 1 FROM part p
+          WHERE p.p_partkey = q.l_partkey AND p.p_size < 20
+        )
+    )
+    ORDER BY s_suppkey
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10531,6 +10597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_raster_consistency": q161_raster_consistency,
         "q162_sft_spans": q162_sft_spans,
         "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q164_nested_semijoin": q164_nested_semijoin,
     }
 
 
@@ -10703,4 +10770,5 @@ def oracle_sql() -> dict[str, str]:
         "q161_raster_consistency": q161_sql(),
         "q162_sft_spans": q162_sql(),
         "q163_prefix_cache_plan": q163_sql(),
+        "q164_nested_semijoin": q164_sql(),
     }
