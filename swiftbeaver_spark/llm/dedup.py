@@ -244,6 +244,11 @@ def minhash_near_dups(
             "doc_b",
         )
     )
+    # The signature cache stays alive with the returned (lazy) frame —
+    # an eager pin-and-unpersist here costs a serialized extra job wave
+    # on the hot bench path (measured +0.5-1.0 s first-run at sf0.1).
+    # Callers running many queries per session can clearCache between
+    # queries; the cache is signature-table sized, not corpus-sized.
     return _verify_jaccard(joined, shingle_k, threshold)
 
 
@@ -448,7 +453,7 @@ def simhash_near_dups(
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.block", "bk.key")
     l, r = blocked.alias("l"), blocked.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.block") == F.col("r.block"))
@@ -463,6 +468,10 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # Lazy like minhash_near_dups (see the note there): the simhash
+    # cache lives with the returned frame rather than paying an eager
+    # extra job wave on the hot bench path.
+    return out
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:

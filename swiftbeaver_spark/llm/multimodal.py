@@ -963,7 +963,10 @@ def gif_pixels(payload: bytes):
             out: list[int] = []
             acc = nbits = 0
             prev = None
-            for byte in data:
+            done = False  # EOI must end the WHOLE stream, not just
+            for byte in data:  # the current byte's bit loop — padding
+                if done:  # bytes after EOI are not codes.
+                    break
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= code_size:
@@ -977,8 +980,7 @@ def gif_pixels(payload: bytes):
                         prev = None
                         continue
                     if code == eoi:
-                        nbits = 0
-                        acc = 0
+                        done = True
                         break
                     if prev is None:
                         if code not in table:

@@ -854,8 +854,12 @@ def exact_substring_dedup(
         ),
         lambda t: t != "",
     )
+    # NOT persisted: `base` is corpus-sized, and this function returns a
+    # lazy frame — a persist here would outlive the query (nobody can
+    # unpersist it after the caller materializes). Tokenization is
+    # recomputed for the second scan (tok + grams), which is the right
+    # trade at 100 TB where caching the corpus is infeasible anyway.
     base = df.select(F.col(id_col).alias("doc_id"), toks_arr.alias("toks"))
-    base.persist()
     tok = base.select(
         "doc_id", F.posexplode(F.col("toks")).alias("pos0", "w")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
@@ -973,4 +977,52 @@ def cdc_chunks(
         F.md5(F.substring(F.col("_norm"), F.col("sp.s") + 1, F.col("sp.len"))).alias(
             "chunk_md5"
         ),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    cap: int = 15,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-domain document cap — the standard crawl-curation step that
+    stops a handful of mega-domains from dominating a training mix:
+    keep at most `cap` documents per domain under a DETERMINISTIC
+    priority (order_col DESC, id ASC — e.g. longest docs first, id as
+    total-order tie-break), drop the rest.
+
+    Skew is the whole problem at 100 TB (one domain can be 1% of the
+    crawl), so the rank runs TWO-STAGE: stage 1 takes the top `cap`
+    within (domain, salt) where salt = md5(id) mod `salt_buckets` —
+    bounding every window partition to ~|domain|/salts rows — and
+    stage 2 takes the final top `cap` over the <= cap * salt_buckets
+    survivors per domain. Any global top-cap member is necessarily in
+    its salt bucket's top cap, so the two-stage result is EXACTLY the
+    single-window result — an oracle can replay the plain one-window
+    form. Both salts and priority are md5/integer — engine-neutral.
+
+    Returns the kept rows of `df`, plus the final keep_rank."""
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("long"),
+        F.lit(salt_buckets),
+    )
+    w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    stage1 = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        stage1.withColumn("keep_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("keep_rank") <= cap)
     )

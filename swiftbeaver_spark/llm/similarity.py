@@ -964,6 +964,150 @@ def coarse_refine_topk(
     )
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF cell-pruned CANDIDATE PAIR generation — the shared coarse
+    stage that turns any corpus-vs-corpus similarity task (bitext
+    mining, MMR shortlists, k-NN graph construction) from a cartesian
+    into an EQUI-JOIN on the Voronoi cell: each corpus vector is
+    assigned to its single nearest pinned centroid (argmax rounded
+    dot, the q34/q88 rule), each query probes its `nprobe` nearest
+    cells, and candidates are exactly `probe JOIN assigned ON cell`.
+    A (query, vector) pair appears at most once because assignment is
+    unique.
+
+    Scale: assignment and probing are map-only projections against a
+    plan-literal centroid table; the only join is the hash equi-join
+    on `cell` (broadcast when `broadcast_queries`, shuffle otherwise
+    for corpus-sized query sides). Candidate volume per query is
+    ~|corpus| * nprobe / nlist — raise nlist at scale (FAISS rule of
+    thumb nlist ~ sqrt(n)) to keep cells executor-sized. Every step
+    is SQL-replayable (md5-pinned centroids, rounded-dot argmax).
+
+    Returns (query_id, query_vec, vec_id, vec, cell)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
+    pairs = F.zip_with(
+        _dots(F.col("query_vec"), centroids, round_dp),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, p: F.struct((-d).alias("nd"), p.alias("cell")),
+    )
+    probes = F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cell"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+    ).select("query_id", "query_vec", F.explode(probes).alias("cell"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    return c.join(q, "cell").select(
+        "query_id", "query_vec", "vec_id", "vec", "cell"
+    )
+
+
+def bitext_mine_ivf(
+    src: DataFrame,
+    tgt: DataFrame,
+    centroids: list[list[float]],
+    k: int = 4,
+    nprobe: int = 3,
+    margin_milli: int = 1050,
+    round_dp: int = 6,
+    eager: bool = True,
+) -> DataFrame:
+    """Bitext mining with RATIO-margin scoring (Artetxe & Schwenk
+    2019) composed with the IVF coarse index: candidate (x, y) pairs
+    come from `ivf_candidates` — an equi-join on the pinned Voronoi
+    cell — NOT a src x tgt cartesian, so the written plan contains no
+    CartesianProduct/BroadcastNestedLoopJoin node and survives two
+    corpus-sided inputs at 100 TB.
+
+    Margin semantics follow the production FAISS-mining shape: each
+    side's k-NN sums are computed over the RETRIEVED candidate set
+    (the index's neighbors), with the actual retrieved counts nx/ny
+    in the numerator so sparse cells degrade gracefully:
+      margin_milli = floor(1000 * (nx + ny) * cos / (sum_x + sum_y))
+    i.e. cosine over the mean of both sides' retrieved-k-NN cosines,
+    in exact integer milli-units. Cosines are micro-rounded BIGINTs,
+    ranks tie-break on ids — every stage SQL-replayable.
+
+    src: (x_id, xv); tgt: (y_id, yv). Returns one row per source with
+    >= 1 candidate: (x_id, best_y, cos_micro, margin_milli, mined)."""
+    cand_raw = ivf_candidates(
+        tgt.select(F.col("y_id").alias("vec_id"), F.col("yv").alias("vec")),
+        src.select(F.col("x_id").alias("query_id"), F.col("xv").alias("query_vec")),
+        centroids,
+        nprobe=nprobe,
+        round_dp=round_dp,
+        broadcast_queries=False,  # src is corpus-sized: shuffle equi-join
+    )
+    cm = F.round(
+        cosine_similarity(F.col("query_vec"), F.col("vec")) * 1_000_000
+    ).cast("bigint")
+    cand = cand_raw.select(
+        F.col("query_id").alias("x_id"),
+        F.col("vec_id").alias("y_id"),
+        cm.alias("cm"),
+    )
+    if eager:
+        cand.persist()
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cm"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cm"), "x_id")
+    ranked = cand.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    sum_x = (
+        ranked.where(F.col("rx") <= k)
+        .groupBy("x_id")
+        .agg(F.sum("cm").alias("sx"), F.count("*").alias("nx"))
+    )
+    sum_y = (
+        ranked.where(F.col("ry") <= k)
+        .groupBy("y_id")
+        .agg(F.sum("cm").alias("sy"), F.count("*").alias("ny"))
+    )
+    best = ranked.where(F.col("rx") == 1).select("x_id", "y_id", "cm")
+    out = (
+        best.join(sum_x, "x_id")
+        .join(sum_y, "y_id")
+        .withColumn(
+            "margin_milli",
+            F.floor(
+                F.lit(1000) * (F.col("nx") + F.col("ny")) * F.col("cm")
+                / (F.col("sx") + F.col("sy"))
+            ).cast("bigint"),
+        )
+        .select(
+            "x_id",
+            F.col("y_id").alias("best_y"),
+            F.col("cm").alias("cos_micro"),
+            "margin_milli",
+            (F.col("margin_milli") >= margin_milli).alias("mined"),
+        )
+    )
+    if not eager:  # lazy plan for plan-shape tests
+        return out
+    # Pin the per-source result (one row per src with candidates — the
+    # size the caller collects anyway) and release the candidate cache,
+    # which `ranked` would otherwise recompute for sum_x/sum_y/best.
+    # persist+count, not localCheckpoint (RDD path bypasses AQE).
+    out = out.persist()
+    out.count()
+    cand.unpersist()
+    return out
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -730,6 +730,7 @@ def bfs_distances(
         "dist", F.lit(0)
     )
     dist.persist()
+    cached = [dist]
     frontier = dist
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
     for level in range(1, max_dist + 1):
@@ -742,9 +743,19 @@ def bfs_distances(
             "dist", F.lit(level)
         )
         new.persist()
+        cached.append(new)
         if new.isEmpty():
             break
         dist = dist.unionByName(new)
         dist.persist()
+        cached.append(dist)
         frontier = new
-    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+    # Pin the final node->dist table (node-table sized, << edges) and
+    # release every per-level cache — otherwise up to 2*max_dist cached
+    # frames accumulate for the life of the session. persist+count,
+    # not localCheckpoint (the RDD path bypasses AQE/codegen).
+    out = dist.select("node", F.col("dist").cast("int").alias("dist")).persist()
+    out.count()
+    for c in cached:
+        c.unpersist()
+    return out

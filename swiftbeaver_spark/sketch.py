@@ -164,6 +164,66 @@ def histogram_quantiles(
     )
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    nbuckets: int = 8,
+    block_width: int = 100_000,
+) -> DataFrame:
+    """EQUI-DEPTH (equal-frequency) histogram over an exact-integer
+    value column — the optimizer-statistics companion to q54's
+    equi-width bins: bucket boundaries fall at equal ROW-count
+    cutoffs, so skewed distributions get fine buckets where the mass
+    is. The canonical construction sorts the whole column and cuts at
+    rank i*n/B; here the sort never touches the row set:
+
+    1. distinct-value table (v -> cnt): ONE partial-aggregating
+       shuffle, |distinct| rows — the only corpus-keyed stage.
+    2. rows-before-v prefix sum, DISTRIBUTED two-level (the q38
+       pack_sequences idiom): per-block cumulative window (block =
+       v div `block_width`, monotone in v so block order IS value
+       order) + a broadcast block-offset table computed by the only
+       global window — over the tiny per-block summary.
+    3. bucket_id = (rows_before * B) div n, all-integer. Every row of
+       one value lands in one bucket (heavy hitters never split), so
+       depths are equal up to heavy-hitter granularity — the standard
+       compromise (DB2/Postgres equi-depth stats behave the same).
+
+    Returns (bucket_id, lo, hi, n_rows, n_distinct), SQL-replayable
+    end to end."""
+    dv = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    dv = dv.withColumn("blk", F.floor(F.col("v") / block_width).cast("long"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = dv.withColumn("cum_in", F.sum("cnt").over(w_in))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = (
+        dv.groupBy("blk")
+        .agg(F.sum("cnt").alias("blk_tot"))
+        .withColumn("blk_off", F.coalesce(F.sum("blk_tot").over(w_blk), F.lit(0)))
+        .select("blk", "blk_off")
+    )
+    tot = dv.agg(F.sum("cnt").alias("n"))  # single row, broadcast
+    ranked = within.join(F.broadcast(blk_off), "blk").crossJoin(F.broadcast(tot))
+    bucket = F.expr(f"CAST(((blk_off + cum_in - cnt) * {nbuckets}) DIV n AS INT)")
+    return (
+        ranked.withColumn("bucket_id", bucket)
+        .groupBy("bucket_id")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str,
@@ -335,8 +395,10 @@ def kmv_pairwise_set_ops(
     per-group row_number window ranks within groups only; everything
     after operates on k-row sketches (broadcast-sized)."""
     g = F.col(group_col)
+    # pmod, not %: Spark's % keeps the dividend's sign, so negative
+    # values would hash negative and corrupt the k-min order / theta.
     hashed = df.select(
-        g.alias("g"), ((F.col(value_col) * mult) % space).alias("h")
+        g.alias("g"), F.pmod(F.col(value_col) * mult, F.lit(space)).alias("h")
     ).distinct()
     w = Window.partitionBy("g").orderBy("h")
     sk = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

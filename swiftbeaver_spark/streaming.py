@@ -264,11 +264,20 @@ def crawl_ingest_stream(
     parquet append keep batch replays idempotent (re-runs of an
     already-committed batch re-reject their rows via the accepted
     table)."""
-    import os
-
     from pyspark.sql import functions as F
 
     from swiftbeaver_spark.llm.warc import warc_records
+
+    def _read_accepted(spark: SparkSession):
+        """Probe the accepted table through Spark's own reader so the
+        check works on ANY Hadoop-compatible filesystem (HDFS/S3/local),
+        not just the driver's local disk. A missing or still-empty path
+        raises AnalysisException ([PATH_NOT_FOUND] / unable to infer
+        schema), which means 'no prior batches' — return None."""
+        try:
+            return spark.read.parquet(out_dir).select("digest")
+        except Exception:  # AnalysisException: path absent or no footer yet
+            return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -279,10 +288,8 @@ def crawl_ingest_stream(
         )
         keep = new.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
         keep = keep.join(seen_digests, "digest", "left_anti")
-        if os.path.exists(out_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(out_dir)
-        ):
-            accepted = spark.read.parquet(out_dir).select("digest")
+        accepted = _read_accepted(spark)
+        if accepted is not None:
             keep = keep.join(accepted, "digest", "left_anti")
         keep.select("doc_id", "digest").write.mode("append").parquet(out_dir)
 

@@ -1595,3 +1595,100 @@ def test_prefix_cache_groups_and_boundary(spark):
     total = sum(r.n_prompts for r in rows)
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert total <= corpus
+
+
+def test_bitext_ivf_recall_vs_brute(spark, embeddings):
+    """bitext_mine_ivf vs an independent brute-force margin miner
+    (numpy, all-pairs): planted exact clones MUST be mined, and the
+    index miner must recover most of the brute miner's mined pairs
+    (recall loss is bounded by nprobe/nlist coarse pruning)."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.similarity import bitext_mine_ivf, md5_centroids
+
+    emb = embeddings
+    src = emb.where("label = 0").selectExpr(
+        "vec_id AS x_id", "CAST(embedding AS array<double>) AS xv"
+    )
+    tgt_real = emb.where("label = 1").selectExpr(
+        "vec_id AS y_id", "CAST(embedding AS array<double>) AS yv"
+    )
+    planted = src.orderBy("x_id").limit(5).selectExpr(
+        "x_id + 1000000 AS y_id", "transform(xv, v -> v * 1.5D) AS yv"
+    )
+    tgt = tgt_real.unionByName(planted)
+    mined = bitext_mine_ivf(
+        src, tgt, md5_centroids(8, 64, tag="ivfpqcent"), k=4, nprobe=3
+    ).collect()
+    got = {(r.x_id, r.best_y) for r in mined if r.mined}
+
+    # planted clones: same direction -> same cell, cosine exactly 1.0
+    planted_ids = [r.x_id for r in src.orderBy("x_id").limit(5).collect()]
+    by_x = {r.x_id: r for r in mined}
+    for xid in planted_ids:
+        assert by_x[xid].best_y == xid + 1_000_000
+        assert by_x[xid].cos_micro == 1_000_000
+        assert by_x[xid].mined
+
+    # brute-force margin miner (true k-NN both sides, same integer math)
+    srows = sorted(src.collect(), key=lambda r: r.x_id)
+    trows = sorted(tgt.collect(), key=lambda r: r.y_id)
+    X = np.array([r.xv for r in srows])
+    Y = np.array([r.yv for r in trows])
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    cm = np.rint(1_000_000 * xn @ yn.T).astype(np.int64)
+    k = 4
+    sx = np.sort(cm, axis=1)[:, -k:].sum(axis=1)
+    sy = np.sort(cm, axis=0)[-k:, :].sum(axis=0)
+    brute = set()
+    for i, xr in enumerate(srows):
+        j = int(np.argmax(cm[i]))  # ties: lowest y index == lowest y_id
+        margin = (1000 * 2 * k * cm[i, j]) // int(sx[i] + sy[j])
+        if margin >= 1050:
+            brute.add((xr.x_id, trows[j].y_id))
+    assert brute, "brute miner found nothing — test data changed?"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.6, (recall, len(brute), len(got))
+
+
+def test_domain_cap_two_stage_equals_single_window(spark, documents):
+    """The salted two-stage rank must return EXACTLY the plain
+    single-window top-cap (any global top-cap member is in its salt
+    bucket's top-cap), including the final keep_rank."""
+    from pyspark.sql import Window
+
+    from swiftbeaver_spark.llm.pipeline import domain_cap
+
+    docs = documents.select("doc_id", "source", "n_chars")
+    got = {
+        (r.doc_id, r.keep_rank)
+        for r in domain_cap(docs, cap=7, salt_buckets=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r.doc_id, r.rn)
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 7")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_domain_cap_binds_per_domain(spark, documents):
+    from swiftbeaver_spark.llm.pipeline import domain_cap
+
+    kept = domain_cap(
+        documents.select("doc_id", "source", "n_chars"), cap=5
+    )
+    per = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # every domain with >= 5 docs is capped exactly at 5
+    big = {
+        r.source
+        for r in documents.groupBy("source").count().where("count >= 5").collect()
+    }
+    capped = {r.source for r in per if r["count"] == 5}
+    assert big == capped

@@ -739,3 +739,47 @@ def test_split_stability_and_fractions(spark):
     frac = {r.split: r.n / 10000 for r in counts}
     assert 0.07 < frac["val"] < 0.13 and 0.07 < frac["test"] < 0.13
     assert frac["train"] > 0.74
+
+
+def test_equidepth_histogram_depths_and_coverage(spark):
+    """Bucket depths are equal up to heavy-hitter granularity, buckets
+    tile the value range in order, and counts cover every row."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.sketch import equidepth_histogram
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    )
+    n = li.count()
+    rows = equidepth_histogram(li, "cents", nbuckets=8).collect()
+    assert [r.bucket_id for r in rows] == list(range(8))
+    assert sum(r.n_rows for r in rows) == n
+    # ordered, non-overlapping ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
+    # equal depth up to one distinct value's worth of rows: each bucket
+    # holds >= floor(n/8) - max_single_value_count and <= ceil plus it
+    max_cnt = (
+        li.groupBy("cents").count().agg(F.max("count")).collect()[0][0]
+    )
+    for r in rows:
+        assert r.n_rows >= n // 8 - max_cnt
+        assert r.n_rows <= n // 8 + max_cnt + 1
+
+
+def test_equidepth_histogram_skewed_input(spark):
+    """A heavy hitter (half the rows) occupies its buckets alone and
+    never splits across buckets."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.sketch import equidepth_histogram
+
+    vals = [(500,)] * 100 + [(v,) for v in range(1000, 1100)]
+    df = spark.createDataFrame(vals, ["v"])
+    rows = equidepth_histogram(df, "v", nbuckets=4, block_width=50).collect()
+    heavy = [r for r in rows if r.lo <= 500 <= r.hi]
+    assert len(heavy) == 1  # the hitter sits in exactly one bucket
+    assert heavy[0].n_rows >= 100
+    assert sum(r.n_rows for r in rows) == 200

@@ -267,3 +267,44 @@ def test_feature_store_single_pass_no_exchange(spark):
     plan = _formatted(df.limit(1000000))
     body = plan.split("Sort")[0] if "Sort" in plan else plan
     assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_bitext_mining_no_cartesian(spark):
+    """q157: candidate pairs come from the IVF cell equi-join — the
+    written plan must contain no cartesian/nested-loop stage even with
+    BOTH sides corpus-sized (the scale shape that killed the old
+    crossJoin miner)."""
+    from swiftbeaver_spark.llm.similarity import bitext_mine_ivf, md5_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.where("label = 0").selectExpr(
+        "vec_id AS x_id", "CAST(embedding AS array<double>) AS xv"
+    )
+    tgt = emb.where("label = 1").selectExpr(
+        "vec_id AS y_id", "CAST(embedding AS array<double>) AS yv"
+    )
+    lazy = bitext_mine_ivf(
+        src, tgt, md5_centroids(8, 64, tag="ivfpqcent"), eager=False
+    )
+    plan = _formatted(lazy)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mmr_candidates_ivf_pruned(spark):
+    """q160: the shortlist stage is an IVF BroadcastHashJoin on the
+    probed cell — no per-query corpus cartesian."""
+    from swiftbeaver_spark.llm.similarity import ivf_candidates, md5_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS vec"
+    )
+    q = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "vec AS query_vec"
+    )
+    plan = _formatted(
+        ivf_candidates(emb, q, md5_centroids(8, 64, tag="ivfpqcent"), nprobe=3)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
