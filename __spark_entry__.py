@@ -10600,6 +10600,94 @@ def q166_sql() -> str:
     """
 
 
+def _q167_grays() -> list[int]:
+    """4 md5-pinned gray levels (the q156 palette convention)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"jpegpal:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(4)
+    ]
+
+
+def _q167_payload_hexes() -> list[str]:
+    """All 16 two-block (16x8) flat-gray JPEGs, indexed i0*4+i1 —
+    REAL baseline JPEG bytes from the in-repo encoder (flat blocks ->
+    DC-only streams -> exact decode)."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import encode_jpeg_gray
+
+    grays = _q167_grays()
+    out = []
+    for i0 in range(4):
+        for i1 in range(4):
+            img = np.zeros((8, 16), dtype=np.uint8)
+            img[:, :8] = grays[i0]
+            img[:, 8:] = grays[i1]
+            out.append(encode_jpeg_gray(img).hex())
+    return out
+
+
+def q167_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode under the oracle (llm/multimodal.py::
+    jpeg_pixels — T.81 marker walk, canonical Huffman entropy decode
+    with byte-unstuffing, dequantize/dezigzag, float IDCT; encoder
+    encode_jpeg_gray builds the payloads): per doc a COMPLETE valid
+    16x8 grayscale JPEG of two flat 8x8 blocks (gray levels = two
+    md5-selected entries of a 4-value pinned palette). Flat blocks
+    make the entropy stream DC-only and the IDCT output EXACT, so the
+    oracle predicts every decoded byte closed-form from the palette —
+    JPEG's entropy-coded path thereby leaves the codec stub the way
+    PNG's DEFLATE did in q153 (the fifth real raster decoder:
+    BMP/PNG/GIF/TIFF/JPEG). The 16 possible payloads enter the plan
+    as literals; decode runs the full real parser per row."""
+    from swiftbeaver_spark.llm.multimodal import decode_grid_hex
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def idx(tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":jq:{tag}"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int") % 4
+
+    sel = (idx("0") * 4 + idx("1") + 1).cast("int")
+    payload = F.unhex(
+        F.element_at(F.array(*[F.lit(h) for h in _q167_payload_hexes()]), sel)
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    out = decode_grid_hex(media)
+    return out.select("media_id", "width", "height", "grid_hex", "status").orderBy(
+        "media_id"
+    )
+
+
+def q167_sql() -> str:
+    pal_rows = ", ".join(f"({i}, '{g:02x}')" for i, g in enumerate(_q167_grays()))
+    return f"""
+    WITH pal(i, g) AS (VALUES {pal_rows}),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':jq:0'), 1, 1)
+                  AS BIGINT) % 4 AS i0,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':jq:1'), 1, 1)
+                  AS BIGINT) % 4 AS i1
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id, 16 AS width, 8 AS height,
+           repeat(repeat(p0.g, 24) || repeat(p1.g, 24), 8) AS grid_hex,
+           'ok' AS status
+    FROM d JOIN pal p0 ON d.i0 = p0.i JOIN pal p1 ON d.i1 = p1.i
+    ORDER BY media_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10795,6 +10883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_data_card": q159_data_card,
         "q162_sft_spans": q162_sft_spans,
         "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q167_jpeg_decode": q167_jpeg_decode,
     }
 
 
@@ -10971,4 +11060,5 @@ def oracle_sql() -> dict[str, str]:
         "q159_data_card": q159_sql(),
         "q162_sft_spans": q162_sql(),
         "q163_prefix_cache_plan": q163_sql(),
+        "q167_jpeg_decode": q167_sql(),
     }

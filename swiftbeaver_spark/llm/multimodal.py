@@ -814,8 +814,9 @@ def png_pixels(payload: bytes):
 
 def image_pixels(payload: bytes):
     """Format-dispatched real pixel decode: BMP (raw rows), PNG
-    (inflate + unfilter), GIF (LZW) or TIFF (uncompressed strips);
-    None for codec-requiring formats (JPEG entropy coding and
+    (inflate + unfilter), GIF (LZW), TIFF (uncompressed strips) or
+    baseline grayscale JPEG (Huffman entropy decode + IDCT); None for
+    the remaining codec-requiring formats (color/progressive JPEG and
     friends)."""
     px = bmp_pixels(payload)
     if px is not None:
@@ -826,7 +827,10 @@ def image_pixels(payload: bytes):
     px = gif_pixels(payload)
     if px is not None:
         return px
-    return tiff_pixels(payload)
+    px = tiff_pixels(payload)
+    if px is not None:
+        return px
+    return jpeg_pixels(payload)
 
 
 AUDIO_ENERGY_SCHEMA = StructType(
@@ -1064,6 +1068,333 @@ def tiff_pixels(payload: bytes):
         return px[:, :, ::-1].copy()  # RGB -> BGR
     except (struct.error, ValueError, IndexError):
         return None
+
+
+# --- baseline JPEG (ITU-T T.81): real entropy decode, no imaging lib --------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical luminance tables (public spec constants)
+_STD_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_LUMA_VALS = list(range(12))
+_STD_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol per the T.81 canonical assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code): the encoder-side view of the same
+    canonical assignment."""
+    return {sym: (ln, code) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+
+
+def _idct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; raises ValueError at a marker or end of data."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode (ITU-T T.81, no imaging library):
+    marker walk (DQT/SOF0/DHT/SOS), canonical Huffman entropy decode
+    with 0xFF00 unstuffing, DC prediction + EXTEND, AC run-length
+    (EOB/ZRL), dequantize + dezigzag, float 8x8 IDCT, +128 level
+    shift. Scope: 8-bit SINGLE-COMPONENT (grayscale) sequential
+    frames without subsampling or restart markers — the general
+    DC+AC decode path; color/progressive/DRI return None and remain
+    in the documented codec-stub boundary. Returns (h, w, 3) BGR
+    (gray replicated), top-down — the image_pixels convention."""
+    import numpy as np
+
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, list[int]] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        w = h = 0
+        comp_q = comp_dc = comp_ac = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    qt[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = body[0]
+                h, w = struct.unpack_from(">HH", body, 1)
+                ncomp = body[5]
+                if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                    return None  # color / subsampled: codec stub
+                comp_q = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_canonical(
+                        bits, vals
+                    )
+                    i += 17 + nv
+            elif marker == 0xDD:  # DRI: restart intervals unsupported
+                return None
+            elif marker == 0xDA:  # SOS
+                if body[0] != 1:
+                    return None
+                comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+                pos = pos + 2 + seg_len
+                break
+            pos = pos + 2 + seg_len
+        else:
+            return None
+        if not w or not h or comp_q not in qt:
+            return None
+        dc_tab = huff_dc.get(comp_dc)
+        ac_tab = huff_ac.get(comp_ac)
+        if dc_tab is None or ac_tab is None:
+            return None
+        q = np.array(qt[comp_q], dtype=np.float64)
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        out = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        rd = _BitReader(payload, pos)
+        A = _idct_matrix()
+        pred = 0
+        for blk in range(by * bx):
+            coefs = np.zeros(64, dtype=np.float64)
+            t = rd.huff(dc_tab)
+            pred += _extend(rd.bits(t), t)
+            coefs[0] = pred
+            k = 1
+            while k < 64:
+                rs = rd.huff(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    return None
+                coefs[k] = _extend(rd.bits(rs & 15), rs & 15)
+                k += 1
+            S = np.zeros(64, dtype=np.float64)
+            S[_ZIGZAG] = coefs * q
+            S = S.reshape(8, 8)
+            s = A.T @ S @ A
+            y0, x0 = (blk // bx) * 8, (blk % bx) * 8
+            out[y0 : y0 + 8, x0 : x0 + 8] = s
+        gray = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)  # gray -> BGR
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
+    """Minimal REAL baseline JPEG encoder for 8-bit grayscale: forward
+    float DCT per 8x8 block (edge-replicated padding), flat
+    quantization table (`quant` in every cell), Annex K luminance
+    Huffman tables, DC prediction + AC run-length, 0xFF byte
+    stuffing. Flat blocks produce DC-only streams whose decode is
+    EXACT (the IDCT of a lone DC coefficient is a constant block), so
+    a flat-block image round-trips bit-for-bit — the property q167's
+    oracle predicts closed-form. General images round-trip within
+    coefficient-rounding error (pytest-bounded)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    padded = np.empty((by * 8, bx * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 :, :]  # replicate bottom edge
+    padded[:, w:] = padded[:, w - 1 : w]  # replicate right edge
+    A = _idct_matrix()
+    dc_codes = _huff_codes(_STD_DC_LUMA_BITS, _STD_DC_LUMA_VALS)
+    ac_codes = _huff_codes(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+
+    out_bits: list[tuple[int, int]] = []  # (length, code)
+
+    def emit(length: int, code: int) -> None:
+        out_bits.append((length, code))
+
+    def emit_amplitude(v: int) -> int:
+        """Append category bits for v, return the category."""
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if t:
+            emit(t, v if v >= 0 else v + (1 << t) - 1)
+        return t
+
+    pred = 0
+    for blk in range(by * bx):
+        y0, x0 = (blk // bx) * 8, (blk % bx) * 8
+        block = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        S = A @ block @ A.T  # forward DCT (A orthonormal)
+        zz = S.reshape(-1)[_ZIGZAG]
+        coefs = np.round(zz / float(quant)).astype(np.int64)
+        diff = int(coefs[0]) - pred
+        pred = int(coefs[0])
+        t = abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        emit(ln, code)
+        if t:
+            emit(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if coefs[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                emit(ln, code)
+                run -= 16
+            t = abs(v).bit_length()
+            ln, code = ac_codes[(run << 4) | t]
+            emit(ln, code)
+            emit(t, v if v >= 0 else v + (1 << t) - 1)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            emit(ln, code)
+    # bit-pack MSB-first, 1-pad the tail, 0xFF-stuff
+    acc = n = 0
+    data = bytearray()
+    for ln, code in out_bits:
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        n += ln
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)
+    if n:
+        b = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_STD_DC_LUMA_BITS) + bytes(_STD_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_STD_AC_LUMA_BITS) + bytes(_STD_AC_LUMA_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+    )
 
 
 GRID_SCHEMA = StructType(

@@ -1286,7 +1286,7 @@ def kmeans_micro(
         F.count("*").cast("long").alias("n_members"),
         F.sum("dist").cast("long").alias("inertia"),
     )
-    return (
+    out = (
         cents.join(summary, "cidx", "left")
         .select(
             F.col("cidx").alias("cell"),
@@ -1296,3 +1296,10 @@ def kmeans_micro(
             .alias("centroid_md5"),
         )
     )
+    # Pin the k-row summary and release the micro-vector cache the
+    # training loop referenced every iteration (persist+count, not
+    # localCheckpoint — the RDD path bypasses AQE).
+    out = out.persist()
+    out.count()
+    v.unpersist()
+    return out

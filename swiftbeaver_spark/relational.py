@@ -295,7 +295,13 @@ def salted_join(
     r = right.withColumn(
         "_sb_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_sb_salt", F.col("_sb_salt").cast("bigint"))
-    return l.join(r, [*keys, "_sb_salt"], how).drop("_sb_salt")
+    # Force a SHUFFLE join: the planner's size estimate ignores the
+    # salt-fold explode, so it happily broadcasts the replicated side
+    # (salt x the pre-explode estimate) — which OOMs the driver at
+    # scale AND defeats the operator (a broadcastable right side never
+    # needed salting; the scatter over sub-keys only happens in a
+    # shuffle). shuffle_hash keeps the per-reducer build local.
+    return l.join(r.hint("shuffle_hash"), [*keys, "_sb_salt"], how).drop("_sb_salt")
 
 
 def time_bucket_rollup(

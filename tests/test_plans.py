@@ -308,3 +308,34 @@ def test_mmr_candidates_ivf_pruned(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_equidepth_histogram_global_window_only_on_blocks(spark):
+    """q165: the only unpartitioned window runs over the per-block
+    summary, never the distinct-value table — the plan's window over
+    full rows must be partitioned by blk."""
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q165_equidepth_histogram(spark, "/root/testdata/sf0.001"))
+    # two Window nodes total: per-block cumulative (partitioned) and
+    # the block-offset prefix (unpartitioned, but over groupBy(blk)
+    # output). The unpartitioned one must sit above an aggregate on blk.
+    assert plan.count("Window") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the block-offset side reaches the join as a broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_domain_caps_two_stage_windows(spark):
+    """q166: the Spark plan runs the salted stage-1 window THEN the
+    final per-domain window — two rank windows, no single global
+    unsalted pass over the raw corpus."""
+    from swiftbeaver_spark.llm.pipeline import domain_cap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = _formatted(domain_cap(docs, cap=5))
+    assert plan.count("row_number()") >= 2, plan
+    # stage-1 partition key includes the salt expression (pmod/conv)
+    assert "pmod" in plan, plan
