@@ -9721,10 +9721,15 @@ def q157_sql() -> str:
       SELECT x_id, y_id, cm FROM ranked WHERE rx = 1
     )
     SELECT b.x_id, b.y_id AS best_y, b.cm AS cos_micro,
-           CAST(FLOOR(1000 * (sx.nx + sy.ny) * b.cm / (sx.sx + sy.sy))
-                AS BIGINT) AS margin_milli,
-           FLOOR(1000 * (sx.nx + sy.ny) * b.cm / (sx.sx + sy.sy))
-             >= {BITEXT_MARGIN_MILLI} AS mined
+           CASE WHEN sx.sx + sy.sy > 0
+                THEN CAST(FLOOR(1000 * (sx.nx + sy.ny) * b.cm
+                                / (sx.sx + sy.sy)) AS BIGINT)
+           END AS margin_milli,
+           COALESCE(CASE WHEN sx.sx + sy.sy > 0
+                         THEN FLOOR(1000 * (sx.nx + sy.ny) * b.cm
+                                    / (sx.sx + sy.sy))
+                                >= {BITEXT_MARGIN_MILLI}
+                    END, FALSE) AS mined
     FROM best b JOIN sx ON b.x_id = sx.x_id JOIN sy ON b.y_id = sy.y_id
     ORDER BY b.x_id
     """

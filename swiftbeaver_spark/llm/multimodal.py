@@ -1208,9 +1208,20 @@ def jpeg_pixels(payload: bytes):
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker code — skip them rather than misreading 0xFF
+            # as the marker byte
+            while payload[pos + 1] == 0xFF:
+                pos += 1
+                if pos + 4 > len(payload):
+                    return None
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI before SOS
                 return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn: standalone markers carry no length segment
+                pos += 2
+                continue
             (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
             body = payload[pos + 4 : pos + 2 + seg_len]
             if marker == 0xDB:  # DQT
@@ -1323,13 +1334,9 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     def emit(length: int, code: int) -> None:
         out_bits.append((length, code))
 
-    def emit_amplitude(v: int) -> int:
-        """Append category bits for v, return the category."""
-        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        if t:
-            emit(t, v if v >= 0 else v + (1 << t) - 1)
-        return t
-
+    # DC/AC amplitude emission is inlined below: the category Huffman
+    # code must be emitted BEFORE the amplitude bits, so a combined
+    # helper would have to return-then-emit in two phases — not worth it
     pred = 0
     for blk in range(by * bx):
         y0, x0 = (blk // bx) * 8, (blk % bx) * 8

@@ -1082,18 +1082,26 @@ def bitext_mine_ivf(
         best.join(sum_x, "x_id")
         .join(sum_y, "y_id")
         .withColumn(
+            # guard the denominator: retrieved-candidate cosines can be
+            # non-positive, making sx+sy zero or negative — margin is
+            # undefined there (NULL), and such a row is never `mined`
             "margin_milli",
-            F.floor(
-                F.lit(1000) * (F.col("nx") + F.col("ny")) * F.col("cm")
-                / (F.col("sx") + F.col("sy"))
-            ).cast("bigint"),
+            F.when(
+                F.col("sx") + F.col("sy") > 0,
+                F.floor(
+                    F.lit(1000) * (F.col("nx") + F.col("ny")) * F.col("cm")
+                    / (F.col("sx") + F.col("sy"))
+                ).cast("bigint"),
+            ).otherwise(F.lit(None).cast("bigint")),
         )
         .select(
             "x_id",
             F.col("y_id").alias("best_y"),
             F.col("cm").alias("cos_micro"),
             "margin_milli",
-            (F.col("margin_milli") >= margin_milli).alias("mined"),
+            F.coalesce(
+                F.col("margin_milli") >= margin_milli, F.lit(False)
+            ).alias("mined"),
         )
     )
     if not eager:  # lazy plan for plan-shape tests

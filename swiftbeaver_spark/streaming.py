@@ -273,10 +273,15 @@ def crawl_ingest_stream(
         check works on ANY Hadoop-compatible filesystem (HDFS/S3/local),
         not just the driver's local disk. A missing or still-empty path
         raises AnalysisException ([PATH_NOT_FOUND] / unable to infer
-        schema), which means 'no prior batches' — return None."""
+        schema), which means 'no prior batches' — return None. Any
+        OTHER failure (S3 hiccup, permissions, corrupt footer) must
+        fail the batch rather than silently disable cross-batch dedup
+        and append duplicates, so only AnalysisException is caught."""
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(out_dir).select("digest")
-        except Exception:  # AnalysisException: path absent or no footer yet
+        except AnalysisException:  # path absent or no footer yet
             return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -1741,7 +1741,10 @@ def test_jpeg_decoder_rejects_out_of_scope():
     g = np.full((8, 8), 99, dtype=np.uint8)
     payload = encode_jpeg_gray(g)
     assert jpeg_pixels(payload[:20]) is None  # truncated pre-SOS
-    assert jpeg_pixels(payload[:-4]) is None or True  # truncated tail tolerated
+    # truncated tail: tolerated as either a rejection (None) or a
+    # well-formed decode of whatever blocks completed before the cut
+    tail = jpeg_pixels(payload[:-4])
+    assert tail is None or tail.shape == (8, 8, 3)
     assert jpeg_pixels(b"\x00" * 16) is None
     assert jpeg_pixels(b"\xff\xd8" + b"\xff\xd9") is None  # no frame
     # dispatcher picks the JPEG leg
@@ -1759,3 +1762,22 @@ def test_jpeg_decoder_quant_table_applied():
     g = np.full((8, 8), 128 + 10, dtype=np.uint8)  # DC = 80, /4 exact
     px = jpeg_pixels(encode_jpeg_gray(g, quant=4))
     assert px is not None and (px[:, :, 0] == 138).all()
+
+
+def test_jpeg_decoder_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker, and
+    TEM (0x01) / RSTn (0xD0-0xD7) are standalone (no length segment).
+    A strictly-conforming third-party file using either pre-SOS must
+    still decode."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.multimodal import encode_jpeg_gray, jpeg_pixels
+
+    g = np.full((8, 8), 42, dtype=np.uint8)
+    payload = encode_jpeg_gray(g)
+    assert payload[:2] == b"\xff\xd8"
+    # inject after SOI: a fill byte before the first real marker, and
+    # a standalone TEM marker
+    patched = payload[:2] + b"\xff" + b"\xff\x01" + payload[2:]
+    px = jpeg_pixels(patched)
+    assert px is not None and (px[:, :, 0] == 42).all()
