@@ -3364,10 +3364,13 @@ def q59_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (llm/bpe.py): merges run
     on the word-frequency table (corpus-size-independent — the 100 TB
     corpus is read once to build it), one aggregation + fold rewrite
-    per merge, deterministic tie-breaks. Genuinely iterative (per-
-    iteration argmax), hence NO SQL oracle — the rows-only gate
-    applies; tests/test_bpe.py pins the merge sequence against an
-    independent single-node reference implementation."""
+    per merge, deterministic tie-breaks. HASH-GATED since round 6: the
+    oracle unrolls all BPE_MERGES training iterations in SQL (the q137
+    unrolled-training convention) — pair-count aggregate, argmax with
+    lexicographic tie-break, and the leftmost-non-overlapping merge as
+    a delimiter-encoded string replace. tests/test_bpe.py additionally
+    pins the merge sequence against an independent single-node
+    reference implementation."""
     from swiftbeaver_spark.llm.bpe import bpe_learn
 
     docs = _t(spark, sf_dir, "documents").select("text")
@@ -3375,6 +3378,69 @@ def q59_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"
     ).orderBy("rank")
+
+
+def _bpe_sql_ctes(num_merges: int) -> str:
+    """Shared DuckDB WITH-chain replaying llm/bpe.py's training loop
+    (the q137 unrolled-training convention): words table -> symbol
+    strings with each symbol wrapped chr(1)‖sym‖chr(2) -> per merge
+    [weighted adjacent-pair aggregate, argmax with lexicographic
+    tie-break, merge rewrite]. The bracket encoding makes plain
+    replace() EXACTLY the Spark fold's leftmost-first non-overlapping
+    merge: "a a a a" under (a,a) -> "aa aa", and a pattern can never
+    match across symbol boundaries (the corpus contains no chr(1)/
+    chr(2); verified over all three SFs). w{{N}} is the fully
+    segmented vocabulary — q92's tokenizer reuses it directly."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    # AS MATERIALIZED is load-bearing: each w{i} is referenced twice
+    # (by p{i+1} and w{i+1}); DuckDB's default CTE inlining would
+    # double the plan per iteration — 2^num_merges copies of the base
+    it = """
+    , p{i} AS MATERIALIZED (
+      SELECT syms[j] AS a, syms[j + 1] AS b,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM (SELECT cnt,
+                   string_split(substring(s, 2, length(s) - 2),
+                                chr(2) || chr(1)) AS syms
+            FROM w{j0}) t,
+           unnest(generate_series(1, len(syms) - 1)) AS u(j)
+      GROUP BY a, b
+    ), b{i} AS MATERIALIZED (
+      SELECT a, b, total FROM p{i} ORDER BY total DESC, a, b LIMIT 1
+    ), w{i} AS MATERIALIZED (
+      SELECT w.word, w.cnt,
+             replace(w.s,
+                     chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+                     chr(1) || b.a || b.b || chr(2)) AS s
+      FROM w{j0} w CROSS JOIN b{i} b
+    )"""
+    iters = "".join(it.format(i=i + 1, j0=i) for i in range(num_merges))
+    return f"""
+    WITH wt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word
+        FROM documents WHERE {norm} <> ''
+      ) GROUP BY word
+    ), w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             chr(1) ||
+             array_to_string(string_split(word, ''), chr(2) || chr(1)) ||
+             chr(2) || chr(1) || '▁' || chr(2) AS s
+      FROM wt
+    ){iters}"""
+
+
+def q59_sql() -> str:
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({i} AS INT) AS rank, a AS left_sym,"
+        f" b AS right_sym, total AS pair_count FROM b{i + 1}"
+        for i in range(BPE_MERGES)
+    )
+    return f"""{_bpe_sql_ctes(BPE_MERGES)}
+    SELECT * FROM (
+{rows}
+    ) ORDER BY rank
+    """
 
 
 def q60_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5213,9 +5279,14 @@ def q92_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE corpus tokenization (llm/bpe.py::bpe_tokenize) — the encode
     side of q59: learn BPE_MERGES merges, then tokenize every document
     via the distinct-word segmentation + ordered per-doc reassembly
-    (the fold runs |V| times, not |corpus| times). Iterative like q59,
-    hence rows-only under the driver; tests/test_bpe.py pins the token
-    stream document-for-document against an independent single-node
+    (the fold runs |V| times, not |corpus| times). HASH-GATED since
+    round 6: the oracle replays training with q59's unrolled CTE chain,
+    then joins the per-doc word instances to the segmented vocabulary
+    (w{N} in the chain IS the word->symbols map — the tokenizer learns
+    and encodes over the same corpus, so no separate segmentation pass
+    is needed) and reassembles tokens in document word order.
+    tests/test_bpe.py additionally pins the token stream
+    document-for-document against an independent single-node
     encoder."""
     from swiftbeaver_spark.llm.bpe import bpe_learn, bpe_tokenize
 
@@ -5227,6 +5298,32 @@ def q92_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", " ").alias("tokens_str"),
         "n_tokens",
     ).orderBy("doc_id")
+
+
+def q92_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""{_bpe_sql_ctes(BPE_MERGES)}
+    , inst AS (
+      SELECT doc_id, j AS pos, toks[j] AS word
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split({norm}, ' ') AS toks
+            FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(j)
+      WHERE toks[j] <> ''
+    ), seg AS (
+      SELECT word,
+             string_split(substring(s, 2, length(s) - 2),
+                          chr(2) || chr(1)) AS syms
+      FROM w{BPE_MERGES}
+    )
+    SELECT i.doc_id,
+           string_agg(array_to_string(g.syms, ' '), ' '
+                      ORDER BY i.pos) AS tokens_str,
+           CAST(SUM(len(g.syms)) AS BIGINT) AS n_tokens
+    FROM inst i JOIN seg g ON i.word = g.word
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """
 
 
 EMB_ND_PLANES = 6  # 64 buckets; candidate pairs ~ n^2/64 per-bucket-uniform
@@ -10938,7 +11035,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_raster_consistency": q161_sql(),
         "q157_bitext_mining": q157_sql(),
         "q160_mmr_rerank": q160_sql(),
-        # q92_bpe_tokenize: iterative (BPE) — rows-only, like q59
+        "q92_bpe_tokenize": q92_sql(),  # unrolled-training replay (r6)
         "q105_chunk_documents": q105_sql(),
         "q106_gopher_flags": q106_sql(),
         "q107_c4_clean": q107_sql(),
@@ -11000,7 +11097,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_interval_join_batch": q56_sql(),
         "q57_salted_join": q57_sql(),
         "q58_incremental_dedup": q58_sql(),
-        # q59_bpe_learn: iterative (per-merge argmax) — rows-only gate
+        "q59_bpe_learn": q59_sql(),  # unrolled-training replay (r6)
         "q60_curation_pipeline": q60_sql(),
         "q61_time_rollup": q61_sql(),
         "q62_bm25": q62_sql(),
