@@ -10801,20 +10801,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver checks only the FIRST 50 entries
-    # (confirmed again in round 4 — CORRECTNESS_r04.json holds exactly the
-    # first 50 keys). Round-5 window, per VERDICT r4 item 1: keep the
+    # (confirmed in rounds 4 and 5 — each CORRECTNESS file holds exactly
+    # the first 50 keys). Round-6 window, per VERDICT r5 item 1: keep the
     # irreplaceable composite gates (q02 scan kernel, q30-q33 carve
-    # engine), then spend every remaining slot on the never-driver-checked
-    # q91-q164 backlog, highest user impact first (TPC-H/aggregation
-    # shapes, ANN index family, dedup, crawl, streaming semantics,
-    # multimodal decoders), plus the two queries whose implementation
-    # changed this round (q157 bitext now IVF-index-composed, q160 MMR
-    # candidates now IVF-pruned) and the two new round-5 operators
-    # (q165 equi-depth histogram, q166 per-domain caps). q92 is
-    # rows-only (iterative BPE, like q59). The ~29 remaining
-    # never-checked queries are queued for the round-6 window; everything
-    # driver-proven in rounds 1-4 rotates to the tail (still swept by
-    # tools/drive_contract.py at three SFs before every commit).
+    # engine), then CLOSE THE BACKLOG — q167 (the only query with neither
+    # a driver row nor a recorded tri-SF sweep) plus the 29 remaining
+    # never-driver-checked queries. After this window, every one of the
+    # 167 contract queries has had at least one green driver CORRECTNESS
+    # row. The 15 backfill slots go to: q59/q92 (newly HASH-GATED this
+    # round — the unrolled-training oracle needs a driver row to prove
+    # it), q157/q160/q165/q166 (round-5 operators re-confirmed after the
+    # margin-guard change), q26/q27 (touched by this round's AQE
+    # coalescing perf work), q43/q96/q121 (verdict-named high-churn
+    # re-confirmations), and q122/q136/q88/q120 (the heavy families
+    # measured at sf1 in SCALE.md this round). Everything else rotates to
+    # the tail, still swept at three SFs by tools/drive_contract.py
+    # before every commit.
     return {
         # --- driver window (first 50) -----------------------------------
         "q02_chunked_scan": q02_chunked_scan,
@@ -10822,140 +10824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
-        "q96_star_join": q96_star_join,
-        "q98_cube_summary": q98_cube_summary,
-        "q110_grouping_sets": q110_grouping_sets,
-        "q111_moving_window": q111_moving_window,
-        "q115_grouped_median": q115_grouped_median,
-        "q116_grouped_mode": q116_grouped_mode,
-        "q126_small_qty_revenue": q126_small_qty_revenue,
-        "q164_nested_semijoin": q164_nested_semijoin,
-        "q91_coarse_refine_topk": q91_coarse_refine_topk,
-        "q120_ivfpq_residual": q120_ivfpq_residual,
-        "q121_filtered_ann": q121_filtered_ann,
-        "q147_persisted_index": q147_persisted_index,
-        "q95_incremental_minhash": q95_incremental_minhash,
-        "q104_stream_neardup": q104_stream_neardup,
-        "q122_semantic_dedup": q122_semantic_dedup,
-        "q123_prefix_filter_join": q123_prefix_filter_join,
-        "q136_substring_dedup": q136_substring_dedup,
-        "q155_cdc_dedup": q155_cdc_dedup,
-        "q124_html_extract": q124_html_extract,
-        "q125_warc_roundtrip": q125_warc_roundtrip,
-        "q127_bigram_lm": q127_bigram_lm,
-        "q131_crawl_pipeline": q131_crawl_pipeline,
-        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
-        "q148_watermark_late_drop": q148_watermark_late_drop,
-        "q149_stream_outer_join": q149_stream_outer_join,
-        "q99_resize_images": q99_resize_images,
-        "q100_frame_sample": q100_frame_sample,
-        "q101_audio_windows": q101_audio_windows,
-        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
-        "q139_patch_means": q139_patch_means,
-        "q153_png_decode": q153_png_decode,
-        "q154_audio_energy": q154_audio_energy,
-        "q156_gif_decode": q156_gif_decode,
-        "q158_tiff_decode": q158_tiff_decode,
-        "q161_raster_consistency": q161_raster_consistency,
-        "q157_bitext_mining": q157_bitext_mining,
-        "q160_mmr_rerank": q160_mmr_rerank,
-        "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q105_chunk_documents": q105_chunk_documents,
-        "q106_gopher_flags": q106_gopher_flags,
-        "q107_c4_clean": q107_c4_clean,
-        "q108_hll_distinct": q108_hll_distinct,
-        "q117_contamination_scores": q117_contamination_scores,
-        "q165_equidepth_histogram": q165_equidepth_histogram,
-        "q166_domain_caps": q166_domain_caps,
-        # --- tail (driver-proven r1-r4 or queued for round 6; all still
-        #     run by tools/drive_contract.py) ----------------------------
-        "q01_chunk_plan": q01_chunk_plan,
-        "q03_scan_counts": q03_scan_counts,
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
-        "q06_join_history": q06_join_history,
-        "q07_left_join_coalesce": q07_left_join_coalesce,
-        "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
-        "q10_case_mapping": q10_case_mapping,
-        "q11_time_conversions": q11_time_conversions,
-        "q12_url_parse": q12_url_parse,
-        "q13_email_split": q13_email_split,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
-        "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q20_token_stats": q20_token_stats,
-        "q21_quality": q21_quality,
-        "q22_langid": q22_langid,
-        "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q25_top_orders": q25_top_orders,
-        "q26_minhash_neardup": q26_minhash_neardup,
-        "q27_simhash_neardup": q27_simhash_neardup,
-        "q28_lsh_topk": q28_lsh_topk,
-        "q29_media_meta": q29_media_meta,
-        "q34_ivf_topk": q34_ivf_topk,
-        "q35_string_spans": q35_string_spans,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q37_stream_sessionize": q37_stream_sessionize,
-        "q38_pack_sequences": q38_pack_sequences,
-        "q39_hash_sample": q39_hash_sample,
-        "q40_pii_scrub": q40_pii_scrub,
-        "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
-        "q43_line_dedup": q43_line_dedup,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q45_session_window": q45_session_window,
-        "q46_kmv_sketch": q46_kmv_sketch,
-        "q47_stream_window_agg": q47_stream_window_agg,
-        "q48_asof_join": q48_asof_join,
-        "q49_countmin": q49_countmin,
-        "q50_weighted_sample": q50_weighted_sample,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
-        "q52_stream_dedup": q52_stream_dedup,
-        "q53_stream_interval_join": q53_stream_interval_join,
-        "q54_histogram_quantiles": q54_histogram_quantiles,
-        "q55_linear_quality": q55_linear_quality,
-        "q56_interval_join_batch": q56_interval_join_batch,
-        "q57_salted_join": q57_salted_join,
-        "q58_incremental_dedup": q58_incremental_dedup,
-        "q59_bpe_learn": q59_bpe_learn,
-        "q60_curation_pipeline": q60_curation_pipeline,
-        "q61_time_rollup": q61_time_rollup,
-        "q62_bm25": q62_bm25,
-        "q63_bloom_membership": q63_bloom_membership,
-        "q64_funnel": q64_funnel,
-        "q65_scd2": q65_scd2,
-        "q66_zorder": q66_zorder,
-        "q67_token_rarity": q67_token_rarity,
-        "q68_stratified_fixed_k": q68_stratified_fixed_k,
-        "q69_skew_profile": q69_skew_profile,
-        "q70_sketch_outliers": q70_sketch_outliers,
-        "q71_edit_distance_neardup": q71_edit_distance_neardup,
-        "q72_inverted_index": q72_inverted_index,
-        "q73_pivot_matrix": q73_pivot_matrix,
-        "q74_rollup_revenue": q74_rollup_revenue,
-        "q75_stream_countmin": q75_stream_countmin,
-        "q76_merge_upsert": q76_merge_upsert,
-        "q77_label_centroids": q77_label_centroids,
-        "q78_stream_static_join": q78_stream_static_join,
-        "q79_grouped_topn": q79_grouped_topn,
-        "q80_pagerank": q80_pagerank,
-        "q81_profile": q81_profile,
-        "q82_quality_deciles": q82_quality_deciles,
-        "q83_multiset_ops": q83_multiset_ops,
-        "q84_corpus_mixture": q84_corpus_mixture,
-        "q85_pq_topk": q85_pq_topk,
-        "q86_sq8_quantize": q86_sq8_quantize,
-        "q87_binary_hamming_topk": q87_binary_hamming_topk,
-        "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q89_webdataset": q89_webdataset,
-        "q90_shard_manifest": q90_shard_manifest,
-        "q93_embedding_neardup": q93_embedding_neardup,
-        "q94_doc_fingerprint": q94_doc_fingerprint,
+        "q167_jpeg_decode": q167_jpeg_decode,
         "q97_compaction_plan": q97_compaction_plan,
         "q102_retention_cohorts": q102_retention_cohorts,
         "q103_event_transitions": q103_event_transitions,
@@ -10985,7 +10854,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_data_card": q159_data_card,
         "q162_sft_spans": q162_sft_spans,
         "q163_prefix_cache_plan": q163_prefix_cache_plan,
-        "q167_jpeg_decode": q167_jpeg_decode,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q160_mmr_rerank": q160_mmr_rerank,
+        "q165_equidepth_histogram": q165_equidepth_histogram,
+        "q166_domain_caps": q166_domain_caps,
+        "q26_minhash_neardup": q26_minhash_neardup,
+        "q27_simhash_neardup": q27_simhash_neardup,
+        "q43_line_dedup": q43_line_dedup,
+        "q96_star_join": q96_star_join,
+        "q121_filtered_ann": q121_filtered_ann,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q136_substring_dedup": q136_substring_dedup,
+        "q88_ivfpq_topk": q88_ivfpq_topk,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
+        # --- tail (driver-proven in r1-r5; all still swept tri-SF by
+        #     tools/drive_contract.py before every commit) --------------
+        "q01_chunk_plan": q01_chunk_plan,
+        "q03_scan_counts": q03_scan_counts,
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q06_join_history": q06_join_history,
+        "q07_left_join_coalesce": q07_left_join_coalesce,
+        "q08_group_dedup": q08_group_dedup,
+        "q09_run_summary": q09_run_summary,
+        "q10_case_mapping": q10_case_mapping,
+        "q11_time_conversions": q11_time_conversions,
+        "q12_url_parse": q12_url_parse,
+        "q13_email_split": q13_email_split,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_token_stats": q20_token_stats,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_cosine_topk": q23_cosine_topk,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q25_top_orders": q25_top_orders,
+        "q28_lsh_topk": q28_lsh_topk,
+        "q29_media_meta": q29_media_meta,
+        "q34_ivf_topk": q34_ivf_topk,
+        "q35_string_spans": q35_string_spans,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q52_stream_dedup": q52_stream_dedup,
+        "q53_stream_interval_join": q53_stream_interval_join,
+        "q54_histogram_quantiles": q54_histogram_quantiles,
+        "q55_linear_quality": q55_linear_quality,
+        "q56_interval_join_batch": q56_interval_join_batch,
+        "q57_salted_join": q57_salted_join,
+        "q58_incremental_dedup": q58_incremental_dedup,
+        "q60_curation_pipeline": q60_curation_pipeline,
+        "q61_time_rollup": q61_time_rollup,
+        "q62_bm25": q62_bm25,
+        "q63_bloom_membership": q63_bloom_membership,
+        "q64_funnel": q64_funnel,
+        "q65_scd2": q65_scd2,
+        "q66_zorder": q66_zorder,
+        "q67_token_rarity": q67_token_rarity,
+        "q68_stratified_fixed_k": q68_stratified_fixed_k,
+        "q69_skew_profile": q69_skew_profile,
+        "q70_sketch_outliers": q70_sketch_outliers,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
+        "q72_inverted_index": q72_inverted_index,
+        "q73_pivot_matrix": q73_pivot_matrix,
+        "q74_rollup_revenue": q74_rollup_revenue,
+        "q75_stream_countmin": q75_stream_countmin,
+        "q76_merge_upsert": q76_merge_upsert,
+        "q77_label_centroids": q77_label_centroids,
+        "q78_stream_static_join": q78_stream_static_join,
+        "q79_grouped_topn": q79_grouped_topn,
+        "q80_pagerank": q80_pagerank,
+        "q81_profile": q81_profile,
+        "q82_quality_deciles": q82_quality_deciles,
+        "q83_multiset_ops": q83_multiset_ops,
+        "q84_corpus_mixture": q84_corpus_mixture,
+        "q85_pq_topk": q85_pq_topk,
+        "q86_sq8_quantize": q86_sq8_quantize,
+        "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q89_webdataset": q89_webdataset,
+        "q90_shard_manifest": q90_shard_manifest,
+        "q91_coarse_refine_topk": q91_coarse_refine_topk,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
+        "q95_incremental_minhash": q95_incremental_minhash,
+        "q98_cube_summary": q98_cube_summary,
+        "q99_resize_images": q99_resize_images,
+        "q100_frame_sample": q100_frame_sample,
+        "q101_audio_windows": q101_audio_windows,
+        "q104_stream_neardup": q104_stream_neardup,
+        "q105_chunk_documents": q105_chunk_documents,
+        "q106_gopher_flags": q106_gopher_flags,
+        "q107_c4_clean": q107_c4_clean,
+        "q108_hll_distinct": q108_hll_distinct,
+        "q110_grouping_sets": q110_grouping_sets,
+        "q111_moving_window": q111_moving_window,
+        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
+        "q115_grouped_median": q115_grouped_median,
+        "q116_grouped_mode": q116_grouped_mode,
+        "q117_contamination_scores": q117_contamination_scores,
+        "q123_prefix_filter_join": q123_prefix_filter_join,
+        "q124_html_extract": q124_html_extract,
+        "q125_warc_roundtrip": q125_warc_roundtrip,
+        "q126_small_qty_revenue": q126_small_qty_revenue,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
+        "q139_patch_means": q139_patch_means,
+        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
+        "q147_persisted_index": q147_persisted_index,
+        "q148_watermark_late_drop": q148_watermark_late_drop,
+        "q149_stream_outer_join": q149_stream_outer_join,
+        "q153_png_decode": q153_png_decode,
+        "q154_audio_energy": q154_audio_energy,
+        "q155_cdc_dedup": q155_cdc_dedup,
+        "q156_gif_decode": q156_gif_decode,
+        "q158_tiff_decode": q158_tiff_decode,
+        "q161_raster_consistency": q161_raster_consistency,
+        "q164_nested_semijoin": q164_nested_semijoin,
     }
 
 
@@ -10998,141 +11000,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_carve_declared": q31_sql(),
         "q32_carve_structured": q32_sql(),
         "q33_carve_remaining": q33_sql(),
-        "q96_star_join": q96_sql(),
-        "q98_cube_summary": q98_sql(),
-        "q110_grouping_sets": q110_sql(),
-        "q111_moving_window": q111_sql(),
-        "q115_grouped_median": q115_sql(),
-        "q116_grouped_mode": q116_sql(),
-        "q126_small_qty_revenue": q126_sql(),
-        "q164_nested_semijoin": q164_sql(),
-        "q91_coarse_refine_topk": q91_sql(),
-        "q120_ivfpq_residual": q120_sql(),
-        "q121_filtered_ann": q121_sql(),
-        "q147_persisted_index": q88_sql(),  # persisted index must answer like q88
-        "q95_incremental_minhash": q95_sql(),
-        "q104_stream_neardup": q104_sql(),
-        "q122_semantic_dedup": q122_sql(),
-        "q123_prefix_filter_join": q123_sql(),
-        "q136_substring_dedup": q136_sql(),
-        "q155_cdc_dedup": q155_sql(),
-        "q124_html_extract": q124_sql(),
-        "q125_warc_roundtrip": q125_sql(),
-        "q127_bigram_lm": q127_sql(),
-        "q131_crawl_pipeline": q131_sql(),
-        "q140_stream_crawl_ingest": q140_sql(),
-        "q148_watermark_late_drop": q148_sql(),
-        "q149_stream_outer_join": q149_sql(),
-        "q99_resize_images": q99_sql(),
-        "q100_frame_sample": q100_sql(),
-        "q101_audio_windows": q101_sql(),
-        "q114_tfrecord_roundtrip": q114_sql(),
-        "q139_patch_means": q139_sql(),
-        "q153_png_decode": q153_sql(),
-        "q154_audio_energy": q154_sql(),
-        "q156_gif_decode": q156_sql(),
-        "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
-        "q161_raster_consistency": q161_sql(),
-        "q157_bitext_mining": q157_sql(),
-        "q160_mmr_rerank": q160_sql(),
-        "q92_bpe_tokenize": q92_sql(),  # unrolled-training replay (r6)
-        "q105_chunk_documents": q105_sql(),
-        "q106_gopher_flags": q106_sql(),
-        "q107_c4_clean": q107_sql(),
-        "q108_hll_distinct": q108_sql(),
-        "q117_contamination_scores": q117_sql(),
-        "q165_equidepth_histogram": q165_sql(),
-        "q166_domain_caps": q166_sql(),
-        # --- tail --------------------------------------------------------
-        "q01_chunk_plan": q01_sql(),
-        "q03_scan_counts": q03_sql(),
-        "q04_entropy": q04_sql(),
-        "q05_sessionize": q05_sql(),
-        "q06_join_history": q06_sql(),
-        "q07_left_join_coalesce": q07_sql(),
-        "q08_group_dedup": q08_sql(),
-        "q09_run_summary": q09_sql(),
-        "q10_case_mapping": q10_sql(),
-        "q11_time_conversions": q11_sql(),
-        "q12_url_parse": q12_sql(),
-        "q13_email_split": q13_sql(),
-        "q14_phone_plausible": q14_sql(),
-        "q15_normalize_url": q15_sql(),
-        "q16_string_flags": q16_sql(),
-        "q17_extract_urls": q17_sql(),
-        "q18_exact_dedup": q18_sql(),
-        "q19_ngram_jaccard": q19_sql(),
-        "q20_token_stats": q20_sql(),
-        "q21_quality": q21_sql(),
-        "q22_langid": q22_sql(),
-        "q23_cosine_topk": q23_sql(),
-        "q24_pricing_summary": q24_sql(),
-        "q25_top_orders": q25_sql(),
-        "q26_minhash_neardup": q26_sql(),
-        "q27_simhash_neardup": q27_sql(),
-        "q28_lsh_topk": q28_sql(),
-        "q29_media_meta": q29_sql(),
-        "q34_ivf_topk": q34_sql(),
-        "q35_string_spans": q35_sql(),
-        "q36_dedup_clusters": q36_sql(),
-        "q37_stream_sessionize": q37_sql(),
-        "q38_pack_sequences": q38_sql(),
-        "q39_hash_sample": q39_sql(),
-        "q40_pii_scrub": q40_sql(),
-        "q41_vocab_topk": q41_sql(),
-        "q42_decontaminate": q42_sql(),
-        "q43_line_dedup": q43_sql(),
-        "q44_repetition_metrics": q44_sql(),
-        "q45_session_window": q45_sql(),
-        "q46_kmv_sketch": q46_sql(),
-        "q47_stream_window_agg": q47_sql(),
-        "q48_asof_join": q48_sql(),
-        "q49_countmin": q49_sql(),
-        "q50_weighted_sample": q50_sql(),
-        "q51_crossdoc_dup": q51_sql(),
-        "q52_stream_dedup": q52_sql(),
-        "q53_stream_interval_join": q53_sql(),
-        "q54_histogram_quantiles": q54_sql(),
-        "q55_linear_quality": q55_sql(),
-        "q56_interval_join_batch": q56_sql(),
-        "q57_salted_join": q57_sql(),
-        "q58_incremental_dedup": q58_sql(),
-        "q59_bpe_learn": q59_sql(),  # unrolled-training replay (r6)
-        "q60_curation_pipeline": q60_sql(),
-        "q61_time_rollup": q61_sql(),
-        "q62_bm25": q62_sql(),
-        "q63_bloom_membership": q63_sql(),
-        "q64_funnel": q64_sql(),
-        "q65_scd2": q65_sql(),
-        "q66_zorder": q66_sql(),
-        "q67_token_rarity": q67_sql(),
-        "q68_stratified_fixed_k": q68_sql(),
-        "q69_skew_profile": q69_sql(),
-        "q70_sketch_outliers": q70_sql(),
-        "q71_edit_distance_neardup": q71_sql(),
-        "q72_inverted_index": q72_sql(),
-        "q73_pivot_matrix": q73_sql(),
-        "q74_rollup_revenue": q74_sql(),
-        # streaming maintenance of the SAME sketch: q49's batch oracle
-        # gates it — merge-equivalence is the claim under test
-        "q75_stream_countmin": q49_sql(),
-        "q76_merge_upsert": q76_sql(),
-        "q77_label_centroids": q77_sql(),
-        "q78_stream_static_join": q78_sql(),
-        "q79_grouped_topn": q79_sql(),
-        "q80_pagerank": q80_sql(),
-        "q81_profile": q81_sql(),
-        "q82_quality_deciles": q82_sql(),
-        "q83_multiset_ops": q83_sql(),
-        "q84_corpus_mixture": q84_sql(),
-        "q85_pq_topk": q85_sql(),
-        "q86_sq8_quantize": q86_sql(),
-        "q87_binary_hamming_topk": q87_sql(),
-        "q88_ivfpq_topk": q88_sql(),
-        "q89_webdataset": q89_sql(),
-        "q90_shard_manifest": q90_sql(),
-        "q93_embedding_neardup": q93_sql(),
-        "q94_doc_fingerprint": q94_sql(),
+        "q167_jpeg_decode": q167_sql(),
         "q97_compaction_plan": q97_sql(),
         "q102_retention_cohorts": q102_sql(),
         "q103_event_transitions": q103_sql(),
@@ -11162,5 +11030,137 @@ def oracle_sql() -> dict[str, str]:
         "q159_data_card": q159_sql(),
         "q162_sft_spans": q162_sql(),
         "q163_prefix_cache_plan": q163_sql(),
-        "q167_jpeg_decode": q167_sql(),
+        "q59_bpe_learn": q59_sql(),  # unrolled-training replay (r6)
+        "q92_bpe_tokenize": q92_sql(),  # unrolled-training replay (r6)
+        "q157_bitext_mining": q157_sql(),
+        "q160_mmr_rerank": q160_sql(),
+        "q165_equidepth_histogram": q165_sql(),
+        "q166_domain_caps": q166_sql(),
+        "q26_minhash_neardup": q26_sql(),
+        "q27_simhash_neardup": q27_sql(),
+        "q43_line_dedup": q43_sql(),
+        "q96_star_join": q96_sql(),
+        "q121_filtered_ann": q121_sql(),
+        "q122_semantic_dedup": q122_sql(),
+        "q136_substring_dedup": q136_sql(),
+        "q88_ivfpq_topk": q88_sql(),
+        "q120_ivfpq_residual": q120_sql(),
+        # --- tail --------------------------------------------------------
+        "q01_chunk_plan": q01_sql(),
+        "q03_scan_counts": q03_sql(),
+        "q04_entropy": q04_sql(),
+        "q05_sessionize": q05_sql(),
+        "q06_join_history": q06_sql(),
+        "q07_left_join_coalesce": q07_sql(),
+        "q08_group_dedup": q08_sql(),
+        "q09_run_summary": q09_sql(),
+        "q10_case_mapping": q10_sql(),
+        "q11_time_conversions": q11_sql(),
+        "q12_url_parse": q12_sql(),
+        "q13_email_split": q13_sql(),
+        "q14_phone_plausible": q14_sql(),
+        "q15_normalize_url": q15_sql(),
+        "q16_string_flags": q16_sql(),
+        "q17_extract_urls": q17_sql(),
+        "q18_exact_dedup": q18_sql(),
+        "q19_ngram_jaccard": q19_sql(),
+        "q20_token_stats": q20_sql(),
+        "q21_quality": q21_sql(),
+        "q22_langid": q22_sql(),
+        "q23_cosine_topk": q23_sql(),
+        "q24_pricing_summary": q24_sql(),
+        "q25_top_orders": q25_sql(),
+        "q28_lsh_topk": q28_sql(),
+        "q29_media_meta": q29_sql(),
+        "q34_ivf_topk": q34_sql(),
+        "q35_string_spans": q35_sql(),
+        "q36_dedup_clusters": q36_sql(),
+        "q37_stream_sessionize": q37_sql(),
+        "q38_pack_sequences": q38_sql(),
+        "q39_hash_sample": q39_sql(),
+        "q40_pii_scrub": q40_sql(),
+        "q41_vocab_topk": q41_sql(),
+        "q42_decontaminate": q42_sql(),
+        "q44_repetition_metrics": q44_sql(),
+        "q45_session_window": q45_sql(),
+        "q46_kmv_sketch": q46_sql(),
+        "q47_stream_window_agg": q47_sql(),
+        "q48_asof_join": q48_sql(),
+        "q49_countmin": q49_sql(),
+        "q50_weighted_sample": q50_sql(),
+        "q51_crossdoc_dup": q51_sql(),
+        "q52_stream_dedup": q52_sql(),
+        "q53_stream_interval_join": q53_sql(),
+        "q54_histogram_quantiles": q54_sql(),
+        "q55_linear_quality": q55_sql(),
+        "q56_interval_join_batch": q56_sql(),
+        "q57_salted_join": q57_sql(),
+        "q58_incremental_dedup": q58_sql(),
+        "q60_curation_pipeline": q60_sql(),
+        "q61_time_rollup": q61_sql(),
+        "q62_bm25": q62_sql(),
+        "q63_bloom_membership": q63_sql(),
+        "q64_funnel": q64_sql(),
+        "q65_scd2": q65_sql(),
+        "q66_zorder": q66_sql(),
+        "q67_token_rarity": q67_sql(),
+        "q68_stratified_fixed_k": q68_sql(),
+        "q69_skew_profile": q69_sql(),
+        "q70_sketch_outliers": q70_sql(),
+        "q71_edit_distance_neardup": q71_sql(),
+        "q72_inverted_index": q72_sql(),
+        "q73_pivot_matrix": q73_sql(),
+        "q74_rollup_revenue": q74_sql(),  # streaming maintenance of the SAME sketch: q49's batch oracle
+        "q75_stream_countmin": q49_sql(),
+        "q76_merge_upsert": q76_sql(),
+        "q77_label_centroids": q77_sql(),
+        "q78_stream_static_join": q78_sql(),
+        "q79_grouped_topn": q79_sql(),
+        "q80_pagerank": q80_sql(),
+        "q81_profile": q81_sql(),
+        "q82_quality_deciles": q82_sql(),
+        "q83_multiset_ops": q83_sql(),
+        "q84_corpus_mixture": q84_sql(),
+        "q85_pq_topk": q85_sql(),
+        "q86_sq8_quantize": q86_sql(),
+        "q87_binary_hamming_topk": q87_sql(),
+        "q89_webdataset": q89_sql(),
+        "q90_shard_manifest": q90_sql(),
+        "q91_coarse_refine_topk": q91_sql(),
+        "q93_embedding_neardup": q93_sql(),
+        "q94_doc_fingerprint": q94_sql(),
+        "q95_incremental_minhash": q95_sql(),
+        "q98_cube_summary": q98_sql(),
+        "q99_resize_images": q99_sql(),
+        "q100_frame_sample": q100_sql(),
+        "q101_audio_windows": q101_sql(),
+        "q104_stream_neardup": q104_sql(),
+        "q105_chunk_documents": q105_sql(),
+        "q106_gopher_flags": q106_sql(),
+        "q107_c4_clean": q107_sql(),
+        "q108_hll_distinct": q108_sql(),
+        "q110_grouping_sets": q110_sql(),
+        "q111_moving_window": q111_sql(),
+        "q114_tfrecord_roundtrip": q114_sql(),
+        "q115_grouped_median": q115_sql(),
+        "q116_grouped_mode": q116_sql(),
+        "q117_contamination_scores": q117_sql(),
+        "q123_prefix_filter_join": q123_sql(),
+        "q124_html_extract": q124_sql(),
+        "q125_warc_roundtrip": q125_sql(),
+        "q126_small_qty_revenue": q126_sql(),
+        "q127_bigram_lm": q127_sql(),
+        "q131_crawl_pipeline": q131_sql(),
+        "q139_patch_means": q139_sql(),
+        "q140_stream_crawl_ingest": q140_sql(),
+        "q147_persisted_index": q88_sql(),  # persisted index must answer like q88
+        "q148_watermark_late_drop": q148_sql(),
+        "q149_stream_outer_join": q149_sql(),
+        "q153_png_decode": q153_sql(),
+        "q154_audio_energy": q154_sql(),
+        "q155_cdc_dedup": q155_sql(),
+        "q156_gif_decode": q156_sql(),
+        "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
+        "q161_raster_consistency": q161_sql(),
+        "q164_nested_semijoin": q164_sql(),
     }

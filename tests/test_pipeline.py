@@ -275,15 +275,11 @@ def test_dryrun_sink(spark, tmp_path):
     assert not os.path.exists(out)  # nothing written
 
 
-def test_golden_image_full_manifest_strings_browser(spark, tmp_path):
-    """The reference's PRIMARY oracle in one pytest (golden_image_test
-    .rs:166 raw-manifest leg, :272 strings leg): a 26-format composed
-    image PLUS planted ASCII/UTF-16LE string artefacts and a real
-    Chrome History DB, ONE full Engine.run with string scan + sqlite
-    enabled, then three verification legs against the manifest —
-    carved (offset, size, sha256) per format, string artefacts by
-    content/encoding/offset, and browser_history rows parsed out of
-    the planted DB."""
+def build_planted_golden(tmp_path) -> tuple[bytes, list[dict], int, int]:
+    """The 27-entry golden image both E2E legs run: every carver
+    fixture (build_golden) plus planted ASCII URL / UTF-16LE email
+    string artefacts and a real Chrome History DB. Returns
+    (evidence_bytes, manifest, url_offset, email_offset)."""
     from tests.test_browser import build_chrome_db
 
     evidence, manifest = build_golden()
@@ -313,10 +309,23 @@ def test_golden_image_full_manifest_strings_browser(spark, tmp_path):
         }
     )
     buf.extend(b"\x00" * 4096)
+    return bytes(buf), manifest, url_off, email_off
+
+
+def test_golden_image_full_manifest_strings_browser(spark, tmp_path):
+    """The reference's PRIMARY oracle in one pytest (golden_image_test
+    .rs:166 raw-manifest leg, :272 strings leg): a 26-format composed
+    image PLUS planted ASCII/UTF-16LE string artefacts and a real
+    Chrome History DB, ONE full Engine.run with string scan + sqlite
+    enabled, then three verification legs against the manifest —
+    carved (offset, size, sha256) per format, string artefacts by
+    content/encoding/offset, and browser_history rows parsed out of
+    the planted DB."""
+    evidence, manifest, url_off, email_off = build_planted_golden(tmp_path)
 
     path = str(tmp_path / "golden.raw")
     with open(path, "wb") as fh:
-        fh.write(bytes(buf))
+        fh.write(evidence)
 
     cfg = dataclasses.replace(
         TEST_CFG, enable_string_scan=True, string_scan_utf16=True
@@ -363,3 +372,77 @@ def test_golden_image_full_manifest_strings_browser(spark, tmp_path):
     assert len(visits) == 2  # both planted Chrome visits
     assert all(r.browser == "chrome" for r in visits)
     assert {r.title for r in visits} == {"Example"}
+
+
+def test_golden_image_e01_multisegment_matches_raw(spark, tmp_path):
+    """The reference's E01 oracle leg (golden_image_test.rs:272 runs
+    the identical flow over golden.E01 with strings enabled): wrap the
+    SAME 27-entry planted image with the multi-segment EWF writer and
+    run the identical Engine.run through the container — the raw and
+    E01 paths must produce IDENTICAL manifests (offset, size, sha256),
+    identical typed string artefacts, and identical browser rows. The
+    container layer has to be invisible to every downstream operator."""
+    from swiftbeaver_spark.ewf import write_ewf
+
+    evidence, manifest, url_off, email_off = build_planted_golden(tmp_path)
+
+    raw_path = str(tmp_path / "golden.raw")
+    with open(raw_path, "wb") as fh:
+        fh.write(evidence)
+    e01_path = str(tmp_path / "golden.E01")
+    # chunks_per_segment forces a real E01/E02/... chain, so the
+    # multi-segment table walk is on the tested path, not just 1 file
+    write_ewf(e01_path, evidence, chunks_per_segment=8)
+    assert os.path.exists(str(tmp_path / "golden.E02")), "expected a multi-segment chain"
+
+    cfg = dataclasses.replace(
+        TEST_CFG, enable_string_scan=True, string_scan_utf16=True
+    )
+    res_raw = Engine(spark, cfg).run(evidence_path=raw_path)
+    res_e01 = Engine(spark, cfg).run(evidence_path=e01_path)
+
+    # leg 1: identical carve manifests, and every golden entry present
+    carved_raw = {
+        (r.global_start, r.size, r.sha256)
+        for r in res_raw["carved_files"].collect()
+    }
+    carved_e01 = {
+        (r.global_start, r.size, r.sha256)
+        for r in res_e01["carved_files"].collect()
+    }
+    assert carved_raw == carved_e01
+    missing = [
+        m["name"]
+        for m in manifest
+        if (m["offset"], m["size"], m["sha256"]) not in carved_e01
+        and m["name"] != "mp4"  # mov carver claims it byte-identically
+    ]
+    assert not missing, f"missing through E01: {missing}"
+
+    # leg 2: identical typed string artefacts, planted ones included
+    def art_set(res):
+        return {
+            (r.artefact_kind, r.encoding, r.content, r.global_start, r.global_end)
+            for r in res["string_artefacts"].collect()
+        }
+
+    arts_raw, arts_e01 = art_set(res_raw), art_set(res_e01)
+    assert arts_raw == arts_e01
+    assert any(
+        k == "Url" and "golden.example.com" in c and s <= url_off < e
+        for (k, _enc, c, s, e) in arts_e01
+    )
+    assert any(
+        k == "Email" and enc == "utf-16le" and s <= email_off < e
+        for (k, enc, c, s, e) in arts_e01
+    )
+
+    # leg 3: identical browser rows through the container
+    def hist_set(res):
+        return {
+            (r.browser, r.url, r.title)
+            for r in res["browser_history"].collect()
+        }
+
+    assert hist_set(res_raw) == hist_set(res_e01)
+    assert ("chrome", "https://example.com/", "Example") in hist_set(res_e01)
