@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce small shuffles by SIZE, not default parallelism:
+        # the dedup pipelines' ~100k-row shuffles otherwise run 32
+        # near-empty tasks per stage across ~6 AQE stage waves —
+        # scheduling, not compute. Size-first coalescing collapses
+        # them to a handful of tasks at bench SF and is a no-op at
+        # 100 TB, where every shuffle partition exceeds the advisory
+        # size anyway (VERDICT r5 item 3; measured in BASELINE.md r6)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # keep broadcast threshold default (10 MB); dims here are tiny
         .config(
             "spark.sql.shuffle.partitions",

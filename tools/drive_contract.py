@@ -27,6 +27,9 @@ spark = (
     SparkSession.builder.master("local[16]")
     .config("spark.sql.shuffle.partitions", "16")
     .config("spark.ui.enabled", "false")
+    # a 50+-query sweep accumulates caches/broadcasts in one JVM; the
+    # default 1g driver heap OOMs around query ~40 (seen in round 6)
+    .config("spark.driver.memory", "6g")
     .getOrCreate()
 )
 
@@ -53,6 +56,9 @@ for name, fn in E.queries().items():
     if ONLY and not name.startswith(ONLY):
         continue
     sdf = fn(spark, SF).toPandas()
+    # queries persist() internally; drop leftovers so a long sweep
+    # doesn't accumulate executor/driver heap across 167 queries
+    spark.catalog.clearCache()
     if name not in oracles:
         print(f"{name}: rows-only, {len(sdf)} rows")
         try:
