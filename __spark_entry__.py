@@ -107,6 +107,7 @@ round-3 additions (q61-q84):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -10790,6 +10791,210 @@ def q167_sql() -> str:
     """
 
 
+_Q168_F_EVEN = "fffb9000"  # MPEG1 L3 128 kbps 44100 Hz, no padding -> 417 B
+_Q168_F_ODD = "fffba000"  # MPEG1 L3 160 kbps 44100 Hz, no padding -> 522 B
+_Q168_ID3_HDR = "494433" + "0300" + "00" + "00000008" + "00" * 8  # ID3v2, 8 B body
+
+
+def q168_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame walk under the oracle (llm/multimodal.py::
+    mp3_frame_spans — ID3v2 skip + ISO 11172-3 Layer III header walk
+    with the sample-accurate cumulative timeline): per doc an MP3
+    stream is BUILT IN SQL — optional ID3v2 tag (even doc_ids),
+    2 + doc_id%3 frames alternating 128 kbps (417 B) and 160 kbps
+    (522 B) headers with md5-derived filler, then deliberate trailing
+    garbage the walk must stop at. Every (frame_idx, byte_off,
+    byte_size, bitrate, t_ms) row is predicted closed-form (frame
+    sizes are header arithmetic; t_ms = 1152*i*1000//44100) — parser
+    vs prediction, the q101 convention. doc_id%7==3 rows carry a
+    non-MP3 payload and must emit the single 'unsupported' row."""
+    from swiftbeaver_spark.llm.multimodal import mp3_frame_spans
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+
+    def filler(tag: str, hexlen: int) -> Column:
+        reps = hexlen // 32 + 1
+        return F.substring(
+            F.repeat(F.md5(F.format_string(f"{tag}:%d", F.col("doc_id"))), reps),
+            1,
+            hexlen,
+        )
+
+    nf = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    f_even = [F.concat(F.lit(_Q168_F_EVEN), filler(f"f{i}", 826)) for i in (0, 2)]
+    f_odd = [F.concat(F.lit(_Q168_F_ODD), filler(f"f{i}", 1036)) for i in (1, 3)]
+    mp3_hex = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_Q168_ID3_HDR)).otherwise(F.lit("")),
+        f_even[0],
+        f_odd[0],
+        F.when(nf >= 3, f_even[1]).otherwise(F.lit("")),
+        F.when(nf >= 4, f_odd[1]).otherwise(F.lit("")),
+        F.lit("001122"),  # broken sync: the walk must stop here
+    )
+    payload_hex = F.when(F.col("doc_id") % 7 == 3, F.lit("52494646")).otherwise(mp3_hex)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    out = mp3_frame_spans(media)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.coalesce(F.col("byte_off"), F.lit(-1)).cast("long").alias("byte_off"),
+        F.coalesce(F.col("byte_size"), F.lit(-1)).cast("long").alias("byte_size"),
+        F.coalesce(F.col("bitrate_kbps"), F.lit(-1)).cast("long").alias("bitrate_kbps"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).cast("long").alias("sample_rate"),
+        F.coalesce(F.col("t_ms"), F.lit(-1)).cast("long").alias("t_ms"),
+        "status",
+    ).orderBy("media_id", "frame_idx")
+
+
+def q168_sql() -> str:
+    # frame i: even -> 417 B @128 kbps, odd -> 522 B @160 kbps;
+    # byte_off(i) = id3 + 417*ceil(i/2) + 522*floor(i/2);
+    # t_ms(i) = 1152*i*1000 // 44100 (MPEG1 L3, constant 44100 Hz)
+    return """
+    WITH d AS (
+      SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS nf,
+             CASE WHEN doc_id % 2 = 0 THEN 18 ELSE 0 END AS id3
+      FROM documents WHERE doc_id < 150 AND doc_id % 7 <> 3
+    ), f AS (
+      SELECT d.doc_id, u.i AS frame_idx, d.id3, d.nf
+      FROM d, LATERAL unnest(generate_series(0, CAST(d.nf - 1 AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(id3 + 417 * ((frame_idx + 1) // 2) + 522 * (frame_idx // 2)
+                AS BIGINT) AS byte_off,
+           CAST(CASE WHEN frame_idx % 2 = 0 THEN 417 ELSE 522 END AS BIGINT)
+             AS byte_size,
+           CAST(CASE WHEN frame_idx % 2 = 0 THEN 128 ELSE 160 END AS BIGINT)
+             AS bitrate_kbps,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(1152 * frame_idx * 1000 // 44100 AS BIGINT) AS t_ms,
+           'ok' AS status
+    FROM f
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), 'unsupported'
+    FROM documents WHERE doc_id < 150 AND doc_id % 7 = 3
+    ORDER BY media_id, frame_idx
+    """
+
+
+def _q169_variants() -> list[tuple[int, int, int, int, str]]:
+    """12 pinned Ogg-Vorbis streams (channels, sample_rate, dur_ms,
+    n_pages, payload_hex), indexed channels_i*6 + rate_i*3 + (secs-1):
+    a BOS page with a real Vorbis identification header + `secs` audio
+    pages (EOS on the last, granule = sample_rate*page_no)."""
+    import struct as _s
+
+    out = []
+    for ch in (1, 2):
+        for sr in (44100, 48000):
+            for secs in (1, 2, 3):
+                idpkt = (
+                    b"\x01vorbis"
+                    + _s.pack("<I", 0)
+                    + _s.pack("<B", ch)
+                    + _s.pack("<I", sr)
+                    + _s.pack("<i", 0)
+                    + _s.pack("<i", 128000)
+                    + _s.pack("<i", 0)
+                    + bytes([0xB8, 0x01])
+                )
+                pages = [
+                    b"OggS"
+                    + bytes([0, 0x02])
+                    + _s.pack("<q", 0)
+                    + _s.pack("<I", 1)
+                    + _s.pack("<I", 0)
+                    + b"\x00" * 4
+                    + bytes([1, len(idpkt)])
+                    + idpkt
+                ]
+                for k in range(1, secs + 1):
+                    flags = 0x04 if k == secs else 0x00
+                    body = hashlib.md5(f"oggbody:{ch}:{sr}:{k}".encode()).digest()
+                    pages.append(
+                        b"OggS"
+                        + bytes([0, flags])
+                        + _s.pack("<q", sr * k)
+                        + _s.pack("<I", 1)
+                        + _s.pack("<I", k)
+                        + b"\x00" * 4
+                        + bytes([1, len(body)])
+                        + body
+                    )
+                out.append((ch, sr, secs * 1000, 1 + secs, b"".join(pages).hex()))
+    return out
+
+
+def q169_vorbis_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg-Vorbis metadata under the oracle (llm/multimodal.py::
+    vorbis_stream_meta — BOS-page identification-header parse + page
+    walk to the EOS granule position, the codec-free duration the Ogg
+    spec defines): 12 pinned valid streams (2 channel counts x 2
+    sample rates x 3 durations, q167's literal-palette convention)
+    selected per doc by md5 index; the oracle replays the palette as
+    a VALUES table. doc_id%5==4 rows carry a WAV payload and must
+    emit 'unsupported'."""
+    from swiftbeaver_spark.llm.multimodal import vorbis_meta
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sel = (
+        F.conv(
+            F.substring(F.md5(F.format_string("ogg:%d", F.col("doc_id"))), 1, 2), 16, 10
+        ).cast("int")
+        % 12
+        + 1
+    ).cast("int")
+    hexes = [v[4] for v in _q169_variants()]
+    payload = F.when(
+        F.col("doc_id") % 5 == 4, F.unhex(F.lit("52494646aabbccdd57415645"))
+    ).otherwise(F.unhex(F.element_at(F.array(*[F.lit(h) for h in hexes]), sel)))
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    out = vorbis_meta(media)
+    return out.select(
+        "media_id",
+        F.coalesce(F.col("channels"), F.lit(-1)).cast("long").alias("channels"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).cast("long").alias("sample_rate"),
+        F.coalesce(F.col("bitrate_nominal"), F.lit(-1)).cast("long").alias("bitrate_nominal"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).cast("long").alias("duration_ms"),
+        F.coalesce(F.col("n_pages"), F.lit(-1)).cast("long").alias("n_pages"),
+        "status",
+    ).orderBy("media_id")
+
+
+def q169_sql() -> str:
+    pal_rows = ", ".join(
+        f"({i + 1}, {ch}, {sr}, {dur}, {np})"
+        for i, (ch, sr, dur, np, _) in enumerate(_q169_variants())
+    )
+    return f"""
+    WITH pal(i, channels, sample_rate, dur_ms, n_pages) AS (VALUES {pal_rows}),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(printf('ogg:%d', doc_id)), 1, 2) AS BIGINT)
+               % 12 + 1 AS sel
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE p.channels END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE p.sample_rate END AS BIGINT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE 128000 END AS BIGINT)
+             AS bitrate_nominal,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE p.dur_ms END AS BIGINT)
+             AS duration_ms,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE p.n_pages END AS BIGINT)
+             AS n_pages,
+           CASE WHEN doc_id % 5 = 4 THEN 'unsupported' ELSE 'ok' END AS status
+    FROM d JOIN pal p ON d.sel = p.i
+    ORDER BY media_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -10988,6 +11193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
     }
 
 
@@ -11163,4 +11370,6 @@ def oracle_sql() -> dict[str, str]:
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
         "q161_raster_consistency": q161_sql(),
         "q164_nested_semijoin": q164_sql(),
+        "q168_mp3_frames": q168_sql(),
+        "q169_vorbis_meta": q169_sql(),
     }

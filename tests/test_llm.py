@@ -1781,3 +1781,80 @@ def test_jpeg_decoder_fill_bytes_and_standalone_markers():
     patched = payload[:2] + b"\xff" + b"\xff\x01" + payload[2:]
     px = jpeg_pixels(patched)
     assert px is not None and (px[:, :, 0] == 42).all()
+
+
+def test_mp3_frame_spans(spark):
+    from swiftbeaver_spark.llm.multimodal import mp3_frame_header, mp3_frame_spans
+
+    # MPEG1 L3 128kbps@44100 (417 B), padded variant (418 B),
+    # MPEG2 L3 64kbps@22050 (208 B, 576 samples/frame)
+    f1 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413
+    f1p = bytes([0xFF, 0xFB, 0x92, 0x00]) + b"\xbb" * 414
+    f2 = bytes([0xFF, 0xF2, 0x80, 0x00]) + b"\xcc" * 204
+    assert mp3_frame_header(f1[:4]) == (417, 128, 44100, 1152)
+    assert mp3_frame_header(f1p[:4]) == (418, 128, 44100, 1152)
+    assert mp3_frame_header(f2[:4]) == (208, 64, 22050, 576)
+    assert mp3_frame_header(bytes([0xFF, 0xFB, 0x00, 0x00])) is None  # free bitrate
+    assert mp3_frame_header(bytes([0xFF, 0xFD, 0x90, 0x00])) is None  # Layer II
+
+    id3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 5]) + b"\x00" * 5
+    rows = mp3_frame_spans(
+        spark.createDataFrame(
+            [
+                (1, id3 + f1 + f1p + f1 + b"\x00garbage"),  # tag + 3 frames + junk
+                (2, f2 + f2[: len(f2) - 1]),  # walk stops at truncated 2nd frame
+                (3, b"RIFFxxxxWAVE"),  # not an mp3
+            ],
+            "media_id LONG, payload BINARY",
+        )
+    ).collect()
+    by = {(r.media_id, r.frame_idx): r for r in rows}
+    assert len([r for r in rows if r.media_id == 1]) == 3
+    assert by[(1, 0)].byte_off == 15 and by[(1, 0)].byte_size == 417
+    assert by[(1, 1)].byte_off == 15 + 417 and by[(1, 1)].byte_size == 418
+    # sample-accurate timeline: 1152 samples/frame @44100
+    assert [by[(1, i)].t_ms for i in range(3)] == [0, 1152 * 1000 // 44100, 2304 * 1000 // 44100]
+    assert len([r for r in rows if r.media_id == 2]) == 1  # truncated tail dropped
+    assert by[(2, 0)].sample_rate == 22050
+    assert by[(3, -1)].status == "unsupported"
+
+
+def test_vorbis_stream_meta(spark):
+    import struct as _s
+
+    from swiftbeaver_spark.llm.multimodal import vorbis_meta, vorbis_stream_meta
+
+    def idpkt(ch, sr):
+        return (
+            b"\x01vorbis" + _s.pack("<I", 0) + _s.pack("<B", ch) + _s.pack("<I", sr)
+            + _s.pack("<i", 0) + _s.pack("<i", 96000) + _s.pack("<i", 0)
+            + bytes([0xB8, 0x01])
+        )
+
+    def page(flags, granule, seq, body):
+        return (
+            b"OggS" + bytes([0, flags]) + _s.pack("<q", granule) + _s.pack("<I", 1)
+            + _s.pack("<I", seq) + b"\x00" * 4 + bytes([1, len(body)]) + body
+        )
+
+    good = page(0x02, 0, 0, idpkt(2, 48000)) + page(0x00, -1, 1, b"\x01" * 9) \
+        + page(0x04, 96000, 2, b"\x02" * 7)
+    # -1 granule (no completed packet) must not clobber the duration
+    assert vorbis_stream_meta(good) == (2, 48000, 96000, 2000, 3)
+    # missing EOS: duration from the last intact page's granule
+    no_eos = page(0x02, 0, 0, idpkt(1, 44100)) + page(0x00, 44100, 1, b"\x03" * 5)
+    assert vorbis_stream_meta(no_eos) == (1, 44100, 96000, 1000, 2)
+    # truncated final page keeps the previous granule
+    trunc = no_eos + page(0x04, 88200, 2, b"\x04" * 50)[:-20]
+    assert vorbis_stream_meta(trunc) == (1, 44100, 96000, 1000, 2)
+    assert vorbis_stream_meta(b"OggS" + b"\x00" * 54) is None  # no BOS flag
+    assert vorbis_stream_meta(page(0x02, 0, 0, b"\x03vorbis" + b"\x00" * 23)) is None
+
+    rows = vorbis_meta(
+        spark.createDataFrame(
+            [(1, good), (2, b"RIFFxxxxWAVE")], "media_id LONG, payload BINARY"
+        )
+    ).collect()
+    by = {r.media_id: r for r in rows}
+    assert (by[1].channels, by[1].duration_ms, by[1].n_pages) == (2, 2000, 3)
+    assert by[2].status == "unsupported"
