@@ -1,0 +1,97 @@
+"""Heavy-family scale measurement (VERDICT r5 item 6): run the dedup /
+ANN / bitext heavy hitters at sf0.1 AND at the 10x sf1-equivalent
+dataset (tools/gen_scale10.py), recording wall time and verifying the
+PLAN SHAPE is unchanged across the scale-up — no broadcast flips into
+cartesians, no new nested-loop joins. This is the cheapest measurable
+evidence that the written 100 TB designs hold: a plan whose join
+strategy and candidate generation survive 10x unchanged is bounded by
+the same asymptotics at 1000x.
+
+Usage: python tools/bench_scale.py  -> one JSON line per query.
+"""
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from swiftbeaver_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1")
+
+HEAVY = [
+    "q26_minhash_neardup",
+    "q27_simhash_neardup",
+    "q136_substring_dedup",
+    "q122_semantic_dedup",
+    "q157_bitext_mining",
+    "q88_ivfpq_topk",
+    "q120_ivfpq_residual",
+]
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+STRATS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+
+
+def plan_profile(df) -> dict:
+    txt = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    return {s: len(re.findall(s, txt)) for s in STRATS + FORBIDDEN}
+
+
+def main() -> None:
+    spark = get_spark(app_name="swiftbeaver-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    results = {}
+    for name in HEAVY:
+        fn = qs[name]
+        row = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            df = fn(spark, sf_dir)
+            prof = plan_profile(df)
+            bad = {k: v for k, v in prof.items() if k in FORBIDDEN and v}
+            t0 = time.time()
+            n = df.count()
+            wall = round(time.time() - t0, 3)
+            spark.catalog.clearCache()  # queries persist() internally
+            row[label] = {"wall_sec": wall, "rows": n, "plan": prof,
+                          "forbidden": bad}
+            print(f"# {name} @{label}: {wall}s, {n} rows, plan={prof}",
+                  file=sys.stderr)
+        p0 = {k: row["sf0.1"]["plan"][k] for k in STRATS}
+        p1 = {k: row["sf1"]["plan"][k] for k in STRATS}
+        if p0 == p1:
+            row["plan_shape"] = "stable"
+        elif sum(p0.values()) == sum(p1.values()) and p1["BroadcastHashJoin"] <= p0[
+            "BroadcastHashJoin"
+        ]:
+            # broadcast -> shuffle join once the build side outgrows the
+            # 10 MB threshold: the SAFE adaptive direction (asymptotics
+            # unchanged — equi-join either way, never nested-loop)
+            row["plan_shape"] = "safe_flip"
+        else:
+            row["plan_shape"] = "unstable"
+        row["plan_shape_stable"] = row["plan_shape"] != "unstable"
+        row["ratio"] = round(
+            row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9), 2
+        )
+        results[name] = row
+        print(json.dumps({name: row}))
+    ok = all(
+        not r["sf0.1"]["forbidden"] and not r["sf1"]["forbidden"]
+        for r in results.values()
+    )
+    print(json.dumps({"all_plans_clean": ok,
+                      "shape_stable": {k: r["plan_shape_stable"]
+                                       for k, r in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()
