@@ -433,18 +433,25 @@ def simhash_near_dups(
     keep = n_segments - max_hamming
     if keep < 1:
         raise ValueError("max_hamming must be < n_segments")
-    combo_structs = []
-    for cid, combo in enumerate(combinations(range(n_segments), keep)):
+    combos = list(combinations(range(n_segments), keep))
+
+    def combo_key(sim: Column, combo: tuple[int, ...]) -> Column:
         key = F.lit(0).cast("long")
         pos = 0
         for s in combo:
             lo, w = segs[s]
-            part = _shr(F.col("simhash"), F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1))
+            part = _shr(sim, F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1))
             key = key.bitwiseOR(_shl(part, F.lit(pos)))
             pos += w
-        combo_structs.append(
-            F.struct(F.lit(cid).alias("block"), key.alias("key"))
+        return key
+
+    combo_structs = [
+        F.struct(
+            F.lit(cid).alias("block"),
+            combo_key(F.col("simhash"), combo).alias("key"),
         )
+        for cid, combo in enumerate(combos)
+    ]
     blocked = sims.select(
         "doc_id",
         "simhash",
@@ -453,6 +460,24 @@ def simhash_near_dups(
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.block", "bk.key")
     l, r = blocked.alias("l"), blocked.alias("r")
+    # A pair sharing several block keys would surface once per shared
+    # block; instead of a pair-set `distinct` (a full extra shuffle of
+    # the candidate set + an AQE stage wave), keep each pair only at its
+    # MINIMAL matching block — which is row-locally computable, since
+    # both 64-bit simhashes are already in the joined row and every
+    # block key is pure bit arithmetic over them. match_bits bit c says
+    # "the pair matches block c"; the pair is emitted iff no earlier
+    # block matched. Identical result set, one less shuffle at any
+    # scale (the standard smallest-common-block dedup of the
+    # similarity-join literature, e.g. PPJoin-family).
+    match_bits = F.lit(0).cast("long")
+    for cid, combo in enumerate(combos):
+        eq = (
+            combo_key(F.col("l.simhash"), combo)
+            == combo_key(F.col("r.simhash"), combo)
+        ).cast("long")
+        match_bits = match_bits.bitwiseOR(_shl(eq, F.lit(cid)))
+    earlier_mask = _shl(F.lit(1).cast("long"), F.col("l.block")) - 1
     out = (
         l.join(
             r,
@@ -460,13 +485,13 @@ def simhash_near_dups(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
+        .where(match_bits.bitwiseAND(earlier_mask) == 0)
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
             hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     # Lazy like minhash_near_dups (see the note there): the simhash
     # cache lives with the returned frame rather than paying an eager

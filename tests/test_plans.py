@@ -339,3 +339,20 @@ def test_domain_caps_two_stage_windows(spark):
     assert plan.count("row_number()") >= 2, plan
     # stage-1 partition key includes the salt expression (pmod/conv)
     assert "pmod" in plan, plan
+
+
+def test_simhash_pairs_no_distinct_aggregate(spark):
+    """q26/q27 family: the simhash pair set dedups via the row-local
+    minimal-matching-block filter, NOT a pair-set distinct — the plan
+    must contain no aggregate (the old distinct's HashAggregate pair
+    shuffle is gone; the only remaining exchanges are the signature
+    spread and the self-join's broadcast)."""
+    from swiftbeaver_spark.llm.dedup import simhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _formatted(simhash_near_dups(docs, max_hamming=3))
+    assert "HashAggregate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
