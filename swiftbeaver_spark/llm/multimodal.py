@@ -129,11 +129,20 @@ def header_image_dims(payload: bytes) -> tuple[int, int] | None:
 
 def header_media_duration_ms(payload: bytes) -> int | None:
     """Codec-free duration from declared headers: WAV (fmt byte rate +
-    data chunk size) and MP4/MOV (mvhd timescale + duration). None for
-    other formats or malformed headers — like `header_image_dims`,
-    pure struct parsing of public container layouts (the carvers walk
-    the same structures: carvers/media.py wav/mp4 handlers)."""
+    data chunk size), MP4/MOV (mvhd timescale + duration), MP3 (Layer
+    III frame walk — sample-accurate, VBR-correct), and Ogg Vorbis
+    (last-page granule position over the id header's sample rate).
+    None for other formats or malformed headers — like
+    `header_image_dims`, pure struct parsing of public container
+    layouts (the carvers walk the same structures: carvers/media.py
+    wav/mp4/mp3/ogg handlers)."""
     try:
+        if payload[:4] == b"OggS":
+            meta = vorbis_stream_meta(payload)
+            return meta[3] if meta is not None else None
+        mp3 = _mp3_duration_ms(payload)
+        if mp3 is not None:
+            return mp3
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, byte_rate, data_size = 12, None, None
             while pos + 8 <= len(payload):
@@ -1632,3 +1641,35 @@ def vorbis_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VORBIS_META_SCHEMA])
 
     return media.select("media_id", "payload").mapInPandas(work, VORBIS_META_SCHEMA)
+
+
+def _mp3_duration_ms(payload: bytes) -> int | None:
+    """Sample-accurate MP3 duration via the Layer III frame walk, or
+    None when the payload is not an MP3. Gate mirrors the carver
+    (carvers/media.py:167): an ID3v2 start validates with >=1 frame; a
+    bare frame-sync start needs >=3 consecutive valid frames so
+    arbitrary 0xFF-leading bytes never parse as audio."""
+    pos, need = 0, 3
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        tag = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos, need = 10 + tag, 1
+    samples_cum, rate0, frames = 0, None, 0
+    while pos + 4 <= len(payload) and frames < 100_000:
+        h = mp3_frame_header(payload[pos : pos + 4])
+        if h is None:
+            break
+        size, _, rate, samples = h
+        if pos + size > len(payload):
+            break
+        rate0 = rate0 or rate
+        samples_cum += samples
+        pos += size
+        frames += 1
+    if frames < need or rate0 is None:
+        return None
+    return samples_cum * 1000 // rate0

@@ -1858,3 +1858,32 @@ def test_vorbis_stream_meta(spark):
     by = {r.media_id: r for r in rows}
     assert (by[1].channels, by[1].duration_ms, by[1].n_pages) == (2, 2000, 3)
     assert by[2].status == "unsupported"
+
+
+def test_header_duration_mp3_and_vorbis():
+    import struct as _s
+
+    from swiftbeaver_spark.llm.multimodal import header_media_duration_ms
+
+    f1 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413  # 1152 samples @44100
+    id3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 0])
+    # ID3 start validates with one frame; bare sync needs >= 3
+    assert header_media_duration_ms(id3 + f1) == 1152 * 1000 // 44100
+    assert header_media_duration_ms(f1 + f1) is None
+    assert header_media_duration_ms(f1 * 3) == 3456 * 1000 // 44100
+    assert header_media_duration_ms(b"\xff\xfb\x90") is None
+
+    idpkt = (
+        b"\x01vorbis" + _s.pack("<I", 0) + _s.pack("<B", 1) + _s.pack("<I", 8000)
+        + _s.pack("<i", 0) + _s.pack("<i", 0) + _s.pack("<i", 0) + bytes([0xB8, 1])
+    )
+    bos = (
+        b"OggS" + bytes([0, 0x02]) + _s.pack("<q", 0) + _s.pack("<I", 1)
+        + _s.pack("<I", 0) + b"\x00" * 4 + bytes([1, len(idpkt)]) + idpkt
+    )
+    eos = (
+        b"OggS" + bytes([0, 0x04]) + _s.pack("<q", 20000) + _s.pack("<I", 1)
+        + _s.pack("<I", 1) + b"\x00" * 4 + bytes([1, 4]) + b"\x00" * 4
+    )
+    assert header_media_duration_ms(bos + eos) == 20000 * 1000 // 8000
+    assert header_media_duration_ms(b"OggS" + b"\x00" * 60) is None
