@@ -11067,8 +11067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_domain_caps": q166_domain_caps,
         "q26_minhash_neardup": q26_minhash_neardup,
         "q27_simhash_neardup": q27_simhash_neardup,
-        "q43_line_dedup": q43_line_dedup,
-        "q96_star_join": q96_star_join,
+        # q168/q169 are round-6's NEW operators (added after the window
+        # comment above was written): they take the two re-confirmation
+        # slots of q43/q96 (both untouched and driver-green in multiple
+        # rounds, now rotated to the tail) so the never-driver-checked
+        # set stays at zero going into round 7.
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
         "q121_filtered_ann": q121_filtered_ann,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q136_substring_dedup": q136_substring_dedup,
@@ -11193,8 +11198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        "q168_mp3_frames": q168_mp3_frames,
-        "q169_vorbis_meta": q169_vorbis_meta,
+        "q43_line_dedup": q43_line_dedup,
+        "q96_star_join": q96_star_join,
     }
 
 
@@ -11245,8 +11250,8 @@ def oracle_sql() -> dict[str, str]:
         "q166_domain_caps": q166_sql(),
         "q26_minhash_neardup": q26_sql(),
         "q27_simhash_neardup": q27_sql(),
-        "q43_line_dedup": q43_sql(),
-        "q96_star_join": q96_sql(),
+        "q168_mp3_frames": q168_sql(),
+        "q169_vorbis_meta": q169_sql(),
         "q121_filtered_ann": q121_sql(),
         "q122_semantic_dedup": q122_sql(),
         "q136_substring_dedup": q136_sql(),
@@ -11370,6 +11375,6 @@ def oracle_sql() -> dict[str, str]:
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
         "q161_raster_consistency": q161_sql(),
         "q164_nested_semijoin": q164_sql(),
-        "q168_mp3_frames": q168_sql(),
-        "q169_vorbis_meta": q169_sql(),
+        "q43_line_dedup": q43_sql(),
+        "q96_star_join": q96_sql(),
     }
