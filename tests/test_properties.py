@@ -340,3 +340,38 @@ def test_kmeans_micro_partition_invariant(spark):
     ra = {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in kmeans_micro(a, k=4, iters=2).collect()}
     rb = {(r.cell, r.n_members, r.inertia, r.centroid_md5) for r in kmeans_micro(b, k=4, iters=2).collect()}
     assert ra == rb
+
+
+@given(blob=st.binary(min_size=0, max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_mp3_vorbis_parsers_total_on_noise(blob):
+    """The new audio parsers run inside mapInPandas where one escaped
+    exception kills a whole task: on arbitrary bytes they must return
+    a well-formed value or None, never raise."""
+    from swiftbeaver_spark.llm.multimodal import (
+        _mp3_duration_ms,
+        mp3_frame_header,
+        vorbis_stream_meta,
+    )
+
+    h = mp3_frame_header(blob[:4])
+    assert h is None or (len(h) == 4 and h[0] > 0 and h[2] > 0)
+    d = _mp3_duration_ms(blob)
+    assert d is None or d >= 0
+    v = vorbis_stream_meta(blob)
+    assert v is None or (len(v) == 5 and v[0] > 0 and v[1] > 0 and v[3] >= 0)
+
+
+@given(blob=st.binary(min_size=0, max_size=600), cut=st.integers(0, 600))
+@settings(max_examples=100, deadline=None)
+def test_mp3_vorbis_parsers_total_on_truncated_structures(blob, cut):
+    """Same totality over ADVERSARIAL prefixes: magic bytes spliced in
+    front of noise, then truncated anywhere."""
+    from swiftbeaver_spark.llm.multimodal import _mp3_duration_ms, vorbis_stream_meta
+
+    for magic in (b"ID3", b"\xff\xfb\x90\x00", b"OggS\x00\x02"):
+        frank = (magic + blob)[:cut]
+        d = _mp3_duration_ms(frank)
+        assert d is None or d >= 0
+        v = vorbis_stream_meta(frank)
+        assert v is None or (len(v) == 5 and v[3] >= 0)
