@@ -32,6 +32,14 @@ HEAVY = [
     "q157_bitext_mining",
     "q88_ivfpq_topk",
     "q120_ivfpq_residual",
+    # round-6 extension: the scan/relational/events side over 10x FACTS
+    # with verbatim dims (the real cluster shape — facts grow, dims
+    # don't; gen_scale10 strides o_orderkey/l_orderkey consistently so
+    # the join structure replicates)
+    "q02_chunked_scan",
+    "q24_pricing_summary",
+    "q96_star_join",
+    "q102_retention_cohorts",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

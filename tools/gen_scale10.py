@@ -77,3 +77,44 @@ tbl = pa.Table.from_arrays(
 )
 pq.write_table(tbl, os.path.join(OUT, "embeddings.parquet"))
 print(f"embeddings: {len(big_emb)} rows -> {OUT}/embeddings.parquet")
+
+# --- relational / events side (round 6 extension): facts replicate 10x
+# with consistent key striding (lineitem.l_orderkey follows orders), dims
+# copy verbatim — the real cluster shape: facts grow, dimensions don't.
+orders = con.execute(f"SELECT * FROM read_parquet('{SRC}/orders.parquet')").df()
+frames = []
+for k in range(REPLICAS):
+    d = orders.copy()
+    d["o_orderkey"] = d["o_orderkey"] + k * ID_STRIDE
+    frames.append(d)
+big = pd.concat(frames, ignore_index=True)
+pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+               os.path.join(OUT, "orders.parquet"))
+print(f"orders: {len(big)} rows")
+
+li = con.execute(f"SELECT * FROM read_parquet('{SRC}/lineitem.parquet')").df()
+frames = []
+for k in range(REPLICAS):
+    d = li.copy()
+    d["l_orderkey"] = d["l_orderkey"] + k * ID_STRIDE
+    frames.append(d)
+big = pd.concat(frames, ignore_index=True)
+pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+               os.path.join(OUT, "lineitem.parquet"))
+print(f"lineitem: {len(big)} rows")
+
+ev = con.execute(f"SELECT * FROM read_parquet('{SRC}/events.parquet')").df()
+frames = []
+for k in range(REPLICAS):
+    d = ev.copy()
+    d["event_id"] = d["event_id"] + k * ID_STRIDE
+    frames.append(d)
+big = pd.concat(frames, ignore_index=True)
+pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+               os.path.join(OUT, "events.parquet"))
+print(f"events: {len(big)} rows")
+
+import shutil
+for dim in ("region", "nation", "customer", "supplier", "part"):
+    shutil.copyfile(f"{SRC}/{dim}.parquet", os.path.join(OUT, f"{dim}.parquet"))
+    print(f"{dim}: copied verbatim")
