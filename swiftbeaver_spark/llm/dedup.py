@@ -463,21 +463,25 @@ def simhash_near_dups(
     # A pair sharing several block keys would surface once per shared
     # block; instead of a pair-set `distinct` (a full extra shuffle of
     # the candidate set + an AQE stage wave), keep each pair only at its
-    # MINIMAL matching block — which is row-locally computable, since
-    # both 64-bit simhashes are already in the joined row and every
-    # block key is pure bit arithmetic over them. match_bits bit c says
-    # "the pair matches block c"; the pair is emitted iff no earlier
-    # block matched. Identical result set, one less shuffle at any
-    # scale (the standard smallest-common-block dedup of the
-    # similarity-join literature, e.g. PPJoin-family).
-    match_bits = F.lit(0).cast("long")
+    # MINIMAL matching block — row-locally computable, since both
+    # 64-bit simhashes are already in the joined row: block c matches
+    # iff the XOR of the two simhashes is zero on every segment of
+    # combo c (key equality <=> segment-restricted XOR == 0, the key
+    # being a bijective packing of those segment bits). One XOR plus a
+    # shift/mask per segment keeps the codegen'd filter small; the pair
+    # is emitted iff no earlier block matched. Identical result set,
+    # one less shuffle at any scale (the smallest-common-block dedup of
+    # the similarity-join literature, e.g. PPJoin-family).
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    earlier_match = F.lit(False)
     for cid, combo in enumerate(combos):
-        eq = (
-            combo_key(F.col("l.simhash"), combo)
-            == combo_key(F.col("r.simhash"), combo)
-        ).cast("long")
-        match_bits = match_bits.bitwiseOR(_shl(eq, F.lit(cid)))
-    earlier_mask = _shl(F.lit(1).cast("long"), F.col("l.block")) - 1
+        match_c = F.lit(True)
+        for s in combo:
+            lo, w = segs[s]
+            match_c = match_c & (
+                _shr(xor, F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1)) == 0
+            )
+        earlier_match = earlier_match | (match_c & (F.lit(cid) < F.col("l.block")))
     out = (
         l.join(
             r,
@@ -485,7 +489,7 @@ def simhash_near_dups(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .where(match_bits.bitwiseAND(earlier_mask) == 0)
+        .where(~earlier_match)
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
