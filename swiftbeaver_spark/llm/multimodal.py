@@ -1506,11 +1506,12 @@ def mp3_frame_header(header: bytes) -> tuple[int, int, int, int] | None:
 
 
 def mp3_frame_spans(media: DataFrame, max_frames: int = 100_000) -> DataFrame:
-    """Per-frame spans from MP3 payloads: skip an optional ID3v2 tag,
-    then walk Layer III frame headers emitting (byte_off, byte_size,
-    bitrate_kbps, sample_rate, t_ms) per frame — t_ms is the cumulative
-    sample-accurate timeline (samples_so_far * 1000 // sample_rate), so
-    VBR streams get correct timestamps without any decode. Payloads
+    """Per-frame spans from MP3 payloads: skip an optional ID3v2 tag
+    (v2.4 footer honored), then walk Layer III frame headers emitting
+    (byte_off, byte_size, bitrate_kbps, sample_rate, t_ms) per frame —
+    t_ms is the cumulative sample-accurate timeline (per-rate sample
+    sums, see `_mp3_walk`), so VBR and even mixed-sample-rate streams
+    get correct timestamps without any decode. Payloads
     with no valid first frame emit one 'unsupported' row; a walk that
     dies mid-stream keeps its frames and flags the last row's status as
     'truncated' is NOT done — instead the frames simply stop (the
@@ -1524,45 +1525,54 @@ def mp3_frame_spans(media: DataFrame, max_frames: int = 100_000) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
-                pos = 0
-                if blob[:3] == b"ID3" and len(blob) >= 10:
-                    tag = (
-                        ((blob[6] & 0x7F) << 21)
-                        | ((blob[7] & 0x7F) << 14)
-                        | ((blob[8] & 0x7F) << 7)
-                        | (blob[9] & 0x7F)
-                    )
-                    pos = 10 + tag
-                fi, samples_cum, rate0 = 0, 0, None
-                while fi < max_frames and pos + 4 <= len(blob):
-                    h = mp3_frame_header(blob[pos : pos + 4])
-                    if h is None:
-                        break
-                    size, kbps, rate, samples = h
-                    if pos + size > len(blob):
-                        break  # declared frame runs past payload: stop at boundary
-                    rate0 = rate0 or rate
-                    rows.append(
-                        (
-                            int(mid),
-                            fi,
-                            pos,
-                            size,
-                            kbps,
-                            rate,
-                            samples_cum * 1000 // rate0,
-                            "ok",
-                        )
-                    )
-                    samples_cum += samples
-                    pos += size
-                    fi += 1
-                if fi == 0:
+                _, frames, _ = _mp3_walk(bytes(payload), max_frames)
+                for fi, (pos, size, kbps, rate, t_ms) in enumerate(frames):
+                    rows.append((int(mid), fi, pos, size, kbps, rate, t_ms, "ok"))
+                if not frames:
                     rows.append((int(mid), -1, None, None, None, None, None, "unsupported"))
             yield pd.DataFrame(rows, columns=[f.name for f in MP3_FRAME_SCHEMA])
 
     return media.select("media_id", "payload").mapInPandas(work, MP3_FRAME_SCHEMA)
+
+
+def _mp3_walk(
+    payload: bytes, max_frames: int = 100_000
+) -> tuple[bool, list[tuple[int, int, int, int, int]], dict[int, int]]:
+    """The one shared MP3 stream walk (mp3_frame_spans and
+    _mp3_duration_ms both ride it, so they can never disagree on what
+    parses as an MP3): optional ID3v2 skip — honoring the v2.4 footer
+    flag (0x10: a 10-byte footer after the body that the syncsafe size
+    excludes) — then Layer III frames until broken sync, a truncated
+    declared frame, or max_frames. Returns (started_with_id3,
+    [(byte_off, byte_size, bitrate_kbps, sample_rate, t_ms)],
+    samples_by_rate). Timestamps accumulate PER SAMPLE RATE
+    (sum of samples_r*1000//rate_r), so mixed-rate concatenations get
+    correct timelines, and constant-rate streams reduce to the exact
+    samples_cum*1000//rate closed form."""
+    pos, id3 = 0, False
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        tag = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + tag + (10 if payload[5] & 0x10 else 0)
+        id3 = True
+    frames: list[tuple[int, int, int, int, int]] = []
+    samples_by_rate: dict[int, int] = {}
+    while len(frames) < max_frames and pos + 4 <= len(payload):
+        h = mp3_frame_header(payload[pos : pos + 4])
+        if h is None:
+            break
+        size, kbps, rate, samples = h
+        if pos + size > len(payload):
+            break  # declared frame runs past payload: stop at boundary
+        t_ms = sum(s * 1000 // r for r, s in samples_by_rate.items())
+        frames.append((pos, size, kbps, rate, t_ms))
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + samples
+        pos += size
+    return id3, frames, samples_by_rate
 
 
 VORBIS_META_SCHEMA = StructType(
@@ -1644,32 +1654,13 @@ def vorbis_meta(media: DataFrame) -> DataFrame:
 
 
 def _mp3_duration_ms(payload: bytes) -> int | None:
-    """Sample-accurate MP3 duration via the Layer III frame walk, or
-    None when the payload is not an MP3. Gate mirrors the carver
+    """Sample-accurate MP3 duration via the shared `_mp3_walk`, or None
+    when the payload is not an MP3. Gate mirrors the carver
     (carvers/media.py:167): an ID3v2 start validates with >=1 frame; a
     bare frame-sync start needs >=3 consecutive valid frames so
-    arbitrary 0xFF-leading bytes never parse as audio."""
-    pos, need = 0, 3
-    if payload[:3] == b"ID3" and len(payload) >= 10:
-        tag = (
-            ((payload[6] & 0x7F) << 21)
-            | ((payload[7] & 0x7F) << 14)
-            | ((payload[8] & 0x7F) << 7)
-            | (payload[9] & 0x7F)
-        )
-        pos, need = 10 + tag, 1
-    samples_cum, rate0, frames = 0, None, 0
-    while pos + 4 <= len(payload) and frames < 100_000:
-        h = mp3_frame_header(payload[pos : pos + 4])
-        if h is None:
-            break
-        size, _, rate, samples = h
-        if pos + size > len(payload):
-            break
-        rate0 = rate0 or rate
-        samples_cum += samples
-        pos += size
-        frames += 1
-    if frames < need or rate0 is None:
+    arbitrary 0xFF-leading bytes never parse as audio. Mixed-rate
+    streams sum per-rate sample counts."""
+    id3, frames, samples_by_rate = _mp3_walk(payload)
+    if len(frames) < (1 if id3 else 3):
         return None
-    return samples_cum * 1000 // rate0
+    return sum(s * 1000 // r for r, s in samples_by_rate.items())

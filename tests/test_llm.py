@@ -1887,3 +1887,27 @@ def test_header_duration_mp3_and_vorbis():
     )
     assert header_media_duration_ms(bos + eos) == 20000 * 1000 // 8000
     assert header_media_duration_ms(b"OggS" + b"\x00" * 60) is None
+
+
+def test_mp3_walk_id3v24_footer_and_mixed_rates():
+    from swiftbeaver_spark.llm.multimodal import _mp3_duration_ms, _mp3_walk
+
+    f44 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413  # 1152 @44100
+    f22 = bytes([0xFF, 0xF2, 0x80, 0x00]) + b"\xcc" * 204  # 576 @22050
+    # ID3v2.4 with the footer flag (0x10): syncsafe size excludes the
+    # 10-byte footer, so the first frame sits at 10 + size + 10
+    id3f = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 4]) + b"\x00" * 4 + b"3DI" + b"\x00" * 7
+    id3, frames, _ = _mp3_walk(id3f + f44)
+    assert id3 and len(frames) == 1 and frames[0][0] == len(id3f)
+    assert _mp3_duration_ms(id3f + f44) == 1152 * 1000 // 44100
+
+    # mixed-rate concatenation: per-rate sums, not first-rate scaling
+    blob = f44 + f44 + f22 + f22
+    _, frames, by_rate = _mp3_walk(blob)
+    assert [f[4] for f in frames] == [
+        0,
+        1152 * 1000 // 44100,
+        2304 * 1000 // 44100,
+        2304 * 1000 // 44100 + 576 * 1000 // 22050,
+    ]
+    assert by_rate == {44100: 2304, 22050: 1152}
