@@ -3409,11 +3409,18 @@ def _bpe_sql_ctes(num_merges: int) -> str:
     ), b{i} AS MATERIALIZED (
       SELECT a, b, total FROM p{i} ORDER BY total DESC, a, b LIMIT 1
     ), w{i} AS MATERIALIZED (
+      -- LEFT JOIN + coalesce, not CROSS JOIN: when p{i} is empty
+      -- (every word fully merged before the budget runs out) Spark's
+      -- bpe_learn BREAKS and keeps the words table; a cross join with
+      -- the empty b{i} would annihilate w{i} and every later CTE.
+      -- b{i} stays empty for all later iterations too (the words
+      -- table no longer changes), so pass-through is exact.
       SELECT w.word, w.cnt,
-             replace(w.s,
-                     chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
-                     chr(1) || b.a || b.b || chr(2)) AS s
-      FROM w{j0} w CROSS JOIN b{i} b
+             coalesce(replace(w.s,
+                              chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+                              chr(1) || b.a || b.b || chr(2)),
+                      w.s) AS s
+      FROM w{j0} w LEFT JOIN b{i} b ON TRUE
     )"""
     iters = "".join(it.format(i=i + 1, j0=i) for i in range(num_merges))
     return f"""

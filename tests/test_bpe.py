@@ -139,3 +139,42 @@ def test_bpe_segment_applies_merges(spark):
     assert len(seg["low"]) <= 3
     for w, syms in seg.items():
         assert "".join(syms) == w + END_MARK
+
+
+def test_bpe_oracle_chain_survives_early_break(spark):
+    """A corpus whose words fully merge before the 12-merge budget runs
+    out: Spark's bpe_learn BREAKS and keeps the words table; the
+    unrolled DuckDB oracle chain must pass words through its remaining
+    iterations (LEFT JOIN + coalesce) instead of annihilating them
+    (the old CROSS JOIN made every later CTE empty). Compares the q59
+    merge list AND the q92 segmented vocabulary engine-vs-oracle on
+    the degenerate corpus."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.bpe import bpe_learn
+
+    # two 2-char words: ~5 learnable merges, then no pairs remain
+    docs_pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ab ab cd", "ab cd", "cd cd ab"]}
+    )
+    docs = spark.createDataFrame(docs_pdf)
+    merges = bpe_learn(docs, num_merges=em.BPE_MERGES)
+    assert 0 < len(merges) < em.BPE_MERGES  # the break actually fired
+
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    oracle = con.execute(em.q59_sql()).df()
+    got = [
+        (int(r["rank"]), r["left_sym"], r["right_sym"], int(r["pair_count"]))
+        for _, r in oracle.iterrows()
+    ]
+    assert got == merges
+
+    # the final words CTE must still hold every word, fully segmented
+    wn = con.execute(
+        em._bpe_sql_ctes(em.BPE_MERGES) + f" SELECT word, s FROM w{em.BPE_MERGES}"
+    ).df()
+    assert sorted(wn["word"]) == ["ab", "cd"]
+    assert all(s.count("\x01") == 1 for s in wn["s"])  # one symbol per word
