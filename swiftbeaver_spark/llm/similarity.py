@@ -1123,6 +1123,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_dp: int = 6,
+    kernel: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic duplicates INSIDE each cluster
@@ -1146,11 +1147,17 @@ def semantic_dedup(
     %.6f string, dropped) — so keep/drop for the WHOLE corpus is
     hash-gated, not just the dup pairs.
 
-    Scale: the only shuffle is the self-join on the cell key; with
-    nlist cells sized so a cell holds O(sqrt(pair budget)) vectors,
-    pair work is n^2/nlist per-cell-uniform (the paper runs ~100M docs
-    with k=50k clusters). Assignment and the drop-side aggregation are
-    map-local; no all-pairs stage exists anywhere."""
+    Scale: the only shuffle is on the cell key; with nlist cells sized
+    so a cell holds O(sqrt(pair budget)) vectors, pair work is
+    n^2/nlist per-cell-uniform (the paper runs ~100M docs with k=50k
+    clusters). Assignment and the drop-side aggregation are map-local;
+    no all-pairs stage exists anywhere. kernel='expr' (default)
+    evaluates pair cosines as Catalyst expressions — fully
+    engine-replayable, the oracle-gated form; kernel='arrow' runs the
+    in-cell stage as a blockwise numpy gram per cell
+    (_semantic_dedup_dropped_arrow) — ~66x faster at 10x sf0.1
+    (SCALE.md) with verified-identical output; production deployments
+    at real cell occupancies want arrow."""
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -1168,33 +1175,39 @@ def semantic_dedup(
         round_dp,
     )
     assigned = assigned.withColumn("centroid_cos", ccos)
-    l, r = assigned.alias("l"), assigned.alias("r")
-    pair_cos = F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), round_dp)
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.cell") == F.col("r.cell"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+    if kernel == "arrow":
+        dropped = _semantic_dedup_dropped_arrow(assigned, threshold, round_dp)
+    else:
+        l, r = assigned.alias("l"), assigned.alias("r")
+        pair_cos = F.round(
+            cosine_similarity(F.col("l.vec"), F.col("r.vec")), round_dp
         )
-        .where(pair_cos >= F.lit(threshold))
-        .select(
-            F.col("l.vec_id").alias("a"),
-            F.col("l.centroid_cos").alias("a_cc"),
-            F.col("r.vec_id").alias("b"),
-            F.col("r.centroid_cos").alias("b_cc"),
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.cell") == F.col("r.cell"))
+                & (F.col("l.vec_id") < F.col("r.vec_id")),
+            )
+            .where(pair_cos >= F.lit(threshold))
+            .select(
+                F.col("l.vec_id").alias("a"),
+                F.col("l.centroid_cos").alias("a_cc"),
+                F.col("r.vec_id").alias("b"),
+                F.col("r.centroid_cos").alias("b_cc"),
+            )
         )
-    )
-    # per pair, the member with the GREATER (centroid_cos, vec_id) is
-    # dropped (closest to the centroid = most redundant; id breaks ties)
-    dropped = pairs.select(
-        F.when(
-            F.struct(F.col("a_cc").alias("c"), F.col("a").alias("i"))
-            > F.struct(F.col("b_cc").alias("c"), F.col("b").alias("i")),
-            F.col("a"),
-        )
-        .otherwise(F.col("b"))
-        .alias("vec_id")
-    ).distinct()
+        # per pair, the member with the GREATER (centroid_cos, vec_id)
+        # is dropped (closest to the centroid = most redundant; id
+        # breaks ties)
+        dropped = pairs.select(
+            F.when(
+                F.struct(F.col("a_cc").alias("c"), F.col("a").alias("i"))
+                > F.struct(F.col("b_cc").alias("c"), F.col("b").alias("i")),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("vec_id")
+        ).distinct()
     return (
         assigned.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
         .select(
@@ -1203,6 +1216,66 @@ def semantic_dedup(
             F.format_string("%.6f", F.col("centroid_cos")).alias("centroid_cos"),
             F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"),
         )
+    )
+
+
+def _semantic_dedup_dropped_arrow(
+    assigned: DataFrame, threshold: float, round_dp: int
+) -> DataFrame:
+    """The in-cell pairwise stage as a numpy gram kernel (semantic_dedup
+    kernel='arrow'): one applyInPandas per cell builds the cell matrix
+    and evaluates all upper-triangle cosines blockwise (1024-row tiles,
+    so a mega-cell never materializes an n^2 gram), emitting the
+    dropped ids under the same keep-the-edge-points policy. ~100x per
+    pair vs the expression fold — the production path for the 10x scale
+    measurement (SCALE.md); the default expr kernel remains the
+    oracle-gated form. Rounding mirrors Spark ROUND (HALF_UP, away from
+    zero): sign*floor(abs*scale + 0.5)/scale; outputs verified
+    IDENTICAL to the expr kernel over the sf0.1 and 10x-sf1 embedding
+    corpora and pytest-pinned on the gated q122 configuration."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    scale = float(10**round_dp)
+
+    def find_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        ccs = pdf["centroid_cos"].to_numpy()[order]
+        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        dropped: set[int] = set()
+        B = 1024
+        for i0 in range(0, n, B):
+            bi, bn = mat[i0 : i0 + B], norms[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                cos = (bi @ mat[j0 : j0 + B].T) / (
+                    bn[:, None] * norms[None, j0 : j0 + B]
+                )
+                cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = i0 + ii, j0 + jj
+                keep = gj > gi  # id-sorted, so index order == id order
+                gi, gj = gi[keep], gj[keep]
+                if len(gi):
+                    a_greater = (ccs[gi] > ccs[gj]) | (
+                        (ccs[gi] == ccs[gj]) & (ids[gi] > ids[gj])
+                    )
+                    dropped.update(
+                        np.where(a_greater, ids[gi], ids[gj]).tolist()
+                    )
+        return pd.DataFrame({"vec_id": pd.Series(sorted(dropped), dtype="int64")})
+
+    out_schema = StructType([StructField("vec_id", LongType(), False)])
+    return (
+        assigned.select("vec_id", "vec", "cell", "centroid_cos")
+        .groupBy("cell")
+        .applyInPandas(find_dropped, out_schema)
+        .distinct()
     )
 
 

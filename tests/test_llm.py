@@ -1911,3 +1911,30 @@ def test_mp3_walk_id3v24_footer_and_mixed_rates():
         2304 * 1000 // 44100 + 576 * 1000 // 22050,
     ]
     assert by_rate == {44100: 2304, 22050: 1152}
+
+
+def test_semantic_dedup_arrow_kernel_matches_expr(spark):
+    """kernel='arrow' (blockwise numpy gram per cell) must reproduce the
+    expression kernel row-for-row — including the HALF_UP rounding and
+    the keep-the-edge-points drop policy — on the gated q122
+    configuration (planted exact dups included)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = md5_centroids(em.SEMDEDUP_NLIST, 64, tag="semdedup")
+    expr_rows = sorted(map(tuple, semantic_dedup(corpus, cents).collect()))
+    arrow_rows = sorted(
+        map(tuple, semantic_dedup(corpus, cents, kernel="arrow").collect())
+    )
+    assert expr_rows == arrow_rows
+    assert any(r[3] for r in arrow_rows)  # the planted dups actually drop

@@ -46,10 +46,21 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 STRATS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
 
 
-def plan_profile(df) -> dict:
+def plan_profile(df, executed: bool) -> dict:
+    """Join-strategy counts from the formatted plan. Two views, both
+    recorded: the PLANNED view (before the action — the full logical
+    tree, since persist()ed subtrees are not yet cached) drives the
+    cross-scale shape comparison; the EXECUTED view (after the action,
+    isFinalPlan=true, asserted) exposes AQE runtime re-optimizations —
+    broadcast demotion from observed shuffle sizes, skew splits — that
+    the planned view cannot show, at the cost of cached subtrees
+    collapsing to InMemoryTableScan and hiding their joins. Forbidden
+    joins fail the run in EITHER view."""
     txt = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
+    if executed:
+        assert "isFinalPlan=false" not in txt, "profiled before execution"
     return {s: len(re.findall(s, txt)) for s in STRATS + FORBIDDEN}
 
 
@@ -62,17 +73,29 @@ def main() -> None:
         fn = qs[name]
         row = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            # ONE dataset is planned, timed via collect(), and
+            # re-profiled executed. NOT count(): a count aggregate lets
+            # Catalyst ELIMINATE cardinality-preserving joins (measured:
+            # q122's whole join tree optimized away under count), so it
+            # times a degenerate plan; collect() executes the query's
+            # own queryExecution, which also finalizes AQE on the same
+            # object for the executed profile. Result sets here are
+            # small (pairs/top-k/aggregates), so driver transfer is
+            # noise.
             df = fn(spark, sf_dir)
-            prof = plan_profile(df)
-            bad = {k: v for k, v in prof.items() if k in FORBIDDEN and v}
+            planned = plan_profile(df, executed=False)
             t0 = time.time()
-            n = df.count()
+            n = len(df.collect())
             wall = round(time.time() - t0, 3)
+            executed = plan_profile(df, executed=True)
+            bad = {k: v for k, v in planned.items() if k in FORBIDDEN and v}
+            bad_exec = {k: v for k, v in executed.items() if k in FORBIDDEN and v}
             spark.catalog.clearCache()  # queries persist() internally
-            row[label] = {"wall_sec": wall, "rows": n, "plan": prof,
-                          "forbidden": bad}
-            print(f"# {name} @{label}: {wall}s, {n} rows, plan={prof}",
-                  file=sys.stderr)
+            row[label] = {"wall_sec": wall, "rows": n, "plan": planned,
+                          "plan_executed": executed,
+                          "forbidden": {**bad, **bad_exec}}
+            print(f"# {name} @{label}: {wall}s, {n} rows, planned={planned}"
+                  f" executed={executed}", file=sys.stderr)
         p0 = {k: row["sf0.1"]["plan"][k] for k in STRATS}
         p1 = {k: row["sf1"]["plan"][k] for k in STRATS}
         if p0 == p1:
@@ -92,6 +115,27 @@ def main() -> None:
         )
         results[name] = row
         print(json.dumps({name: row}))
+    # q122's measured ceiling + its two levers, demonstrated: the gated
+    # expr kernel at the oracle-pinned nlist=16 is quadratic in cell
+    # occupancy (the main-loop row); the production configuration is
+    # the Arrow gram kernel (verified-identical output), measured here
+    # at both scales.
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    cents = md5_centroids(16, 64, tag="semdedup")
+    row = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        emb = E._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        df = semantic_dedup(emb, cents, threshold=0.95, kernel="arrow")
+        t0 = time.time()
+        n = len(df.collect())
+        wall = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        row[label] = {"wall_sec": wall, "rows": n}
+        print(f"# q122_arrow_kernel @{label}: {wall}s, {n} rows", file=sys.stderr)
+    row["ratio"] = round(row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9), 2)
+    print(json.dumps({"q122_arrow_kernel": row}))
+
     ok = all(
         not r["sf0.1"]["forbidden"] and not r["sf1"]["forbidden"]
         for r in results.values()

@@ -57,7 +57,7 @@ for name, fn in E.queries().items():
         continue
     sdf = fn(spark, SF).toPandas()
     # queries persist() internally; drop leftovers so a long sweep
-    # doesn't accumulate executor/driver heap across 167 queries
+    # doesn't accumulate executor/driver heap across a 169-query sweep
     spark.catalog.clearCache()
     if name not in oracles:
         print(f"{name}: rows-only, {len(sdf)} rows")
