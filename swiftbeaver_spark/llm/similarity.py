@@ -1384,3 +1384,60 @@ def kmeans_micro(
     out.count()
     v.unpersist()
     return out
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """DataFrame-level Arrow twin of `ivf_cell_dot`: (id, vec, cell) via
+    one numpy matmul per batch against the broadcast centroid matrix —
+    the large-nlist assignment lever (the expression argmax folds
+    nlist zip_with chains PER ROW: measured 36 s of a 42 s sf1 run at
+    nlist=160, vs ~1 s here; at the paper-scale k=50k it is the only
+    viable path). Semantics mirrored exactly: per-centroid dot rounded
+    HALF_UP at round_dp (sign*floor(abs*scale+0.5)/scale — Spark
+    ROUND), argmax with ties to the LOWEST cell (np.argmax takes the
+    first maximum). Equivalence pytest-pinned against ivf_cell_dot
+    (`test_assign_cells_arrow_matches_expr`)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    scale = float(10**round_dp)
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("vec", ArrayType(DoubleType()), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+
+    def work(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = mat @ cmat.T
+            dots = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
+            cells = dots.argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64").to_numpy(),
+                    "vec": list(mat),
+                    "cell": cells,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(work, out_schema)

@@ -1938,3 +1938,32 @@ def test_semantic_dedup_arrow_kernel_matches_expr(spark):
     )
     assert expr_rows == arrow_rows
     assert any(r[3] for r in arrow_rows)  # the planted dups actually drop
+
+
+def test_assign_cells_arrow_matches_expr(spark):
+    """The Arrow assignment kernel must reproduce ivf_cell_dot cell for
+    cell over the full embeddings table (rounding + lowest-cell ties)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.similarity import (
+        assign_cells_arrow,
+        ivf_cell_dot,
+        md5_centroids,
+    )
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = md5_centroids(16, 64, tag="semdedup")
+    expr_cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id",
+            ivf_cell_dot(F.col("embedding").cast("array<double>"), cents).alias("cell"),
+        ).collect()
+    }
+    arrow_cells = {
+        r.vec_id: r.cell for r in assign_cells_arrow(emb, cents).collect()
+    }
+    assert expr_cells == arrow_cells and len(arrow_cells) == 500
