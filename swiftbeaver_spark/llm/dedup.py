@@ -417,9 +417,20 @@ def simhash_near_dups(
     default drops to keep=1 there — still exact, narrower keys — and
     callers chasing bucket width at extreme k can raise n_segments
     (keep=2 via n_segments=k+2 trades a C(k+2,2)-fold table explode
-    for quadratically fewer per-bucket collisions; measured at sf0.1
-    the explode costs MORE than the candidate cut saves, so it is not
-    the default)."""
+    for quadratically fewer per-bucket collisions). Measured at both
+    sf0.1 and a 10x sf1 corpus, the explode costs MORE than the
+    candidate cut saves — 53x worse at sf1 (919 s vs 17 s, identical
+    pairs), because simhash keys of natural text are skewed (bits are
+    signs of token-weighted sums), so wider keys cut real candidates
+    only ~1.3x (887M -> 689M measured) while per-candidate work rises
+    ~5x. Value-level blocking (candidates over distinct simhash
+    values, expanded back to doc pairs) also measured 5x worse: the
+    expansion shuffles dwarf its ~2x candidate cut, while this kernel
+    streams ~37M candidates/s through a row-local codegen filter with
+    no post-join shuffle. Both alternatives rejected on measurement
+    (SCALE.md q27 note); the published scale regime is k<=3-4, where
+    the default keep=3 layout's ~2^21+-bit keys keep buckets tiny at
+    corpus scale."""
     from itertools import combinations
 
     if n_segments is None:
