@@ -11008,6 +11008,137 @@ def q169_sql() -> str:
     """
 
 
+_Q170_CACHE: list[tuple[int, int, int, int, str, str]] | None = None
+
+
+def _q170_variants() -> list[tuple[int, int, int, int, str, str]]:
+    """(sample_rate, channels, bits, n_samples, pcm_hex, payload_hex)
+    for 12 pinned FLAC streams spanning the codec surface: constant /
+    fixed-predictor / forced-LPC / verbatim-noise subframes, all four
+    stereo assignments, wasted bits, the Rice raw-escape path, Rice
+    partitions, and 8/16/24-bit depths. Deterministic (seeded rng),
+    encoded once per process by the repo's own encoder; the decoder
+    under test reconstructs the PCM exactly (lossless)."""
+    global _Q170_CACHE
+    if _Q170_CACHE is not None:
+        return _Q170_CACHE
+    import numpy as np
+
+    from swiftbeaver_spark.llm.flac import _pcm_le_bytes, encode_flac
+
+    rng = np.random.default_rng(170)
+    t24 = np.arange(24)
+    noise24 = rng.integers(-32768, 32768, size=24)
+    left = rng.integers(-3000, 3000, size=24)
+    right = left + rng.integers(-40, 40, size=24)
+    stereo = np.stack([left, right], axis=1)
+    esc = np.zeros(32, dtype=np.int64)
+    esc[16:] = rng.integers(-(2**20), 2**20, size=16)
+    sine = (8000 * np.sin(np.arange(32) / 3.0)).astype(np.int64)
+    specs = [
+        (np.full(24, 1234), 16000, 16, dict(block_size=16)),
+        (t24 * 100 - 1000, 16000, 16, dict(block_size=16)),
+        (sine, 22050, 16, dict(block_size=32, force_subframe="lpc")),
+        (noise24, 16000, 16, dict(block_size=16)),
+        (stereo, 8000, 16, dict(block_size=16, stereo_mode="mid_side")),
+        (stereo, 8000, 16, dict(block_size=16, stereo_mode="left_side")),
+        (stereo, 8000, 16, dict(block_size=16, stereo_mode="right_side")),
+        (stereo, 8000, 16, dict(block_size=16, stereo_mode="independent")),
+        (rng.integers(-500, 500, size=24) << 5, 16000, 16, dict(block_size=16)),
+        (esc, 48000, 24, dict(block_size=32, partition_order=1)),
+        (rng.integers(-128, 128, size=40), 8000, 8, dict(block_size=20)),
+        (rng.integers(-5000, 5000, size=64), 44100, 16,
+         dict(block_size=64, partition_order=2)),
+    ]
+    out = []
+    for pcm, sr, bits, kw in specs:
+        pcm = np.asarray(pcm, dtype=np.int64)
+        payload = encode_flac(pcm, sample_rate=sr, bits_per_sample=bits, **kw)
+        shaped = pcm[:, None] if pcm.ndim == 1 else pcm
+        out.append(
+            (
+                sr,
+                shaped.shape[1],
+                bits,
+                shaped.shape[0],
+                _pcm_le_bytes(shaped, bits // 8).hex(),
+                payload.hex(),
+            )
+        )
+    _Q170_CACHE = out
+    return out
+
+
+def q170_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC entropy decode under the oracle (llm/flac.py::
+    flac_decode_pcm — metadata walk, frame-header CRC-8, Rice/Golomb
+    residual decode incl. partitions and the raw-escape form, fixed +
+    LPC predictors, wasted bits, all four stereo assignments, frame
+    CRC-16 and the STREAMINFO PCM MD5): 12 pinned streams (q167's
+    literal-palette convention) selected per doc by md5 index; decode
+    is lossless, so the oracle predicts every reconstructed PCM byte
+    as a palette literal. doc_id%7==3 rows carry a non-FLAC payload
+    and must emit 'unsupported'. Rice coding is the one audio entropy
+    layer fully derivable from its public spec with no external data
+    tables — this closes the audio leg of the codec stub the way
+    q167's Huffman/IDCT closed JPEG's."""
+    from swiftbeaver_spark.llm.flac import flac_decode_pcm
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sel = (
+        F.conv(
+            F.substring(F.md5(F.format_string("fq:%d", F.col("doc_id"))), 1, 2), 16, 10
+        ).cast("int")
+        % 12
+        + 1
+    ).cast("int")
+    hexes = [v[5] for v in _q170_variants()]
+    payload = F.when(
+        F.col("doc_id") % 7 == 3, F.unhex(F.lit("52494646aabbccdd57415645"))
+    ).otherwise(F.unhex(F.element_at(F.array(*[F.lit(h) for h in hexes]), sel)))
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    out = flac_decode_pcm(media)
+    return out.select(
+        "media_id",
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).cast("long").alias("sample_rate"),
+        F.coalesce(F.col("channels"), F.lit(-1)).cast("long").alias("channels"),
+        F.coalesce(F.col("bits_per_sample"), F.lit(-1)).cast("long").alias("bits_per_sample"),
+        F.coalesce(F.col("n_samples"), F.lit(-1)).cast("long").alias("n_samples"),
+        F.coalesce(F.col("pcm_hex"), F.lit("")).alias("pcm_hex"),
+        "status",
+    ).orderBy("media_id")
+
+
+def q170_sql() -> str:
+    pal_rows = ", ".join(
+        f"({i + 1}, {sr}, {ch}, {bits}, {n}, '{pcm}')"
+        for i, (sr, ch, bits, n, pcm, _) in enumerate(_q170_variants())
+    )
+    return f"""
+    WITH pal(i, sample_rate, channels, bits, n_samples, pcm_hex) AS
+      (VALUES {pal_rows}),
+    d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(printf('fq:%d', doc_id)), 1, 2) AS BIGINT)
+               % 12 + 1 AS sel
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE p.sample_rate END AS BIGINT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE p.channels END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE p.bits END AS BIGINT)
+             AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE p.n_samples END AS BIGINT)
+             AS n_samples,
+           CASE WHEN doc_id % 7 = 3 THEN '' ELSE p.pcm_hex END AS pcm_hex,
+           CASE WHEN doc_id % 7 = 3 THEN 'unsupported' ELSE 'ok' END AS status
+    FROM d JOIN pal p ON d.sel = p.i
+    ORDER BY media_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -11090,10 +11221,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_filtered_ann": q121_filtered_ann,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q136_substring_dedup": q136_substring_dedup,
-        "q88_ivfpq_topk": q88_ivfpq_topk,
+        # q170 is round-6's third NEW operator (FLAC entropy decode,
+        # added late in the round): it takes q88's re-confirmation slot
+        # (q88 is r4-driver-green, code untouched this round, and its
+        # sf1 scale row is already recorded in SCALE.md) so no new query
+        # ever again enters the contract without a driver window seat —
+        # the exact failure mode VERDICT r5 flagged for q167.
+        "q170_flac_decode": q170_flac_decode,
         "q120_ivfpq_residual": q120_ivfpq_residual,
         # --- tail (driver-proven in r1-r5; all still swept tri-SF by
         #     tools/drive_contract.py before every commit) --------------
+        "q88_ivfpq_topk": q88_ivfpq_topk,
         "q01_chunk_plan": q01_chunk_plan,
         "q03_scan_counts": q03_scan_counts,
         "q04_entropy": q04_entropy,
@@ -11268,9 +11406,10 @@ def oracle_sql() -> dict[str, str]:
         "q121_filtered_ann": q121_sql(),
         "q122_semantic_dedup": q122_sql(),
         "q136_substring_dedup": q136_sql(),
-        "q88_ivfpq_topk": q88_sql(),
+        "q170_flac_decode": q170_sql(),
         "q120_ivfpq_residual": q120_sql(),
         # --- tail --------------------------------------------------------
+        "q88_ivfpq_topk": q88_sql(),
         "q01_chunk_plan": q01_sql(),
         "q03_scan_counts": q03_sql(),
         "q04_entropy": q04_sql(),

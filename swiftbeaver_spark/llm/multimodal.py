@@ -130,13 +130,23 @@ def header_image_dims(payload: bytes) -> tuple[int, int] | None:
 def header_media_duration_ms(payload: bytes) -> int | None:
     """Codec-free duration from declared headers: WAV (fmt byte rate +
     data chunk size), MP4/MOV (mvhd timescale + duration), MP3 (Layer
-    III frame walk — sample-accurate, VBR-correct), and Ogg Vorbis
-    (last-page granule position over the id header's sample rate).
+    III frame walk — sample-accurate, VBR-correct), Ogg Vorbis
+    (last-page granule position over the id header's sample rate), and
+    FLAC (STREAMINFO total_samples over sample_rate — llm/flac.py can
+    also fully DECODE these, the only audio format here with a real
+    entropy-decode path).
     None for other formats or malformed headers — like
     `header_image_dims`, pure struct parsing of public container
     layouts (the carvers walk the same structures: carvers/media.py
     wav/mp4/mp3/ogg handlers)."""
     try:
+        if payload[:4] == b"fLaC":
+            from swiftbeaver_spark.llm.flac import parse_streaminfo
+
+            si = parse_streaminfo(payload)
+            if si is not None and si["sample_rate"] and si["total_samples"]:
+                return si["total_samples"] * 1000 // si["sample_rate"]
+            return None
         if payload[:4] == b"OggS":
             meta = vorbis_stream_meta(payload)
             return meta[3] if meta is not None else None
@@ -1454,10 +1464,16 @@ def decode_grid_hex(media: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MP3 frame walk + Ogg/Vorbis header metadata (round 6): the last two
-# audio containers whose STRUCTURE is codec-free. Entropy decode of the
-# frame payloads (MDCT/Huffman for MP3, Vorbis residue coding) is the
-# only thing that still needs a codec library — `decode_image`'s
-# NotImplementedError convention applies to it, nothing else.
+# audio containers whose STRUCTURE is codec-free. Entropy decode of
+# THESE payloads (MDCT/Huffman for MP3, Vorbis residue coding) is the
+# only thing that still needs a codec library — their spec-appendix
+# data tables (ISO 11172-3 Huffman tables, Vorbis setup conventions)
+# cannot be reproduced verifiably in this container, so `decode_image`'s
+# NotImplementedError convention applies to them, nothing else. Audio
+# entropy decode ITSELF is real where the spec carries no external
+# tables: llm/flac.py decodes FLAC's Rice/Golomb layer completely
+# (fixed+LPC predictors, partitions, escapes, stereo decorrelation),
+# validated by lossless round-trip against its own encoder.
 
 MP3_FRAME_SCHEMA = StructType(
     [
