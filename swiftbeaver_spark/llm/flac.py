@@ -300,35 +300,40 @@ def _write_residual(
     pred_order: int,
     partition_order: int,
 ) -> None:
+    # lower the partition order until it is legal for THIS block and
+    # predictor: 2^po must divide the block and the first partition
+    # (which loses the warmup samples) must stay non-empty — short tail
+    # blocks and high LPC orders both force this down
+    while partition_order and (
+        block_size % (1 << partition_order)
+        or (block_size >> partition_order) <= pred_order
+    ):
+        partition_order -= 1
     nparts = 1 << partition_order
     if block_size % nparts or (block_size >> partition_order) <= pred_order:
         raise ValueError("invalid partition order for block")
     zz_all = _zigzag(residual)
-    # pick method: Rice2 only when some partition needs param > 14
-    needs: list[tuple[int, int, np.ndarray]] = []
+    needs: list[tuple[int, np.ndarray, np.ndarray]] = []
     pos = 0
     for part in range(nparts):
         n = (block_size >> partition_order) - (pred_order if part == 0 else 0)
-        zz = zz_all[pos : pos + n]
+        needs.append((n, zz_all[pos : pos + n], residual[pos : pos + n]))
         pos += n
-        needs.append((part, n, zz))
-    params4 = [_best_rice_param(zz, 4) for _, _, zz in needs]
-    method = 0 if all(p <= 14 for p, _ in params4) else 1
+    # method 1 (Rice2, 5-bit params) only when some partition's optimal
+    # parameter exceeds method 0's 14 cap (e.g. 20+-bit residuals)
+    params = [_best_rice_param(zz, 5) for _, zz, _ in needs]
+    method = 0 if all(p <= 14 for p, _ in params) else 1
     method_bits = 4 if method == 0 else 5
     bw.write(method, 2)
     bw.write(partition_order, 4)
-    for (part, n, zz), (p4, _) in zip(needs, params4):
-        param, _ = (p4, None) if method == 0 else _best_rice_param(zz, 5)
-        # escape to raw when the largest symbol would be pathological
-        rice_cost = int(np.sum(zz >> param)) + n * (1 + param)
-        rawbits = int(zz.max()).bit_length() + 1 if n else 1
-        rawbits = min(max(rawbits, 1), 31)
-        if n and rice_cost > n * rawbits + 5:
+    for (n, zz, raw), (param, rice_cost) in zip(needs, params):
+        # exact escape decision: raw n-bit coding (0-bit form included —
+        # an all-zero partition costs 5 bits total) vs the Rice cost
+        rawbits = min(int(zz.max()).bit_length() if n else 0, 31)
+        if n and n * rawbits + 5 < rice_cost:
             bw.write((1 << method_bits) - 1, method_bits)
             bw.write(rawbits, 5)
-            for v in residual[
-                sum(x[1] for x in needs[:part]) : sum(x[1] for x in needs[: part + 1])
-            ]:
+            for v in raw:
                 bw.write_signed(int(v), rawbits)
             continue
         bw.write(param, method_bits)
@@ -532,11 +537,10 @@ def encode_flac(
             sub = [(mid, bits_per_sample), (side, bits_per_sample + 1)]
         else:
             sub = [(c, bits_per_sample) for c in cols]
-        po = partition_order
-        while po and ((bs >> po) <= 4 or bs % (1 << po)):
-            po -= 1
         for xch, bps in sub:
-            _encode_subframe(bw, xch, bps, force_subframe, po, lpc_order)
+            # _write_residual lowers the partition order per subframe
+            # when the tail block or predictor order makes it illegal
+            _encode_subframe(bw, xch, bps, force_subframe, partition_order, lpc_order)
         bw.align()
         body = bw.bytes()
         frame = body + struct.pack(">H", crc16(body))

@@ -90,12 +90,66 @@ def test_roundtrip_partition_orders():
     assert len(blobs) > 1  # partitioning actually changes the stream
 
 
+def test_residual_escape_and_rice2_forms():
+    # pin the two rarely-hit residual forms at the bit level
+    from swiftbeaver_spark.llm.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _write_residual,
+    )
+
+    # all-zero residual: the 0-bit raw escape (5 bits) must beat Rice
+    # (1 bit/sample) — total stream 2+4+4+5 = 15 bits
+    bw = _BitWriter()
+    res = np.zeros(64, dtype=np.int64)
+    _write_residual(bw, res, 64, 0, 0)
+    bw.align()
+    data = bw.bytes()
+    assert len(data) == 2  # escape fired; Rice would need 10 bytes
+    assert np.array_equal(_read_residual(_BitReader(data), 64, 0), res)
+
+    # 23-bit noise: optimal Rice parameter > 14 forces method 1 (Rice2)
+    bw = _BitWriter()
+    res2 = _rng(62).integers(-(2**22), 2**22, size=64)
+    _write_residual(bw, res2, 64, 0, 0)
+    bw.align()
+    data2 = bw.bytes()
+    assert data2[0] >> 6 == 1  # first 2 bits = coding method = Rice2
+    assert np.array_equal(_read_residual(_BitReader(data2), 64, 0), res2)
+
+
 def test_roundtrip_escape_partitions():
-    # one huge-variance region forces the raw-escape path in some
-    # partition while others stay Rice-coded
+    # an all-zero half makes raw 0-bit escape (5 bits/partition) beat
+    # Rice (1 bit/sample); the other half stays Rice-coded. Assert the
+    # escape actually fires: the escaped stream must be smaller than a
+    # partition-order-0 encoding of the same data.
     pcm = np.zeros(512, dtype=np.int64)
     pcm[256:] = _rng(6).integers(-(2**20), 2**20, size=256)
-    _roundtrip(pcm, bits_per_sample=24, block_size=512, partition_order=2)
+    payload, _ = _roundtrip(
+        pcm, bits_per_sample=24, block_size=512, partition_order=2
+    )
+    flat, _ = _roundtrip(pcm, bits_per_sample=24, block_size=512, partition_order=0)
+    assert len(payload) < len(flat)
+
+
+def test_roundtrip_rice2_method():
+    # uniformly huge 24-bit noise needs Rice params > 14 -> method 1
+    # (5-bit params); round-trip proves the Rice2 decode path
+    pcm = _rng(61).integers(-(2**22), 2**22, size=512, dtype=np.int64)
+    payload, _ = _roundtrip(pcm, bits_per_sample=24, block_size=256)
+    # the stream must be near-incompressible but still exact
+    assert len(payload) > 512 * 2
+
+
+def test_roundtrip_short_tail_block_lpc():
+    # 24 samples at block 16 leaves an 8-sample tail; forced LPC order 8
+    # must clamp to the tail (order = n-1 = 7) and the partition order
+    # must self-lower so the first partition stays non-empty
+    pcm = (5000 * np.sin(np.arange(24) / 2.0)).astype(np.int64)
+    _roundtrip(
+        pcm, block_size=16, force_subframe="lpc", lpc_order=8, partition_order=3
+    )
 
 
 def test_roundtrip_wasted_bits():
