@@ -281,7 +281,7 @@ def _read_utf8_coded(br: _BitReader) -> int:
 
 def _best_rice_param(zz: np.ndarray, method_bits: int) -> tuple[int, int]:
     """(param, cost_bits) minimizing the exact Rice cost for this
-    partition; returns param == escape marker when raw coding wins."""
+    partition; the raw-escape decision happens in _write_residual."""
     max_param = (1 << method_bits) - 2  # all-ones is the escape code
     best_p, best_cost = 0, None
     for p in range(max_param + 1):
@@ -419,7 +419,9 @@ def _encode_subframe(
         return
     if force == "lpc":
         order = min(lpc_order, n - 1)
-        coefs = _lpc_coefs(xs, order)
+        # LPC needs order >= 1 (type code encodes order-1); single-sample
+        # tail blocks fall through to the fixed predictor instead
+        coefs = _lpc_coefs(xs, order) if order >= 1 else None
         if coefs is not None:
             precision = 12
             q, shift = _quantize_lpc(coefs, precision)
@@ -837,7 +839,7 @@ def flac_decode_pcm(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = decode_flac(bytes(payload))
+                dec = decode_flac(bytes(payload)) if payload is not None else None
                 if dec is None:
                     rows.append((int(mid), None, None, None, None, None, "unsupported"))
                     continue

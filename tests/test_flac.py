@@ -152,6 +152,14 @@ def test_roundtrip_short_tail_block_lpc():
     )
 
 
+def test_roundtrip_single_sample_tail_block_lpc():
+    # a 1-sample tail block cannot carry an LPC subframe (type code
+    # encodes order-1, order >= 1): forced LPC must fall through to the
+    # fixed predictor for that block instead of emitting a corrupt type
+    pcm = (3000 * np.sin(np.arange(17) / 3.0)).astype(np.int64) + 7
+    _roundtrip(pcm, block_size=16, force_subframe="lpc", lpc_order=4)
+
+
 def test_roundtrip_wasted_bits():
     pcm = (_rng(7).integers(-500, 500, size=512) << 4).astype(np.int64)
     payload, _ = _roundtrip(pcm, block_size=512)
@@ -241,8 +249,10 @@ def test_spark_flac_decode_operator(spark):
         rows.append((mid, bytearray(payload)))
         expected[mid] = pcm.astype("<i2").tobytes().hex()
     rows.append((99, bytearray(b"not a flac stream at all")))
+    rows.append((100, None))  # NULL payload must not fail the task
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r.media_id: r for r in flac_decode_pcm(media).collect()}
+    assert out[100].status == "unsupported"
     for mid in range(6):
         r = out[mid]
         assert r.status == "ok"
