@@ -7107,13 +7107,14 @@ def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     cents = md5_centroids(SEMDEDUP_NLIST, 64, tag="semdedup")
-    # arrow kernel: the production in-cell gram path (66x at 10x sf0.1,
-    # SCALE.md); output verified identical to the expression kernel at
-    # sf0.1 AND the 10x corpus, pytest-pinned — so the driver gate
-    # checks the path production actually runs
-    return semantic_dedup(corpus, cents, threshold=0.95, kernel="arrow").orderBy(
-        "vec_id"
-    )
+    # arrow kernel + arrow assignment: the production paths (in-cell
+    # gram 66x, matmul assignment vs per-row nlist argmax folds — the
+    # large-nlist lever, SCALE.md); output verified identical to the
+    # expression forms at sf0.1 AND the 10x corpus, pytest-pinned — so
+    # the driver gate checks the path production actually runs
+    return semantic_dedup(
+        corpus, cents, threshold=0.95, kernel="arrow", assign="arrow"
+    ).orderBy("vec_id")
 
 
 def q122_sql() -> str:

@@ -1124,6 +1124,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     round_dp: int = 6,
     kernel: str = "expr",
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic duplicates INSIDE each cluster
@@ -1157,11 +1158,23 @@ def semantic_dedup(
     in-cell stage as a blockwise numpy gram per cell
     (_semantic_dedup_dropped_arrow) — ~66x faster at 10x sf0.1
     (SCALE.md) with verified-identical output; production deployments
-    at real cell occupancies want arrow."""
-    assigned = embeddings.select(
+    at real cell occupancies want arrow. assign='arrow' computes the
+    cell assignment itself via assign_cells_arrow (one numpy matmul
+    per batch vs nlist zip_with folds per row) — the large-nlist lever
+    (36 s of the 42 s nlist=160 sf1 run was expression argmax;
+    cell-for-cell equivalence pytest-pinned)."""
+    proj = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
+    )
+    if assign == "arrow":
+        assigned = assign_cells_arrow(
+            proj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp
+        )
+    else:
+        assigned = proj.withColumn(
+            "cell", ivf_cell_dot(F.col("vec"), centroids, round_dp)
+        )
     # rounded cosine to the OWN cell's centroid (keep-policy ordering)
     cent = _centroid_lit(centroids)
     own = F.element_at(cent, F.col("cell") + 1)

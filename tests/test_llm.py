@@ -1938,6 +1938,16 @@ def test_semantic_dedup_arrow_kernel_matches_expr(spark):
     )
     assert expr_rows == arrow_rows
     assert any(r[3] for r in arrow_rows)  # the planted dups actually drop
+    # full production form (gated q122): arrow assignment + arrow gram
+    full_arrow = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                corpus, cents, kernel="arrow", assign="arrow"
+            ).collect(),
+        )
+    )
+    assert expr_rows == full_arrow
 
 
 def test_assign_cells_arrow_matches_expr(spark):
