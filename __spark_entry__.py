@@ -9772,6 +9772,10 @@ def q157_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=BITEXT_K,
         nprobe=IVFPQ_NPROBE,
         margin_milli=BITEXT_MARGIN_MILLI,
+        # arrow corpus-side cell assignment: the large-nlist production
+        # path (matmul per batch vs nlist folds per row — SCALE.md);
+        # cell-for-cell equivalence pytest-pinned, hash-gated here
+        assign="arrow",
     )
     return out.orderBy("x_id")
 
@@ -10013,7 +10017,14 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("vec").alias("query_vec")
     )
     cand_raw = ivf_candidates(
-        emb, queries, _ivfpq_cents(), nprobe=IVFPQ_NPROBE, broadcast_queries=True
+        emb,
+        queries,
+        _ivfpq_cents(),
+        nprobe=IVFPQ_NPROBE,
+        broadcast_queries=True,
+        # arrow corpus-side cell assignment (the large-nlist production
+        # path, same rule as q122/q157) — hash-gated here
+        assign="arrow",
     )
     # candidate ranking on MICRO-rounded relevance (desc, vec_id) so
     # the k-cut itself is engine-pinned (unrounded ties could differ)

@@ -975,6 +975,7 @@ def ivf_candidates(
     query_vec_col: str = "query_vec",
     round_dp: int = 6,
     broadcast_queries: bool = True,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF cell-pruned CANDIDATE PAIR generation — the shared coarse
     stage that turns any corpus-vs-corpus similarity task (bitext
@@ -993,12 +994,24 @@ def ivf_candidates(
     ~|corpus| * nprobe / nlist — raise nlist at scale (FAISS rule of
     thumb nlist ~ sqrt(n)) to keep cells executor-sized. Every step
     is SQL-replayable (md5-pinned centroids, rounded-dot argmax).
+    assign='arrow' computes the corpus-side assignment via
+    assign_cells_arrow (one matmul per batch vs nlist folds per row —
+    the large-nlist lever, same rule as semantic_dedup; cell-for-cell
+    equivalence pytest-pinned). The query side keeps the expression
+    probe list: it needs the nprobe-nearest RANKING, not an argmax,
+    and query counts are the small side.
 
     Returns (query_id, query_vec, vec_id, vec, cell)."""
-    c = corpus.select(
+    cproj = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
+    )
+    if assign == "arrow":
+        c = assign_cells_arrow(
+            cproj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp
+        )
+    else:
+        c = cproj.withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
     pairs = F.zip_with(
         _dots(F.col("query_vec"), centroids, round_dp),
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
@@ -1025,6 +1038,7 @@ def bitext_mine_ivf(
     margin_milli: int = 1050,
     round_dp: int = 6,
     eager: bool = True,
+    assign: str = "expr",
 ) -> DataFrame:
     """Bitext mining with RATIO-margin scoring (Artetxe & Schwenk
     2019) composed with the IVF coarse index: candidate (x, y) pairs
@@ -1051,6 +1065,7 @@ def bitext_mine_ivf(
         nprobe=nprobe,
         round_dp=round_dp,
         broadcast_queries=False,  # src is corpus-sized: shuffle equi-join
+        assign=assign,
     )
     cm = F.round(
         cosine_similarity(F.col("query_vec"), F.col("vec")) * 1_000_000

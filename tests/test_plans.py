@@ -283,12 +283,14 @@ def test_bitext_mining_no_cartesian(spark):
     tgt = emb.where("label = 1").selectExpr(
         "vec_id AS y_id", "CAST(embedding AS array<double>) AS yv"
     )
-    lazy = bitext_mine_ivf(
-        src, tgt, md5_centroids(8, 64, tag="ivfpqcent"), eager=False
-    )
-    plan = _formatted(lazy)
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for assign in ("expr", "arrow"):  # arrow = the gated q157 path
+        lazy = bitext_mine_ivf(
+            src, tgt, md5_centroids(8, 64, tag="ivfpqcent"), eager=False,
+            assign=assign,
+        )
+        plan = _formatted(lazy)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_mmr_candidates_ivf_pruned(spark):
@@ -302,12 +304,16 @@ def test_mmr_candidates_ivf_pruned(spark):
     q = emb.where("vec_id < 3").selectExpr(
         "vec_id AS query_id", "vec AS query_vec"
     )
-    plan = _formatted(
-        ivf_candidates(emb, q, md5_centroids(8, 64, tag="ivfpqcent"), nprobe=3)
-    )
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    for assign in ("expr", "arrow"):  # arrow = the gated q160 path
+        plan = _formatted(
+            ivf_candidates(
+                emb, q, md5_centroids(8, 64, tag="ivfpqcent"), nprobe=3,
+                assign=assign,
+            )
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
 
 
 def test_equidepth_histogram_global_window_only_on_blocks(spark):
