@@ -328,9 +328,13 @@ def _write_residual(
     bw.write(partition_order, 4)
     for (n, zz, raw), (param, rice_cost) in zip(needs, params):
         # exact escape decision: raw n-bit coding (0-bit form included —
-        # an all-zero partition costs 5 bits total) vs the Rice cost
-        rawbits = min(int(zz.max()).bit_length() if n else 0, 31)
-        if n and n * rawbits + 5 < rice_cost:
+        # an all-zero partition costs 5 bits total) vs the Rice cost.
+        # The escape's 5-bit width field caps at 31 bits: residuals
+        # needing more (full-range 32-bit depth) MUST take the Rice
+        # path (unary encodes any magnitude) — truncating would emit a
+        # stream the decoder rejects.
+        rawbits = int(zz.max()).bit_length() if n else 0
+        if n and rawbits <= 31 and n * rawbits + 5 < rice_cost:
             bw.write((1 << method_bits) - 1, method_bits)
             bw.write(rawbits, 5)
             for v in raw:
@@ -483,8 +487,10 @@ def encode_flac(
     if block_size not in _BLOCKSIZE_CODES and not 16 <= block_size <= 65535:
         raise ValueError("bad block size")
 
-    # STREAMINFO MD5: interleaved little-endian signed PCM
-    sample_bytes = bits_per_sample // 8
+    # STREAMINFO MD5: interleaved little-endian signed PCM at
+    # ceil(bps/8) bytes/sample (libFLAC convention — 12-bit hashes 2
+    # bytes, 20-bit hashes 3)
+    sample_bytes = (bits_per_sample + 7) // 8
     md5 = hashlib.md5(_pcm_le_bytes(pcm.astype(np.int64), sample_bytes))
 
     frames = bytearray()
@@ -664,7 +670,15 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
 
 
 def parse_streaminfo(payload: bytes) -> dict | None:
-    """STREAMINFO fields from a FLAC stream head; None if not FLAC."""
+    """STREAMINFO fields from a FLAC stream head; None for any
+    non-FLAC/truncated input (total: never raises on bytes)."""
+    try:
+        return _parse_streaminfo(payload)
+    except (EOFError, ValueError, IndexError):
+        return None
+
+
+def _parse_streaminfo(payload: bytes) -> dict | None:
     if payload[:4] != b"fLaC" or len(payload) < 42:
         return None
     pos = 4
@@ -675,7 +689,10 @@ def parse_streaminfo(payload: bytes) -> dict | None:
         blen = int.from_bytes(hdr[1:4], "big")
         body = payload[pos + 4 : pos + 4 + blen]
         if btype == 0:
-            if blen < 34:
+            # declared AND actually-present body must cover the full
+            # 34-byte STREAMINFO (a truncated body would otherwise
+            # yield a short md5_hex slice instead of failing)
+            if blen < 34 or len(body) < 34:
                 return None
             br = _BitReader(body)
             info = {
@@ -804,7 +821,7 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
             else np.empty((0, channels), dtype=np.int64)
         )
         if verify_md5 and total:
-            md5 = hashlib.md5(_pcm_le_bytes(pcm, bps // 8))
+            md5 = hashlib.md5(_pcm_le_bytes(pcm, (bps + 7) // 8))
             if md5.hexdigest() != info["md5_hex"]:
                 return None
         return info, pcm
@@ -851,7 +868,7 @@ def flac_decode_pcm(media: DataFrame) -> DataFrame:
                         info["channels"],
                         info["bits_per_sample"],
                         len(pcm),
-                        _pcm_le_bytes(pcm, info["bits_per_sample"] // 8).hex(),
+                        _pcm_le_bytes(pcm, (info["bits_per_sample"] + 7) // 8).hex(),
                         "ok",
                     )
                 )

@@ -65,6 +65,14 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+def _payload_bytes(payload) -> bytes:
+    """NULL-total payload coercion for the mapInPandas operators: a
+    NULL binary cell becomes b'' (which every parser maps to its
+    unsupported/None row) instead of bytes(None) raising TypeError and
+    failing the whole task."""
+    return bytes(payload) if payload is not None else b""
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Real image decode — requires an imaging library not present in
     this container. Plug Pillow here on a real cluster."""
@@ -310,7 +318,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = _payload_bytes(payload)
                 px = image_pixels(blob)
                 resized = (
                     _resample_to_bmp(px, target_w, target_h)
@@ -493,7 +501,7 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = _payload_bytes(payload)
                 idx = mp4_sample_index(blob)
                 if not idx:
                     rows.append((int(mid), -1, -1, None, "unsupported"))
@@ -540,7 +548,7 @@ def sample_audio_windows(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = _payload_bytes(payload)
                 parsed = _wav_data_span(blob)
                 if parsed is None:
                     rows.append((int(mid), -1, -1, None, "unsupported"))
@@ -618,7 +626,7 @@ def extract_media_meta(media: DataFrame, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = _payload_bytes(payload)
                 w, h, dur = fake_decode_meta(str(modality), blob)
                 if str(modality) == "image":
                     # real header dims when the format declares them
@@ -729,7 +737,7 @@ def bmp_patch_means(media: DataFrame, patch: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = image_pixels(bytes(payload))
+                px = image_pixels(_payload_bytes(payload))
                 if px is None or px.shape[0] % patch or px.shape[1] % patch:
                     rows.append((int(mid), None, None, None, None, None, "unsupported"))
                     continue
@@ -886,7 +894,7 @@ def audio_window_energy(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = _payload_bytes(payload)
                 parsed = _wav_data_span(blob)
                 if parsed is None:
                     rows.append((int(mid), -1, -1, None, None, None, "unsupported"))
@@ -1444,7 +1452,7 @@ def decode_grid_hex(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = image_pixels(bytes(payload))
+                px = image_pixels(_payload_bytes(payload))
                 if px is None:
                     rows.append((int(mid), None, None, None, "unsupported"))
                 else:
@@ -1541,7 +1549,7 @@ def mp3_frame_spans(media: DataFrame, max_frames: int = 100_000) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, frames, _ = _mp3_walk(bytes(payload), max_frames)
+                _, frames, _ = _mp3_walk(_payload_bytes(payload), max_frames)
                 for fi, (pos, size, kbps, rate, t_ms) in enumerate(frames):
                     rows.append((int(mid), fi, pos, size, kbps, rate, t_ms, "ok"))
                 if not frames:
@@ -1659,7 +1667,7 @@ def vorbis_meta(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                meta = vorbis_stream_meta(bytes(payload))
+                meta = vorbis_stream_meta(_payload_bytes(payload))
                 if meta is None:
                     rows.append((int(mid), None, None, None, None, None, "unsupported"))
                 else:

@@ -1430,7 +1430,17 @@ def assign_cells_arrow(
     HALF_UP at round_dp (sign*floor(abs*scale+0.5)/scale — Spark
     ROUND), argmax with ties to the LOWEST cell (np.argmax takes the
     first maximum). Equivalence pytest-pinned against ivf_cell_dot
-    (`test_assign_cells_arrow_matches_expr`)."""
+    (`test_assign_cells_arrow_matches_expr`).
+
+    Float-summation caveat, quantified: BLAS accumulates in a
+    different order than the Catalyst fold, so a dot can differ by
+    O(1) ulp (~1e-15 relative). A cell flip needs the TRUE dot within
+    that ~1e-15 of an exact x.xxxxxx5 HALF_UP boundary (the boundary
+    grid is ~1e-6 apart at 6 dp), i.e. ~1e-12 per dot and ~1e-6 per
+    multi-million-dot corpus pass. The driver gate evaluates query
+    and oracle on the same host (verified identical tri-SF + sf1
+    here); the expr forms remain the bit-guaranteed engine-replayable
+    path for cross-engine reproduction."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (

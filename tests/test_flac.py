@@ -191,6 +191,47 @@ def test_roundtrip_multichannel_and_depths():
     assert info["bits_per_sample"] == 8
 
 
+def test_roundtrip_odd_bit_depths_ceil_byte_md5():
+    # 12-bit hashes/serializes 2 bytes per sample, 20-bit 3 bytes
+    # (ceil(bps/8), the libFLAC STREAMINFO-MD5 convention)
+    rng = _rng(21)
+    pcm12 = rng.integers(-(1 << 11), 1 << 11, size=300, dtype=np.int64)
+    _, info = _roundtrip(pcm12, bits_per_sample=12, block_size=128)
+    assert info["bits_per_sample"] == 12
+    assert info["md5_hex"] == hashlib.md5(pcm12.astype("<i2").tobytes()).hexdigest()
+    pcm20 = rng.integers(-(1 << 19), 1 << 19, size=300, dtype=np.int64)
+    _, info = _roundtrip(pcm20, bits_per_sample=20, block_size=128)
+    a = np.ascontiguousarray(pcm20.astype("<i4")).view(np.uint8).reshape(-1, 4)
+    assert info["md5_hex"] == hashlib.md5(a[:, :3].tobytes()).hexdigest()
+
+
+def test_roundtrip_full_range_32bit():
+    # full-range 32-bit residuals exceed the escape's 31-bit width
+    # field: the encoder must take the Rice path (unary handles any
+    # magnitude), never truncate
+    pcm = _rng(22).integers(-(1 << 31), 1 << 31, size=200, dtype=np.int64)
+    _roundtrip(pcm, bits_per_sample=32, block_size=64)
+    # and with partitions forced on
+    _roundtrip(pcm, bits_per_sample=32, block_size=64, partition_order=2)
+
+
+def test_streaminfo_truncated_body_total():
+    # a STREAMINFO header whose declared 34-byte body is truncated must
+    # give None, not EOFError (the q29 media-meta path needs totality):
+    # 4 sig + 8 padding block + 4 STREAMINFO hdr + 28 of 34 body = 44
+    blob = (
+        b"fLaC"
+        + bytes([0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+        + bytes([0x80]) + (34).to_bytes(3, "big") + b"\x01" * 28
+    )
+    assert len(blob) >= 42
+    assert parse_streaminfo(blob) is None
+    pcm = _rng(23).integers(-100, 100, size=64, dtype=np.int64)
+    good = encode_flac(pcm, block_size=64)
+    for cut in range(len(good)):
+        parse_streaminfo(good[:cut])  # never raises
+
+
 def test_streaminfo_md5_and_fields():
     pcm = _rng(10).integers(-32768, 32768, size=600, dtype=np.int64)
     payload = encode_flac(pcm, sample_rate=44100, block_size=256)

@@ -1804,10 +1804,12 @@ def test_mp3_frame_spans(spark):
                 (1, id3 + f1 + f1p + f1 + b"\x00garbage"),  # tag + 3 frames + junk
                 (2, f2 + f2[: len(f2) - 1]),  # walk stops at truncated 2nd frame
                 (3, b"RIFFxxxxWAVE"),  # not an mp3
+                (4, None),  # NULL payload must not fail the task
             ],
             "media_id LONG, payload BINARY",
         )
     ).collect()
+    assert [r.status for r in rows if r.media_id == 4] == ["unsupported"]
     by = {(r.media_id, r.frame_idx): r for r in rows}
     assert len([r for r in rows if r.media_id == 1]) == 3
     assert by[(1, 0)].byte_off == 15 and by[(1, 0)].byte_size == 417
@@ -1852,12 +1854,14 @@ def test_vorbis_stream_meta(spark):
 
     rows = vorbis_meta(
         spark.createDataFrame(
-            [(1, good), (2, b"RIFFxxxxWAVE")], "media_id LONG, payload BINARY"
+            [(1, good), (2, b"RIFFxxxxWAVE"), (3, None)],
+            "media_id LONG, payload BINARY",
         )
     ).collect()
     by = {r.media_id: r for r in rows}
     assert (by[1].channels, by[1].duration_ms, by[1].n_pages) == (2, 2000, 3)
     assert by[2].status == "unsupported"
+    assert by[3].status == "unsupported"  # NULL payload must not fail
 
 
 def test_header_duration_mp3_and_vorbis():
