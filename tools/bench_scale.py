@@ -30,6 +30,7 @@ HEAVY = [
     "q136_substring_dedup",
     "q122_semantic_dedup",
     "q157_bitext_mining",
+    "q160_mmr_rerank",
     "q88_ivfpq_topk",
     "q120_ivfpq_residual",
     # round-6 extension: the scan/relational/events side over 10x FACTS
