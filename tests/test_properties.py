@@ -375,3 +375,50 @@ def test_mp3_vorbis_parsers_total_on_truncated_structures(blob, cut):
         assert d is None or d >= 0
         v = vorbis_stream_meta(frank)
         assert v is None or (len(v) == 5 and v[3] >= 0)
+
+
+@given(
+    data=st.data(),
+    n=st.integers(min_value=0, max_value=200),
+    bits=st.sampled_from([8, 12, 16, 20, 24, 32]),
+    channels=st.integers(min_value=1, max_value=2),
+    block_size=st.sampled_from([16, 64, 192]),
+    force=st.sampled_from([None, "verbatim", "fixed0", "lpc"]),
+    partition_order=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_property(data, n, bits, channels, block_size, force,
+                                 partition_order):
+    """encode_flac/decode_flac must be EXACTLY lossless over the whole
+    parameter surface — any depth/channel/block/subframe-type/partition
+    combination, including empty PCM, full-range samples, and the
+    stereo decorrelation modes (hypothesis reaches tail-block ×
+    high-order × escape combinations the fixed tests don't)."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.flac import decode_flac, encode_flac
+
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    vals = data.draw(
+        st.lists(st.integers(lo, hi), min_size=n * channels,
+                 max_size=n * channels)
+    )
+    pcm = np.array(vals, dtype=np.int64).reshape(n, channels)
+    mode = "independent"
+    if channels == 2:
+        mode = data.draw(st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]))
+    payload = encode_flac(
+        pcm if channels > 1 else pcm[:, 0],
+        bits_per_sample=bits,
+        block_size=block_size,
+        stereo_mode=mode,
+        force_subframe=force,
+        partition_order=partition_order,
+    )
+    dec = decode_flac(payload)
+    assert dec is not None
+    info, out = dec
+    assert out.shape == (n, channels)
+    assert np.array_equal(out, pcm)
+    assert info["bits_per_sample"] == bits and info["channels"] == channels
