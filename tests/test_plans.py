@@ -362,3 +362,25 @@ def test_simhash_pairs_no_distinct_aggregate(spark):
     assert "HashAggregate" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_arrow_single_cell_shuffle(spark):
+    """q122 production shape (arrow assign + arrow gram): assignment is
+    a map-only Python stage (no join against a centroid table), the
+    in-cell stage is one hash shuffle on `cell` into applyInPandas, and
+    no cartesian/nested-loop node exists anywhere."""
+    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(
+        emb, md5_centroids(16, 64, tag="semdedup"), kernel="arrow", assign="arrow"
+    )
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan  # the in-cell gram stage
+    # the only wide exchanges: the groupBy(cell) hash partitioning and
+    # the final vec_id join — no corpus-sized range/rebalance shuffle
+    assert "rangepartitioning" not in plan.lower(), plan
