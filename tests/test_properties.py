@@ -422,3 +422,42 @@ def test_flac_roundtrip_property(data, n, bits, channels, block_size, force,
     assert out.shape == (n, channels)
     assert np.array_equal(out, pcm)
     assert info["bits_per_sample"] == bits and info["channels"] == channels
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="aab xy.", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    num_merges=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_bpe_learn_and_tokenize_match_reference(spark, docs, num_merges):
+    """bpe_learn + bpe_tokenize over ADVERSARIAL tiny corpora ==
+    the independent single-node reference: repeated characters force
+    the leftmost-non-overlap merge semantics ('aaaa' + merge (a,a)
+    must give 'aa','aa', never three overlapping pairs), tie-heavy
+    count tables exercise the lexicographic break, and empty/space
+    docs the drop semantics."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.bpe import bpe_learn, bpe_tokenize, words_table
+    from test_bpe import _reference_bpe, _reference_tokenize
+
+    corpus = spark.createDataFrame([(d,) for d in docs], ["text"])
+    merges = bpe_learn(corpus, num_merges)
+    wc = {r["word"]: r["cnt"] for r in words_table(corpus, "text").collect()}
+    assert merges == _reference_bpe(wc, num_merges)
+
+    ids = corpus.withColumn("doc_id", F.monotonically_increasing_id())
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize(ids, merges).collect()
+    }
+    for r in ids.collect():
+        want = _reference_tokenize(r["text"], merges)
+        if not want:
+            assert r["doc_id"] not in got
+        else:
+            assert got[r["doc_id"]] == want
