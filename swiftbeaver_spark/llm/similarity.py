@@ -294,7 +294,10 @@ def ivf_topk(
     ~|corpus| * nprobe / nlist. Recall rises with nprobe; nprobe=nlist
     degenerates to exact brute force. Reference analog: none (the
     reference has no ANN operator) — this is the training-data-pipeline
-    extension, patterned on FAISS IVF-Flat."""
+    extension, patterned on FAISS IVF-Flat. At paper-scale nlist the
+    corpus-side expression argmax is the bottleneck — compose with
+    assign_cells_arrow the way ivf_candidates(assign='arrow') and
+    semantic_dedup(assign='arrow') do (measured in SCALE.md)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
