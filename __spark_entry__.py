@@ -11073,7 +11073,7 @@ def _q170_variants() -> list[tuple[int, int, int, int, str, str]]:
                 shaped.shape[1],
                 bits,
                 shaped.shape[0],
-                _pcm_le_bytes(shaped, bits // 8).hex(),
+                _pcm_le_bytes(shaped, (bits + 7) // 8).hex(),  # ceil(bps/8), the codec convention
                 payload.hex(),
             )
         )

@@ -55,8 +55,10 @@ MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("modality", StringType(), False),
-        StructField("byte_size", LongType(), False),
-        StructField("sha256", StringType(), False),
+        # nullable: a NULL-payload row keeps NULL size/digest instead
+        # of fabricating the shared empty-bytes values
+        StructField("byte_size", LongType(), True),
+        StructField("sha256", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("duration_ms", LongType(), True),
@@ -626,6 +628,14 @@ def extract_media_meta(media: DataFrame, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, modality, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
+                if payload is None:
+                    # a NULL payload row must stay visibly empty — not
+                    # fabricate a shared empty-bytes digest/feature that
+                    # a downstream dedup would cluster on
+                    rows.append(
+                        (int(mid), str(modality), None, None, None, None, None, None)
+                    )
+                    continue
                 blob = _payload_bytes(payload)
                 w, h, dur = fake_decode_meta(str(modality), blob)
                 if str(modality) == "image":

@@ -1981,3 +1981,19 @@ def test_assign_cells_arrow_matches_expr(spark):
         r.vec_id: r.cell for r in assign_cells_arrow(emb, cents).collect()
     }
     assert expr_cells == arrow_cells and len(arrow_cells) == 500
+
+
+def test_extract_media_meta_null_payload_stays_null(spark):
+    """A NULL-payload row must keep NULL size/sha/dims/feature — never
+    the shared empty-bytes digest a downstream dedup would cluster on."""
+    from swiftbeaver_spark.llm.multimodal import extract_media_meta
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"BM")), (2, "image", None)],
+        "media_id long, modality string, payload binary",
+    )
+    out = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert out[1].byte_size == 2 and out[1].sha256 is not None
+    r = out[2]
+    assert r.byte_size is None and r.sha256 is None
+    assert r.width is None and r.duration_ms is None and r.feature is None
