@@ -496,3 +496,48 @@ def test_semantic_dedup_arrow_equals_expr_random_vectors(spark, seed, n, dim, nl
     )
     assert expr == arrow
     assert any(r[3] for r in arrow)  # the planted dups drop
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=14),
+    max_hamming=st.sampled_from([1, 2, 3, 4, 5, 8]),
+)
+@_settings
+def test_simhash_near_dups_exact_recall_vs_bruteforce(spark, seed, n_docs, max_hamming):
+    """simhash_near_dups must return EXACTLY the pairs whose simhash
+    Hamming distance <= k (the pigeonhole + min-block-filter claim):
+    compared against popcount brute force over the same kernel-computed
+    simhashes, across the keep=3 (k<=4) and keep=1 (k>4) layout regimes
+    and corpora seeded with perturbed near-copies."""
+    import random
+
+    from swiftbeaver_spark.llm.dedup import simhash, simhash_near_dups
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "web", "data", "spark", "scale"]
+    docs = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 12))]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.5:  # perturbed near-copy
+            w2 = list(words)
+            w2[rng.randrange(len(w2))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(w2)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sims = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ids = sorted(sims)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= max_hamming
+    }
+    got = {
+        (min(r.a, r.b), max(r.a, r.b))
+        for r in simhash_near_dups(df, max_hamming=max_hamming)
+        .selectExpr("least(doc_a, doc_b) AS a", "greatest(doc_a, doc_b) AS b")
+        .collect()
+    }
+    assert got == want
