@@ -541,3 +541,45 @@ def test_simhash_near_dups_exact_recall_vs_bruteforce(spark, seed, n_docs, max_h
         .collect()
     }
     assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=2, max_value=10),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@_settings
+def test_minhash_near_dups_sound_vs_exact_jaccard(spark, seed, n_docs, threshold):
+    """Soundness of the LSH + verify pipeline: every reported pair's
+    jaccard must equal the EXACT distinct-char-shingle Jaccard computed
+    independently in Python (same normalization: lowercase, collapsed
+    whitespace), and clear the threshold. (Recall is probabilistic by
+    design — banding — so only soundness is asserted.)"""
+    import random
+
+    from swiftbeaver_spark.llm.dedup import minhash_near_dups
+
+    rng = random.Random(seed)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(n_docs):
+        words = base.split()
+        for _ in range(rng.randint(0, 3)):
+            words[rng.randrange(len(words))] = rng.choice(
+                ["cat", "mat", "hat", "SPARK", "  pad  "]
+            )
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingle_set(t, k=9):
+        norm = " ".join(t.lower().split())
+        if len(norm) <= k:
+            return {norm[:k]} if norm else {""}
+        return {norm[i : i + k] for i in range(len(norm) - k + 1)}
+
+    texts = dict(docs)
+    for r in minhash_near_dups(df, threshold=threshold).collect():
+        a, b = shingle_set(texts[r.doc_a]), shingle_set(texts[r.doc_b])
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard - exact) < 1e-9
+        assert exact >= threshold
