@@ -583,3 +583,40 @@ def test_minhash_near_dups_sound_vs_exact_jaccard(spark, seed, n_docs, threshold
         exact = len(a & b) / len(a | b)
         assert abs(r.jaccard - exact) < 1e-9
         assert exact >= threshold
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY.,\n\t", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@_settings
+def test_fingerprint_pinned_matches_python_reference(spark, texts):
+    """The engine-pinned winnowing fingerprint == an independent Python
+    reference (normalize -> distinct k-shingles with the short-text
+    floor -> md5-hex mins -> md5 of the joined mins), over arbitrary
+    text including whitespace runs and sub-shingle-length documents."""
+    import hashlib
+
+    from swiftbeaver_spark.llm.text import fingerprint_pinned
+
+    K, NS = 16, 8
+
+    def ref(t: str) -> str:
+        norm = " ".join(t.split()).lower()
+        n = max(len(norm) - (K - 1), 1)
+        shingles = {norm[i : i + K] for i in range(n)}
+        mins = sorted(hashlib.md5(s.encode()).hexdigest() for s in shingles)[:NS]
+        return hashlib.md5(",".join(mins).encode()).hexdigest()
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r.i: r.fp
+        for r in df.select(
+            "i", fingerprint_pinned(F.col("t"), NS, K).alias("fp")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
