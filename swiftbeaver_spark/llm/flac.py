@@ -27,11 +27,12 @@ the beyond-parity LLM-pipeline family (speech corpora ship FLAC).
 
 Scale: both directions run inside mapInPandas batches — payloads stay
 executor-side, one row per stream, no shuffle introduced by decode.
-Measured single-core decode ~410 ksamples/s (~25x realtime at 16 kHz;
-the Rice symbol walk dominates — fixed-predictor reconstruction is
-vectorized as cumulative-sum difference inversion). Ingest of a
-speech corpus parallelizes per-file across executors, so realtime
-multiples stack linearly with cores.
+Measured single-core decode ~580 ksamples/s on speech-shaped 16-bit
+mono (~36x realtime at 16 kHz; the Rice symbol walk dominates —
+fixed-predictor reconstruction is vectorized as cumulative-sum
+difference inversion). Ingest of a speech corpus parallelizes
+per-file across executors, so realtime multiples stack linearly
+with cores.
 """
 
 from __future__ import annotations
