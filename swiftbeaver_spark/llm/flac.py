@@ -1,11 +1,15 @@
 """FLAC codec (RFC 9639 / xiph FLAC format) — pure numpy/stdlib.
 
 Closes the "entropy-coded audio decode" gap for the one audio codec
-whose spec carries no external data tables: FLAC's entropy layer is
-Rice/Golomb coding, fully derivable from the published format
-(unlike MP3/Vorbis, whose Huffman tables / floor-residue setup cannot
-be reproduced verifiably without the spec appendices in-container —
-those stay at frame-walk/header depth, multimodal.py:1457).
+that is BOTH table-free and verifiable here: FLAC's entropy layer is
+Rice/Golomb coding, fully derivable from the published format, and
+losslessness makes an exact self-validating round-trip possible.
+MP3 is blocked on data (its Layer III Huffman tables live in the ISO
+spec appendix and cannot be reproduced verifiably in-container);
+Vorbis carries its codebooks in-stream but is lossy DSP (MDCT,
+floor/residue reconstruction), so without a reference decoder in the
+container no output could be verified — both stay at
+frame-walk/header depth (multimodal.py:1457).
 
 Decoder `decode_flac` is complete for the integer-PCM surface:
 metadata-block walk, frame sync + header (UTF-8-coded frame/sample
