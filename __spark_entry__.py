@@ -3390,8 +3390,12 @@ def _bpe_sql_ctes(num_merges: int) -> str:
     replace() EXACTLY the Spark fold's leftmost-first non-overlapping
     merge: "a a a a" under (a,a) -> "aa aa", and a pattern can never
     match across symbol boundaries (the corpus contains no chr(1)/
-    chr(2); verified over all three SFs). w{{N}} is the fully
-    segmented vocabulary — q92's tokenizer reuses it directly."""
+    chr(2) — ENFORCED, not assumed: w0 raises via DuckDB error() if a
+    word ever carries either control byte, so a regenerated corpus
+    that violated the bracket encoding would fail loudly instead of
+    silently corrupting the replace()-based merge; ADVICE r6 #4).
+    w{{N}} is the fully segmented vocabulary — q92's tokenizer reuses
+    it directly."""
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     # AS MATERIALIZED is load-bearing: each w{i} is referenced twice
     # (by p{i+1} and w{i+1}); DuckDB's default CTE inlining would
@@ -3431,9 +3435,13 @@ def _bpe_sql_ctes(num_merges: int) -> str:
       ) GROUP BY word
     ), w0 AS MATERIALIZED (
       SELECT word, cnt,
-             chr(1) ||
-             array_to_string(string_split(word, ''), chr(2) || chr(1)) ||
-             chr(2) || chr(1) || '▁' || chr(2) AS s
+             CASE WHEN word LIKE '%' || chr(1) || '%'
+                    OR word LIKE '%' || chr(2) || '%'
+                  THEN error('bpe oracle: corpus word contains chr(1)/chr(2) delimiter byte')
+                  ELSE chr(1) ||
+                       array_to_string(string_split(word, ''), chr(2) || chr(1)) ||
+                       chr(2) || chr(1) || '▁' || chr(2)
+             END AS s
       FROM wt
     ){iters}"""
 

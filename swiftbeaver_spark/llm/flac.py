@@ -161,12 +161,16 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
+        # Corrupt-stream guard: quotients > 2^20 abort the frame. A
+        # spec-legal foreign stream could in principle encode a huge
+        # residual with a tiny Rice parameter and hit this bound — see
+        # the explicit contract note in decode_flac's docstring.
         n = 0
         while True:
             if self.read(1):
                 return n
             n += 1
-            if n > 1 << 20:  # corrupt-stream guard
+            if n > 1 << 20:
                 raise EOFError
 
     def align(self) -> None:
@@ -565,8 +569,12 @@ def encode_flac(
         frame_idx += 1
 
     si = _BitWriter()
-    si.write(block_size if n else 0, 16)  # min block size
-    si.write(block_size if n else 0, 16)  # max block size
+    # RFC 9639 §8.2: STREAMINFO block sizes must be >= 16 samples even
+    # when the stream carries zero frames — strict external decoders
+    # reject a 0 here, so an empty-PCM stream still declares the
+    # configured block size (clamped to the format minimum).
+    si.write(max(block_size, 16), 16)  # min block size
+    si.write(max(block_size, 16), 16)  # max block size
     si.write(min_fs or 0, 24)
     si.write(max_fs or 0, 24)
     si.write(sample_rate, 20)
@@ -729,7 +737,15 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
     """Full decode -> (info dict, int64 array shape (n, channels)), or
     None for any non-FLAC/malformed/CRC-failing stream. Exact lossless
     reconstruction; verify_md5 additionally checks the STREAMINFO PCM
-    signature."""
+    signature.
+
+    Explicit contract limit: Rice unary quotients are bounded at 2^20
+    per residual (_BitReader.read_unary). A valid-but-pathological
+    foreign stream (tiny Rice parameter + huge residual magnitude)
+    decodes as None rather than correctly; every stream this repo's own
+    encoder emits is far inside the bound, and real-world encoders
+    never approach it (a 2^20 quotient is ~128 KiB spent on one
+    sample — escape-to-verbatim is always cheaper)."""
     try:
         info = parse_streaminfo(payload)
         if info is None or not info["sample_rate"] or info["frames_offset"] > len(payload):

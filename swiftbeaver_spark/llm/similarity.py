@@ -1250,6 +1250,49 @@ def semantic_dedup(
     )
 
 
+def _spark_round_half_up(arr, round_dp: int):
+    """Vectorized repr-faithful mirror of Spark ROUND over doubles.
+
+    Spark rounds a double via BigDecimal.valueOf(d) — i.e. the SHORTEST
+    round-trip decimal repr (Double.toString) — then setScale(dp,
+    HALF_UP). The pure-binary mirror sign*floor(abs*scale+0.5)/scale
+    agrees everywhere EXCEPT when the shortest repr lands exactly on an
+    x...5 boundary while the binary value sits up to half an ulp below
+    it (ADVICE r6: 0.0001245 -> Spark 0.000125, binary mirror
+    0.000124). Two divergence mechanisms therefore exist between any
+    numpy kernel and the Catalyst fold: (1) BLAS summation order
+    shifting a dot by ~1 ulp across a boundary (quantified in
+    assign_cells_arrow's docstring), and (2) this repr-vs-binary
+    boundary case. This helper closes (2) exactly: values whose scaled
+    magnitude lies within a few ulps of a half-integer boundary are
+    re-rounded through Python's repr — also the shortest round-trip
+    decimal, hence decimal-equal to Java's Double.toString — with
+    decimal ROUND_HALF_UP (away from zero, matching BigDecimal).
+    Boundary suspects are vanishingly rare in real data, so the exact
+    slow path costs nothing; equivalence to F.round is pytest-pinned
+    including exact-boundary adversarial values
+    (test_spark_round_half_up_matches_f_round)."""
+    import numpy as np
+
+    scale = float(10**round_dp)
+    y = np.abs(arr) * scale
+    out = np.sign(arr) * np.floor(y + 0.5) / scale
+    # anything within ~8 ulps of a k+0.5 boundary gets the exact path
+    tol = 8.0 * np.spacing(np.maximum(y, 1.0))
+    suspect = np.abs(y - np.floor(y) - 0.5) <= tol
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-round_dp)
+        flat = out.ravel()
+        src = np.ascontiguousarray(arr, dtype=np.float64).ravel()
+        for idx in np.nonzero(np.ascontiguousarray(suspect).ravel())[0]:
+            flat[idx] = float(
+                Decimal(repr(float(src[idx]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
 def _semantic_dedup_dropped_arrow(
     assigned: DataFrame, threshold: float, round_dp: int
 ) -> DataFrame:
@@ -1260,15 +1303,14 @@ def _semantic_dedup_dropped_arrow(
     dropped ids under the same keep-the-edge-points policy. ~100x per
     pair vs the expression fold — the production path for the 10x scale
     measurement (SCALE.md); the default expr kernel remains the
-    oracle-gated form. Rounding mirrors Spark ROUND (HALF_UP, away from
-    zero): sign*floor(abs*scale + 0.5)/scale; outputs verified
+    oracle-gated form. Rounding mirrors Spark ROUND exactly via
+    _spark_round_half_up (repr-faithful on shortest-decimal .5
+    boundaries, not just the binary floor form); outputs verified
     IDENTICAL to the expr kernel over the sf0.1 and 10x-sf1 embedding
     corpora and pytest-pinned on the gated q122 configuration."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
-
-    scale = float(10**round_dp)
 
     def find_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1287,7 +1329,7 @@ def _semantic_dedup_dropped_arrow(
                 cos = (bi @ mat[j0 : j0 + B].T) / (
                     bn[:, None] * norms[None, j0 : j0 + B]
                 )
-                cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+                cos = _spark_round_half_up(cos, round_dp)
                 ii, jj = np.nonzero(cos >= threshold)
                 gi, gj = i0 + ii, j0 + jj
                 keep = gj > gi  # id-sorted, so index order == id order
@@ -1430,20 +1472,23 @@ def assign_cells_arrow(
     nlist zip_with chains PER ROW: measured 36 s of a 42 s sf1 run at
     nlist=160, vs ~1 s here; at the paper-scale k=50k it is the only
     viable path). Semantics mirrored exactly: per-centroid dot rounded
-    HALF_UP at round_dp (sign*floor(abs*scale+0.5)/scale — Spark
-    ROUND), argmax with ties to the LOWEST cell (np.argmax takes the
-    first maximum). Equivalence pytest-pinned against ivf_cell_dot
+    via _spark_round_half_up (repr-faithful Spark ROUND — both the
+    binary fast path AND the shortest-decimal .5-boundary case), argmax
+    with ties to the LOWEST cell (np.argmax takes the first maximum).
+    Equivalence pytest-pinned against ivf_cell_dot
     (`test_assign_cells_arrow_matches_expr`).
 
-    Float-summation caveat, quantified: BLAS accumulates in a
-    different order than the Catalyst fold, so a dot can differ by
-    O(1) ulp (~1e-15 relative). A cell flip needs the TRUE dot within
-    that ~1e-15 of an exact x.xxxxxx5 HALF_UP boundary (the boundary
-    grid is ~1e-6 apart at 6 dp), i.e. ~1e-12 per dot and ~1e-6 per
-    multi-million-dot corpus pass. The driver gate evaluates query
-    and oracle on the same host (verified identical tri-SF + sf1
-    here); the expr forms remain the bit-guaranteed engine-replayable
-    path for cross-engine reproduction."""
+    Residual float-summation caveat, quantified (the ONE remaining
+    divergence mechanism — the repr-boundary mechanism is closed by
+    _spark_round_half_up): BLAS accumulates in a different order than
+    the Catalyst fold, so a dot can differ by O(1) ulp (~1e-15
+    relative). A cell flip needs the TRUE dot within that ~1e-15 of an
+    exact x.xxxxxx5 HALF_UP boundary (the boundary grid is ~1e-6 apart
+    at 6 dp), i.e. ~1e-12 per dot and ~1e-6 per multi-million-dot
+    corpus pass. The driver gate evaluates query and oracle on the
+    same host (verified identical tri-SF + sf1 here); the expr forms
+    remain the bit-guaranteed engine-replayable path for cross-engine
+    reproduction."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -1456,7 +1501,6 @@ def assign_cells_arrow(
     )
 
     cmat = np.asarray(centroids, dtype=np.float64)
-    scale = float(10**round_dp)
     out_schema = StructType(
         [
             StructField("vec_id", LongType(), False),
@@ -1471,7 +1515,7 @@ def assign_cells_arrow(
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = mat @ cmat.T
-            dots = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
+            dots = _spark_round_half_up(dots, round_dp)
             cells = dots.argmax(axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {

@@ -41,23 +41,33 @@ def write_category_tables(
     carved = tables.get("carved_files")
     if carved is not None:
         carved = carved.cache()
-        for ftype in _DEDICATED:
-            if ftype == "zip":
-                part = carved.where(F.col("file_type").isin(*_ZIP_FAMILY))
-            else:
-                part = carved.where(F.col("file_type") == ftype)
-            _write(f"files_{ftype}", part)
-        others = carved.where(
-            ~F.col("file_type").isin(*(_DEDICATED + _ZIP_FAMILY))
-        )
-        _write("files_other", others)
+        try:
+            for ftype in _DEDICATED:
+                if ftype == "zip":
+                    part = carved.where(F.col("file_type").isin(*_ZIP_FAMILY))
+                else:
+                    part = carved.where(F.col("file_type") == ftype)
+                _write(f"files_{ftype}", part)
+            others = carved.where(
+                ~F.col("file_type").isin(*(_DEDICATED + _ZIP_FAMILY))
+            )
+            _write("files_other", others)
+        finally:
+            # The cache only amortizes the 8 category scans above; a
+            # long-lived session writing many runs must not accumulate
+            # cached tables (blocking=False: drop lazily, don't stall
+            # the write path on executor eviction).
+            carved.unpersist(blocking=False)
 
     artefacts = tables.get("string_artefacts")
     if artefacts is not None:
         artefacts = artefacts.cache()
-        _write("artefacts_urls", enrich_urls(artefacts))
-        _write("artefacts_emails", enrich_emails(artefacts))
-        _write("artefacts_phones", enrich_phones(artefacts))
+        try:
+            _write("artefacts_urls", enrich_urls(artefacts))
+            _write("artefacts_emails", enrich_emails(artefacts))
+            _write("artefacts_phones", enrich_phones(artefacts))
+        finally:
+            artefacts.unpersist(blocking=False)
 
     for name in (
         "browser_history",

@@ -225,6 +225,29 @@ def test_category_sink_layout(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "cat/files_other")).count() == 0
 
 
+def test_category_sink_unpersists_caches(spark, tmp_path):
+    """Cache lifecycle: write_category_tables caches carved/artefact
+    tables to amortize its category scans, but must release them before
+    returning — a long-lived session writing many runs must not
+    accumulate cached tables (VERDICT r6 nit 1)."""
+    import dataclasses as _dc
+
+    from swiftbeaver_spark.sinks import write_category_tables
+
+    evidence, _ = _evidence_with_jpegs(2)
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(evidence)
+    cfg = _dc.replace(CFG, enable_string_scan=True, enable_entropy_detection=True)
+    result = Engine(spark, cfg).run(evidence_path=path)
+    spark.catalog.clearCache()
+    write_category_tables(result.tables, str(tmp_path / "cat2"), run_id="r2")
+    # unpersist(blocking=False) still removes the RDD from the cache
+    # manager registry synchronously; only block eviction is lazy.
+    jvm_storage = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert jvm_storage.size() == 0, "cached tables leaked past the sink"
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based sessions close either by an in-stream gap or by event-time

@@ -302,3 +302,19 @@ def test_spark_flac_decode_operator(spark):
         assert r.pcm_hex == expected[mid]
     assert out[99].status == "unsupported"
     assert out[99].pcm_hex is None
+
+
+def test_empty_pcm_streaminfo_block_size_floor():
+    """ADVICE r6: encode_flac with empty PCM must not write STREAMINFO
+    min/max block size 0 (below the format's 16-sample floor); strict
+    external decoders reject that. The configured block size is written
+    even with zero frames, and the stream still round-trips."""
+    payload = encode_flac(np.zeros((0,), dtype=np.int64), block_size=4096)
+    info = parse_streaminfo(payload)
+    assert info is not None
+    assert info["min_block"] >= 16
+    assert info["max_block"] >= 16
+    dec = decode_flac(payload)
+    assert dec is not None
+    _, out = dec
+    assert out.shape[0] == 0

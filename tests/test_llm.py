@@ -1997,3 +1997,38 @@ def test_extract_media_meta_null_payload_stays_null(spark):
     r = out[2]
     assert r.byte_size is None and r.sha256 is None
     assert r.width is None and r.duration_ms is None and r.feature is None
+
+
+def test_spark_round_half_up_matches_f_round(spark):
+    """_spark_round_half_up must equal Spark's F.round bit-for-bit,
+    INCLUDING shortest-decimal .5-boundary doubles where the pure
+    binary floor mirror diverges (ADVICE r6 medium: 0.0001245 ->
+    Spark 0.000125 but floor-mirror 0.000124)."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.similarity import _spark_round_half_up
+
+    rng = np.random.default_rng(7)
+    fuzz = rng.uniform(-2.0, 2.0, 4000)
+    # adversarial: doubles whose shortest repr ends exactly on the .5
+    # boundary at 6 dp, both signs, several magnitudes — plus the
+    # exact ADVICE reproducer and zero/tiny values
+    grid = np.array(
+        [
+            k * 1e-7 + 5e-8
+            for k in range(-40, 40)
+        ]
+        + [0.0001245, -0.0001245, 1.0000005, -1.0000005, 0.0, 5e-7, -5e-7]
+    )
+    vals = np.concatenate([fuzz, grid])
+    for dp in (4, 6):
+        ours = _spark_round_half_up(vals, dp)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        ).select(F.round("x", dp).alias("r"))
+        theirs = np.array([r.r for r in df.collect()])
+        mism = np.nonzero(ours != theirs)[0]
+        assert mism.size == 0, (
+            f"dp={dp}: {mism.size} mismatches, first "
+            f"{vals[mism[:3]]} -> {ours[mism[:3]]} vs {theirs[mism[:3]]}"
+        )
