@@ -11159,6 +11159,145 @@ def q170_sql() -> str:
     """
 
 
+def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText text-format (.vec) weight loading + weighted linear
+    classification under the hash gate (llm/weights.py — VERDICT r6
+    item 3's production path for the model-shaped operators; reference
+    fastText's public supervised scoring: mean token vector . label
+    embedding == linear model over token-level weights).
+
+    The round-trip is REAL: a deterministic .vec corpus (4-dim vectors
+    for every corpus token + four __label__* rows, components
+    md5-derived thousandths printed as decimal TEXT) is parsed back by
+    parse_fasttext_vec_lines (split + try_cast — the exact loader
+    path), token x label weights come from the pinned left-fold dot
+    (micro-quantized: integers from there on), and classify_documents
+    scores via explode -> broadcast join -> integer sums -> min_by
+    argmax. The oracle rebuilds the same lines, reparses them in SQL,
+    and replays the fold term-by-term — parser, dot, and argmax all
+    inside the gate. Decimal strings are built from integer parts (not
+    printf) so no locale/rounding library can drift either side."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+    from swiftbeaver_spark.llm.weights import (
+        classify_documents,
+        parse_fasttext_vec_lines,
+        token_label_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col("text")), " "), lambda t: t != ""
+                )
+            ).alias("word")
+        )
+        .where(~F.col("word").startswith("__label__"))
+        .distinct()
+    )
+    labels = docs.sparkSession.createDataFrame(
+        [("__label__en",), ("__label__de",), ("__label__es",), ("__label__fr",)],
+        "word string",
+    )
+    words = vocab.unionAll(labels)
+
+    def comp_int(d: int):  # md5-derived thousandths in [-1000, 1000]
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("v:"), F.col("word"), F.lit(f":{d}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    def dec3(x):  # integer thousandths -> exact decimal text, |x| <= 1000
+        return F.concat(
+            F.when(x < 0, F.lit("-")).otherwise(F.lit("")),
+            F.when(F.abs(x) >= 1000, F.lit("1")).otherwise(F.lit("0")),
+            F.lit("."),
+            F.lpad((F.abs(x) % 1000).cast("string"), 3, "0"),
+        )
+
+    lines = words.select(
+        F.concat_ws(
+            " ", F.col("word"), *[dec3(comp_int(d)) for d in range(4)]
+        ).alias("value")
+    )
+    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
+    return classify_documents(docs, weights).orderBy("doc_id")
+
+
+def q171_sql() -> str:
+    comp = (
+        "(CAST('0x' || substr(md5('v:' || word || ':' || {d}), 1, 8) AS BIGINT)"
+        " % 2001 - 1000)"
+    )
+    dec = (
+        "CASE WHEN {x} < 0 THEN '-' ELSE '' END ||"
+        " CASE WHEN abs({x}) >= 1000 THEN '1' ELSE '0' END || '.' ||"
+        " lpad(CAST(abs({x}) % 1000 AS VARCHAR), 3, '0')"
+    )
+    comps = " || ' ' || ".join(dec.format(x=comp.format(d=d)) for d in range(4))
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, {norm} AS norm FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+      FROM dt WHERE norm <> ''
+    ), vocab AS (
+      SELECT DISTINCT token AS word FROM toks
+      WHERE NOT starts_with(token, '__label__')
+      UNION ALL
+      SELECT * FROM (VALUES ('__label__en'), ('__label__de'),
+                            ('__label__es'), ('__label__fr')) v(word)
+    ), lines AS (
+      SELECT word || ' ' || {comps} AS line FROM vocab
+    ), parsed AS (
+      SELECT string_split(line, ' ')[1] AS word,
+             CAST(string_split(line, ' ')[2] AS DOUBLE) AS v1,
+             CAST(string_split(line, ' ')[3] AS DOUBLE) AS v2,
+             CAST(string_split(line, ' ')[4] AS DOUBLE) AS v3,
+             CAST(string_split(line, ' ')[5] AS DOUBLE) AS v4
+      FROM lines
+    ), wts AS (
+      -- the engine's pinned left-fold dot ((((0+p1)+p2)+p3)+p4),
+      -- micro-quantized to exact int64 before any aggregation
+      SELECT t.word AS token, substr(l.word, 10) AS label,
+             CAST(round(((((0 + t.v1*l.v1) + t.v2*l.v2) + t.v3*l.v3)
+                         + t.v4*l.v4) * 1000000.0) AS BIGINT) AS weight_micro
+      FROM parsed t, parsed l
+      WHERE NOT starts_with(t.word, '__label__')
+        AND starts_with(l.word, '__label__')
+    ), scored AS (
+      SELECT doc_id, label, CAST(SUM(weight_micro) AS BIGINT) AS score_micro
+      FROM toks JOIN wts USING (token)
+      GROUP BY doc_id, label
+    ), best AS (
+      SELECT doc_id, label, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, label) AS rn
+      FROM scored
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.score_micro > 0 THEN b.label ELSE 'und' END AS label,
+           CAST(CASE WHEN b.score_micro > 0 THEN b.score_micro ELSE 0 END
+                AS BIGINT) AS score_micro,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+    FROM dt d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    LEFT JOIN counts c USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -11248,6 +11387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ever again enters the contract without a driver window seat —
         # the exact failure mode VERDICT r5 flagged for q167.
         "q170_flac_decode": q170_flac_decode,
+        "q171_fasttext_classify": q171_fasttext_classify,
         "q120_ivfpq_residual": q120_ivfpq_residual,
         # --- tail (driver-proven in r1-r5; all still swept tri-SF by
         #     tools/drive_contract.py before every commit) --------------
@@ -11427,6 +11567,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_semantic_dedup": q122_sql(),
         "q136_substring_dedup": q136_sql(),
         "q170_flac_decode": q170_sql(),
+        "q171_fasttext_classify": q171_sql(),
         "q120_ivfpq_residual": q120_sql(),
         # --- tail --------------------------------------------------------
         "q88_ivfpq_topk": q88_sql(),

@@ -183,41 +183,54 @@ def carve_hits_with_chunks(
         "data",
     )
 
-    def carve_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        registry = build_registry(cfg)
-        rows = []
-        for _, grp in pdf.groupby("hit_id"):
-            grp = grp.sort_values("start")
-            first = grp.iloc[0]
-            window_start = int(first["start"])
-            # valid (non-overlap) regions concatenate contiguously
-            parts = [
-                bytes(d)[: int(v)] for d, v in zip(grp["data"], grp["valid_length"])
-            ]
-            # the final chunk may contribute its overlap tail too
-            last = grp.iloc[-1]
-            parts[-1] = bytes(last["data"])
-            data = b"".join(parts)
-            ev_len = (
-                evidence_len
-                if evidence_len is not None
-                else window_start + len(data)
-            )
-            reader = WindowReader(window_start, data, ev_len)
-            rec = carve_hit(
-                reader,
-                int(first["global_offset"]),
-                str(first["file_type_id"]),
-                str(first["pattern_id"]),
-                registry,
-                cfg,
-            )
-            if rec is not None:
-                if reader.hit_window_end:
-                    rec.errors = [*rec.errors, "over_cap"]
-                rows.append(_record_to_tuple(rec))
-        return pd.DataFrame(rows, columns=_CARVE_COLUMNS)
-
-    return joined.groupBy("hit_id").applyInPandas(
-        carve_group, schemas.CARVED_FILES
+    # Reassemble each hit's window JVM-side (collect_list + sort_array —
+    # struct ordering sorts by `start` first, and starts are unique per
+    # hit), then carve whole ARROW BATCHES of hits per Python call.
+    # NOT groupBy().applyInPandas(carve_one_group): that invokes Python
+    # once per hit and rebuilds the carver registry each time — measured
+    # 106x slower than positioned reads on the 50k-hit jpeg-dense image
+    # (tools/bench_carve_scale.py, round 7) purely from per-group
+    # overhead. Batched, the registry builds once per task and the
+    # per-hit cost is the state machine itself.
+    grouped = joined.groupBy(
+        "hit_id", "global_offset", "file_type_id", "pattern_id"
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "valid_length", "data"))
+        ).alias("parts")
     )
+
+    def carve_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        registry = build_registry(cfg)
+        for pdf in batches:
+            rows = []
+            for off, ft_id, pat_id, parts in zip(
+                pdf["global_offset"],
+                pdf["file_type_id"],
+                pdf["pattern_id"],
+                pdf["parts"],
+            ):
+                window_start = int(parts[0]["start"])
+                # valid (non-overlap) regions concatenate contiguously;
+                # the final chunk contributes its overlap tail too
+                segs = [
+                    bytes(p["data"])[: int(p["valid_length"])] for p in parts[:-1]
+                ]
+                segs.append(bytes(parts[-1]["data"]))
+                data = b"".join(segs)
+                ev_len = (
+                    evidence_len
+                    if evidence_len is not None
+                    else window_start + len(data)
+                )
+                reader = WindowReader(window_start, data, ev_len)
+                rec = carve_hit(
+                    reader, int(off), str(ft_id), str(pat_id), registry, cfg
+                )
+                if rec is not None:
+                    if reader.hit_window_end:
+                        rec.errors = [*rec.errors, "over_cap"]
+                    rows.append(_record_to_tuple(rec))
+            yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+
+    return grouped.mapInPandas(carve_batches, schemas.CARVED_FILES)

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from swiftbeaver_spark import schemas
 from swiftbeaver_spark.config import DEFAULT_CHUNK_SIZE, DEFAULT_OVERLAP
 
+# minimum chunk bytes fetched per task when chunk_size is small; one
+# chunk per task whenever chunk_size >= this (see chunks_from_file)
+_MIN_TASK_BYTES = 4 * 1024 * 1024
+
 
 def plan_chunks(
     spark: SparkSession,
@@ -104,16 +108,23 @@ def chunks_from_file(
         finally:
             reader.close()
 
-    # one chunk per task: each output row is chunk_size+overlap bytes.
-    # partition count comes from arithmetic, not a count() job.
+    # Task sizing: at the production 512 MiB chunk size one chunk per
+    # task is right (each output row is chunk_size+overlap bytes), but
+    # small chunk sizes must NOT fan out to one-task-per-chunk — a
+    # 200 MB image at 4 KiB chunks would schedule 50k near-empty tasks
+    # and pay pure overhead. Target at least _MIN_TASK_BYTES of chunk
+    # bytes per task (the spark.sql.files.maxPartitionBytes idea applied
+    # to the arithmetic plan); big chunks keep exactly one per task.
+    # Partition count comes from arithmetic, not a count() job.
     # (`is None` test, not truthiness: max_bytes=0 means an empty scan,
     # and `or` would silently turn it into "unlimited")
     byte_cap = total if max_bytes is None else min(total, max_bytes)
-    n = max(0, math.ceil(byte_cap / chunk_size))
+    n_chunks = max(0, math.ceil(byte_cap / chunk_size))
     if max_chunks is not None:
-        n = min(n, max_chunks)
-    if n == 0:
+        n_chunks = min(n_chunks, max_chunks)
+    if n_chunks == 0:
         return spark.createDataFrame([], schemas.CHUNKS)
+    n = min(n_chunks, math.ceil(n_chunks * chunk_size / _MIN_TASK_BYTES))
     return plan.repartition(n, "chunk_id").mapInPandas(fetch, schemas.CHUNKS)
 
 

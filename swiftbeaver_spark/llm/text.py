@@ -155,19 +155,31 @@ def linear_quality_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_len: int = 3,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """fastText/CCNet-shaped linear quality scorer: hash each token
     into 16^prefix_len feature buckets, dot the document's bag of
     features with a weight vector, normalize by length. The weights
     here are a deterministic md5-derived stand-in (integers in
     [-1000, 1000], so partial sums are EXACT in any aggregation order
-    — no float drift between engines); a real classifier's weights
-    would arrive as a broadcast lookup table in exactly this shape.
+    — no float drift between engines); REAL weights arrive as the
+    optional `weights` DataFrame (token, label='quality', weight_micro
+    — e.g. from a fastText .vec file via llm/weights.py's
+    load_fasttext_vec + token_label_weights), which swaps the closed
+    form for a broadcast-joined lookup with the SAME output schema —
+    the stand-in -> production switch is this one argument
+    (llm/weights.py for the scale notes; detect_language's weighted
+    counterpart is weights.classify_documents).
 
     Scale: explode -> map-side-combinable sum on the doc key; one
     shuffle, weights never materialize as a table (closed-form md5
     expression, JVM-side)."""
     from swiftbeaver_spark.llm.dedup import normalized_text
+
+    if weights is not None:
+        from swiftbeaver_spark.llm.weights import weighted_quality_score
+
+        return weighted_quality_score(df, weights, text_col=text_col, id_col=id_col)
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),

@@ -1,0 +1,204 @@
+"""fastText text-format (.vec) weight loading + weighted model-shaped
+operators (VERDICT r6 item 3: the production path that replaces the
+md5-derived stand-in weights in linear_quality_score / detect_language
+with REAL model weights, config-only).
+
+The `.vec` format is the public fastText/word2vec text export: a header
+line "<n_words> <dim>", then one line per word: "<word> <v1> ... <vdim>"
+(space-separated decimals). Supervised fastText models carry label
+embeddings under a "__label__" word prefix; scoring a document against
+label L is (1/n) * sum_t v_t . w_L — mean token vector dotted with the
+label vector, i.e. a LINEAR model over token-level weights
+weight(t, L) = v_t . w_L. That factorization is what makes the 100 TB
+shape trivial: the token x label weight table is vocabulary-sized (not
+corpus-sized), broadcasts, and scoring is explode -> broadcast hash
+join -> map-side-combinable sum per (doc, label).
+
+Scale notes:
+- load_fasttext_vec parses DISTRIBUTED (spark.read.text -> split/cast
+  in Catalyst); only the 2-token header line is read on the driver.
+  A 10 GB .vec file fans out like any text source.
+- token_label_weights joins words x labels with the LABEL side
+  broadcast (labels = #classes, tiny); the dot is a left-fold
+  F.aggregate over zip_with products — JVM-side, and fold order is
+  pinned (see below) so oracles can replay it term-by-term.
+- Determinism across engines: per-(token,label) dots are quantized to
+  integer micros (round(dot * 1e6)) BEFORE any aggregation, so
+  document scores are exact int64 sums — no float summation-order
+  drift between Spark's partial aggregates and a sequential oracle
+  (the quality_score_micro convention, llm/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LABEL_PREFIX = "__label__"
+
+
+def parse_fasttext_vec_lines(lines: DataFrame, dim: int, value_col: str = "value") -> DataFrame:
+    """Parse .vec-format lines (already minus the header) into
+    (word, vector array<double>). Malformed lines — wrong field count or
+    non-numeric components — are dropped, mirroring fastText's own
+    loader which skips unparseable rows rather than failing a 10 GB
+    load. Distributed: split + element casts, all Catalyst."""
+    parts = F.split(F.trim(F.col(value_col)), r"\s+")
+    # try_cast, not cast: under ANSI mode a malformed component must
+    # become NULL (then drop the row), not fail the whole load
+    vec = F.slice(parts, 2, dim).try_cast("array<double>")
+    return (
+        lines.select(
+            F.element_at(parts, 1).alias("word"),
+            vec.alias("vector"),
+            F.size(parts).alias("_n"),
+        )
+        .where((F.col("_n") == dim + 1) & ~F.exists("vector", lambda v: v.isNull()))
+        .drop("_n")
+    )
+
+
+def load_fasttext_vec(spark, path: str) -> DataFrame:
+    """Load a fastText/word2vec text-format vector file. The header's
+    declared dim drives parsing; the declared word count is advisory
+    (fastText itself tolerates drift). Returns (word, vector)."""
+    lines = spark.read.text(path)
+    header = lines.limit(1).collect()[0][0].split()
+    if len(header) != 2:
+        raise ValueError(f"not a .vec header: {header!r}")
+    dim = int(header[1])
+    body = lines.where(F.col("value") != F.lit(" ".join(header)))
+    return parse_fasttext_vec_lines(body, dim)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product: ((0 + a1*b1) + a2*b2) + ... — the pinned
+    summation order (0 + x == x exactly, so an oracle writing the
+    explicit a1*b1 + a2*b2 + ... left-associated chain reproduces it
+    bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+
+
+def token_label_weights(vectors: DataFrame) -> DataFrame:
+    """(word, vector) -> (token, label, weight_micro): every non-label
+    word dotted with every "__label__*" row, quantized to integer
+    micros. Label side is broadcast (rows = #classes)."""
+    is_label = F.col("word").startswith(LABEL_PREFIX)
+    labels = vectors.where(is_label).select(
+        F.expr(f"substring(word, {len(LABEL_PREFIX) + 1})").alias("label"),
+        F.col("vector").alias("lvec"),
+    )
+    toks = vectors.where(~is_label).select(
+        F.col("word").alias("token"), F.col("vector").alias("tvec")
+    )
+    return toks.join(F.broadcast(labels)).select(
+        "token",
+        "label",
+        F.round(_dot(F.col("tvec"), F.col("lvec")) * 1e6)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from swiftbeaver_spark.llm.dedup import normalized_text
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+
+
+def classify_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear classification: per (doc, label) score =
+    sum of token weight_micros over the doc's tokens (missing-vocab
+    tokens contribute 0, as fastText does for OOV words without subword
+    units), argmax label. Returns (doc_id, label, score_micro,
+    n_tokens); docs whose tokens all miss the vocabulary (or score
+    <= 0 on every label) get label 'und' with score 0 — the
+    detect_language contract.
+
+    Plan: explode -> broadcast join on token -> one map-side-combinable
+    sum per (doc, label) -> min_by argmax ((-score, label): highest
+    score, lexicographically-smallest label on ties — deterministic
+    across engines). One shuffle on doc_id; the weight table never
+    exceeds vocab x labels."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+
+    toks = _doc_tokens(df, text_col, id_col)
+    # token counts straight off the doc row (not the exploded side):
+    # a doc with zero tokens must still emit an 'und' row
+    counts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "token")
+        .groupBy("doc_id", "label")
+        .agg(F.sum("weight_micro").cast("long").alias("score_micro"))
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("label", "score_micro"),
+            F.struct(-F.col("score_micro"), F.col("label")),
+        ).alias("best")
+    )
+    return (
+        counts.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("best.score_micro") > 0, F.col("best.label"))
+            .otherwise(F.lit("und"))
+            .alias("label"),
+            F.when(
+                F.col("best.score_micro") > 0, F.col("best.score_micro")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score_micro"),
+            "n_tokens",
+        )
+    )
+
+
+def weighted_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label: str = "quality",
+) -> DataFrame:
+    """linear_quality_score with REAL weights: same output shape
+    (doc_id, n_tokens, score_sum, quality_score_micro) as the
+    md5-stand-in path in llm/text.py, but score_sum comes from a
+    broadcast (token -> weight_micro) table filtered to `label`. The
+    swap stand-in -> real weights is therefore config-only: callers
+    pass a weights DataFrame instead of relying on the closed-form
+    md5 expression. OOV tokens weigh 0; n_tokens counts ALL tokens
+    (the length normalizer must not shrink when vocabulary is small)."""
+    toks = _doc_tokens(df, text_col, id_col)
+    w = weights.where(F.col("label") == label).select("token", "weight_micro")
+    out = (
+        toks.join(F.broadcast(w), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("weight_micro"), F.lit(0)).cast("long").alias("score_sum"),
+        )
+    )
+    return out.withColumn(
+        "quality_score_micro", F.expr("score_sum div n_tokens")
+    )

@@ -1,0 +1,147 @@
+"""fastText .vec weight loading + weighted model-shaped operators
+(llm/weights.py): format parsing, dot/fold determinism, and the
+VERDICT r6 item-3 contract — swapping the md5 stand-in weights in
+linear_quality_score for real broadcast weights is config-only."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.llm.weights import (
+    classify_documents,
+    load_fasttext_vec,
+    parse_fasttext_vec_lines,
+    token_label_weights,
+    weighted_quality_score,
+)
+
+VEC_TEXT = """4 3
+the 0.1 0.2 -0.3
+und -1.0 0.0 0.5
+__label__en 1.0 0.5 0.0
+__label__de -0.5 1.0 0.25
+"""
+
+
+def test_parse_fasttext_vec_lines(spark):
+    lines = spark.createDataFrame(
+        [
+            ("the 0.1 0.2 -0.3",),
+            ("short 0.1 0.2",),  # wrong arity -> dropped
+            ("bad 0.1 x -0.3",),  # non-numeric -> dropped
+            ("  padded 1 2 3  ",),  # whitespace-tolerant
+        ],
+        "value string",
+    )
+    rows = {r.word: r.vector for r in parse_fasttext_vec_lines(lines, 3).collect()}
+    assert set(rows) == {"the", "padded"}
+    assert rows["the"] == [0.1, 0.2, -0.3]
+    assert rows["padded"] == [1.0, 2.0, 3.0]
+
+
+def test_load_fasttext_vec_file(spark, tmp_path):
+    p = tmp_path / "model.vec"
+    p.write_text(VEC_TEXT)
+    rows = {r.word: r.vector for r in load_fasttext_vec(spark, str(p)).collect()}
+    assert len(rows) == 4
+    assert rows["__label__en"] == [1.0, 0.5, 0.0]
+    bad = tmp_path / "bad.vec"
+    bad.write_text("not a vec file at all\n")
+    with pytest.raises(ValueError):
+        load_fasttext_vec(spark, str(bad))
+
+
+def test_token_label_weights_dots(spark, tmp_path):
+    p = tmp_path / "model.vec"
+    p.write_text(VEC_TEXT)
+    w = token_label_weights(load_fasttext_vec(spark, str(p)))
+    got = {(r.token, r.label): r.weight_micro for r in w.collect()}
+    # 2 tokens x 2 labels; dots by hand, micro-quantized
+    assert got[("the", "en")] == round((0.1 * 1.0 + 0.2 * 0.5 + -0.3 * 0.0) * 1e6)
+    assert got[("the", "de")] == round((0.1 * -0.5 + 0.2 * 1.0 + -0.3 * 0.25) * 1e6)
+    assert got[("und", "en")] == round(-1.0 * 1e6)
+    assert len(got) == 4
+
+
+def test_classify_documents_argmax_ties_und(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb"),  # en 2*10+5=25 vs de 2*1+0=2 -> en
+            (2, "bb cc"),  # de 7 > en 5 -> de
+            (3, "zz zz"),  # OOV only -> und, score 0
+            (4, ""),  # empty -> und, n_tokens 0
+            (5, "tie tie"),  # en == de == 4 -> lexicographically first label
+            (6, "neg"),  # all labels <= 0 -> und
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [
+            ("aa", "en", 10), ("aa", "de", 1),
+            ("bb", "en", 5), ("bb", "de", 0),
+            ("cc", "de", 7),
+            ("tie", "en", 2), ("tie", "de", 2),
+            ("neg", "en", -3), ("neg", "de", -1),
+        ],
+        "token string, label string, weight_micro long",
+    )
+    out = {r.doc_id: r for r in classify_documents(docs, weights).collect()}
+    assert len(out) == 6
+    assert (out[1].label, out[1].score_micro) == ("en", 25)
+    assert (out[2].label, out[2].score_micro) == ("de", 7)
+    assert (out[3].label, out[3].score_micro, out[3].n_tokens) == ("und", 0, 2)
+    assert (out[4].label, out[4].n_tokens) == ("und", 0)
+    assert (out[5].label, out[5].score_micro) == ("de", 4)
+    assert (out[6].label, out[6].score_micro) == ("und", 0)
+
+
+def test_quality_weight_swap_is_config_only(spark):
+    """The item-3 gate: linear_quality_score(docs, weights=...) with a
+    weights table that replays the md5 stand-in formula must produce
+    IDENTICAL (doc_id, n_tokens, quality_score_micro) rows — proving
+    the stand-in -> real-model path is one argument, with score_sum
+    related by the documented 1000x micro-scale factor."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+    from swiftbeaver_spark.llm.text import linear_quality_score
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    vocab = docs.select(
+        F.explode(
+            F.filter(F.split(normalized_text(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    ).distinct()
+    bucket = F.substring(F.md5(F.concat(F.lit("f:"), F.col("token"))), 1, 3)
+    standin_w = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("w:"), bucket)), 1, 8), 16, 10)
+        .cast("long")
+        % 2001
+        - 1000
+    )
+    weights = vocab.select(
+        "token",
+        F.lit("quality").alias("label"),
+        (standin_w * 1000).cast("long").alias("weight_micro"),
+    )
+    base = linear_quality_score(docs).orderBy("doc_id").collect()
+    real = linear_quality_score(docs, weights=weights).orderBy("doc_id").collect()
+    assert len(base) == len(real) > 0
+    for b, r in zip(base, real):
+        assert (b.doc_id, b.n_tokens, b.quality_score_micro) == (
+            r.doc_id, r.n_tokens, r.quality_score_micro,
+        )
+        assert r.score_sum == b.score_sum * 1000
+
+
+def test_weighted_quality_oov_zero_and_length_normalizer(spark):
+    docs = spark.createDataFrame(
+        [(1, "known unknown unknown unknown")], "doc_id long, text string"
+    )
+    weights = spark.createDataFrame(
+        [("known", "quality", 4_000_000)], "token string, label string, weight_micro long"
+    )
+    r = weighted_quality_score(docs, weights).collect()[0]
+    # OOV tokens weigh 0 but still count toward the length normalizer
+    assert (r.n_tokens, r.score_sum, r.quality_score_micro) == (4, 4_000_000, 1_000_000)

@@ -41,6 +41,22 @@ HEAVY = [
     "q24_pricing_summary",
     "q96_star_join",
     "q102_retention_cohorts",
+    # round-7 extension (VERDICT r6 items 1+2): the carve engine —
+    # q30-q33 synthesize one file per document, so the 10x documents
+    # table drives a 10x carve workload through scan -> overlap dedup ->
+    # state-machine carve -> hash finalize (the chunk-equi-join access
+    # strategy; the positioned-reads A/B lives in bench_carve_scale.py)
+    "q30_carve_roundtrip",
+    "q31_carve_declared",
+    "q32_carve_structured",
+    "q33_carve_remaining",
+    # ... and the strings/entropy family: q35 is the byte-level span
+    # scanner (mapInPandas per-byte state machines — the one family
+    # where 10x could still surprise), q04/q05 the entropy/sessionize
+    # merge analogs over 10x events
+    "q35_string_spans",
+    "q04_entropy",
+    "q05_sessionize",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
