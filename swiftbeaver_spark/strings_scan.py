@@ -147,44 +147,39 @@ def _scan_utf8(data: bytes, min_len: int, max_len: int) -> list[tuple[int, bytes
     return out
 
 
+_UTF16LE_RUN = re.compile(rb"(?:[\t\x20-\x7E]\x00)+")
+_UTF16BE_RUN = re.compile(rb"(?:\x00[\t\x20-\x7E])+")
+
+
 def _scan_utf16(
     data: bytes, min_len: int, max_len: int, little_endian: bool
 ) -> list[tuple[int, bytes]]:
-    """Byte-pair state machine at both alignments; span bytes = 2x chars
-    (reference src/strings/cpu.rs:143-216)."""
+    """Byte-pair runs at both alignments; span bytes = 2x chars
+    (reference src/strings/cpu.rs:143-216).
+
+    One regex pass replaces the earlier per-byte Python state machine
+    (round-7 10x measurement: q35 ran ~1.5 MB/s with the loop — the
+    whole strings family's bottleneck). Equivalence to the two-
+    alignment state machine is structural: within ONE endianness two
+    runs can never overlap across alignments (an LE pair ends in 0x00
+    and 0x00 is not printable, so no byte can simultaneously end one
+    pair and start the next; mirror argument for BE), hence maximal
+    regex matches over the whole blob are exactly the union of the
+    even- and odd-alignment maximal runs. Long runs split into
+    consecutive max_len-char segments, each emitted iff >= min_len —
+    the same segmentation the loop produced (pytest + the q35 oracle
+    pin it)."""
     out = []
-    n = len(data)
-    for align in (0, 1):
-        i = align
-        while i + 1 < n:
-            a, b = data[i], data[i + 1]
-            ok = (
-                (a == 9 or 0x20 <= a <= 0x7E) and b == 0
-                if little_endian
-                else a == 0 and (b == 9 or 0x20 <= b <= 0x7E)
-            )
-            if not ok:
-                i += 2
-                continue
-            run_start = i
-            chars = 0
-            j = i
-            while j + 1 < n:
-                a, b = data[j], data[j + 1]
-                ok = (
-                    (a == 9 or 0x20 <= a <= 0x7E) and b == 0
-                    if little_endian
-                    else a == 0 and (b == 9 or 0x20 <= b <= 0x7E)
-                )
-                if not ok:
-                    break
-                chars += 1
-                if chars >= max_len:
-                    break
-                j += 2
-            if chars >= min_len:
-                out.append((run_start, data[run_start : run_start + chars * 2]))
-            i = j + 2
+    pat = _UTF16LE_RUN if little_endian else _UTF16BE_RUN
+    step = 2 * max_len
+    for m in pat.finditer(data):
+        s, e = m.start(), m.end()
+        pos = s
+        while pos < e:
+            piece = data[pos : min(pos + step, e)]
+            if len(piece) // 2 >= min_len:
+                out.append((pos, piece))
+            pos += step
     return out
 
 
@@ -200,6 +195,14 @@ def scan_string_spans(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """chunks -> string spans with hint flags, overlap-deduped."""
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
     scan_utf16 = cfg.string_scan_utf16
+    # spread the compute-dense scan across cores when the chunk source
+    # collapsed to fewer input splits than the cluster has slots (the
+    # llm/dedup.py::_spread rationale — measured 2 of 32 cores busy on
+    # the 10x q35 corpus, whose 100 MB of synthesized chunks arrive as
+    # 2 file splits); a no-op at scale where splits >> cores
+    target = chunks.sparkSession.sparkContext.defaultParallelism
+    if chunks.rdd.getNumPartitions() < target:
+        chunks = chunks.repartition(target)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -301,3 +301,75 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert (1, 0, 10, 3) in got          # closed by in-batch gap
     assert (1, 50, 55, 2) in got         # closed by event-time timeout
     assert (2, 7, 7, 1) in got           # closed by event-time timeout
+
+
+def test_sessionize_stream_rocksdb_state_store(spark, tmp_path):
+    """VERDICT r6 item 6: the stateful sessionizer must be semantics-
+    identical under the RocksDB state-store provider (the 100 TB
+    configuration — state spills to local disk instead of living in
+    executor heap; session.get_spark(rocksdb_state=True) /
+    SPARK_GRAFT_ROCKSDB=1 wire it at session build, and because it is
+    a plain SQL conf it can also flip per query, as here)."""
+    import datetime as dt
+
+    from swiftbeaver_spark.session import ROCKSDB_PROVIDER
+    from swiftbeaver_spark.streaming import sessionize_stream
+
+    def ts(minute):
+        return dt.datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, ts(0)), (1, ts(5)), (1, ts(10)),
+            (1, ts(50)), (1, ts(55)),
+            (2, ts(7)),
+        ],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, ts(600)), (2, ts(600))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+        out = str(tmp_path / "sessions")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the provider actually engaged: the RocksDB store publishes
+        # rocksdb* custom metrics on the state operator (the HDFS store
+        # publishes none of these)
+        ops = (q.lastProgress or {}).get("stateOperators") or [{}]
+        metrics = ops[0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # identical session set to the default-provider run above
+    assert (1, 0, 10, 3) in got
+    assert (1, 50, 55, 2) in got
+    assert (2, 7, 7, 1) in got
+    assert len({g for g in got if g[1] != 600}) >= 3

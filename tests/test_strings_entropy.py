@@ -239,3 +239,73 @@ def test_merge_regions_bucket_edges_misaligned(spark, monkeypatch):
             for r in ent_mod.merge_regions(wdf, ws).collect()
         }
         assert got == _naive_merge(rows), f"seed {seed} offset {offset}"
+
+
+def test_utf16_regex_matches_state_machine():
+    """The round-7 regex rewrite of _scan_utf16 must reproduce the
+    original two-alignment per-byte state machine span-for-span
+    (reference src/strings/cpu.rs:143-216 semantics): seeded fuzz over
+    blobs mixing LE/BE runs at both alignments, boundary runs, and the
+    max_len segmentation."""
+    import random
+
+    from swiftbeaver_spark.strings_scan import _scan_utf16
+
+    def reference_scan(data, min_len, max_len, little_endian):
+        # the pre-round-7 loop, verbatim
+        out = []
+        n = len(data)
+        for align in (0, 1):
+            i = align
+            while i + 1 < n:
+                a, b = data[i], data[i + 1]
+                ok = (
+                    (a == 9 or 0x20 <= a <= 0x7E) and b == 0
+                    if little_endian
+                    else a == 0 and (b == 9 or 0x20 <= b <= 0x7E)
+                )
+                if not ok:
+                    i += 2
+                    continue
+                run_start = i
+                chars = 0
+                j = i
+                while j + 1 < n:
+                    a, b = data[j], data[j + 1]
+                    ok = (
+                        (a == 9 or 0x20 <= a <= 0x7E) and b == 0
+                        if little_endian
+                        else a == 0 and (b == 9 or 0x20 <= b <= 0x7E)
+                    )
+                    if not ok:
+                        break
+                    chars += 1
+                    if chars >= max_len:
+                        break
+                    j += 2
+                if chars >= min_len:
+                    out.append((run_start, data[run_start : run_start + chars * 2]))
+                i = j + 2
+        return out
+
+    for seed in range(30):
+        rng = random.Random(seed)
+        blob = bytearray()
+        for _ in range(rng.randrange(1, 12)):
+            kind = rng.randrange(4)
+            if kind == 0:  # noise
+                blob += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+            elif kind == 1:  # LE run
+                s = "".join(chr(rng.randrange(0x20, 0x7F)) for _ in range(rng.randrange(1, 30)))
+                blob += s.encode("utf-16le")
+            elif kind == 2:  # BE run
+                s = "".join(chr(rng.randrange(0x20, 0x7F)) for _ in range(rng.randrange(1, 30)))
+                blob += s.encode("utf-16be")
+            else:  # zeros (pairable with either side)
+                blob += b"\x00" * rng.randrange(1, 5)
+        data = bytes(blob)
+        for min_len, max_len in ((4, 64), (1, 5), (2, 3)):
+            for le in (True, False):
+                got = sorted(_scan_utf16(data, min_len, max_len, le))
+                want = sorted(reference_scan(data, min_len, max_len, le))
+                assert got == want, (seed, min_len, max_len, le, data.hex())

@@ -8,6 +8,7 @@ tools/check_oracle.py (laxer canon), to predict CORRECTNESS results.
 Usage: python tools/drive_contract.py [sf_dir] [query_prefix ...]
 (optional prefixes filter which queries run, e.g. `q06 q11`)"""
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -23,15 +24,23 @@ SF = args[0] if args and not args[0].startswith("q") else "/root/testdata/sf0.01
 ONLY = tuple(a for a in args if a.startswith("q"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-spark = (
+_builder = (
     SparkSession.builder.master("local[16]")
     .config("spark.sql.shuffle.partitions", "16")
     .config("spark.ui.enabled", "false")
     # a 50+-query sweep accumulates caches/broadcasts in one JVM; the
     # default 1g driver heap OOMs around query ~40 (seen in round 6)
     .config("spark.driver.memory", "6g")
-    .getOrCreate()
 )
+if os.environ.get("SPARK_GRAFT_ROCKSDB", "0") == "1":
+    # re-verify the streaming family under the RocksDB state store
+    # (the 100 TB provider — see swiftbeaver_spark/session.py)
+    _builder = _builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+spark = _builder.getOrCreate()
 
 con = duckdb.connect()
 for t in TABLES:
