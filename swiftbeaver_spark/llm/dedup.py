@@ -392,49 +392,90 @@ def _segment_widths(bits: int, n_segments: int) -> list[tuple[int, int]]:
     return out
 
 
+def _auto_segments(max_hamming: int, n_docs: int) -> int:
+    """Corpus-size-derived blocking layout (VERDICT r6 item 5): pick
+    keep = n_segments - max_hamming so the expected per-doc candidate
+    fan-out stays O(10) under a uniform-key model, then let the JVM
+    bit_count verify absorb the (measured ~1.3-5x) skew inflation.
+
+    keep=1 key width is 64/(k+1) bits over C(k+1,1)=k+1 tables; each
+    extra keep unit widens keys ~64/(k+keep) bits but multiplies table
+    count combinatorially — per-doc candidates ~ T * n / 2^bits:
+
+      keep=1 (k=3, 16-bit keys): ~18/doc at n=3e5
+      keep=2 (k=3, ~25.6-bit):   ~6/doc  at n=3e7
+      keep=3 (k=3, 32-bit):      ~5/doc  at n=1e9 (published regime)
+
+    Measured (tools/bench_simhash_layout.py, k=3, interleaved one-JVM
+    A/B, identical 326/196689-pair outputs): at 5e4 docs keep=1/2 tie
+    (0.39-0.40 s) and keep=3 is 1.4x worse; at 5e5-equivalent sf1
+    keep=1/2 tie (0.75-0.77 s) and keep=3 is 5x worse (3.79 s) — the
+    old fixed keep=3 default paid 20 tables of signature explode +
+    join passes for a candidate cut these corpus sizes never need.
+    Past k=4 the table count explodes combinatorially at every keep>1
+    and keep=1 measured optimal against every alternative (SCALE.md
+    q27 note), corpus size notwithstanding."""
+    if max_hamming > 4:
+        return max_hamming + 1
+    if n_docs < 300_000:
+        keep = 1
+    elif n_docs < 30_000_000:
+        keep = 2
+    else:
+        keep = 3
+    return max_hamming + keep
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_segments: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dups within Hamming distance <= max_hamming, Manku-style
     multi-table blocking (the published Google simhash dedup design):
     split the 64-bit simhash into n_segments slices and key each table
     on a (n_segments - max_hamming)-subset of slices. <= k bit errors
     dirty <= k segments, so some kept subset is fully clean — EXACT
-    recall by pigeonhole. Default n_segments = max_hamming + 3 keeps
-    3 segments (~32 key bits at k=3: billions of buckets, vs ~2^16 for
-    single-segment blocking — the difference between even buckets and
-    hot-bucket blowup at 10^9 docs). Candidates verify with bit_count,
-    so tightening or loosening the table layout never changes which
-    pairs qualify, only the candidate volume.
+    recall by pigeonhole. When n_segments is None the layout is
+    AUTO-DERIVED from corpus size (_auto_segments: keep=1 below 3e5
+    docs, keep=2 to 3e7, keep=3 — ~32-bit keys, the published 10^9-doc
+    regime — beyond; always keep=1 past k=4). `n_docs` supplies the
+    corpus size hint; without it the auto path pays one narrow count()
+    job (bounded sync point, the IVF-training convention) — k>4
+    callers never count since the layout is size-independent there.
+    Candidates verify with bit_count, so tightening or loosening the
+    table layout never changes which pairs qualify, only the candidate
+    volume.
 
-    Table count is C(n_segments, n_segments - max_hamming): keeping 3
-    segments is the published design for the common k<=3 regime; past
-    k=4 it explodes combinatorially (k=8 would mean 165 tables), so the
-    default drops to keep=1 there — still exact, narrower keys — and
-    callers chasing bucket width at extreme k can raise n_segments
-    (keep=2 via n_segments=k+2 trades a C(k+2,2)-fold table explode
-    for quadratically fewer per-bucket collisions). Measured at both
-    sf0.1 and a 10x sf1 corpus, the explode costs MORE than the
-    candidate cut saves — 53x worse at sf1 (919 s vs 17 s, identical
-    pairs), because simhash keys of natural text are skewed (bits are
-    signs of token-weighted sums), so wider keys cut real candidates
-    only ~1.3x (887M -> 689M measured) while per-candidate work rises
-    ~5x. Value-level blocking (candidates over distinct simhash
-    values, expanded back to doc pairs) also measured 5x worse: the
-    expansion shuffles dwarf its ~2x candidate cut, while this kernel
-    streams ~37M candidates/s through a row-local codegen filter with
-    no post-join shuffle. Both alternatives rejected on measurement
-    (SCALE.md q27 note); the published scale regime is k<=3-4, where
-    the default keep=3 layout's ~2^21+-bit keys keep buckets tiny at
-    corpus scale."""
+    Table count is C(n_segments, n_segments - max_hamming): wider keys
+    are the published design for 10^9-doc corpora, but past k=4 every
+    keep>1 explodes combinatorially (k=8 at keep=2 would mean 45
+    tables) so auto stays at keep=1 there — still exact, narrower
+    keys. Measured at both sf0.1 and a 10x sf1 corpus at k=8, the
+    explode costs MORE than the candidate cut saves — 53x worse at sf1
+    (919 s vs 17 s, identical pairs), because simhash keys of natural
+    text are skewed (bits are signs of token-weighted sums), so wider
+    keys cut real candidates only ~1.3x (887M -> 689M measured) while
+    per-candidate work rises ~5x. Value-level blocking (candidates
+    over distinct simhash values, expanded back to doc pairs) also
+    measured 5x worse: the expansion shuffles dwarf its ~2x candidate
+    cut, while this kernel streams ~37M candidates/s through a
+    row-local codegen filter with no post-join shuffle. Both
+    alternatives rejected on measurement (SCALE.md q27 note). In the
+    published k<=4 regime the keep thresholds come from the round-7
+    layout A/B (see _auto_segments): small corpora pay for tables, not
+    candidates, so keep grows with corpus size — the fixed keep=3 of
+    earlier rounds measured 1.4x/5x WORSE than auto's keep=1 at
+    sf0.1/sf1."""
     from itertools import combinations
 
     if n_segments is None:
-        n_segments = max_hamming + (3 if max_hamming <= 4 else 1)
+        if n_docs is None and max_hamming <= 4:
+            n_docs = df.count()
+        n_segments = _auto_segments(max_hamming, n_docs or 0)
     # persist: the blocked self-join references this subtree from both
     # sides (broadcast build + probe), which would otherwise run the
     # simhash kernel pass twice — same reason minhash_near_dups

@@ -2032,3 +2032,43 @@ def test_spark_round_half_up_matches_f_round(spark):
             f"dp={dp}: {mism.size} mismatches, first "
             f"{vals[mism[:3]]} -> {ours[mism[:3]]} vs {theirs[mism[:3]]}"
         )
+
+
+def test_auto_segments_thresholds():
+    """VERDICT r6 item 5: the blocking layout derives from corpus size
+    in the published k<=4 regime (keep grows as candidates overtake
+    table overhead) and is always keep=1 past k=4 (measured optimal
+    regardless of size — SCALE.md q27 note)."""
+    from swiftbeaver_spark.llm.dedup import _auto_segments
+
+    assert _auto_segments(3, 5_000) == 4       # keep=1
+    assert _auto_segments(3, 299_999) == 4
+    assert _auto_segments(3, 300_000) == 5     # keep=2
+    assert _auto_segments(3, 29_999_999) == 5
+    assert _auto_segments(3, 30_000_000) == 6  # keep=3, published regime
+    assert _auto_segments(4, 1_000) == 5
+    for n in (0, 5_000, 10**9):
+        assert _auto_segments(8, n) == 9       # k>4: keep=1 always
+
+
+def test_simhash_auto_layout_same_pairs(spark, documents):
+    """Auto-derived layout must produce the IDENTICAL pair set as every
+    explicit layout (exact recall by pigeonhole at any n_segments) —
+    the oracle-rows-unchanged guarantee for the q27 family."""
+    corpus = documents.limit(120).select("doc_id", "text")
+    auto = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(corpus, max_hamming=3).collect()
+    }
+    for nseg in (4, 5, 6):
+        explicit = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_dups(corpus, max_hamming=3, n_segments=nseg).collect()
+        }
+        assert explicit == auto
+    # the n_docs hint skips the count job and picks the same layout
+    hinted = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(corpus, max_hamming=3, n_docs=120).collect()
+    }
+    assert hinted == auto
