@@ -11327,11 +11327,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # before every commit.
     return {
         # --- driver window (first 50) -----------------------------------
+        # Round-7 cut, per VERDICT r6 item 7: with the backlog at zero,
+        # the window holds (a) the irreplaceable composites — q02 scan
+        # kernel and q30-q33, whose carve engine was re-batched this
+        # round (collect_list window reassembly + Arrow-batch carve);
+        # (b) the queries round 7 touched: q171 (NEW — fastText .vec
+        # weight loading, entering the contract with a window seat, the
+        # standing rule) and q35 (UTF-16 regex scanner + scan spread);
+        # and (c) the staleness cohort — ALL 42 r3-vintage rows (the
+        # oldest green checks on record: q01-q57 families) plus the two
+        # oldest r4 rows (q43, q51), so after this round no green row
+        # is older than round 4 and staleness stays under ~3 rounds.
+        # q26/q27 (auto-layout change, pair outputs proven identical)
+        # and the RocksDB-re-verified streaming family were re-gated by
+        # tools/drive_contract.py this round and rotate to the tail.
         "q02_chunked_scan": q02_chunked_scan,
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
+        "q171_fasttext_classify": q171_fasttext_classify,
+        "q35_string_spans": q35_string_spans,
+        "q01_chunk_plan": q01_chunk_plan,
+        "q03_scan_counts": q03_scan_counts,
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q06_join_history": q06_join_history,
+        "q07_left_join_coalesce": q07_left_join_coalesce,
+        "q08_group_dedup": q08_group_dedup,
+        "q09_run_summary": q09_run_summary,
+        "q10_case_mapping": q10_case_mapping,
+        "q11_time_conversions": q11_time_conversions,
+        "q12_url_parse": q12_url_parse,
+        "q13_email_split": q13_email_split,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_token_stats": q20_token_stats,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_cosine_topk": q23_cosine_topk,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q25_top_orders": q25_top_orders,
+        "q28_lsh_topk": q28_lsh_topk,
+        "q29_media_meta": q29_media_meta,
+        "q34_ivf_topk": q34_ivf_topk,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q43_line_dedup": q43_line_dedup,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        # --- tail (driver-proven in r4-r6; all still swept tri-SF by
+        #     tools/drive_contract.py before every commit) --------------
         "q167_jpeg_decode": q167_jpeg_decode,
         "q97_compaction_plan": q97_compaction_plan,
         "q102_retention_cohorts": q102_retention_cohorts,
@@ -11370,71 +11431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_domain_caps": q166_domain_caps,
         "q26_minhash_neardup": q26_minhash_neardup,
         "q27_simhash_neardup": q27_simhash_neardup,
-        # q168/q169 are round-6's NEW operators (added after the window
-        # comment above was written): they take the two re-confirmation
-        # slots of q43/q96 (both untouched and driver-green in multiple
-        # rounds, now rotated to the tail) so the never-driver-checked
-        # set stays at zero going into round 7.
         "q168_mp3_frames": q168_mp3_frames,
         "q169_vorbis_meta": q169_vorbis_meta,
         "q121_filtered_ann": q121_filtered_ann,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q136_substring_dedup": q136_substring_dedup,
-        # q170 is round-6's third NEW operator (FLAC entropy decode,
-        # added late in the round): it takes q88's re-confirmation slot
-        # (q88 is r4-driver-green, code untouched this round, and its
-        # sf1 scale row is already recorded in SCALE.md) so no new query
-        # ever again enters the contract without a driver window seat —
-        # the exact failure mode VERDICT r5 flagged for q167.
         "q170_flac_decode": q170_flac_decode,
-        "q171_fasttext_classify": q171_fasttext_classify,
         "q120_ivfpq_residual": q120_ivfpq_residual,
-        # --- tail (driver-proven in r1-r5; all still swept tri-SF by
-        #     tools/drive_contract.py before every commit) --------------
         "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q01_chunk_plan": q01_chunk_plan,
-        "q03_scan_counts": q03_scan_counts,
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
-        "q06_join_history": q06_join_history,
-        "q07_left_join_coalesce": q07_left_join_coalesce,
-        "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
-        "q10_case_mapping": q10_case_mapping,
-        "q11_time_conversions": q11_time_conversions,
-        "q12_url_parse": q12_url_parse,
-        "q13_email_split": q13_email_split,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
-        "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q20_token_stats": q20_token_stats,
-        "q21_quality": q21_quality,
-        "q22_langid": q22_langid,
-        "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q25_top_orders": q25_top_orders,
-        "q28_lsh_topk": q28_lsh_topk,
-        "q29_media_meta": q29_media_meta,
-        "q34_ivf_topk": q34_ivf_topk,
-        "q35_string_spans": q35_string_spans,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q37_stream_sessionize": q37_stream_sessionize,
-        "q38_pack_sequences": q38_pack_sequences,
-        "q39_hash_sample": q39_hash_sample,
-        "q40_pii_scrub": q40_pii_scrub,
-        "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q45_session_window": q45_session_window,
-        "q46_kmv_sketch": q46_kmv_sketch,
-        "q47_stream_window_agg": q47_stream_window_agg,
-        "q48_asof_join": q48_asof_join,
-        "q49_countmin": q49_countmin,
-        "q50_weighted_sample": q50_weighted_sample,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
@@ -11509,7 +11513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        "q43_line_dedup": q43_line_dedup,
         "q96_star_join": q96_star_join,
     }
 
@@ -11518,11 +11521,72 @@ def oracle_sql() -> dict[str, str]:
     # Same window-first ordering as queries() — see the comment there.
     return {
         # --- driver window (first 50) -----------------------------------
+        # Round-7 cut, per VERDICT r6 item 7: with the backlog at zero,
+        # the window holds (a) the irreplaceable composites — q02 scan
+        # kernel and q30-q33, whose carve engine was re-batched this
+        # round (collect_list window reassembly + Arrow-batch carve);
+        # (b) the queries round 7 touched: q171 (NEW — fastText .vec
+        # weight loading, entering the contract with a window seat, the
+        # standing rule) and q35 (UTF-16 regex scanner + scan spread);
+        # and (c) the staleness cohort — ALL 42 r3-vintage rows (the
+        # oldest green checks on record: q01-q57 families) plus the two
+        # oldest r4 rows (q43, q51), so after this round no green row
+        # is older than round 4 and staleness stays under ~3 rounds.
+        # q26/q27 (auto-layout change, pair outputs proven identical)
+        # and the RocksDB-re-verified streaming family were re-gated by
+        # tools/drive_contract.py this round and rotate to the tail.
         "q02_chunked_scan": q02_sql(),
         "q30_carve_roundtrip": q30_sql(),
         "q31_carve_declared": q31_sql(),
         "q32_carve_structured": q32_sql(),
         "q33_carve_remaining": q33_sql(),
+        "q171_fasttext_classify": q171_sql(),
+        "q35_string_spans": q35_sql(),
+        "q01_chunk_plan": q01_sql(),
+        "q03_scan_counts": q03_sql(),
+        "q04_entropy": q04_sql(),
+        "q05_sessionize": q05_sql(),
+        "q06_join_history": q06_sql(),
+        "q07_left_join_coalesce": q07_sql(),
+        "q08_group_dedup": q08_sql(),
+        "q09_run_summary": q09_sql(),
+        "q10_case_mapping": q10_sql(),
+        "q11_time_conversions": q11_sql(),
+        "q12_url_parse": q12_sql(),
+        "q13_email_split": q13_sql(),
+        "q14_phone_plausible": q14_sql(),
+        "q15_normalize_url": q15_sql(),
+        "q16_string_flags": q16_sql(),
+        "q17_extract_urls": q17_sql(),
+        "q18_exact_dedup": q18_sql(),
+        "q19_ngram_jaccard": q19_sql(),
+        "q20_token_stats": q20_sql(),
+        "q21_quality": q21_sql(),
+        "q22_langid": q22_sql(),
+        "q23_cosine_topk": q23_sql(),
+        "q24_pricing_summary": q24_sql(),
+        "q25_top_orders": q25_sql(),
+        "q28_lsh_topk": q28_sql(),
+        "q29_media_meta": q29_sql(),
+        "q34_ivf_topk": q34_sql(),
+        "q36_dedup_clusters": q36_sql(),
+        "q37_stream_sessionize": q37_sql(),
+        "q38_pack_sequences": q38_sql(),
+        "q39_hash_sample": q39_sql(),
+        "q40_pii_scrub": q40_sql(),
+        "q41_vocab_topk": q41_sql(),
+        "q42_decontaminate": q42_sql(),
+        "q44_repetition_metrics": q44_sql(),
+        "q45_session_window": q45_sql(),
+        "q46_kmv_sketch": q46_sql(),
+        "q47_stream_window_agg": q47_sql(),
+        "q48_asof_join": q48_sql(),
+        "q49_countmin": q49_sql(),
+        "q50_weighted_sample": q50_sql(),
+        "q43_line_dedup": q43_sql(),
+        "q51_crossdoc_dup": q51_sql(),
+        # --- tail (driver-proven in r4-r6; all still swept tri-SF by
+        #     tools/drive_contract.py before every commit) --------------
         "q167_jpeg_decode": q167_sql(),
         "q97_compaction_plan": q97_sql(),
         "q102_retention_cohorts": q102_sql(),
@@ -11553,8 +11617,8 @@ def oracle_sql() -> dict[str, str]:
         "q159_data_card": q159_sql(),
         "q162_sft_spans": q162_sql(),
         "q163_prefix_cache_plan": q163_sql(),
-        "q59_bpe_learn": q59_sql(),  # unrolled-training replay (r6)
-        "q92_bpe_tokenize": q92_sql(),  # unrolled-training replay (r6)
+        "q59_bpe_learn": q59_sql(),
+        "q92_bpe_tokenize": q92_sql(),
         "q157_bitext_mining": q157_sql(),
         "q160_mmr_rerank": q160_sql(),
         "q165_equidepth_histogram": q165_sql(),
@@ -11567,53 +11631,8 @@ def oracle_sql() -> dict[str, str]:
         "q122_semantic_dedup": q122_sql(),
         "q136_substring_dedup": q136_sql(),
         "q170_flac_decode": q170_sql(),
-        "q171_fasttext_classify": q171_sql(),
         "q120_ivfpq_residual": q120_sql(),
-        # --- tail --------------------------------------------------------
         "q88_ivfpq_topk": q88_sql(),
-        "q01_chunk_plan": q01_sql(),
-        "q03_scan_counts": q03_sql(),
-        "q04_entropy": q04_sql(),
-        "q05_sessionize": q05_sql(),
-        "q06_join_history": q06_sql(),
-        "q07_left_join_coalesce": q07_sql(),
-        "q08_group_dedup": q08_sql(),
-        "q09_run_summary": q09_sql(),
-        "q10_case_mapping": q10_sql(),
-        "q11_time_conversions": q11_sql(),
-        "q12_url_parse": q12_sql(),
-        "q13_email_split": q13_sql(),
-        "q14_phone_plausible": q14_sql(),
-        "q15_normalize_url": q15_sql(),
-        "q16_string_flags": q16_sql(),
-        "q17_extract_urls": q17_sql(),
-        "q18_exact_dedup": q18_sql(),
-        "q19_ngram_jaccard": q19_sql(),
-        "q20_token_stats": q20_sql(),
-        "q21_quality": q21_sql(),
-        "q22_langid": q22_sql(),
-        "q23_cosine_topk": q23_sql(),
-        "q24_pricing_summary": q24_sql(),
-        "q25_top_orders": q25_sql(),
-        "q28_lsh_topk": q28_sql(),
-        "q29_media_meta": q29_sql(),
-        "q34_ivf_topk": q34_sql(),
-        "q35_string_spans": q35_sql(),
-        "q36_dedup_clusters": q36_sql(),
-        "q37_stream_sessionize": q37_sql(),
-        "q38_pack_sequences": q38_sql(),
-        "q39_hash_sample": q39_sql(),
-        "q40_pii_scrub": q40_sql(),
-        "q41_vocab_topk": q41_sql(),
-        "q42_decontaminate": q42_sql(),
-        "q44_repetition_metrics": q44_sql(),
-        "q45_session_window": q45_sql(),
-        "q46_kmv_sketch": q46_sql(),
-        "q47_stream_window_agg": q47_sql(),
-        "q48_asof_join": q48_sql(),
-        "q49_countmin": q49_sql(),
-        "q50_weighted_sample": q50_sql(),
-        "q51_crossdoc_dup": q51_sql(),
         "q52_stream_dedup": q52_sql(),
         "q53_stream_interval_join": q53_sql(),
         "q54_histogram_quantiles": q54_sql(),
@@ -11635,8 +11654,8 @@ def oracle_sql() -> dict[str, str]:
         "q71_edit_distance_neardup": q71_sql(),
         "q72_inverted_index": q72_sql(),
         "q73_pivot_matrix": q73_sql(),
-        "q74_rollup_revenue": q74_sql(),  # streaming maintenance of the SAME sketch: q49's batch oracle
-        "q75_stream_countmin": q49_sql(),
+        "q74_rollup_revenue": q74_sql(),
+        "q75_stream_countmin": q49_sql(),  # streaming maintenance of the SAME sketch: q49's batch oracle
         "q76_merge_upsert": q76_sql(),
         "q77_label_centroids": q77_sql(),
         "q78_stream_static_join": q78_sql(),
@@ -11688,6 +11707,5 @@ def oracle_sql() -> dict[str, str]:
         "q158_tiff_decode": q153_sql(),  # same pixel gradient + output shape as PNG
         "q161_raster_consistency": q161_sql(),
         "q164_nested_semijoin": q164_sql(),
-        "q43_line_dedup": q43_sql(),
         "q96_star_join": q96_sql(),
     }
