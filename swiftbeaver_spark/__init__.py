@@ -5,9 +5,9 @@ Re-implements the query/data-processing surface of gaestu/SwiftBeaver
 Spark DataFrame pipeline:
 
     chunks (binary parquet/table)
-      -> signature scan (Arrow mapInPandas, multi-pattern)
+      -> signature scan (JVM Aho-Corasick kernel; Arrow mapInPandas fallback)
       -> hit normalization + overlap dedup (projection + filter)
-      -> per-hit carve state machines (applyInPandas by file type)
+      -> per-hit carve state machines (Arrow-batched mapInPandas)
       -> relational post-processing (joins, dedup, gaps-and-islands)
       -> columnar sinks (parquet / jsonl / csv)
 
