@@ -35,6 +35,11 @@ from swiftbeaver_spark.config import EngineConfig
 
 _CARVE_COLUMNS = [f.name for f in schemas.CARVED_FILES.fields]
 
+# largest per-type window the chunk-join strategy accepts: one hit's
+# reassembled window is a single row, and Arrow record batches keep
+# 32-bit offsets per binary column — stay safely under 2 GiB
+_ROW_CAP_LIMIT = 3 * (1 << 29)  # 1.5 GiB
+
 
 def _record_to_tuple(rec) -> tuple:
     return (
@@ -141,10 +146,30 @@ def carve_hits_with_chunks(
     the default without inflating every hit's claimed range. A hit the
     window still cuts short gets an explicit `over_cap` error instead
     of a silent eof-style truncation.
+
+    Memory bounds: each grouped row carries one hit's whole window, so
+    JVM->Python transfer relies on the session's
+    spark.sql.execution.arrow.maxBytesPerBatch (session.py sets 256 MiB
+    — without it, record-bounded batching would pack 2048 windows of up
+    to 128 MiB into one Arrow batch). A single row must also stay under
+    Arrow's 2 GiB per-record-batch column limit, so per-type caps are
+    rejected past _ROW_CAP_LIMIT — types genuinely needing multi-GiB
+    windows belong on strategy 1 (positioned reads).
     """
     registry_types = {ft.type_id: ft.max_size for ft in cfg.file_types}
     cap = window_cap if window_cap is not None else 128 * 1024 * 1024
     caps = window_caps or {}
+    worst = max(
+        (min(ms, caps.get(tid, cap)) for tid, ms in registry_types.items()),
+        default=0,
+    )
+    if worst > _ROW_CAP_LIMIT:
+        raise ValueError(
+            f"effective carve window {worst} exceeds the {_ROW_CAP_LIMIT}-byte "
+            "single-row bound of the chunk-join strategy (Arrow 2 GiB "
+            "record-batch limit); carve such types via "
+            "carve_hits_with_evidence instead"
+        )
     chunk_size = cfg.chunk_size
 
     max_size_map = F.create_map(

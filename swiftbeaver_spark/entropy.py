@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from swiftbeaver_spark.config import EngineConfig
+from swiftbeaver_spark.parallel import spread
 
 WINDOW_SCHEMA = StructType(
     [
@@ -41,16 +42,54 @@ def shannon_entropy(window: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+# cap on the (window_idx << 8 | byte) key temporary per vectorized
+# block: bounds worker memory regardless of chunk size (at the
+# production 512 MiB chunk the unblocked form allocated ~16x the chunk
+# bytes in int64 temporaries — ~8 GiB per in-flight chunk, an executor
+# OOM at 32 workers; blocking keeps the speedup with a fixed ~3x-block
+# working set)
+_ENT_BLOCK_BYTES = 32 << 20
+
+
+def _entropy_all_windows(mat: np.ndarray, window_size: int) -> np.ndarray:
+    """Entropy of every row of `mat` (n_windows x window_size uint8).
+
+    ALL windows' byte histograms in one C pass per block: bincount over
+    (window_idx * 256 + byte), replacing a per-window Python loop
+    (round-7 10x sweep flagged this family). Keys are uint32 (a block
+    never exceeds 2^24 windows) and blocks are sized so the key
+    temporary stays <= _ENT_BLOCK_BYTES. The 0.0 terms from zero-count
+    cells are exact no-ops, but numpy's pairwise summation tree still
+    depends on array length, so a window's entropy may differ from the
+    scalar shannon_entropy fold by ~1 ulp — nothing gates these bits
+    (thresholds sit far from any window's value; the driver-gated q04
+    analog is events-based) and the region merge carries max entropy
+    unchanged."""
+    n_windows = mat.shape[0]
+    out = np.empty(n_windows, dtype=np.float64)
+    block = max(1, _ENT_BLOCK_BYTES // (window_size * 4))
+    for b0 in range(0, n_windows, block):
+        sub = mat[b0 : b0 + block]
+        nb = sub.shape[0]
+        keys = (np.arange(nb, dtype=np.uint32)[:, None] << np.uint32(8)) | sub.astype(
+            np.uint32
+        )
+        counts = np.bincount(keys.ravel(), minlength=nb * 256).reshape(nb, 256)
+        p = counts / float(window_size)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            plogp = np.where(counts > 0, p * np.log2(p), 0.0)
+        out[b0 : b0 + nb] = -plogp.sum(axis=1)
+    return out
+
+
 def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Per-chunk full windows with entropy >= threshold."""
     window_size = cfg.entropy_window_size
     threshold = cfg.entropy_threshold
     # spread across cores when the chunk source arrives in fewer input
-    # splits than the cluster has slots (llm/dedup.py::_spread
-    # rationale); a no-op at scale where splits >> cores
-    target = chunks.sparkSession.sparkContext.defaultParallelism
-    if chunks.rdd.getNumPartitions() < target:
-        chunks = chunks.repartition(target)
+    # splits than the cluster has slots; a no-op at scale where splits
+    # >> cores
+    chunks = spread(chunks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -61,27 +100,7 @@ def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
                 if n_windows == 0:
                     continue
                 mat = blob[: n_windows * window_size].reshape(n_windows, window_size)
-                # ALL windows' byte histograms in one C pass: bincount
-                # over (window_idx * 256 + byte), replacing a per-window
-                # Python loop (round-7 10x sweep flagged this family).
-                # The 0.0 terms from zero-count cells are exact no-ops,
-                # but numpy's pairwise summation tree still depends on
-                # array length, so a window's entropy may differ from
-                # the scalar shannon_entropy fold by ~1 ulp — nothing
-                # gates these bits (thresholds sit far from any window's
-                # value; the driver-gated q04 analog is events-based)
-                # and the region merge carries max entropy unchanged.
-                counts = np.bincount(
-                    (
-                        (np.arange(n_windows, dtype=np.int64)[:, None] << 8)
-                        | mat.astype(np.int64)
-                    ).ravel(),
-                    minlength=n_windows * 256,
-                ).reshape(n_windows, 256)
-                p = counts / float(window_size)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    plogp = np.where(counts > 0, p * np.log2(p), 0.0)
-                ents = -plogp.sum(axis=1)
+                ents = _entropy_all_windows(mat, window_size)
                 for w in np.nonzero(ents >= threshold)[0]:
                     ws = int(start) + int(w) * window_size
                     rows.append((ws, ws + window_size - 1, float(ents[w])))
@@ -209,11 +228,10 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
                     if n_windows == 0:
                         continue
                     mat = blob[: n_windows * window_size].reshape(n_windows, window_size)
-                    for w in range(n_windows):
-                        ent = shannon_entropy(mat[w])
-                        if ent >= threshold:
-                            ws = int(start) + w * window_size
-                            rows.append((ws, ws + window_size - 1, ent))
+                    ents = _entropy_all_windows(mat, window_size)
+                    for w in np.nonzero(ents >= threshold)[0]:
+                        ws = int(start) + int(w) * window_size
+                        rows.append((ws, ws + window_size - 1, float(ents[w])))
                 yield pd.DataFrame(rows, columns=["win_start", "win_end", "entropy"])
         finally:
             reader.close()

@@ -36,26 +36,12 @@ def _shl(col: Column, bits: Column) -> Column:
 
 
 def _spread(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Pin parallelism for compute-dense, byte-light kernel stages.
+    """Pin parallelism for compute-dense, byte-light kernel stages —
+    see swiftbeaver_spark.parallel.spread (the single home; this alias
+    keeps the historical name the dedup docstrings/tests cite)."""
+    from swiftbeaver_spark.parallel import spread
 
-    Spark sizes partitions by BYTES (file splits, AQE advisory size), but
-    the signature kernels cost per ROW: a small corpus collapses to 1-2
-    tasks and runs the embarrassingly-parallel stage on 2 of N cores
-    (measured 2.5x on the simhash pipeline at sf0.1). Repartition to
-    cluster parallelism only when the input has fewer partitions; at
-    100 TB the file splits already exceed the core count and this is a
-    no-op — no shuffle is added on the scale path.
-
-    Caveat: call this on scan-stage inputs (file reads, unions of
-    reads). For a df BEHIND a shuffle, getNumPartitions reports the
-    pre-AQE shuffle partition count (and materializing .rdd can force
-    upstream AQE stages to execute early) — there, decide the
-    repartition explicitly at the call site instead."""
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return spread(df, target)
 
 
 def normalized_text(col: Column) -> Column:

@@ -1271,25 +1271,46 @@ def _spark_round_half_up(arr, round_dp: int):
     Boundary suspects are vanishingly rare in real data, so the exact
     slow path costs nothing; equivalence to F.round is pytest-pinned
     including exact-boundary adversarial values
-    (test_spark_round_half_up_matches_f_round)."""
+    (test_spark_round_half_up_matches_f_round).
+
+    Magnitude regimes (round-7 review finding): every double >= 2^52 is
+    an integer whose shortest repr has no fractional digits, so Spark
+    ROUND returns it UNCHANGED — those values bypass both paths (the
+    binary mirror itself is ulp-inexact there, and the old per-element
+    quantize raised decimal.InvalidOperation past ~1e22). Between
+    ~2^47/scale and 2^52 the ulp tolerance band widens until every
+    value tests as a boundary suspect, so such a block degrades to the
+    exact per-element path wholesale — correct, just not vectorized;
+    the gated kernels only ever round cosines / unit-normalized dots
+    (|x| <= ~1), which never enter that regime."""
     import numpy as np
 
     scale = float(10**round_dp)
+    arr = np.asarray(arr, dtype=np.float64)
     y = np.abs(arr) * scale
     out = np.sign(arr) * np.floor(y + 0.5) / scale
+    # doubles >= 2^52 are integers: ROUND(x, dp>=0) == x exactly
+    big = np.abs(arr) >= 2.0**52
+    if big.any():
+        out = np.where(big, arr, out)
     # anything within ~8 ulps of a k+0.5 boundary gets the exact path
     tol = 8.0 * np.spacing(np.maximum(y, 1.0))
-    suspect = np.abs(y - np.floor(y) - 0.5) <= tol
+    suspect = (np.abs(y - np.floor(y) - 0.5) <= tol) & ~big
     if suspect.any():
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
 
         q = Decimal(1).scaleb(-round_dp)
         flat = out.ravel()
         src = np.ascontiguousarray(arr, dtype=np.float64).ravel()
-        for idx in np.nonzero(np.ascontiguousarray(suspect).ravel())[0]:
-            flat[idx] = float(
-                Decimal(repr(float(src[idx]))).quantize(q, rounding=ROUND_HALF_UP)
-            )
+        with localcontext() as ctx:
+            # |x| < 2^52 quantized to round_dp needs <= 16 + round_dp
+            # coefficient digits; give quantize ample headroom so it
+            # can never raise for any value the big-guard lets through
+            ctx.prec = max(40, 20 + round_dp)
+            for idx in np.nonzero(np.ascontiguousarray(suspect).ravel())[0]:
+                flat[idx] = float(
+                    Decimal(repr(float(src[idx]))).quantize(q, rounding=ROUND_HALF_UP)
+                )
     return out
 
 

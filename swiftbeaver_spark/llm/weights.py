@@ -42,14 +42,22 @@ def parse_fasttext_vec_lines(lines: DataFrame, dim: int, value_col: str = "value
     (word, vector array<double>). Malformed lines — wrong field count or
     non-numeric components — are dropped, mirroring fastText's own
     loader which skips unparseable rows rather than failing a 10 GB
-    load. Distributed: split + element casts, all Catalyst."""
-    parts = F.split(F.trim(F.col(value_col)), r"\s+")
+    load. Distributed: split + element casts, all Catalyst.
+
+    Tokenization filters empty fields instead of trusting trim():
+    Spark's trim strips only 0x20 spaces, so a CRLF-terminated file
+    (every line ending in \\r, which \\s+ turns into a trailing empty
+    field) or leading indentation would otherwise shift the field count
+    and silently drop every row (round-7 review finding)."""
+    parts = F.filter(F.split(F.col(value_col), r"\s+"), lambda t: t != "")
     # try_cast, not cast: under ANSI mode a malformed component must
     # become NULL (then drop the row), not fail the whole load
     vec = F.slice(parts, 2, dim).try_cast("array<double>")
     return (
         lines.select(
-            F.element_at(parts, 1).alias("word"),
+            # get(), not element_at(): NULL (not an ANSI error) on an
+            # all-whitespace line whose filtered field list is empty
+            F.get(parts, 0).alias("word"),
             vec.alias("vector"),
             F.size(parts).alias("_n"),
         )
@@ -61,13 +69,34 @@ def parse_fasttext_vec_lines(lines: DataFrame, dim: int, value_col: str = "value
 def load_fasttext_vec(spark, path: str) -> DataFrame:
     """Load a fastText/word2vec text-format vector file. The header's
     declared dim drives parsing; the declared word count is advisory
-    (fastText itself tolerates drift). Returns (word, vector)."""
+    (fastText itself tolerates drift). Returns (word, vector).
+
+    Header removal is by SHAPE, not text equality: the header has 2
+    fields while every body row has dim+1 >= 3, so the parse filter in
+    parse_fasttext_vec_lines already excludes it for dim >= 2 — no body
+    line can be deleted by textually colliding with the header, and a
+    re-spaced header can't slip through (round-7 review finding). Only
+    the degenerate dim == 1 layout (where header and body rows are both
+    2 fields) needs positional removal; there the first file line is
+    dropped exactly via zipWithIndex."""
     lines = spark.read.text(path)
-    header = lines.limit(1).collect()[0][0].split()
-    if len(header) != 2:
+    first = lines.head(1)
+    if not first:
+        raise ValueError(f"empty .vec file: {path}")
+    header = first[0][0].split()
+    if len(header) != 2 or not all(t.isdigit() for t in header):
         raise ValueError(f"not a .vec header: {header!r}")
     dim = int(header[1])
-    body = lines.where(F.col("value") != F.lit(" ".join(header)))
+    if dim == 1:
+        body = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] > 0)
+            .map(lambda t: (t[0],))
+            .toDF(["value"])
+        )
+    else:
+        body = lines
     return parse_fasttext_vec_lines(body, dim)
 
 
@@ -136,11 +165,19 @@ def classify_documents(
 
     toks = _doc_tokens(df, text_col, id_col)
     # token counts straight off the doc row (not the exploded side):
-    # a doc with zero tokens must still emit an 'und' row
+    # a doc with zero tokens must still emit an 'und' row. NULL text
+    # counts as 0 tokens — size(NULL) is -1 under Spark's legacy
+    # sizeOfNull, which would both break the documented contract and
+    # diverge from the q171 oracle's COALESCE(c.n, 0)
     counts = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(
-            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_tokens"),

@@ -51,6 +51,14 @@ def get_spark(
         # Arrow for every pandas UDF / mapInPandas crossing
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # byte bound on JVM->Python Arrow batches (batch closes when
+        # EITHER limit is hit; a single oversized row still ships as a
+        # one-row batch). Without it, batches are record-bounded only:
+        # rows carrying reassembled carve windows (up to 128 MiB each,
+        # carve_op.py strategy 2) or production 512 MiB chunks would
+        # pack 2048 rows -> hundreds of GiB per batch on both sides of
+        # the boundary (round-7 review finding)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(256 << 20))
         # AQE: runtime coalescing + skew-join handling; essential at scale
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from swiftbeaver_spark import schemas
 from swiftbeaver_spark.config import EngineConfig
+from swiftbeaver_spark.parallel import spread
 
 _ASCII_RE_TMPL = rb"[\t\x20-\x7E]{%d,}"
 
@@ -196,13 +197,11 @@ def scan_string_spans(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
     scan_utf16 = cfg.string_scan_utf16
     # spread the compute-dense scan across cores when the chunk source
-    # collapsed to fewer input splits than the cluster has slots (the
-    # llm/dedup.py::_spread rationale — measured 2 of 32 cores busy on
-    # the 10x q35 corpus, whose 100 MB of synthesized chunks arrive as
-    # 2 file splits); a no-op at scale where splits >> cores
-    target = chunks.sparkSession.sparkContext.defaultParallelism
-    if chunks.rdd.getNumPartitions() < target:
-        chunks = chunks.repartition(target)
+    # collapsed to fewer input splits than the cluster has slots
+    # (measured 2 of 32 cores busy on the 10x q35 corpus, whose 100 MB
+    # of synthesized chunks arrive as 2 file splits); a no-op at scale
+    # where splits >> cores
+    chunks = spread(chunks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -109,3 +109,19 @@ def test_no_evidence_len_falls_back_to_window_extent(spark):
     assert len(rec) == 1
     assert rec[0].truncated
     assert "over_cap" not in rec[0].errors
+
+
+def test_chunk_join_rejects_multi_gib_window(spark):
+    """Per-type caps whose effective window passes the Arrow single-row
+    bound must be rejected loudly — one hit's reassembled window is a
+    single row, and a >=2 GiB row breaks Arrow record batches (round-7
+    review finding); such types belong on positioned reads."""
+    chunks = chunks_from_bytes(spark, _evidence(), CFG.chunk_size, CFG.overlap)
+    with pytest.raises(ValueError, match="single-row"):
+        carve_hits_with_chunks(
+            _hits(spark, 0),
+            chunks,
+            CFG,
+            window_caps={"mov": 4 << 30},
+            evidence_len=32768,
+        )

@@ -2072,3 +2072,40 @@ def test_simhash_auto_layout_same_pairs(spark, documents):
         for r in simhash_near_dups(corpus, max_hamming=3, n_docs=120).collect()
     }
     assert hinted == auto
+
+
+def test_spark_round_half_up_large_magnitudes(spark):
+    """Round-7 review: magnitudes where the ulp band covers every value
+    must neither crash (the old per-element quantize raised
+    decimal.InvalidOperation past ~1e22) nor diverge from F.round;
+    doubles >= 2^52 are integers whose shortest repr has no fractional
+    digits, so Spark ROUND returns them unchanged."""
+    import numpy as np
+
+    from swiftbeaver_spark.llm.similarity import _spark_round_half_up
+
+    vals = np.array(
+        [
+            3e8 + 0.7,
+            3e8 + 0.1234565,
+            1e12 + 0.5,
+            4.5e15,
+            2.0**52,
+            -(2.0**52),
+            2.0**52 + 2,
+            1e22,
+            -1e22,
+            1e300,
+            -1e300,
+        ]
+    )
+    for dp in (2, 6):
+        ours = _spark_round_half_up(vals, dp)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        ).select(F.round("x", dp).alias("r"))
+        theirs = np.array([r.r for r in df.collect()])
+        mism = np.nonzero(ours != theirs)[0]
+        assert mism.size == 0, (
+            f"dp={dp}: {vals[mism]} -> {ours[mism]} vs {theirs[mism]}"
+        )

@@ -145,3 +145,48 @@ def test_weighted_quality_oov_zero_and_length_normalizer(spark):
     r = weighted_quality_score(docs, weights).collect()[0]
     # OOV tokens weigh 0 but still count toward the length normalizer
     assert (r.n_tokens, r.score_sum, r.quality_score_micro) == (4, 4_000_000, 1_000_000)
+
+
+def test_load_fasttext_vec_crlf(spark, tmp_path):
+    """CRLF-terminated (Windows-saved) .vec: the trailing \\r must not
+    shift field counts and silently drop every row (round-7 review —
+    Spark trim() strips only 0x20, and \\s+ split keeps a trailing
+    empty field)."""
+    p = tmp_path / "crlf.vec"
+    p.write_bytes(VEC_TEXT.replace("\n", "\r\n").encode())
+    rows = {r.word: r.vector for r in load_fasttext_vec(spark, str(p)).collect()}
+    assert len(rows) == 4
+    assert rows["the"] == [0.1, 0.2, -0.3]
+
+
+def test_load_fasttext_vec_dim1_and_empty(spark, tmp_path):
+    """dim == 1 is the one layout where header and body rows share the
+    2-field shape: the header must be removed positionally, and a body
+    line textually identical to the header must SURVIVE (the old
+    string-equality filter deleted it). An empty file raises ValueError
+    instead of IndexError/empty model."""
+    d1 = tmp_path / "d1.vec"
+    d1.write_text("3 1\nfoo 0.5\n3 1\nbar -2\n")
+    rows = {r.word: r.vector for r in load_fasttext_vec(spark, str(d1)).collect()}
+    assert rows == {"foo": [0.5], "3": [1.0], "bar": [-2.0]}
+    e = tmp_path / "empty.vec"
+    e.write_text("")
+    with pytest.raises(ValueError, match="empty"):
+        load_fasttext_vec(spark, str(e))
+
+
+def test_classify_documents_null_text(spark):
+    """NULL text counts as 0 tokens (not size(NULL) = -1) and labels
+    'und' with score 0 — the q171 oracle's COALESCE(c.n, 0) contract
+    (round-7 review finding)."""
+    weights = spark.createDataFrame(
+        [("hello", "en", 5_000_000)],
+        "token string, label string, weight_micro long",
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in classify_documents(docs, weights).collect()}
+    assert (out[1].label, out[1].score_micro, out[1].n_tokens) == ("und", 0, 0)
+    assert (out[2].label, out[2].score_micro, out[2].n_tokens) == ("und", 0, 0)
+    assert (out[3].label, out[3].n_tokens) == ("en", 1)

@@ -57,21 +57,28 @@ STRATS = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
 
 def build_image(sf_dir: str, out_path: str) -> int:
     """documents.parquet -> jpeg-dense raw image: per doc one minimal
-    JPEG (FFD8FFE0 + rpad(text,600,'x') utf-8 + FFD9) zero-padded to a
+    JPEG (FFD8FFE0 + 600 BYTES of text + FFD9) zero-padded to a
     4096-aligned block at doc_id-order. Driver-side one-time generation
-    (205 MB at sf1), mirroring tools/gen_scale10.py's role."""
+    (205 MB at sf1), mirroring tools/gen_scale10.py's role.
+
+    Alignment is done in BYTES after utf-8 encoding — a character-count
+    rpad would break the 4096-byte block arithmetic on any multi-byte
+    character in the corpus (round-7 review finding)."""
     if os.path.exists(out_path):
         return os.path.getsize(out_path)
     con = duckdb.connect()
     rows = con.execute(
-        "SELECT rpad(text, 600, 'x') FROM "
+        "SELECT text FROM "
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
-    pad = b"\x00" * (BLOCK - 606)
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as fh:
-        for (interior,) in rows:
-            fh.write(b"\xff\xd8\xff\xe0" + interior.encode("utf-8") + b"\xff\xd9" + pad)
+        for (text,) in rows:
+            interior = (text or "").encode("utf-8")[:600]
+            interior += b"x" * (600 - len(interior))
+            fh.write(
+                b"\xff\xd8\xff\xe0" + interior + b"\xff\xd9" + b"\x00" * (BLOCK - 606)
+            )
     os.replace(tmp, out_path)
     return os.path.getsize(out_path)
 
