@@ -11185,6 +11185,11 @@ def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # groupBy + max-ALIAS, not distinct(): blocks Catalyst from pushing
+    # the expensive downstream parse filter below the aggregate onto
+    # every token occurrence (the q172 barrier — see
+    # q172_fasttext_subword for the measurement; here it hid ~8 s at
+    # sf0.1 inside the weight build). Output identical to distinct().
     vocab = (
         docs.select(
             F.explode(
@@ -11194,7 +11199,9 @@ def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word")
         )
         .where(~F.col("word").startswith("__label__"))
-        .distinct()
+        .groupBy("word")
+        .agg(F.max("word").alias("w2"))
+        .select(F.col("w2").alias("word"))
     )
     labels = docs.sparkSession.createDataFrame(
         [("__label__en",), ("__label__de",), ("__label__es",), ("__label__fr",)],
@@ -11298,6 +11305,219 @@ def q171_sql() -> str:
     """
 
 
+Q172_BUCKETS = 256
+Q172_MINN, Q172_MAXN = 3, 4
+
+
+def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText SUBWORD classification under the hash gate
+    (llm/weights.py classify_documents_subword): every token
+    contributes its word vector plus its character-n-gram FNV-bucket
+    vectors — fastText's actual model architecture (Bojanowski et al.
+    2017; subword hashing caps the table at n_buckets regardless of
+    n-gram diversity), and the property that makes it score
+    out-of-vocabulary words instead of dropping them.
+
+    Everything is replayed in the oracle: the .vec-line build + reparse
+    for word, label AND bucket vectors (the q171 machinery, extended
+    with 256 '__bucket__<i>' rows), the Catalyst n-gram expansion
+    (subword_ngrams — '<word>' wrapping, n in [3, 4], duplicates kept),
+    the FNV-1a-over-codepoints fold (fnv1a32 == DuckDB's list_reduce of
+    ord()s — pinned vs an independent Python reference in
+    tests/test_weights.py), the per-(doc, label) integer micro sums,
+    the matched-unit mean (truncating div, both engines), and the
+    min_by argmax with the 'und' fallback.
+
+    Plan shape: the corpus-side unit stream meets ONE broadcast
+    unit-keyed weight table; the only nested-loop joins are the two
+    4-row label crosses inside the weight BUILD (vocabulary x labels —
+    the honest plan for a fixed label set, bounded at any scale), and
+    the vocab dedup uses the max-alias barrier (see inline comment) so
+    the parse filter evaluates per distinct word, not per token
+    occurrence."""
+    from swiftbeaver_spark.llm.dedup import normalized_text
+    from swiftbeaver_spark.llm.weights import (
+        classify_documents_subword,
+        parse_fasttext_vec_lines,
+        token_label_weights,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # vocab dedup through groupBy + max-ALIAS, not distinct(): the
+    # downstream parse filter (4x md5 + regex split + lambda casts per
+    # word) is a deterministic function of the group KEY, so against a
+    # plain distinct Catalyst pushes it below the aggregate — onto
+    # every exploded token OCCURRENCE (271k at sf0.1, one file split,
+    # one task: 12 s of the query's 13 s). Aliasing the word through an
+    # aggregate expression makes the filter reference a non-grouping
+    # output, which cannot be pushed below the aggregate — it then
+    # evaluates on the 31 distinct words (0.7 s steady). Output is
+    # byte-identical (max of a group's key is the key).
+    toks_w = docs.select(
+        F.explode(
+            F.filter(F.split(normalized_text(F.col("text")), " "), lambda t: t != "")
+        ).alias("word")
+    ).where(
+        ~F.col("word").startswith("__label__")
+        & ~F.col("word").startswith("__bucket__")
+    )
+    vocab = (
+        toks_w.groupBy("word")
+        .agg(F.max("word").alias("w2"))
+        .select(F.col("w2").alias("word"))
+    )
+    labels = spark.createDataFrame(
+        [("__label__en",), ("__label__de",), ("__label__es",), ("__label__fr",)],
+        "word string",
+    )
+    buckets = spark.range(Q172_BUCKETS).select(
+        F.concat(F.lit("__bucket__"), F.col("id").cast("string")).alias("word")
+    )
+    words = vocab.unionAll(labels).unionAll(buckets)
+
+    def comp_int(d: int):  # md5-derived thousandths in [-1000, 1000]
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("v:"), F.col("word"), F.lit(f":{d}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    def dec3(x):  # integer thousandths -> exact decimal text, |x| <= 1000
+        return F.concat(
+            F.when(x < 0, F.lit("-")).otherwise(F.lit("")),
+            F.when(F.abs(x) >= 1000, F.lit("1")).otherwise(F.lit("0")),
+            F.lit("."),
+            F.lpad((F.abs(x) % 1000).cast("string"), 3, "0"),
+        )
+
+    lines = words.select(
+        F.concat_ws(
+            " ", F.col("word"), *[dec3(comp_int(d)) for d in range(4)]
+        ).alias("value")
+    )
+    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
+    word_weights = weights.where(~F.col("token").startswith("__bucket__"))
+    bucket_weights = weights.where(F.col("token").startswith("__bucket__")).select(
+        F.expr("substring(token, 11)").cast("long").alias("bucket"),
+        "label",
+        "weight_micro",
+    )
+    return classify_documents_subword(
+        docs,
+        word_weights,
+        bucket_weights,
+        n_buckets=Q172_BUCKETS,
+        minn=Q172_MINN,
+        maxn=Q172_MAXN,
+    ).orderBy("doc_id")
+
+
+def q172_sql() -> str:
+    comp = (
+        "(CAST('0x' || substr(md5('v:' || word || ':' || {d}), 1, 8) AS BIGINT)"
+        " % 2001 - 1000)"
+    )
+    dec = (
+        "CASE WHEN {x} < 0 THEN '-' ELSE '' END ||"
+        " CASE WHEN abs({x}) >= 1000 THEN '1' ELSE '0' END || '.' ||"
+        " lpad(CAST(abs({x}) % 1000 AS VARCHAR), 3, '0')"
+    )
+    comps = " || ' ' || ".join(dec.format(x=comp.format(d=d)) for d in range(4))
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    fnv = (
+        "list_reduce(list_prepend(2166136261::BIGINT,"
+        " list_transform(range(1, length(ngram) + 1),"
+        " j -> ord(substr(ngram, j, 1))::BIGINT)),"
+        " (h, b) -> (xor(h, b) * 16777619) % 4294967296)"
+    )
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, {norm} AS norm FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+      FROM dt WHERE norm <> ''
+    ), vocab AS (
+      SELECT DISTINCT token AS word FROM toks
+      WHERE NOT starts_with(token, '__label__')
+        AND NOT starts_with(token, '__bucket__')
+      UNION ALL
+      SELECT * FROM (VALUES ('__label__en'), ('__label__de'),
+                            ('__label__es'), ('__label__fr')) v(word)
+      UNION ALL
+      SELECT '__bucket__' || CAST(i AS VARCHAR) FROM range(0, {Q172_BUCKETS}) t(i)
+    ), lines AS (
+      SELECT word || ' ' || {comps} AS line FROM vocab
+    ), parsed AS (
+      SELECT string_split(line, ' ')[1] AS word,
+             CAST(string_split(line, ' ')[2] AS DOUBLE) AS v1,
+             CAST(string_split(line, ' ')[3] AS DOUBLE) AS v2,
+             CAST(string_split(line, ' ')[4] AS DOUBLE) AS v3,
+             CAST(string_split(line, ' ')[5] AS DOUBLE) AS v4
+      FROM lines
+    ), wts AS (
+      -- the engine's pinned left-fold dot ((((0+p1)+p2)+p3)+p4),
+      -- micro-quantized to exact int64 before any aggregation
+      SELECT t.word AS token, substr(l.word, 10) AS label,
+             CAST(round(((((0 + t.v1*l.v1) + t.v2*l.v2) + t.v3*l.v3)
+                         + t.v4*l.v4) * 1000000.0) AS BIGINT) AS weight_micro
+      FROM parsed t, parsed l
+      WHERE NOT starts_with(t.word, '__label__')
+        AND starts_with(l.word, '__label__')
+    ), word_wts AS (
+      SELECT * FROM wts WHERE NOT starts_with(token, '__bucket__')
+    ), bucket_wts AS (
+      SELECT CAST(substr(token, 11) AS BIGINT) AS bucket, label, weight_micro
+      FROM wts WHERE starts_with(token, '__bucket__')
+    ), grams AS (
+      -- subword_ngrams: all n-grams of '<token>' for n in [3, 4],
+      -- duplicates kept (one row per occurrence)
+      SELECT doc_id, substr(w, i, n) AS ngram
+      FROM (SELECT doc_id, '<' || token || '>' AS w FROM toks),
+           (VALUES (3), (4)) ln(n),
+           LATERAL unnest(range(1, length(w) - n + 2)) AS u(i)
+      WHERE length(w) >= n
+    ), gbuckets AS (
+      -- fnv1a32 over codepoints (ord == Spark ascii), mod n_buckets
+      SELECT doc_id, {fnv} % {Q172_BUCKETS} AS bucket FROM grams
+    ), hits AS (
+      SELECT doc_id, label, weight_micro FROM toks JOIN word_wts USING (token)
+      UNION ALL
+      SELECT doc_id, label, weight_micro FROM gbuckets JOIN bucket_wts USING (bucket)
+    ), scored AS (
+      SELECT doc_id, label, CAST(SUM(weight_micro) AS BIGINT) AS s
+      FROM hits GROUP BY doc_id, label
+    ), nunits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units FROM (
+        SELECT doc_id FROM toks
+        WHERE token IN (SELECT token FROM word_wts)
+        UNION ALL
+        SELECT doc_id FROM gbuckets
+        WHERE bucket IN (SELECT bucket FROM bucket_wts)
+      ) GROUP BY doc_id
+    ), best AS (
+      -- truncating integer mean (DuckDB // == Spark div toward zero)
+      SELECT doc_id, label, s // n_units AS score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s // n_units DESC, label) AS rn
+      FROM scored JOIN nunits USING (doc_id)
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.score_micro > 0 THEN b.label ELSE 'und' END AS label,
+           CAST(CASE WHEN b.score_micro > 0 THEN b.score_micro ELSE 0 END
+                AS BIGINT) AS score_micro,
+           CAST(COALESCE(u.n_units, 0) AS BIGINT) AS n_units
+    FROM dt d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    LEFT JOIN nunits u USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -11341,12 +11561,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q26/q27 (auto-layout change, pair outputs proven identical)
         # and the RocksDB-re-verified streaming family were re-gated by
         # tools/drive_contract.py this round and rotate to the tail.
+        # q172 (NEW — fastText subword/OOV classification) takes the
+        # window seat of q51 (r4-vintage, re-confirmed r4 + swept
+        # tri-SF on every commit), per the new-operator seat rule.
         "q02_chunked_scan": q02_chunked_scan,
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
         "q171_fasttext_classify": q171_fasttext_classify,
+        "q172_fasttext_subword": q172_fasttext_subword,
         "q35_string_spans": q35_string_spans,
         "q01_chunk_plan": q01_chunk_plan,
         "q03_scan_counts": q03_scan_counts,
@@ -11390,9 +11614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
         "q43_line_dedup": q43_line_dedup,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
         # --- tail (driver-proven in r4-r6; all still swept tri-SF by
         #     tools/drive_contract.py before every commit) --------------
+        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q167_jpeg_decode": q167_jpeg_decode,
         "q97_compaction_plan": q97_compaction_plan,
         "q102_retention_cohorts": q102_retention_cohorts,
@@ -11541,6 +11765,7 @@ def oracle_sql() -> dict[str, str]:
         "q32_carve_structured": q32_sql(),
         "q33_carve_remaining": q33_sql(),
         "q171_fasttext_classify": q171_sql(),
+        "q172_fasttext_subword": q172_sql(),
         "q35_string_spans": q35_sql(),
         "q01_chunk_plan": q01_sql(),
         "q03_scan_counts": q03_sql(),
@@ -11584,9 +11809,9 @@ def oracle_sql() -> dict[str, str]:
         "q49_countmin": q49_sql(),
         "q50_weighted_sample": q50_sql(),
         "q43_line_dedup": q43_sql(),
-        "q51_crossdoc_dup": q51_sql(),
         # --- tail (driver-proven in r4-r6; all still swept tri-SF by
         #     tools/drive_contract.py before every commit) --------------
+        "q51_crossdoc_dup": q51_sql(),
         "q167_jpeg_decode": q167_sql(),
         "q97_compaction_plan": q97_sql(),
         "q102_retention_cohorts": q102_sql(),

@@ -211,6 +211,173 @@ def classify_documents(
     )
 
 
+def subword_ngrams(col: Column, minn: int = 3, maxn: int = 5) -> Column:
+    """All character n-grams of '<word>' (angle-bracket boundary
+    markers) for n in [minn, maxn] — fastText's subword expansion
+    (Bojanowski et al. 2017, "Enriching Word Vectors with Subword
+    Information"; fastText Dictionary::computeSubwords). Duplicates are
+    KEPT, as fastText keeps them (a repeated n-gram contributes its
+    vector once per occurrence). Pure Catalyst: one NESTED
+    transform(n, transform(i, substring)) flattened — stays in
+    whole-stage codegen, no Python. Nested (not a Python loop of
+    sibling transforms sharing the `wrapped` subtree: sibling lambdas
+    over a shared subexpression collide on generated lambda-variable
+    names and silently mis-resolve — observed on 4.1, pinned by
+    test_subword_ngrams_pinned)."""
+    if not 1 <= minn <= maxn:
+        raise ValueError(f"need 1 <= minn <= maxn, got {minn}..{maxn}")
+    wrapped = F.concat(F.lit("<"), col, F.lit(">"))
+    length = F.length(wrapped)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(minn), F.lit(maxn)),
+            lambda n: F.when(
+                length >= n,
+                F.transform(
+                    F.sequence(F.lit(1), length - n + 1),
+                    lambda i: F.substring(wrapped, i, n),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+
+
+def fnv1a32(col: Column) -> Column:
+    """32-bit FNV-1a over the string's CODEPOINTS, as a Catalyst fold
+    (offset basis 2166136261, prime 16777619 — the public FNV spec,
+    also fastText's subword hash). Codepoints, not utf-8 bytes: both
+    Spark's ascii() and DuckDB's ord() return the codepoint, so the
+    fold replays identically in the SQL oracle; for pure-ASCII input
+    the two are the same, and for multi-byte input the deviation from
+    fastText's byte-wise fold only permutes bucket assignments (the
+    buckets stay uniform — pinned vs an independent Python reference in
+    tests). NULL input folds to NULL (joins drop it); the empty string
+    folds to the offset basis (sequence(1, 0) is DESCENDING [1, 0] in
+    Spark, so the empty case needs the explicit guard)."""
+    codes = (
+        F.when(col.isNull(), F.lit(None).cast("array<long>"))
+        .when(
+            F.length(col) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long"),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return F.aggregate(
+        codes,
+        F.lit(2166136261).cast("long"),
+        lambda h, b: (h.bitwiseXOR(b) * 16777619) % F.lit(4294967296).cast("long"),
+    )
+
+
+def classify_documents_subword(
+    df: DataFrame,
+    word_weights: DataFrame,
+    bucket_weights: DataFrame,
+    n_buckets: int,
+    minn: int = 3,
+    maxn: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear classification WITH subword units — the
+    architecture that scores out-of-vocabulary words instead of
+    dropping them (fastText's actual model: every token contributes its
+    word vector plus its hashed character-n-gram bucket vectors; an OOV
+    token still has n-grams, so it still scores).
+
+    Units of a token: the token itself (if present in `word_weights`)
+    plus every subword n-gram's FNV bucket (fnv1a32 % n_buckets) that
+    is present in `bucket_weights` — in real fastText the bucket table
+    is dense (every bucket id exists), so "present" = all. Per (doc,
+    label): score_micro = sum of matched unit weight_micros div
+    n_units, where n_units counts the doc's matched units
+    (label-independent — the mean over input vectors in fastText's
+    forward pass). Argmax with lexicographic tie-break; docs with no
+    units (or no positive score) get 'und'/0 — classify_documents'
+    contract. Returns (doc_id, label, score_micro, n_units).
+
+    Scale: the two weight tables union into ONE unit-keyed broadcast
+    table consumed by ONE join (an earlier draft joined word and bucket
+    weights in four separate branches, re-evaluating the whole weight
+    subtree per consumer — 4x the vocab scan and a 10x slower plan);
+    the n-gram expansion is Catalyst (subword_ngrams) so the explode ->
+    hash -> join pipeline never leaves the JVM; one shuffle on doc_id
+    for the map-side-combinable sums. n_buckets bounds the subword
+    table regardless of corpus n-gram diversity — fastText's own answer
+    to unbounded subword vocabularies (2M buckets at production scale).
+
+    Both weight tables must be LABEL-DENSE (every unit carries a row
+    for every label) — true by construction from token_label_weights,
+    and fastText's own shape — because the matched-unit count n_units
+    is read off the joined rows per (doc, label)."""
+    from swiftbeaver_spark.parallel import spread
+
+    # the n-gram expansion + FNV fold cost per TOKEN (~10 n-grams and
+    # an O(len) fold each), but a small corpus parquet arrives as 1-2
+    # splits — spread the narrow (doc_id, token) rows across cores
+    # (measured: the whole sf0.1 pipeline ran on one task, ~20 s, vs
+    # ~2 s spread); a no-op at scale where splits >> cores. The
+    # exchange is reused by both unit branches (ReuseExchange).
+    toks = spread(_doc_tokens(df, text_col, id_col))
+    units = toks.select(
+        "doc_id", F.concat(F.lit("w:"), F.col("token")).alias("unit")
+    ).unionByName(
+        toks.select(
+            "doc_id",
+            F.explode(subword_ngrams(F.col("token"), minn, maxn)).alias("ngram"),
+        ).select(
+            "doc_id",
+            F.concat(
+                F.lit("b:"), (fnv1a32(F.col("ngram")) % n_buckets).cast("string")
+            ).alias("unit"),
+        )
+    )
+    wt = word_weights.select(
+        F.concat(F.lit("w:"), F.col("token")).alias("unit"), "label", "weight_micro"
+    ).unionByName(
+        bucket_weights.select(
+            F.concat(F.lit("b:"), F.col("bucket").cast("string")).alias("unit"),
+            "label",
+            "weight_micro",
+        )
+    )
+    best = (
+        units.join(F.broadcast(wt), "unit")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum("weight_micro").cast("long").alias("sum_micro"),
+            F.count("*").cast("long").alias("n_units"),
+        )
+        .withColumn("score_micro", F.expr("sum_micro div n_units"))
+        .groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("label", "score_micro"),
+                F.struct(-F.col("score_micro"), F.col("label")),
+            ).alias("best"),
+            F.first("n_units").alias("n_units"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("best.score_micro") > 0, F.col("best.label"))
+            .otherwise(F.lit("und"))
+            .alias("label"),
+            F.when(F.col("best.score_micro") > 0, F.col("best.score_micro"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score_micro"),
+            F.coalesce(F.col("n_units"), F.lit(0)).cast("long").alias("n_units"),
+        )
+    )
+
+
 def weighted_quality_score(
     df: DataFrame,
     weights: DataFrame,

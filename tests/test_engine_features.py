@@ -241,11 +241,18 @@ def test_category_sink_unpersists_caches(spark, tmp_path):
     cfg = _dc.replace(CFG, enable_string_scan=True, enable_entropy_detection=True)
     result = Engine(spark, cfg).run(evidence_path=path)
     spark.catalog.clearCache()
+    # DELTA assertion, not absolute-zero: the session is shared across
+    # the suite and an unrelated earlier test's lazily-evicted cache
+    # can still sit in the registry under host load (observed once in
+    # a full-suite run) — what this test owns is that the SINK adds no
+    # new persistent RDD past its return.
+    sc = spark.sparkContext._jsc.sc()
+    before = set(sc.getPersistentRDDs().keySet().toString().split(", "))
     write_category_tables(result.tables, str(tmp_path / "cat2"), run_id="r2")
     # unpersist(blocking=False) still removes the RDD from the cache
     # manager registry synchronously; only block eviction is lazy.
-    jvm_storage = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    assert jvm_storage.size() == 0, "cached tables leaked past the sink"
+    after = set(sc.getPersistentRDDs().keySet().toString().split(", "))
+    assert after <= before, f"cached tables leaked past the sink: {after - before}"
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):

@@ -620,3 +620,59 @@ def test_fingerprint_pinned_matches_python_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (i, t)
+
+
+@_settings
+@given(
+    words=st.lists(
+        st.text(
+            st.characters(min_codepoint=0x21, max_codepoint=0x2FF),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    minn=st.integers(min_value=1, max_value=4),
+    span=st.integers(min_value=0, max_value=3),
+)
+def test_subword_units_match_reference(spark, words, minn, span):
+    """subword_ngrams + fnv1a32 vs an independent Python reference over
+    random (incl. multi-byte) words: the Catalyst n-gram expansion
+    ('<word>' wrapping, duplicates kept, order n-major) and the
+    FNV-1a-over-codepoints fold must agree exactly — they are the
+    units the q172 oracle replays in SQL."""
+    from swiftbeaver_spark.llm.weights import fnv1a32, subword_ngrams
+
+    maxn = minn + span
+
+    def ref_ngrams(w: str) -> list[str]:
+        s = f"<{w}>"
+        return [
+            s[i : i + n]
+            for n in range(minn, maxn + 1)
+            for i in range(len(s) - n + 1)
+            if len(s) >= n
+        ]
+
+    def ref_fnv(s: str) -> int:
+        h = 2166136261
+        for ch in s:
+            h = ((h ^ ord(ch)) * 16777619) % 4294967296
+        return h
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    out = {
+        r.w: (list(r.g), list(r.h))
+        for r in df.select(
+            "w",
+            subword_ngrams(F.col("w"), minn, maxn).alias("g"),
+            F.transform(
+                subword_ngrams(F.col("w"), minn, maxn), lambda g: fnv1a32(g)
+            ).alias("h"),
+        ).collect()
+    }
+    for w in set(words):
+        grams = ref_ngrams(w)
+        assert out[w][0] == grams, (w, minn, maxn)
+        assert out[w][1] == [ref_fnv(g) for g in grams], (w, minn, maxn)

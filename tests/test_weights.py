@@ -190,3 +190,74 @@ def test_classify_documents_null_text(spark):
     assert (out[1].label, out[1].score_micro, out[1].n_tokens) == ("und", 0, 0)
     assert (out[2].label, out[2].score_micro, out[2].n_tokens) == ("und", 0, 0)
     assert (out[3].label, out[3].n_tokens) == ("en", 1)
+
+
+def _pyfnv(s: str) -> int:
+    h = 2166136261
+    for ch in s:
+        h = ((h ^ ord(ch)) * 16777619) % 4294967296
+    return h
+
+
+def test_subword_ngrams_pinned(spark):
+    """fastText subword expansion: all n-grams of '<word>' for n in
+    [minn, maxn], duplicates kept (fastText Dictionary::computeSubwords
+    keeps them)."""
+    from swiftbeaver_spark.llm.weights import subword_ngrams
+
+    df = spark.createDataFrame([("ab",), ("aa",), ("x",)], "w string")
+    out = {
+        r.w: r.g
+        for r in df.select("w", subword_ngrams(F.col("w"), 2, 3).alias("g")).collect()
+    }
+    assert out["ab"] == ["<a", "ab", "b>", "<ab", "ab>"]
+    assert out["aa"] == ["<a", "aa", "a>", "<aa", "aa>"]  # duplicates kept
+    assert out["x"] == ["<x", "x>", "<x>"]
+
+
+def test_fnv1a32_matches_reference(spark):
+    """The Catalyst FNV-1a fold must equal the public FNV-1a spec over
+    codepoints (offset 2166136261, prime 16777619), including empty
+    strings and multi-byte codepoints — DuckDB ord() and Spark ascii()
+    both return codepoints, so the oracle replays it exactly."""
+    from swiftbeaver_spark.llm.weights import fnv1a32
+
+    words = ["", "a", "<ab", "hello", "é€", "zzz>"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.h for r in df.select("w", fnv1a32(F.col("w")).alias("h")).collect()}
+    for w in words:
+        assert got[w] == _pyfnv(w), w
+
+
+def test_classify_documents_subword(spark):
+    """OOV tokens score via their n-gram buckets (the point of the
+    subword model); in-vocab tokens contribute word + n-gram units;
+    n_units counts matched units; unit-less docs get 'und'."""
+    from swiftbeaver_spark.llm.weights import classify_documents_subword
+
+    # n_buckets=1: every ngram lands in bucket 0 -> hand-computable
+    word_w = spark.createDataFrame(
+        [("hello", "en", 4_000_000), ("hello", "de", -1_000_000)],
+        "token string, label string, weight_micro long",
+    )
+    bucket_w = spark.createDataFrame(
+        [(0, "en", 1_000_000), (0, "de", 2_000_000)],
+        "bucket long, label string, weight_micro long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "zzzz"), (3, None)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in classify_documents_subword(
+            docs, word_w, bucket_w, n_buckets=1, minn=3, maxn=4
+        ).collect()
+    }
+    # doc 1: '<hello>' has 5 3-grams + 4 4-grams = 9 bucket units + 1
+    # word unit = 10 units; en = 4e6 + 9*1e6 = 13e6 -> div 10 = 1.3e6;
+    # de = -1e6 + 18e6 = 17e6 -> 1.7e6 -> argmax de
+    assert (out[1].label, out[1].score_micro, out[1].n_units) == ("de", 1_700_000, 10)
+    # doc 2: OOV word, 4+3 = 7 ngram units only; en 7e6/7=1e6, de 2e6
+    assert (out[2].label, out[2].score_micro, out[2].n_units) == ("de", 2_000_000, 7)
+    # doc 3: NULL text -> no units
+    assert (out[3].label, out[3].score_micro, out[3].n_units) == ("und", 0, 0)
