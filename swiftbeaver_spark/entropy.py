@@ -42,43 +42,29 @@ def shannon_entropy(window: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-# cap on the (window_idx << 8 | byte) key temporary per vectorized
-# block: bounds worker memory regardless of chunk size (at the
-# production 512 MiB chunk the unblocked form allocated ~16x the chunk
-# bytes in int64 temporaries — ~8 GiB per in-flight chunk, an executor
-# OOM at 32 workers; blocking keeps the speedup with a fixed ~3x-block
-# working set)
-_ENT_BLOCK_BYTES = 32 << 20
-
-
 def _entropy_all_windows(mat: np.ndarray, window_size: int) -> np.ndarray:
-    """Entropy of every row of `mat` (n_windows x window_size uint8).
+    """Entropy of every row of `mat` (n_windows x window_size uint8) —
+    the per-window numpy bincount fold, shared by the chunk-table and
+    fused-evidence paths.
 
-    ALL windows' byte histograms in one C pass per block: bincount over
-    (window_idx * 256 + byte), replacing a per-window Python loop
-    (round-7 10x sweep flagged this family). Keys are uint32 (a block
-    never exceeds 2^24 windows) and blocks are sized so the key
-    temporary stays <= _ENT_BLOCK_BYTES. The 0.0 terms from zero-count
-    cells are exact no-ops, but numpy's pairwise summation tree still
-    depends on array length, so a window's entropy may differ from the
-    scalar shannon_entropy fold by ~1 ulp — nothing gates these bits
-    (thresholds sit far from any window's value; the driver-gated q04
-    analog is events-based) and the region merge carries max entropy
-    unchanged."""
+    Deliberately a Python loop over windows: the per-window bincount IS
+    the C-speed kernel, and the "vectorize all windows at once" form
+    (bincount over (window_idx << 8 | byte) keys) was MEASURED SLOWER
+    at every window size — 64 B: 9.6 s vs 7.7 s, 4 KiB: 0.6 s vs 0.2 s
+    per 64 MiB — because key-building doubles memory traffic while the
+    scalar loop's log2 only touches a window's nonzero cells. The
+    batched form also allocated up to 16x the chunk bytes in integer
+    temporaries (an executor OOM at the production 512 MiB chunk), so
+    the simple loop wins on both axes. O(window_size) working set per
+    iteration; a 512 MiB chunk at 4 KiB windows folds in ~1.8 s."""
     n_windows = mat.shape[0]
     out = np.empty(n_windows, dtype=np.float64)
-    block = max(1, _ENT_BLOCK_BYTES // (window_size * 4))
-    for b0 in range(0, n_windows, block):
-        sub = mat[b0 : b0 + block]
-        nb = sub.shape[0]
-        keys = (np.arange(nb, dtype=np.uint32)[:, None] << np.uint32(8)) | sub.astype(
-            np.uint32
-        )
-        counts = np.bincount(keys.ravel(), minlength=nb * 256).reshape(nb, 256)
-        p = counts / float(window_size)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            plogp = np.where(counts > 0, p * np.log2(p), 0.0)
-        out[b0 : b0 + nb] = -plogp.sum(axis=1)
+    for i in range(n_windows):
+        counts = np.bincount(mat[i], minlength=256)
+        # same division (not reciprocal-multiply) as shannon_entropy so
+        # the two are bit-identical for any window size
+        nz = counts[counts > 0].astype(np.float64) / window_size
+        out[i] = -(nz * np.log2(nz)).sum()
     return out
 
 

@@ -311,25 +311,20 @@ def test_utf16_regex_matches_state_machine():
                 assert got == want, (seed, min_len, max_len, le, data.hex())
 
 
-def test_entropy_blocked_kernel_matches_scalar():
-    """The vectorized entropy kernel is block-bounded (round-7 review:
-    the unblocked form allocated ~16x the chunk bytes in int64
-    temporaries — an executor OOM at the production 512 MiB chunk).
-    Blocked output must equal both the single-block output and the
-    scalar shannon_entropy fold to float tolerance."""
+def test_entropy_window_kernel_matches_scalar():
+    """The shared window-entropy kernel must equal the scalar
+    shannon_entropy fold exactly (round-7 review found the batched
+    bincount-key form allocated ~16x the chunk bytes — an executor OOM
+    at the production 512 MiB chunk — and measurement then showed the
+    per-window fold is also FASTER at every window size, so the kernel
+    is now that fold; this pins the equivalence for both the
+    chunk-table and fused-evidence paths that share it)."""
     import numpy as np
 
     from swiftbeaver_spark import entropy as ent
 
     rng = np.random.default_rng(3)
     mat = rng.integers(0, 256, size=(37, 64), dtype=np.uint8)
-    full = ent._entropy_all_windows(mat, 64)
-    old = ent._ENT_BLOCK_BYTES
-    try:
-        ent._ENT_BLOCK_BYTES = 64 * 4 * 5  # force ~8 blocks of 5 windows
-        blocked = ent._entropy_all_windows(mat, 64)
-    finally:
-        ent._ENT_BLOCK_BYTES = old
-    assert (full == blocked).all()
+    got = ent._entropy_all_windows(mat, 64)
     scalar = np.array([ent.shannon_entropy(mat[i]) for i in range(37)])
-    assert np.allclose(full, scalar, rtol=0, atol=1e-9)
+    assert (got == scalar).all()
