@@ -4,6 +4,14 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 against the driver-generated testdata tables, with a DuckDB oracle in
 ``oracle_sql()`` (same column names, deterministic values).
 
+Oracle whitespace caveat (documented once, applies to every oracle that
+replays ``normalized_text`` as ``regexp_replace(lower(text), '\\s+', ' ',
+'g')``): Java's regex ``\\s`` matches vertical tab (0x0B) and file
+separators; DuckDB's RE2 ``\\s`` does not match 0x0B. The generated
+corpora contain no such bytes (pinned by the tri-SF sweeps), so the two
+normalizations agree; a future corpus regen that introduces 0x0B would
+need an explicit ``[\\x0b]`` term on the DuckDB side.
+
 Operator coverage map (SURVEY §2 -> query):
   chunk scheduler/overlap      -> q01_chunk_plan, q02_chunked_scan
   multi-pattern signature scan -> q02_chunked_scan, q03_scan_counts
@@ -11159,55 +11167,41 @@ def q170_sql() -> str:
     """
 
 
-def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText text-format (.vec) weight loading + weighted linear
-    classification under the hash gate (llm/weights.py — VERDICT r6
-    item 3's production path for the model-shaped operators; reference
-    fastText's public supervised scoring: mean token vector . label
-    embedding == linear model over token-level weights).
+FASTTEXT_LABELS = ["__label__en", "__label__de", "__label__es", "__label__fr"]
 
-    The round-trip is REAL: a deterministic .vec corpus (4-dim vectors
-    for every corpus token + four __label__* rows, components
-    md5-derived thousandths printed as decimal TEXT) is parsed back by
-    parse_fasttext_vec_lines (split + try_cast — the exact loader
-    path), token x label weights come from the pinned left-fold dot
-    (micro-quantized: integers from there on), and classify_documents
-    scores via explode -> broadcast join -> integer sums -> min_by
-    argmax. The oracle rebuilds the same lines, reparses them in SQL,
-    and replays the fold term-by-term — parser, dot, and argmax all
-    inside the gate. Decimal strings are built from integer parts (not
-    printf) so no locale/rounding library can drift either side."""
+
+def _fasttext_vocab(docs: DataFrame, exclude_prefixes: tuple) -> DataFrame:
+    """Distinct corpus words for the q171/q172 weight builds — via
+    groupBy + max-ALIAS, not distinct(): the downstream .vec parse
+    filter is a deterministic function of the group KEY, so against a
+    plain distinct Catalyst pushes it below the aggregate (and through
+    any repartition) onto every token OCCURRENCE on the 1-split scan
+    (271k rows, one task — measured 12 s of q172's 13 s at sf0.1).
+    Aliasing the word through an aggregate expression makes the filter
+    reference a non-grouping output, which cannot be pushed below; it
+    then evaluates once per distinct word. Output identical to
+    distinct() (max of a group's key is the key)."""
     from swiftbeaver_spark.llm.dedup import normalized_text
-    from swiftbeaver_spark.llm.weights import (
-        classify_documents,
-        parse_fasttext_vec_lines,
-        token_label_weights,
-    )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # groupBy + max-ALIAS, not distinct(): blocks Catalyst from pushing
-    # the expensive downstream parse filter below the aggregate onto
-    # every token occurrence (the q172 barrier — see
-    # q172_fasttext_subword for the measurement; here it hid ~8 s at
-    # sf0.1 inside the weight build). Output identical to distinct().
-    vocab = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(normalized_text(F.col("text")), " "), lambda t: t != ""
-                )
-            ).alias("word")
-        )
-        .where(~F.col("word").startswith("__label__"))
-        .groupBy("word")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(normalized_text(F.col("text")), " "), lambda t: t != "")
+        ).alias("word")
+    )
+    for p in exclude_prefixes:
+        toks = toks.where(~F.col("word").startswith(p))
+    return (
+        toks.groupBy("word")
         .agg(F.max("word").alias("w2"))
         .select(F.col("w2").alias("word"))
     )
-    labels = docs.sparkSession.createDataFrame(
-        [("__label__en",), ("__label__de",), ("__label__es",), ("__label__fr",)],
-        "word string",
-    )
-    words = vocab.unionAll(labels)
+
+
+def _fasttext_vec_lines(words: DataFrame, dim: int = 4) -> DataFrame:
+    """Deterministic .vec body for the q171/q172 gates: per word, `dim`
+    md5-derived thousandths in [-1000, 1000] printed as exact decimal
+    TEXT built from integer parts (not printf), so no locale/rounding
+    library can drift either side of the oracle replay."""
 
     def comp_int(d: int):  # md5-derived thousandths in [-1000, 1000]
         return (
@@ -11230,16 +11224,15 @@ def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.abs(x) % 1000).cast("string"), 3, "0"),
         )
 
-    lines = words.select(
+    return words.select(
         F.concat_ws(
-            " ", F.col("word"), *[dec3(comp_int(d)) for d in range(4)]
+            " ", F.col("word"), *[dec3(comp_int(d)) for d in range(dim)]
         ).alias("value")
     )
-    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
-    return classify_documents(docs, weights).orderBy("doc_id")
 
 
-def q171_sql() -> str:
+def _fasttext_comps_sql(dim: int = 4) -> str:
+    """The SQL replay of _fasttext_vec_lines' component text."""
     comp = (
         "(CAST('0x' || substr(md5('v:' || word || ':' || {d}), 1, 8) AS BIGINT)"
         " % 2001 - 1000)"
@@ -11249,7 +11242,45 @@ def q171_sql() -> str:
         " CASE WHEN abs({x}) >= 1000 THEN '1' ELSE '0' END || '.' ||"
         " lpad(CAST(abs({x}) % 1000 AS VARCHAR), 3, '0')"
     )
-    comps = " || ' ' || ".join(dec.format(x=comp.format(d=d)) for d in range(4))
+    return " || ' ' || ".join(dec.format(x=comp.format(d=d)) for d in range(dim))
+
+
+def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText text-format (.vec) weight loading + weighted linear
+    classification under the hash gate (llm/weights.py — VERDICT r6
+    item 3's production path for the model-shaped operators; reference
+    fastText's public supervised scoring: mean token vector . label
+    embedding == linear model over token-level weights).
+
+    The round-trip is REAL: a deterministic .vec corpus (4-dim vectors
+    for every corpus token + four __label__* rows, components
+    md5-derived thousandths printed as decimal TEXT) is parsed back by
+    parse_fasttext_vec_lines (split + try_cast — the exact loader
+    path), token x label weights come from the pinned left-fold dot
+    (micro-quantized: integers from there on), and classify_documents
+    scores via explode -> broadcast join -> integer sums -> min_by
+    argmax. The oracle rebuilds the same lines, reparses them in SQL,
+    and replays the fold term-by-term — parser, dot, and argmax all
+    inside the gate. Decimal strings are built from integer parts (not
+    printf) so no locale/rounding library can drift either side."""
+    from swiftbeaver_spark.llm.weights import (
+        classify_documents,
+        parse_fasttext_vec_lines,
+        token_label_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = _fasttext_vocab(docs, ("__label__",))
+    labels = docs.sparkSession.createDataFrame(
+        [(w,) for w in FASTTEXT_LABELS], "word string"
+    )
+    lines = _fasttext_vec_lines(vocab.unionAll(labels))
+    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
+    return classify_documents(docs, weights).orderBy("doc_id")
+
+
+def q171_sql() -> str:
+    comps = _fasttext_comps_sql(4)
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
     WITH dt AS (
@@ -11335,71 +11366,19 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab dedup uses the max-alias barrier (see inline comment) so
     the parse filter evaluates per distinct word, not per token
     occurrence."""
-    from swiftbeaver_spark.llm.dedup import normalized_text
     from swiftbeaver_spark.llm.weights import (
         classify_documents_subword,
         parse_fasttext_vec_lines,
         token_label_weights,
     )
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # vocab dedup through groupBy + max-ALIAS, not distinct(): the
-    # downstream parse filter (4x md5 + regex split + lambda casts per
-    # word) is a deterministic function of the group KEY, so against a
-    # plain distinct Catalyst pushes it below the aggregate — onto
-    # every exploded token OCCURRENCE (271k at sf0.1, one file split,
-    # one task: 12 s of the query's 13 s). Aliasing the word through an
-    # aggregate expression makes the filter reference a non-grouping
-    # output, which cannot be pushed below the aggregate — it then
-    # evaluates on the 31 distinct words (0.7 s steady). Output is
-    # byte-identical (max of a group's key is the key).
-    toks_w = docs.select(
-        F.explode(
-            F.filter(F.split(normalized_text(F.col("text")), " "), lambda t: t != "")
-        ).alias("word")
-    ).where(
-        ~F.col("word").startswith("__label__")
-        & ~F.col("word").startswith("__bucket__")
-    )
-    vocab = (
-        toks_w.groupBy("word")
-        .agg(F.max("word").alias("w2"))
-        .select(F.col("w2").alias("word"))
-    )
-    labels = spark.createDataFrame(
-        [("__label__en",), ("__label__de",), ("__label__es",), ("__label__fr",)],
-        "word string",
-    )
+    vocab = _fasttext_vocab(docs, ("__label__", "__bucket__"))
+    labels = spark.createDataFrame([(w,) for w in FASTTEXT_LABELS], "word string")
     buckets = spark.range(Q172_BUCKETS).select(
         F.concat(F.lit("__bucket__"), F.col("id").cast("string")).alias("word")
     )
-    words = vocab.unionAll(labels).unionAll(buckets)
-
-    def comp_int(d: int):  # md5-derived thousandths in [-1000, 1000]
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("v:"), F.col("word"), F.lit(f":{d}"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        )
-
-    def dec3(x):  # integer thousandths -> exact decimal text, |x| <= 1000
-        return F.concat(
-            F.when(x < 0, F.lit("-")).otherwise(F.lit("")),
-            F.when(F.abs(x) >= 1000, F.lit("1")).otherwise(F.lit("0")),
-            F.lit("."),
-            F.lpad((F.abs(x) % 1000).cast("string"), 3, "0"),
-        )
-
-    lines = words.select(
-        F.concat_ws(
-            " ", F.col("word"), *[dec3(comp_int(d)) for d in range(4)]
-        ).alias("value")
-    )
+    lines = _fasttext_vec_lines(vocab.unionAll(labels).unionAll(buckets))
     weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
     word_weights = weights.where(~F.col("token").startswith("__bucket__"))
     bucket_weights = weights.where(F.col("token").startswith("__bucket__")).select(
@@ -11418,17 +11397,11 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q172_sql() -> str:
-    comp = (
-        "(CAST('0x' || substr(md5('v:' || word || ':' || {d}), 1, 8) AS BIGINT)"
-        " % 2001 - 1000)"
-    )
-    dec = (
-        "CASE WHEN {x} < 0 THEN '-' ELSE '' END ||"
-        " CASE WHEN abs({x}) >= 1000 THEN '1' ELSE '0' END || '.' ||"
-        " lpad(CAST(abs({x}) % 1000 AS VARCHAR), 3, '0')"
-    )
-    comps = " || ' ' || ".join(dec.format(x=comp.format(d=d)) for d in range(4))
+    comps = _fasttext_comps_sql(4)
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    # n-gram sizes interpolated from the SAME constants the engine path
+    # uses, so editing Q172_MINN/MAXN can never desync the two sides
+    ngram_ns = ", ".join(f"({n})" for n in range(Q172_MINN, Q172_MAXN + 1))
     fnv = (
         "list_reduce(list_prepend(2166136261::BIGINT,"
         " list_transform(range(1, length(ngram) + 1),"
@@ -11474,11 +11447,11 @@ def q172_sql() -> str:
       SELECT CAST(substr(token, 11) AS BIGINT) AS bucket, label, weight_micro
       FROM wts WHERE starts_with(token, '__bucket__')
     ), grams AS (
-      -- subword_ngrams: all n-grams of '<token>' for n in [3, 4],
-      -- duplicates kept (one row per occurrence)
+      -- subword_ngrams: all n-grams of '<token>' for n in
+      -- [Q172_MINN, Q172_MAXN], duplicates kept (one row per occurrence)
       SELECT doc_id, substr(w, i, n) AS ngram
       FROM (SELECT doc_id, '<' || token || '>' AS w FROM toks),
-           (VALUES (3), (4)) ln(n),
+           (VALUES {ngram_ns}) ln(n),
            LATERAL unnest(range(1, length(w) - n + 2)) AS u(i)
       WHERE length(w) >= n
     ), gbuckets AS (

@@ -246,12 +246,16 @@ def test_category_sink_unpersists_caches(spark, tmp_path):
     # can still sit in the registry under host load (observed once in
     # a full-suite run) — what this test owns is that the SINK adds no
     # new persistent RDD past its return.
-    sc = spark.sparkContext._jsc.sc()
-    before = set(sc.getPersistentRDDs().keySet().toString().split(", "))
+    jsc = spark.sparkContext._jsc
+
+    def rdd_ids():  # java Map keys, iterated (never parse toString())
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = rdd_ids()
     write_category_tables(result.tables, str(tmp_path / "cat2"), run_id="r2")
     # unpersist(blocking=False) still removes the RDD from the cache
     # manager registry synchronously; only block eviction is lazy.
-    after = set(sc.getPersistentRDDs().keySet().toString().split(", "))
+    after = rdd_ids()
     assert after <= before, f"cached tables leaked past the sink: {after - before}"
 
 

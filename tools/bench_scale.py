@@ -57,6 +57,10 @@ HEAVY = [
     "q35_string_spans",
     "q04_entropy",
     "q05_sessionize",
+    # round-7 late addition: the fastText family (weight build + subword
+    # unit expansion + broadcast classify) over 10x documents
+    "q171_fasttext_classify",
+    "q172_fasttext_subword",
 ]
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
