@@ -11360,12 +11360,12 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by argmax with the 'und' fallback.
 
     Plan shape: the corpus-side unit stream meets ONE broadcast
-    unit-keyed weight table; the only nested-loop joins are the two
-    4-row label crosses inside the weight BUILD (vocabulary x labels —
-    the honest plan for a fixed label set, bounded at any scale), and
-    the vocab dedup uses the max-alias barrier (see inline comment) so
-    the parse filter evaluates per distinct word, not per token
-    occurrence."""
+    unit-keyed weight table; the vocabulary x labels cross inside the
+    weight build is expressed as a constant-key BroadcastHashJoin
+    (token_label_weights) so the zero-nested-loop plan invariant
+    holds, and the vocab dedup uses the max-alias barrier
+    (_fasttext_vocab) so the parse filter evaluates per distinct word,
+    not per token occurrence."""
     from swiftbeaver_spark.llm.weights import (
         classify_documents_subword,
         parse_fasttext_vec_lines,

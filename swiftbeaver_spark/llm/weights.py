@@ -113,19 +113,49 @@ def _dot(a: Column, b: Column) -> Column:
 def token_label_weights(vectors: DataFrame) -> DataFrame:
     """(word, vector) -> (token, label, weight_micro): every non-label
     word dotted with every "__label__*" row, quantized to integer
-    micros. Label side is broadcast (rows = #classes)."""
+    micros.
+
+    The label side is COLLECTED driver-side (#classes rows — the
+    bounded training-sync convention, same as IVF centroid seeding)
+    and unrolled into a per-token explode of (label, lvec) literals:
+    tokens x labels is semantically a cross join, and any join form of
+    it either plans as BroadcastNestedLoopJoin (breaking the repo's
+    zero-nested-loop plan invariant) or — via a constant-key
+    equi-join — gets constant-folded back into one. The explode is the
+    plan a cross with a fixed tiny side deserves: no join operator at
+    all, and the label literals ride the serialized plan to every
+    executor."""
     is_label = F.col("word").startswith(LABEL_PREFIX)
-    labels = vectors.where(is_label).select(
-        F.expr(f"substring(word, {len(LABEL_PREFIX) + 1})").alias("label"),
-        F.col("vector").alias("lvec"),
+    label_rows = (
+        vectors.where(is_label)
+        .select(
+            F.expr(f"substring(word, {len(LABEL_PREFIX) + 1})").alias("label"),
+            F.col("vector").alias("lvec"),
+        )
+        .collect()
     )
     toks = vectors.where(~is_label).select(
         F.col("word").alias("token"), F.col("vector").alias("tvec")
     )
-    return toks.join(F.broadcast(labels)).select(
+    if not label_rows:
+        return toks.sparkSession.createDataFrame(
+            [], "token string, label string, weight_micro long"
+        )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r.label).alias("label"),
+                    F.array(*[F.lit(float(x)) for x in r.lvec]).alias("lvec"),
+                )
+                for r in sorted(label_rows, key=lambda r: r.label)
+            ]
+        )
+    )
+    return toks.select("token", "tvec", pairs.alias("p")).select(
         "token",
-        "label",
-        F.round(_dot(F.col("tvec"), F.col("lvec")) * 1e6)
+        F.col("p.label").alias("label"),
+        F.round(_dot(F.col("tvec"), F.col("p.lvec")) * 1e6)
         .cast("long")
         .alias("weight_micro"),
     )

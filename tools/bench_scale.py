@@ -90,7 +90,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     results = {}
-    for name in HEAVY:
+    # optional argv prefixes filter which HEAVY queries re-run (partial
+    # re-measure after a targeted change; merge rows by hand)
+    only = tuple(a for a in sys.argv[1:] if a.startswith("q"))
+    heavy = [n for n in HEAVY if not only or n.startswith(only)] or HEAVY
+    for name in heavy:
         fn = qs[name]
         row = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
