@@ -11274,8 +11274,15 @@ def q171_fasttext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.sparkSession.createDataFrame(
         [(w,) for w in FASTTEXT_LABELS], "word string"
     )
-    lines = _fasttext_vec_lines(vocab.unionAll(labels))
-    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
+    # label vectors passed SEPARATELY: token_label_weights collects the
+    # label side at build time, and the label .vec lines are derivable
+    # from the 4 static label words alone — collecting them out of the
+    # combined frame would execute the whole corpus-vocab subtree in an
+    # untimed extra job (round-7 review finding)
+    weights = token_label_weights(
+        parse_fasttext_vec_lines(_fasttext_vec_lines(vocab.unionAll(labels)), 4),
+        labels=parse_fasttext_vec_lines(_fasttext_vec_lines(labels), 4),
+    )
     return classify_documents(docs, weights).orderBy("doc_id")
 
 
@@ -11361,9 +11368,10 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the corpus-side unit stream meets ONE broadcast
     unit-keyed weight table; the vocabulary x labels cross inside the
-    weight build is expressed as a constant-key BroadcastHashJoin
-    (token_label_weights) so the zero-nested-loop plan invariant
-    holds, and the vocab dedup uses the max-alias barrier
+    weight build has NO join operator at all — token_label_weights
+    driver-collects the (tiny, separately-derivable) label frame and
+    explodes it as per-token literals, keeping the zero-nested-loop
+    plan invariant — and the vocab dedup uses the max-alias barrier
     (_fasttext_vocab) so the parse filter evaluates per distinct word,
     not per token occurrence."""
     from swiftbeaver_spark.llm.weights import (
@@ -11379,7 +11387,11 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("__bucket__"), F.col("id").cast("string")).alias("word")
     )
     lines = _fasttext_vec_lines(vocab.unionAll(labels).unionAll(buckets))
-    weights = token_label_weights(parse_fasttext_vec_lines(lines, 4))
+    # separable label frame for the build-time collect (see q171)
+    weights = token_label_weights(
+        parse_fasttext_vec_lines(lines, 4),
+        labels=parse_fasttext_vec_lines(_fasttext_vec_lines(labels), 4),
+    )
     word_weights = weights.where(~F.col("token").startswith("__bucket__"))
     bucket_weights = weights.where(F.col("token").startswith("__bucket__")).select(
         F.expr("substring(token, 11)").cast("long").alias("bucket"),

@@ -18,10 +18,12 @@ Scale notes:
 - load_fasttext_vec parses DISTRIBUTED (spark.read.text -> split/cast
   in Catalyst); only the 2-token header line is read on the driver.
   A 10 GB .vec file fans out like any text source.
-- token_label_weights joins words x labels with the LABEL side
-  broadcast (labels = #classes, tiny); the dot is a left-fold
-  F.aggregate over zip_with products — JVM-side, and fold order is
-  pinned (see below) so oracles can replay it term-by-term.
+- token_label_weights crosses words x labels by driver-collecting the
+  label side (#classes rows, tiny) and exploding it as literals per
+  token — no join operator (a join form of a tiny cross plans or
+  folds into a nested loop); the dot is a left-fold F.aggregate over
+  zip_with products — JVM-side, and fold order is pinned (see below)
+  so oracles can replay it term-by-term.
 - Determinism across engines: per-(token,label) dots are quantized to
   integer micros (round(dot * 1e6)) BEFORE any aggregation, so
   document scores are exact int64 sums — no float summation-order
@@ -110,7 +112,9 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def token_label_weights(vectors: DataFrame) -> DataFrame:
+def token_label_weights(
+    vectors: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
     """(word, vector) -> (token, label, weight_micro): every non-label
     word dotted with every "__label__*" row, quantized to integer
     micros.
@@ -124,16 +128,30 @@ def token_label_weights(vectors: DataFrame) -> DataFrame:
     equi-join — gets constant-folded back into one. The explode is the
     plan a cross with a fixed tiny side deserves: no join operator at
     all, and the label literals ride the serialized plan to every
-    executor."""
+    executor.
+
+    Pass `labels` (a (word, vector) frame of "__label__*" rows) when
+    the label vectors are derivable WITHOUT the token corpus: the
+    build-time collect then evaluates only that tiny frame. With the
+    default (labels filtered out of `vectors` itself), the collect
+    must execute vectors' whole upstream plan just to prove the other
+    rows are non-labels — for a corpus-derived vocabulary that is a
+    full corpus scan in an untimed extra job (round-7 review finding).
+    Label rows with a NULL vector or NULL components are dropped — the
+    same totality contract as parse_fasttext_vec_lines, decided at
+    build time instead of surfacing as NULL weight rows."""
     is_label = F.col("word").startswith(LABEL_PREFIX)
-    label_rows = (
-        vectors.where(is_label)
+    label_src = labels if labels is not None else vectors
+    label_rows = [
+        r
+        for r in label_src.where(is_label)
         .select(
             F.expr(f"substring(word, {len(LABEL_PREFIX) + 1})").alias("label"),
             F.col("vector").alias("lvec"),
         )
         .collect()
-    )
+        if r.lvec is not None and all(x is not None for x in r.lvec)
+    ]
     toks = vectors.where(~is_label).select(
         F.col("word").alias("token"), F.col("vector").alias("tvec")
     )

@@ -676,3 +676,107 @@ def test_subword_units_match_reference(spark, words, minn, span):
         grams = ref_ngrams(w)
         assert out[w][0] == grams, (w, minn, maxn)
         assert out[w][1] == [ref_fnv(g) for g in grams], (w, minn, maxn)
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(
+            st.sampled_from("ab <>_"),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=4),
+)
+def test_classify_subword_matches_python_reference(spark, texts, n_buckets):
+    """End-to-end classify_documents_subword vs an independent pure-
+    Python model over adversarial tiny corpora (tokens that collide
+    with '<'/'>' markers, underscores, empty/whitespace docs): word +
+    n-gram-bucket units, label-dense integer scoring, truncating-div
+    mean, argmax with lexicographic tie-break, 'und' fallback. An
+    independent reference catches mutual Spark/oracle semantics bugs
+    the hash gate cannot."""
+    import re
+
+    from swiftbeaver_spark.llm.weights import classify_documents_subword
+
+    minn, maxn = 2, 3
+    labels = ["de", "en"]
+
+    def norm(t):
+        return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+    def fnv(s):
+        h = 2166136261
+        for ch in s:
+            h = ((h ^ ord(ch)) * 16777619) % 4294967296
+        return h
+
+    def ngrams(w):
+        s = f"<{w}>"
+        return [
+            s[i : i + n]
+            for n in range(minn, maxn + 1)
+            if len(s) >= n
+            for i in range(len(s) - n + 1)
+        ]
+
+    # deterministic weight tables: word weights for the corpus's even-
+    # indexed distinct tokens only (so some tokens are OOV), buckets
+    # dense over [0, n_buckets)
+    all_tokens = sorted({t for x in texts for t in norm(x).split(" ") if t})
+    wvocab = all_tokens[::2]
+    wrows = [
+        (t, lab, (1 + i * 7 + j * 13) * (1 if (i + j) % 3 else -1) * 1_000)
+        for i, t in enumerate(wvocab)
+        for j, lab in enumerate(labels)
+    ]
+    brows = [
+        (b, lab, (3 + b * 11 + j * 5) * (-1 if b % 2 else 1) * 1_000)
+        for b in range(n_buckets)
+        for j, lab in enumerate(labels)
+    ]
+    wmap = {(t, lab): w for t, lab, w in wrows}
+    bmap = {(b, lab): w for b, lab, w in brows}
+
+    def ref_doc(text):
+        toks = [t for t in norm(text).split(" ") if t]
+        scores, n_units = {lab: 0 for lab in labels}, 0
+        for t in toks:
+            if t in wvocab:
+                n_units += 1
+                for lab in labels:
+                    scores[lab] += wmap[(t, lab)]
+            for g in ngrams(t):
+                b = fnv(g) % n_buckets
+                n_units += 1
+                for lab in labels:
+                    scores[lab] += bmap[(b, lab)]
+        if n_units == 0:
+            return ("und", 0, 0)
+        # truncating div toward zero, argmax then lexicographic label
+        div = {lab: int(scores[lab] / n_units) for lab in labels}
+        best = min(div, key=lambda lab: (-div[lab], lab))
+        if div[best] > 0:
+            return (best, div[best], n_units)
+        return ("und", 0, n_units)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ww = spark.createDataFrame(
+        wrows or [("", "", 0)], "token string, label string, weight_micro long"
+    )
+    if not wrows:
+        ww = ww.where("token <> ''")
+    bw = spark.createDataFrame(brows, "bucket long, label string, weight_micro long")
+    got = {
+        r.doc_id: (r.label, r.score_micro, r.n_units)
+        for r in classify_documents_subword(
+            docs, ww, bw, n_buckets=n_buckets, minn=minn, maxn=maxn
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_doc(t), (t, got[i], ref_doc(t))

@@ -91,9 +91,12 @@ def main() -> None:
     qs = E.queries()
     results = {}
     # optional argv prefixes filter which HEAVY queries re-run (partial
-    # re-measure after a targeted change; merge rows by hand)
-    only = tuple(a for a in sys.argv[1:] if a.startswith("q"))
-    heavy = [n for n in HEAVY if not only or n.startswith(only)] or HEAVY
+    # re-measure after a targeted change; merge rows by hand). A filter
+    # that matches nothing is a hard error, not a silent full sweep.
+    only = tuple(sys.argv[1:])
+    heavy = [n for n in HEAVY if not only or n.startswith(only)]
+    if not heavy:
+        raise SystemExit(f"no HEAVY query matches {only!r}")
     for name in heavy:
         fn = qs[name]
         row = {}
@@ -144,7 +147,14 @@ def main() -> None:
     # expr kernel at the oracle-pinned nlist=16 is quadratic in cell
     # occupancy (the main-loop row); the production configuration is
     # the Arrow gram kernel (verified-identical output), measured here
-    # at both scales.
+    # at both scales. Skipped under an argv filter that doesn't name it
+    # (a partial re-measure should run only what it asked for).
+    if only and not "q122_arrow_kernel".startswith(only):
+        print(json.dumps({"all_plans_clean": all(
+            not r["sf0.1"]["forbidden"] and not r["sf1"]["forbidden"]
+            for r in results.values()),
+            "shape_stable": {k: r["plan_shape_stable"] for k, r in results.items()}}))
+        return
     from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
 
     cents = md5_centroids(16, 64, tag="semdedup")
