@@ -622,6 +622,15 @@ def test_fingerprint_pinned_matches_python_reference(spark, texts):
         assert got[i] == ref(t), (i, t)
 
 
+def _ref_fnv1a32(s: str) -> int:
+    """Independent FNV-1a-over-codepoints reference shared by the
+    subword property tests (one copy so the references cannot drift)."""
+    h = 2166136261
+    for ch in s:
+        h = ((h ^ ord(ch)) * 16777619) % 4294967296
+    return h
+
+
 @_settings
 @given(
     words=st.lists(
@@ -655,12 +664,6 @@ def test_subword_units_match_reference(spark, words, minn, span):
             if len(s) >= n
         ]
 
-    def ref_fnv(s: str) -> int:
-        h = 2166136261
-        for ch in s:
-            h = ((h ^ ord(ch)) * 16777619) % 4294967296
-        return h
-
     df = spark.createDataFrame([(w,) for w in set(words)], "w string")
     out = {
         r.w: (list(r.g), list(r.h))
@@ -675,7 +678,7 @@ def test_subword_units_match_reference(spark, words, minn, span):
     for w in set(words):
         grams = ref_ngrams(w)
         assert out[w][0] == grams, (w, minn, maxn)
-        assert out[w][1] == [ref_fnv(g) for g in grams], (w, minn, maxn)
+        assert out[w][1] == [_ref_fnv1a32(g) for g in grams], (w, minn, maxn)
 
 
 @_settings
@@ -707,12 +710,6 @@ def test_classify_subword_matches_python_reference(spark, texts, n_buckets):
 
     def norm(t):
         return re.sub(r"\s+", " ", (t or "").lower()).strip()
-
-    def fnv(s):
-        h = 2166136261
-        for ch in s:
-            h = ((h ^ ord(ch)) * 16777619) % 4294967296
-        return h
 
     def ngrams(w):
         s = f"<{w}>"
@@ -750,7 +747,7 @@ def test_classify_subword_matches_python_reference(spark, texts, n_buckets):
                 for lab in labels:
                     scores[lab] += wmap[(t, lab)]
             for g in ngrams(t):
-                b = fnv(g) % n_buckets
+                b = _ref_fnv1a32(g) % n_buckets
                 n_units += 1
                 for lab in labels:
                     scores[lab] += bmap[(b, lab)]
@@ -766,11 +763,8 @@ def test_classify_subword_matches_python_reference(spark, texts, n_buckets):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    ww = spark.createDataFrame(
-        wrows or [("", "", 0)], "token string, label string, weight_micro long"
-    )
-    if not wrows:
-        ww = ww.where("token <> ''")
+    schema_w = "token string, label string, weight_micro long"
+    ww = spark.createDataFrame(wrows, schema_w) if wrows else spark.createDataFrame([], schema_w)
     bw = spark.createDataFrame(brows, "bucket long, label string, weight_micro long")
     got = {
         r.doc_id: (r.label, r.score_micro, r.n_units)

@@ -90,13 +90,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     results = {}
-    # optional argv prefixes filter which HEAVY queries re-run (partial
+    # optional argv prefixes filter which measurements re-run (partial
     # re-measure after a targeted change; merge rows by hand). A filter
     # that matches nothing is a hard error, not a silent full sweep.
     only = tuple(sys.argv[1:])
     heavy = [n for n in HEAVY if not only or n.startswith(only)]
-    if not heavy:
-        raise SystemExit(f"no HEAVY query matches {only!r}")
+    run_arrow = not only or "q122_arrow_kernel".startswith(only)
+    if not heavy and not run_arrow:
+        raise SystemExit(f"no measurement matches {only!r}")
     for name in heavy:
         fn = qs[name]
         row = {}
@@ -149,27 +150,24 @@ def main() -> None:
     # the Arrow gram kernel (verified-identical output), measured here
     # at both scales. Skipped under an argv filter that doesn't name it
     # (a partial re-measure should run only what it asked for).
-    if only and not "q122_arrow_kernel".startswith(only):
-        print(json.dumps({"all_plans_clean": all(
-            not r["sf0.1"]["forbidden"] and not r["sf1"]["forbidden"]
-            for r in results.values()),
-            "shape_stable": {k: r["plan_shape_stable"] for k, r in results.items()}}))
-        return
-    from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
+    if run_arrow:
+        from swiftbeaver_spark.llm.similarity import md5_centroids, semantic_dedup
 
-    cents = md5_centroids(16, 64, tag="semdedup")
-    row = {}
-    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
-        emb = E._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        df = semantic_dedup(emb, cents, threshold=0.95, kernel="arrow")
-        t0 = time.time()
-        n = len(df.collect())
-        wall = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-        row[label] = {"wall_sec": wall, "rows": n}
-        print(f"# q122_arrow_kernel @{label}: {wall}s, {n} rows", file=sys.stderr)
-    row["ratio"] = round(row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9), 2)
-    print(json.dumps({"q122_arrow_kernel": row}))
+        cents = md5_centroids(16, 64, tag="semdedup")
+        row = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            emb = E._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            df = semantic_dedup(emb, cents, threshold=0.95, kernel="arrow")
+            t0 = time.time()
+            n = len(df.collect())
+            wall = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            row[label] = {"wall_sec": wall, "rows": n}
+            print(f"# q122_arrow_kernel @{label}: {wall}s, {n} rows", file=sys.stderr)
+        row["ratio"] = round(
+            row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9), 2
+        )
+        print(json.dumps({"q122_arrow_kernel": row}))
 
     ok = all(
         not r["sf0.1"]["forbidden"] and not r["sf1"]["forbidden"]
