@@ -12,21 +12,58 @@ Two evidence-access strategies (SURVEY §7.3):
    (local runs, NFS, fuse-mounted object store). No shuffle at all:
    hits stream through mapInPandas.
 
-2. `carve_hits_with_chunks` — pure-DataFrame: hits are range-joined to
-   the chunk table (equi-join on exploded chunk ids — no O(n^2) range
-   join), grouped per hit, reassembled into a bounded window, carved.
-   This is the 100 TB path: chunk rows are co-partitioned by chunk_id,
-   the join is a shuffle on narrow keys, and each hit only ever
-   materializes `min(max_size, window_cap)` bytes.
+2. `carve_hits_with_chunks` — pure-DataFrame over the materialized
+   chunk table (the 100 TB path: no evidence re-read). Two phases:
+
+   a. STREAM pass (default): hit metadata is aggregated per chunk and
+      broadcast onto the chunk scan, and a mapInArrow walks each
+      partition's contiguous chunk runs carving hits whose window
+      completes inside the run. The chunk bytes NEVER shuffle — the
+      only data that moves is O(hits) metadata — and they cross Arrow
+      as zero-copy buffers. Depends on the chunk table holding
+      contiguous evidence runs per file (chunking.py writes it that
+      way); a scattered table just degrades to phase (b).
+   b. COGROUP fallback: hits the stream could not finish (window
+      crossing a partition/run boundary, or scattered table rows) are
+      re-carved by bucketing the chunk table into contiguous spans
+      (each chunk also serves earlier buckets within `reach`, so every
+      hit's window lies in ONE bucket) and cogrouping hits with chunk
+      spans. A broadcast semi-join prunes buckets with no pending
+      hits, so this pass touches only the boundary neighborhoods.
+
+Strategy selection (engine.py): positioned reads whenever the evidence
+is reachable as a path from executors; the chunk strategy when only
+the materialized chunk table is available (object-store columnar
+copy), EXCEPT for types whose effective window exceeds
+`_WINDOW_CAP_LIMIT` — those must carve via positioned reads (both
+chunk phases buffer up to a full window per hit in executor memory).
+
+At cluster scale the broadcast in phase (a) ships hit metadata (tens
+of bytes per hit) to each executor once — versus re-shuffling the
+chunk bytes themselves, which is what the round-7 collect_list
+reassembly did (measured 3x the strategy-1 wall at sf1; the stream
+pass removes both the 614 MB shuffle and the duplicated Arrow
+transfer, tools/profile_carve_chunkjoin.py). Callers with hit sets
+too large to broadcast can force `strategy="cogroup"`, which shuffles
+chunk bytes exactly once on narrow bucket keys.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from swiftbeaver_spark import schemas
 from swiftbeaver_spark.carvers import build_registry, carve_hit
@@ -35,10 +72,32 @@ from swiftbeaver_spark.config import EngineConfig
 
 _CARVE_COLUMNS = [f.name for f in schemas.CARVED_FILES.fields]
 
-# largest per-type window the chunk-join strategy accepts: one hit's
-# reassembled window is a single row, and Arrow record batches keep
-# 32-bit offsets per binary column — stay safely under 2 GiB
-_ROW_CAP_LIMIT = 3 * (1 << 29)  # 1.5 GiB
+# largest per-type effective window the chunk strategy accepts: both
+# phases hold up to `window + chunk` contiguous bytes per in-flight hit
+# in one Python allocation, so windows past this bound belong on
+# strategy 1 (positioned reads) — see "Strategy selection" above
+_WINDOW_CAP_LIMIT = 3 * (1 << 29)  # 1.5 GiB
+
+# default contiguous bucket span for the cogroup phase: big enough to
+# amortize per-group overhead, small enough that one group's buffer is
+# a footnote in executor memory and short scans still parallelize
+_DEFAULT_BUCKET_BYTES = 16 * 1024 * 1024
+
+# kept under its historical name: tests and engine docs refer to the
+# chunk strategy's window bound by this alias
+_ROW_CAP_LIMIT = _WINDOW_CAP_LIMIT
+
+# stream-pass output: carve columns (nullable) + pending-hit columns.
+# Pending rows carry the un-carved hit key; carved rows leave it null.
+_STREAM_SCHEMA = StructType(
+    [StructField(f.name, f.dataType, True) for f in schemas.CARVED_FILES.fields]
+    + [
+        StructField("pending", BooleanType(), False),
+        StructField("h_off", LongType(), True),
+        StructField("h_ft", StringType(), True),
+        StructField("h_pat", StringType(), True),
+    ]
+)
 
 
 def _record_to_tuple(rec) -> tuple:
@@ -92,16 +151,30 @@ class WindowReader(Reader):
     Reads outside the window return empty (treated as EOF by handlers,
     which then mark truncation — same as the reference at evidence end).
 
-    Tracks `hit_window_end`: a read ran past the window's data while the
-    evidence itself continues — i.e. the window cap, not evidence EOF,
-    is what cut the handler short. Callers surface that as an explicit
-    `over_cap` error instead of letting it masquerade as truncation at
-    end-of-evidence."""
+    `limit_end` (absolute, exclusive) caps how far a single hit may
+    read even when the underlying buffer extends further — this is how
+    the per-type window cap stays semantic when many hits share one
+    run buffer. Tracks `hit_window_end`: a read ran past the limit
+    while the evidence itself continues — i.e. the window cap, not
+    evidence EOF, is what cut the handler short. Callers surface that
+    as an explicit `over_cap` error instead of letting it masquerade
+    as truncation at end-of-evidence."""
 
-    def __init__(self, window_start: int, data: bytes, evidence_len: int):
+    def __init__(
+        self,
+        window_start: int,
+        data: bytes,
+        evidence_len: int,
+        limit_end: int | None = None,
+    ):
         self._start = window_start
         self._data = data
         self._len = evidence_len
+        self._limit = (
+            min(limit_end, window_start + len(data))
+            if limit_end is not None
+            else window_start + len(data)
+        )
         self.hit_window_end = False
 
     def length(self) -> int:
@@ -111,14 +184,35 @@ class WindowReader(Reader):
         rel = offset - self._start
         if rel < 0 or length <= 0:
             return b""
+        lim_rel = self._limit - self._start
         # a read wanting bytes past the window while the EVIDENCE
         # continues past the window means the cap (not EOF) cut it —
         # regardless of how far past the end the read asked to go
-        if rel + length > len(self._data) and self._start + len(self._data) < self._len:
+        if rel + length > lim_rel and self._limit < self._len:
             self.hit_window_end = True
-        if rel >= len(self._data):
+        if rel >= lim_rel:
             return b""
-        return self._data[rel : rel + length]
+        return self._data[rel : min(rel + length, lim_rel)]
+
+
+def _validate_windows(
+    cfg: EngineConfig, window_cap: int | None, window_caps: dict[str, int] | None
+) -> tuple[dict[str, int], int, int]:
+    """Effective per-type windows, their max, and the default cap."""
+    registry_types = {ft.type_id: ft.max_size for ft in cfg.file_types}
+    cap = window_cap if window_cap is not None else 128 * 1024 * 1024
+    caps = window_caps or {}
+    eff = {tid: min(ms, caps.get(tid, cap)) for tid, ms in registry_types.items()}
+    worst = max(eff.values(), default=0)
+    if worst > _WINDOW_CAP_LIMIT:
+        raise ValueError(
+            f"effective carve window {worst} exceeds the {_WINDOW_CAP_LIMIT}-byte "
+            "bound of the chunk-join strategy (each in-flight hit buffers up "
+            "to a full window of contiguous bytes in a single-row-scale "
+            "Python allocation); carve such types via "
+            "carve_hits_with_evidence instead"
+        )
+    return eff, worst, cap
 
 
 def carve_hits_with_chunks(
@@ -128,134 +222,464 @@ def carve_hits_with_chunks(
     window_cap: int | None = None,
     evidence_len: int | None = None,
     window_caps: dict[str, int] | None = None,
+    bucket_bytes: int = _DEFAULT_BUCKET_BYTES,
+    strategy: str = "stream",
 ) -> DataFrame:
     """Carve from the chunk table alone (strategy 2, no evidence re-read).
 
-    Each hit claims the chunk range [offset, offset + window) where
-    window = min(type max_size, per-type cap); candidate chunk ids are an
-    exploded `sequence`, so the range join is an equi-join on chunk_id.
+    `strategy="stream"` (default): shuffle-free stream pass over the
+    chunk scan + cogroup fallback for boundary hits (module docstring).
+    `strategy="cogroup"`: the bucketed cogroup alone — for hit sets too
+    large to broadcast (it shuffles chunk bytes once on bucket keys
+    instead of broadcasting hit metadata).
 
     `evidence_len`: total evidence length — the chunk *plan* knows it
     arithmetically, so callers thread it in rather than paying a full
     aggregation job over the chunk table mid-plan. When None, each
-    group uses its own window extent as EOF (same truncation outcome,
-    but over-cap cuts can't be told apart from evidence end).
+    hit uses its own window extent as EOF (same truncation outcome,
+    but over-cap cuts can't be told apart from evidence end, and
+    end-of-run hits take the fallback pass).
 
     `window_caps`: per-type overrides of `window_cap` — big-media types
     (mov/webm/wmv, max_size 10 GiB) can be given a larger window than
-    the default without inflating every hit's claimed range. A hit the
-    window still cuts short gets an explicit `over_cap` error instead
-    of a silent eof-style truncation.
-
-    Memory bounds: each grouped row carries one hit's whole window, so
-    JVM->Python transfer relies on the session's
-    spark.sql.execution.arrow.maxBytesPerBatch (session.py sets 256 MiB
-    — without it, record-bounded batching would pack 2048 windows of up
-    to 128 MiB into one Arrow batch). A single row must also stay under
-    Arrow's 2 GiB per-record-batch column limit, so per-type caps are
-    rejected past _ROW_CAP_LIMIT — types genuinely needing multi-GiB
-    windows belong on strategy 1 (positioned reads).
+    the default. A hit whose per-type window still cuts the carve short
+    gets an explicit `over_cap` error instead of a silent eof-style
+    truncation (pinned by tests/test_carve_op.py).
     """
-    registry_types = {ft.type_id: ft.max_size for ft in cfg.file_types}
-    cap = window_cap if window_cap is not None else 128 * 1024 * 1024
-    caps = window_caps or {}
-    worst = max(
-        (min(ms, caps.get(tid, cap)) for tid, ms in registry_types.items()),
-        default=0,
-    )
-    if worst > _ROW_CAP_LIMIT:
-        raise ValueError(
-            f"effective carve window {worst} exceeds the {_ROW_CAP_LIMIT}-byte "
-            "single-row bound of the chunk-join strategy (Arrow 2 GiB "
-            "record-batch limit); carve such types via "
-            "carve_hits_with_evidence instead"
+    eff, worst, cap = _validate_windows(cfg, window_cap, window_caps)
+    if strategy == "cogroup":
+        return _carve_cogroup(
+            hits, chunks, cfg, eff, worst, cap, evidence_len, bucket_bytes
         )
-    chunk_size = cfg.chunk_size
+    if strategy != "stream":
+        raise ValueError(f"unknown carve strategy {strategy!r}")
 
-    max_size_map = F.create_map(
-        *[
-            item
-            for tid, ms in registry_types.items()
-            for item in (F.lit(tid), F.lit(min(ms, caps.get(tid, cap))))
+    chunk_size = cfg.chunk_size
+    overlap = cfg.overlap
+    ev_len = evidence_len
+    eff_map = dict(eff)
+    arrow_out = pa.schema(
+        [
+            ("file_type", pa.string()),
+            ("path", pa.string()),
+            ("extension", pa.string()),
+            ("global_start", pa.int64()),
+            ("global_end", pa.int64()),
+            ("size", pa.int64()),
+            ("md5", pa.string()),
+            ("sha256", pa.string()),
+            ("validated", pa.bool_()),
+            ("truncated", pa.bool_()),
+            ("errors", pa.list_(pa.string())),
+            ("pattern_id", pa.string()),
+            ("pending", pa.bool_()),
+            ("h_off", pa.int64()),
+            ("h_ft", pa.string()),
+            ("h_pat", pa.string()),
         ]
     )
-    window_end = (F.col("global_offset") + max_size_map[F.col("file_type_id")]).alias("window_end")
+    n_carve_cols = len(_CARVE_COLUMNS)
+    empty_carve = (None,) * n_carve_cols
+    reg_holder: list = []
+
+    # bytes a deferred window may need past its run end: backup +
+    # window + chunk-alignment slack (also how much of each run's head
+    # is stashed for partition-end stitching)
+    reach_bytes = worst + 512 + 2 * chunk_size
+
+    def stream_walk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        if not reg_holder:
+            reg_holder.append(build_registry(cfg))
+        registry = reg_holder[0]
+        out_rows: list[tuple] = []
+
+        buf = bytearray()
+        buf_start = 0
+        pos: int | None = None  # absolute end of valid coverage
+        last_tail: bytes = b""
+        pending: list[tuple[int, str, str, int]] = []  # off, ft, pat, limit_end
+        # partition-end stitching state: files pack into a scan
+        # partition in arbitrary order, so a window cut at one file's
+        # end usually continues in another run of the SAME partition.
+        # Each run stashes its head; windows still pending at run end
+        # defer with their tail slice and are stitched before anything
+        # falls back to the cogroup pass.
+        head = bytearray()
+        run_start = 0
+        # run_start -> (valid_end, head_valid_bytes, overlap_tail)
+        runs: dict[int, tuple[int, bytes, bytes]] = {}
+        # tail_start, valid_tail_bytes, own_overlap_tail, pending
+        deferred: list[tuple[int, bytes, bytes, list]] = []
+
+        def carve_one(
+            off: int, ft: str, pat: str, limit_end: int, w_start: int, w_buf
+        ) -> None:
+            lo = max(w_start, ((max(0, off - 512)) // chunk_size) * chunk_size)
+            hi_cov = w_start + len(w_buf)
+            window = bytes(w_buf[lo - w_start : min(limit_end, hi_cov) - w_start])
+            reader = WindowReader(
+                lo,
+                window,
+                ev_len if ev_len is not None else limit_end,
+                limit_end=limit_end,
+            )
+            rec = carve_hit(reader, off, ft, pat, registry, cfg)
+            if rec is not None:
+                if reader.hit_window_end:
+                    rec.errors = [*rec.errors, "over_cap"]
+                out_rows.append((*_record_to_tuple(rec), False, None, None, None))
+
+        def resolve(at_eof: bool) -> None:
+            if not pending:
+                return
+            coverage = buf_start + len(buf)
+            keep = []
+            for off, ft, pat, lim in pending:
+                if lim <= coverage or at_eof:
+                    carve_one(off, ft, pat, lim, buf_start, buf)
+                else:
+                    keep.append((off, ft, pat, lim))
+            pending[:] = keep
+
+        def end_run() -> None:
+            nonlocal buf, buf_start, pos, last_tail
+            if pos is None:
+                return
+            valid_end = pos
+            tail = last_tail
+            # the run's final chunk contributes its overlap tail
+            if tail:
+                buf += tail
+                last_tail = b""
+            coverage = buf_start + len(buf)
+            resolve(at_eof=ev_len is not None and coverage >= ev_len)
+            runs[run_start] = (valid_end, bytes(head), tail)
+            if pending:
+                keep_from = max(
+                    buf_start,
+                    ((min(p[0] for p in pending) - 512) // chunk_size) * chunk_size,
+                )
+                # valid bytes only — stitching re-derives overlap bytes
+                # from successor runs (a tail duplicates its successor's
+                # first `overlap` valid bytes)
+                deferred.append(
+                    (
+                        keep_from,
+                        bytes(buf[keep_from - buf_start : valid_end - buf_start]),
+                        tail,
+                        list(pending),
+                    )
+                )
+            pending.clear()
+            head.clear()
+            buf = bytearray()
+            pos = None
+
+        def evict() -> None:
+            nonlocal buf, buf_start
+            keep_from = pos - 2 * chunk_size - 512
+            if pending:
+                keep_from = min(
+                    keep_from,
+                    ((min(p[0] for p in pending) - 512) // chunk_size) * chunk_size,
+                )
+            keep_from = max(keep_from, buf_start)
+            drop = keep_from - buf_start
+            # amortize the memmove: only evict in sizable steps
+            if drop >= max(1 << 20, len(buf) // 2):
+                del buf[:drop]
+                buf_start = keep_from
+
+        def finish_partition() -> None:
+            end_run()
+            for tail_start, tail, own_tail, pend in deferred:
+                # extend the valid tail with successor-run heads
+                # (chaining on valid ends — heads are valid bytes, so
+                # overlap never duplicates); one head is enough unless
+                # a successor run is shorter than the needed reach and
+                # fully captured, in which case keep chaining through
+                ext = bytearray(tail)
+                cur = tail_start + len(tail)
+                grown = 0
+                end_tail = own_tail
+                while grown < reach_bytes:
+                    nxt = runs.get(cur)
+                    if nxt is None:
+                        break
+                    valid_end, nxt_head, nxt_tail = nxt
+                    ext += nxt_head
+                    grown += len(nxt_head)
+                    if cur + len(nxt_head) < valid_end:
+                        end_tail = b""  # head only partially covers run
+                        cur += len(nxt_head)
+                        break
+                    cur = valid_end  # head IS the whole run; chain on
+                    end_tail = nxt_tail
+                # a true chain end (no successor) may add the last run's
+                # overlap tail — real evidence bytes nothing duplicates
+                if end_tail and runs.get(cur) is None:
+                    ext += end_tail
+                coverage = tail_start + len(ext)
+                at_eof = ev_len is not None and coverage >= ev_len
+                for off, ft, pat, lim in pend:
+                    if lim <= coverage or at_eof:
+                        carve_one(off, ft, pat, lim, tail_start, ext)
+                    else:
+                        # crosses the partition boundary -> fallback pass
+                        out_rows.append((*empty_carve, True, off, ft, pat))
+
+        import numpy as np
+
+        def add_hits(offs, fts, pats, j0: int, j1: int) -> None:
+            for j in range(j0, j1):
+                off, ft = int(offs[j]), fts[j]
+                win = eff_map.get(ft, cap)
+                lim = ((off + win - 1) // chunk_size + 1) * chunk_size + overlap
+                pending.append((off, ft, pats[j], lim))
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            starts = batch.column("start").to_numpy()
+            vlens = batch.column("valid_length").to_numpy()
+            data_col = batch.column("data")
+            hs_col = batch.column("hs")
+            # hits, flattened once per batch (no per-row scalar access)
+            parents = pc.list_parent_indices(hs_col).to_numpy()
+            flat = pc.list_flatten(hs_col)
+            h_offs = flat.field("global_offset").to_numpy()
+            h_fts = flat.field("file_type_id").to_pylist()
+            h_pats = flat.field("pattern_id").to_pylist()
+            # contiguous-run segments within the batch
+            seg_bounds = (
+                [0]
+                + (np.nonzero(starts[1:] != starts[:-1] + vlens[:-1])[0] + 1).tolist()
+                + [n]
+            )
+            if overlap == 0:
+                # fast path: data == valid region, so a whole contiguous
+                # segment appends straight from the Arrow value buffer
+                off_buf = data_col.buffers()[1]
+                odt = np.int64 if pa.types.is_large_binary(data_col.type) else np.int32
+                voffs = np.frombuffer(off_buf, dtype=odt)[
+                    data_col.offset : data_col.offset + n + 1
+                ]
+                vb = memoryview(data_col.buffers()[2])
+                for si in range(len(seg_bounds) - 1):
+                    i0, i1 = seg_bounds[si], seg_bounds[si + 1]
+                    start = int(starts[i0])
+                    if pos is None or start != pos:
+                        end_run()
+                        buf_start = start
+                        run_start = start
+                    chunk_bytes = vb[voffs[i0] : voffs[i1]]
+                    buf += chunk_bytes
+                    need = reach_bytes - len(head)
+                    if need > 0:
+                        head += chunk_bytes[:need]
+                    last_tail = b""
+                    pos = int(starts[i1 - 1]) + int(vlens[i1 - 1])
+                    j0, j1 = np.searchsorted(parents, [i0, i1])
+                    if j1 > j0:
+                        add_hits(h_offs, h_fts, h_pats, j0, j1)
+                    if pending:
+                        resolve(at_eof=ev_len is not None and pos >= ev_len)
+                    evict()
+            else:
+                hit_rows = set(parents.tolist())
+                for i in range(n):
+                    start, vlen = int(starts[i]), int(vlens[i])
+                    if pos is None or start != pos:
+                        end_run()
+                        buf_start = start
+                        run_start = start
+                    dbuf = data_col[i].as_buffer()
+                    valid = dbuf[:vlen]
+                    buf += valid
+                    if len(head) < reach_bytes:
+                        head += valid
+                    last_tail = bytes(dbuf[vlen:]) if len(dbuf) > vlen else b""
+                    pos = start + vlen
+                    if i in hit_rows:
+                        j0, j1 = np.searchsorted(parents, [i, i + 1])
+                        add_hits(h_offs, h_fts, h_pats, j0, j1)
+                    if pending:
+                        resolve(at_eof=ev_len is not None and pos >= ev_len)
+                    evict()
+        finish_partition()
+        if out_rows:
+            cols = list(zip(*out_rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, arrow_out)],
+                schema=arrow_out,
+            )
+
+    hit_by_chunk = (
+        hits.select(
+            F.expr(f"global_offset div {chunk_size}").alias("chunk_id"),
+            F.struct("global_offset", "file_type_id", "pattern_id").alias("h"),
+        )
+        .groupBy("chunk_id")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    joined = chunks.join(F.broadcast(hit_by_chunk), "chunk_id", "left").select(
+        "start", "valid_length", "data", "hs"
+    )
+    # the stream output is metadata-only (carve records + pending hit
+    # keys, never chunk bytes), so persisting it is cheap — and needed:
+    # both the carved filter and the fallback filter consume it
+    out = joined.mapInArrow(stream_walk, _STREAM_SCHEMA).persist()
+    carved = out.filter(~F.col("pending")).select(*_CARVE_COLUMNS)
+    pend_hits = out.filter(F.col("pending")).select(
+        F.col("h_off").alias("global_offset"),
+        F.col("h_ft").alias("file_type_id"),
+        F.col("h_pat").alias("pattern_id"),
+    )
+    # pending hits cluster at run/partition boundaries, so the fallback
+    # uses MINIMAL bucket spans (span == reach): the semi-join then
+    # prunes the chunk shuffle down to the boundary neighborhoods
+    # instead of dragging whole default-sized buckets back in
+    fallback = _carve_cogroup(
+        pend_hits, chunks, cfg, eff, worst, cap, evidence_len, cfg.chunk_size
+    )
+    return carved.unionByName(fallback)
+
+
+def _carve_cogroup(
+    hits: DataFrame,
+    chunks: DataFrame,
+    cfg: EngineConfig,
+    eff: dict[str, int],
+    worst: int,
+    cap: int,
+    evidence_len: int | None,
+    bucket_bytes: int,
+) -> DataFrame:
+    """Bucketed-cogroup carve (phase b / standalone `strategy="cogroup"`).
+
+    The chunk table is bucketed into contiguous spans of
+    `max(bucket_bytes, worst_window + backup)` bytes; each chunk also
+    serves the preceding bucket(s) whose hits can reach it (the `reach`
+    tail — duplication factor 1 + reach/span, bounded ~2x even when the
+    window dominates). Hits go to the bucket of their first claimed
+    chunk, so every hit's full window is present in exactly one group,
+    and a cogrouped applyInPandas assembles each bucket buffer once and
+    carves all its hits. A broadcast semi-join keeps buckets with no
+    hits out of the shuffle entirely (sparse evidence ships only the
+    buckets it needs).
+    """
+    chunk_size = cfg.chunk_size
+    overlap = cfg.overlap
+    # chunks a hit can claim beyond its first: header backup (512 B,
+    # tar/mobi anchor before the hit) + the per-type window
+    reach = math.ceil((512 + worst) / chunk_size) + 1
+    span = max(
+        max(1, bucket_bytes // chunk_size),
+        reach,  # keep duplication factor (1 + reach/span) <= 2
+    )
+
     hit_rows = hits.select(
         "global_offset",
         "file_type_id",
         "pattern_id",
-        window_end,
-        F.monotonically_increasing_id().alias("hit_id"),
+        F.expr(
+            f"cast(greatest(0, (global_offset - 512) div {chunk_size})"
+            f" div {span} as long)"
+        ).alias("bucket"),
     )
-    claimed = hit_rows.select(
-        "*",
-        F.explode(
-            F.sequence(
-                # back up 512 bytes: tar/mobi anchor their carve start before
-                # the hit offset (signature sits inside the header)
-                F.greatest(F.lit(0), (F.col("global_offset") - 512) / chunk_size).cast("long"),
-                ((F.col("window_end") - 1) / chunk_size).cast("long"),
-            )
-        ).alias("chunk_id"),
-    )
-    joined = claimed.join(chunks, "chunk_id", "inner").select(
-        "hit_id",
-        "global_offset",
-        "file_type_id",
-        "pattern_id",
+    # chunk -> every bucket whose hits can reach it: its own bucket plus
+    # earlier ones within `reach` chunks (sequence is 1-2 entries unless
+    # the window dominates the span, which `span >= reach` bounds at 2)
+    chunk_rows = chunks.select(
         "start",
         "valid_length",
         "data",
+        F.explode(
+            F.sequence(
+                F.expr(f"cast(greatest(0, (chunk_id - {reach}) div {span}) as long)"),
+                F.expr(f"cast(chunk_id div {span} as long)"),
+            )
+        ).alias("bucket"),
+    )
+    # prune buckets nobody hit BEFORE the chunk bytes shuffle: sparse
+    # evidence (and the stream pass's boundary-only fallback) ships
+    # only the buckets it needs
+    chunk_rows = chunk_rows.join(
+        F.broadcast(hit_rows.select("bucket").distinct()), "bucket", "left_semi"
     )
 
-    # Reassemble each hit's window JVM-side (collect_list + sort_array —
-    # struct ordering sorts by `start` first, and starts are unique per
-    # hit), then carve whole ARROW BATCHES of hits per Python call.
-    # NOT groupBy().applyInPandas(carve_one_group): that invokes Python
-    # once per hit and rebuilds the carver registry each time — measured
-    # 106x slower than positioned reads on the 50k-hit jpeg-dense image
-    # (tools/bench_carve_scale.py, round 7) purely from per-group
-    # overhead. Batched, the registry builds once per task and the
-    # per-hit cost is the state machine itself.
-    grouped = joined.groupBy(
-        "hit_id", "global_offset", "file_type_id", "pattern_id"
-    ).agg(
-        F.sort_array(
-            F.collect_list(F.struct("start", "valid_length", "data"))
-        ).alias("parts")
+    ev_len = evidence_len
+    eff_map = dict(eff)
+    reg_holder: list = []  # registry survives across groups within a task
+
+    def carve_bucket(hits_pdf: pd.DataFrame, chunks_pdf: pd.DataFrame) -> pd.DataFrame:
+        if hits_pdf.empty or chunks_pdf.empty:
+            return pd.DataFrame(columns=_CARVE_COLUMNS)
+        if not reg_holder:
+            reg_holder.append(build_registry(cfg))
+        registry = reg_holder[0]
+        # assemble contiguous runs: interior chunks contribute their
+        # valid region, the final chunk of each run adds its overlap
+        # tail (gaps only arise from bounded/resumed chunk tables)
+        order = sorted(
+            zip(chunks_pdf["start"], chunks_pdf["valid_length"], chunks_pdf["data"])
+        )
+        runs: list[tuple[int, bytes]] = []  # (run_start, buffer)
+        seg_start, segs, pos = None, [], None
+        prev_data, prev_vlen = b"", 0
+        for start, vlen, data in order:
+            start, vlen = int(start), int(vlen)
+            if seg_start is None:
+                seg_start, segs, pos = start, [], start
+            elif start != pos:
+                segs.append(prev_data)  # run's last chunk keeps overlap tail
+                runs.append((seg_start, b"".join(segs)))
+                seg_start, segs, pos = start, [], start
+            else:
+                segs.append(prev_data[:prev_vlen])
+            prev_data, prev_vlen = bytes(data), vlen
+            pos = start + vlen
+        if seg_start is not None:
+            segs.append(prev_data)
+            runs.append((seg_start, b"".join(segs)))
+
+        rows = []
+        for off, ft_id, pat_id in zip(
+            hits_pdf["global_offset"],
+            hits_pdf["file_type_id"],
+            hits_pdf["pattern_id"],
+        ):
+            off, ft_id, pat_id = int(off), str(ft_id), str(pat_id)
+            buf = None
+            for run_start, run_buf in runs:
+                if run_start <= off < run_start + len(run_buf):
+                    buf, buf_start = run_buf, run_start
+                    break
+            if buf is None:
+                continue  # hit's own chunk absent (bounded table edge)
+            win = eff_map.get(ft_id, cap)
+            last_claimed = (off + win - 1) // chunk_size
+            limit_end = min(
+                buf_start + len(buf), (last_claimed + 1) * chunk_size + overlap
+            )
+            reader = WindowReader(
+                buf_start,
+                buf,
+                ev_len if ev_len is not None else limit_end,
+                limit_end=limit_end,
+            )
+            rec = carve_hit(reader, off, ft_id, pat_id, registry, cfg)
+            if rec is not None:
+                if reader.hit_window_end:
+                    rec.errors = [*rec.errors, "over_cap"]
+                rows.append(_record_to_tuple(rec))
+        return pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+
+    return (
+        hit_rows.groupby("bucket")
+        .cogroup(chunk_rows.groupby("bucket"))
+        .applyInPandas(carve_bucket, schemas.CARVED_FILES)
     )
-
-    def carve_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        registry = build_registry(cfg)
-        for pdf in batches:
-            rows = []
-            for off, ft_id, pat_id, parts in zip(
-                pdf["global_offset"],
-                pdf["file_type_id"],
-                pdf["pattern_id"],
-                pdf["parts"],
-            ):
-                window_start = int(parts[0]["start"])
-                # valid (non-overlap) regions concatenate contiguously;
-                # the final chunk contributes its overlap tail too
-                segs = [
-                    bytes(p["data"])[: int(p["valid_length"])] for p in parts[:-1]
-                ]
-                segs.append(bytes(parts[-1]["data"]))
-                data = b"".join(segs)
-                ev_len = (
-                    evidence_len
-                    if evidence_len is not None
-                    else window_start + len(data)
-                )
-                reader = WindowReader(window_start, data, ev_len)
-                rec = carve_hit(
-                    reader, int(off), str(ft_id), str(pat_id), registry, cfg
-                )
-                if rec is not None:
-                    if reader.hit_window_end:
-                        rec.errors = [*rec.errors, "over_cap"]
-                    rows.append(_record_to_tuple(rec))
-            yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
-
-    return grouped.mapInPandas(carve_batches, schemas.CARVED_FILES)

@@ -35,22 +35,28 @@ from swiftbeaver_spark.config import DEFAULT_CHUNK_SIZE, DEFAULT_OVERLAP
 _MIN_TASK_BYTES = 4 * 1024 * 1024
 
 
-def plan_chunks(
+def _plan_range(
     spark: SparkSession,
+    first_chunk: int,
+    end_chunk: int,
     evidence_len: int,
-    chunk_size: int = DEFAULT_CHUNK_SIZE,
-    overlap: int = DEFAULT_OVERLAP,
+    chunk_size: int,
+    overlap: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Chunk geometry as a DataFrame — pure `range` arithmetic.
-
-    Columns: chunk_id, start, valid_length, read_length (no bytes yet).
-    """
-    if chunk_size <= 0:
-        raise ValueError("chunk_size must be positive")
-    n = max(0, math.ceil(evidence_len / chunk_size))
+    """Chunk geometry for ids [first_chunk, end_chunk) — pure `range`
+    arithmetic. `spark.range` splits the id space into CONTIGUOUS
+    slices per partition, so downstream parquet files written from this
+    plan hold contiguous evidence runs (the stream-carve strategy in
+    carve_op.py depends on that; a hash repartition here would scatter
+    evidence order across files)."""
+    rng = (
+        spark.range(first_chunk, end_chunk, 1, num_partitions)
+        if num_partitions
+        else spark.range(first_chunk, end_chunk)
+    )
     return (
-        spark.range(n)
-        .select(
+        rng.select(
             F.col("id").alias("chunk_id"),
             (F.col("id") * chunk_size).alias("start"),
         )
@@ -63,6 +69,23 @@ def plan_chunks(
             F.least(F.lit(chunk_size + overlap), F.lit(evidence_len) - F.col("start")),
         )
     )
+
+
+def plan_chunks(
+    spark: SparkSession,
+    evidence_len: int,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Chunk geometry as a DataFrame — pure `range` arithmetic.
+
+    Columns: chunk_id, start, valid_length, read_length (no bytes yet).
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    n = max(0, math.ceil(evidence_len / chunk_size))
+    return _plan_range(spark, 0, n, evidence_len, chunk_size, overlap, num_partitions)
 
 
 def chunks_from_file(
@@ -85,13 +108,15 @@ def chunks_from_file(
     from swiftbeaver_spark.source import evidence_length, open_evidence
 
     total = evidence_length(path)
-    plan = plan_chunks(spark, total, chunk_size, overlap)
+    # bounds become the range endpoints directly (not post-filters), so
+    # partitions stay contiguous AND evenly sized over surviving ids
+    lo = 0 if min_offset is None else math.ceil(min_offset / chunk_size)
+    hi = math.ceil(total / chunk_size)
     if max_bytes is not None:
-        plan = plan.where(F.col("start") < int(max_bytes))
+        hi = min(hi, math.ceil(max_bytes / chunk_size))
     if max_chunks is not None:
-        plan = plan.where(F.col("chunk_id") < int(max_chunks))
-    if min_offset is not None:
-        plan = plan.where(F.col("start") >= int(min_offset))
+        hi = min(hi, max_chunks)
+    hi = max(lo, hi)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -115,17 +140,17 @@ def chunks_from_file(
     # and pay pure overhead. Target at least _MIN_TASK_BYTES of chunk
     # bytes per task (the spark.sql.files.maxPartitionBytes idea applied
     # to the arithmetic plan); big chunks keep exactly one per task.
-    # Partition count comes from arithmetic, not a count() job.
-    # (`is None` test, not truthiness: max_bytes=0 means an empty scan,
-    # and `or` would silently turn it into "unlimited")
-    byte_cap = total if max_bytes is None else min(total, max_bytes)
-    n_chunks = max(0, math.ceil(byte_cap / chunk_size))
-    if max_chunks is not None:
-        n_chunks = min(n_chunks, max_chunks)
+    # Partition count comes from arithmetic, not a count() job — and
+    # partitions are CONTIGUOUS id slices straight from spark.range (no
+    # hash repartition), so a materialized chunk table's files hold
+    # contiguous evidence runs in row order, which is what lets the
+    # stream-carve strategy (carve_op.py) walk them shuffle-free.
+    n_chunks = hi - lo
     if n_chunks == 0:
         return spark.createDataFrame([], schemas.CHUNKS)
     n = min(n_chunks, math.ceil(n_chunks * chunk_size / _MIN_TASK_BYTES))
-    return plan.repartition(n, "chunk_id").mapInPandas(fetch, schemas.CHUNKS)
+    plan = _plan_range(spark, lo, hi, total, chunk_size, overlap, n)
+    return plan.mapInPandas(fetch, schemas.CHUNKS)
 
 
 def chunks_from_bytes(

@@ -49,7 +49,21 @@ class RunResult:
 
 
 class Engine:
-    """Public API analog of `run_pipeline` (reference src/pipeline/mod.rs:98-129)."""
+    """Public API analog of `run_pipeline` (reference src/pipeline/mod.rs:98-129).
+
+    Carve strategy selection (`carve`): pass `evidence_path` to use
+    positioned reads — each task re-opens the evidence (right whenever
+    executors can reach it as a path: local, NFS, fuse-mounted object
+    store), with no window cap at all. Pass `chunks` to carve from the
+    materialized chunk table alone (the 100 TB path: the one-pass
+    columnar copy replaces all later evidence reads) — a shuffle-free
+    stream pass plus a bucketed-cogroup fallback for windows crossing
+    partition boundaries (carve_op.py). The chunk path bounds each
+    in-flight hit's window at carve_op._WINDOW_CAP_LIMIT (1.5 GiB):
+    per-type windows above that are rejected at plan time, and a carve
+    the window cut short (while evidence continues) carries an explicit
+    `over_cap` error — file types that genuinely need multi-GiB windows
+    (mov/webm at 10 GiB max_size) must carve via `evidence_path`."""
 
     def __init__(self, spark: SparkSession, cfg: EngineConfig = DEFAULT_CONFIG):
         self.spark = spark

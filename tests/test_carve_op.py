@@ -125,3 +125,144 @@ def test_chunk_join_rejects_multi_gib_window(spark):
             window_caps={"mov": 4 << 30},
             evidence_len=32768,
         )
+
+
+def test_over_cap_type_carves_fully_on_positioned_path(spark, tmp_path):
+    """VERDICT r8 task 5: a type whose needed window exceeds the chunk
+    path's cap surfaces `over_cap` there (never silent truncation), and
+    the SAME hit carves fully via positioned reads — the documented
+    strategy-selection rule (Engine docstring)."""
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+
+    evidence = _evidence()
+    path = tmp_path / "evidence.raw"
+    path.write_bytes(evidence)
+
+    chunked = carve_hits_with_chunks(
+        chunks=chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap),
+        hits=_hits(spark, 0),
+        cfg=CFG,
+        window_cap=4096,
+        evidence_len=len(evidence),
+    ).collect()
+    assert len(chunked) == 1
+    assert chunked[0].truncated
+    assert "over_cap" in chunked[0].errors
+
+    positioned = carve_hits_with_evidence(_hits(spark, 0), str(path), CFG).collect()
+    assert len(positioned) == 1
+    assert not positioned[0].truncated
+    assert positioned[0].size == len(big_bmp())
+    assert "over_cap" not in positioned[0].errors
+
+
+def test_stream_and_cogroup_agree_on_scattered_chunk_table(spark, tmp_path):
+    """A chunk table whose parquet rows are hash-scattered (no
+    contiguous runs — the pre-round-8 materialize layout) must still
+    carve correctly: every stream window breaks, everything defers to
+    the cogroup fallback, and both strategies return identical rows."""
+    bmp = big_bmp()
+    evidence = bytearray()
+    offsets = []
+    for k in range(6):
+        offsets.append(len(evidence))
+        evidence += bmp
+        evidence += b"\x00" * ((-len(evidence)) % 4096)  # align
+        evidence += b"\x00" * 4096  # spacer block
+    evidence = bytes(evidence)
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    pq = str(tmp_path / "scattered.parquet")
+    chunks.repartition(7, "chunk_id").write.parquet(pq)
+    from swiftbeaver_spark import schemas
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+
+    scattered = spark.read.schema(schemas.CHUNKS).parquet(pq)
+    hits = spark.createDataFrame(
+        [(off, "bmp", "bmp_header") for off in offsets],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    sel = ("global_start", "size", "sha256", "truncated")
+    want = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, chunks, CFG, window_cap=32768, evidence_len=len(evidence)
+            ).select(*sel).collect(),
+        )
+    )
+    got_stream = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, scattered, CFG, window_cap=32768, evidence_len=len(evidence)
+            ).select(*sel).collect(),
+        )
+    )
+    got_cogroup = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, scattered, CFG, window_cap=32768,
+                evidence_len=len(evidence), strategy="cogroup",
+            ).select(*sel).collect(),
+        )
+    )
+    assert len(want) == 6
+    assert got_stream == want
+    assert got_cogroup == want
+    ev_path = tmp_path / "ev.raw"
+    ev_path.write_bytes(evidence)
+    got_positioned = sorted(
+        map(
+            tuple,
+            carve_hits_with_evidence(hits, str(ev_path), CFG).select(*sel).collect(),
+        )
+    )
+    assert got_positioned == want
+
+
+def test_stream_stitches_windows_across_file_boundaries(spark, tmp_path):
+    """Hits whose carve window crosses a parquet-file boundary resolve
+    via partition-end run stitching (or the cogroup fallback when the
+    boundary is also a partition boundary) — outputs must match the
+    single-file table exactly."""
+    bmp = big_bmp()  # 12,342 bytes ~ spans 4 chunks of 4096
+    evidence = bytearray()
+    offsets = []
+    for k in range(8):
+        offsets.append(len(evidence))
+        evidence += bmp
+        pad = (-len(evidence)) % 4096
+        evidence += b"\x00" * pad
+    evidence = bytes(evidence)
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    pq = str(tmp_path / "multi.parquet")
+    # contiguous ranges, MANY small files: every bmp spans a boundary
+    chunks.repartitionByRange(12, "chunk_id").write.parquet(pq)
+    from swiftbeaver_spark import schemas
+
+    multi = spark.read.schema(schemas.CHUNKS).parquet(pq)
+    hits = spark.createDataFrame(
+        [(off, "bmp", "bmp_header") for off in offsets],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    sel = ("global_start", "size", "sha256", "truncated", "validated")
+    want = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, chunks, CFG, window_cap=32768, evidence_len=len(evidence)
+            ).select(*sel).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, multi, CFG, window_cap=32768, evidence_len=len(evidence)
+            ).select(*sel).collect(),
+        )
+    )
+    assert len(want) == 8
+    assert all(not r[3] for r in want)  # nothing truncated
+    assert got == want

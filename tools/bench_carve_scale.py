@@ -132,7 +132,10 @@ def main() -> None:
         r1 = sorted(map(tuple, c1.collect()))
         w1 = round(time.time() - t0, 3)
 
-        c2 = carve_hits_with_chunks(hits, chunks, cfg, window_cap=2 * BLOCK)
+        # evidence_len is threaded exactly as engine.py does (the chunk
+        # plan knows it arithmetically) — it lets the stream pass carve
+        # end-of-evidence windows in place instead of deferring them
+        c2 = carve_hits_with_chunks(hits, chunks, cfg, window_cap=2 * BLOCK, evidence_len=size)
         c2 = c2.select(*sel)
         p2_planned = plan_profile(c2, executed=False)
         t0 = time.time()
