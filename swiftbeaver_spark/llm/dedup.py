@@ -386,29 +386,33 @@ def _auto_segments(max_hamming: int, n_docs: int) -> int:
 
     keep=1 key width is 64/(k+1) bits over C(k+1,1)=k+1 tables; each
     extra keep unit widens keys ~64/(k+keep) bits but multiplies table
-    count combinatorially — per-doc candidates ~ T * n / 2^bits:
+    count combinatorially — per-doc candidates ~ T * n / 2^bits.
 
-      keep=1 (k=3, 16-bit keys): ~18/doc at n=3e5
-      keep=2 (k=3, ~25.6-bit):   ~6/doc  at n=3e7
-      keep=3 (k=3, 32-bit):      ~5/doc  at n=1e9 (published regime)
+    Measured twice: the round-7 full-pipeline A/B
+    (tools/bench_simhash_layout.py, k=3, identical 326/196689-pair
+    outputs — keep=1/2 tie at 5e3-5e4 docs, keep=3 1.4-5x worse) and
+    the round-8 signatures-only keep-regime sweep
+    (tools/bench_simhash_scale100.py, k=3, skew-preserving synthetic
+    signatures at 5e4 / 5e5 / 5e6 docs, identical pair sets per size):
 
-    Measured (tools/bench_simhash_layout.py, k=3, interleaved one-JVM
-    A/B, identical 326/196689-pair outputs): at 5e4 docs keep=1/2 tie
-    (0.39-0.40 s) and keep=3 is 1.4x worse; at 5e5-equivalent sf1
-    keep=1/2 tie (0.75-0.77 s) and keep=3 is 5x worse (3.79 s) — the
-    old fixed keep=3 default paid 20 tables of signature explode +
-    join passes for a candidate cut these corpus sizes never need.
-    Past k=4 the table count explodes combinatorially at every keep>1
-    and keep=1 measured optimal against every alternative (SCALE.md
-    q27 note), corpus size notwithstanding."""
+      n=5e4: keep1 1.39 s  keep2 1.09 s  keep3  4.2 s
+      n=5e5: keep1 4.65 s  keep2 4.51 s  keep3 16.6 s
+      n=5e6: keep1 29.4 s  keep2 12.2 s  keep3 238 s
+
+    keep=2 wins or ties at EVERY measured size — keep=1's narrower
+    keys lose to candidate volume from ~5e5 up, and keep=3's 20-table
+    explode+join overhead grows superlinearly and never pays below any
+    measurable scale. So: keep=2 everywhere in the k<=4 regime until
+    keep=2's own candidate volume explodes — under the uniform-key
+    model ~10*n^2/2^25.6 candidates crosses keep=3's linear table
+    overhead only around n~1e9 (the published 32-bit-key regime),
+    which is where the keep=3 switch now sits. Past k=4 the table
+    count explodes combinatorially at every keep>1 and keep=1 measured
+    optimal against every alternative (SCALE.md q27 note), corpus size
+    notwithstanding."""
     if max_hamming > 4:
         return max_hamming + 1
-    if n_docs < 300_000:
-        keep = 1
-    elif n_docs < 30_000_000:
-        keep = 2
-    else:
-        keep = 3
+    keep = 2 if n_docs < 1_000_000_000 else 3
     return max_hamming + keep
 
 
@@ -426,9 +430,10 @@ def simhash_near_dups(
     on a (n_segments - max_hamming)-subset of slices. <= k bit errors
     dirty <= k segments, so some kept subset is fully clean — EXACT
     recall by pigeonhole. When n_segments is None the layout is
-    AUTO-DERIVED from corpus size (_auto_segments: keep=1 below 3e5
-    docs, keep=2 to 3e7, keep=3 — ~32-bit keys, the published 10^9-doc
-    regime — beyond; always keep=1 past k=4). `n_docs` supplies the
+    AUTO-DERIVED from corpus size (_auto_segments: keep=2 below 1e9
+    docs — the winner at every measured size in the round-8 keep-regime
+    sweep — keep=3 (~32-bit keys, the published 10^9-doc regime)
+    beyond; always keep=1 past k=4). `n_docs` supplies the
     corpus size hint; without it the auto path pays one narrow count()
     job (bounded sync point, the IVF-training convention) — k>4
     callers never count since the layout is size-independent there.
@@ -451,22 +456,45 @@ def simhash_near_dups(
     cut, while this kernel streams ~37M candidates/s through a
     row-local codegen filter with no post-join shuffle. Both
     alternatives rejected on measurement (SCALE.md q27 note). In the
-    published k<=4 regime the keep thresholds come from the round-7
-    layout A/B (see _auto_segments): small corpora pay for tables, not
-    candidates, so keep grows with corpus size — the fixed keep=3 of
-    earlier rounds measured 1.4x/5x WORSE than auto's keep=1 at
-    sf0.1/sf1."""
+    published k<=4 regime the keep threshold comes from the round-7
+    layout A/B plus the round-8 signatures-only sweep at 5e4/5e5/5e6
+    docs (see _auto_segments): keep=2 won or tied at every measured
+    size, keep=3's table overhead grows superlinearly (238 s vs 12 s
+    at 5e6), so keep=3 waits for the ~1e9-doc regime where keep=2's
+    candidate volume explodes — the fixed keep=3 of early rounds
+    measured 1.4x/5x WORSE than auto at sf0.1/sf1."""
+    # persist: the blocked self-join references this subtree from both
+    # sides (broadcast build + probe), which would otherwise run the
+    # simhash kernel pass twice — same reason minhash_near_dups
+    # persists its signatures. Persisting BEFORE the auto-layout count
+    # means the count materializes the cache the join then reuses, so
+    # the size hint costs one pass over cached signatures, never a
+    # second evaluation of an expensive upstream plan.
+    sims = simhash(df, text_col, id_col).persist()
+    if n_segments is None and n_docs is None and max_hamming <= 4:
+        n_docs = sims.count()
+    return simhash_pairs_from_signatures(sims, max_hamming, n_segments, n_docs)
+
+
+def simhash_pairs_from_signatures(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Blocking + verify stage of `simhash_near_dups`, taking the
+    signature table (doc_id, simhash) directly — the seam that lets
+    the layout A/B and the 100x keep-regime sweep
+    (tools/bench_simhash_scale100.py) measure blocking cost on
+    synthetic signatures without a text corpus. Callers should persist
+    `sims` when its upstream plan is expensive: the self-join consumes
+    it from both sides."""
     from itertools import combinations
 
     if n_segments is None:
         if n_docs is None and max_hamming <= 4:
-            n_docs = df.count()
+            n_docs = sims.count()
         n_segments = _auto_segments(max_hamming, n_docs or 0)
-    # persist: the blocked self-join references this subtree from both
-    # sides (broadcast build + probe), which would otherwise run the
-    # simhash kernel pass twice — same reason minhash_near_dups
-    # persists its signatures
-    sims = simhash(df, text_col, id_col).persist()
     segs = _segment_widths(64, n_segments)
     keep = n_segments - max_hamming
     if keep < 1:

@@ -38,6 +38,16 @@ from pyspark.sql import functions as F
 
 LABEL_PREFIX = "__label__"
 
+# token_label_weights unrolls label vectors into per-token plan
+# literals; past this budget (labels x dim literals) the expression
+# tree would bloat plan serialization/codegen (e.g. 176 labels x 300
+# dims ~ 53k literals), so the build falls back to a broadcast hash
+# join on a derived constant key (which, unlike a literal-key cross,
+# does NOT constant-fold into a nested loop)
+_LABEL_LITERAL_BUDGET = 4096
+
+_WEIGHTS_DDL = "token string, label string, weight_micro long"
+
 
 def parse_fasttext_vec_lines(lines: DataFrame, dim: int, value_col: str = "value") -> DataFrame:
     """Parse .vec-format lines (already minus the header) into
@@ -128,7 +138,11 @@ def token_label_weights(
     equi-join — gets constant-folded back into one. The explode is the
     plan a cross with a fixed tiny side deserves: no join operator at
     all, and the label literals ride the serialized plan to every
-    executor.
+    executor. Past _LABEL_LITERAL_BUDGET total literals (labels x dim —
+    real fastText models, e.g. 176 labels x 300 dims) the build
+    switches to a broadcast hash join on a DERIVED always-zero key
+    (non-foldable, so it stays a BroadcastHashJoin): same rows, no
+    plan blow-up.
 
     Pass `labels` (a (word, vector) frame of "__label__*" rows) when
     the label vectors are derivable WITHOUT the token corpus: the
@@ -156,8 +170,38 @@ def token_label_weights(
         F.col("word").alias("token"), F.col("vector").alias("tvec")
     )
     if not label_rows:
-        return toks.sparkSession.createDataFrame(
-            [], "token string, label string, weight_micro long"
+        return toks.sparkSession.createDataFrame([], _WEIGHTS_DDL)
+    dim = len(label_rows[0].lvec)
+    if len(label_rows) * dim > _LABEL_LITERAL_BUDGET:
+        # real-model scale (many labels x high dim): ship the label
+        # table as data, not plan literals. The join key is a derived
+        # always-zero expression on the token side vs a lit(0) column
+        # on the broadcast side — an equi-join the planner executes as
+        # BroadcastHashJoin (every token row matches every label row),
+        # with no literal blow-up and no BroadcastNestedLoopJoin
+        # (pinned by test_token_label_weights_join_fallback)
+        # the key must be DERIVED (non-foldable) on BOTH sides: a
+        # lit(0) side gets constant-folded into a filter, leaving no
+        # equi-keys and degrading the plan to BroadcastNestedLoopJoin
+        ldf = toks.sparkSession.createDataFrame(
+            [
+                (r.label, [float(x) for x in r.lvec])
+                for r in sorted(label_rows, key=lambda r: r.label)
+            ],
+            "label string, lvec array<double>",
+        ).withColumn("_k", F.pmod(F.xxhash64("label"), F.lit(1)).cast("int"))
+        return (
+            toks.withColumn(
+                "_k", F.pmod(F.xxhash64("token"), F.lit(1)).cast("int")
+            )
+            .join(F.broadcast(ldf), "_k")
+            .select(
+                "token",
+                "label",
+                F.round(_dot(F.col("tvec"), F.col("lvec")) * 1e6)
+                .cast("long")
+                .alias("weight_micro"),
+            )
         )
     pairs = F.explode(
         F.array(
@@ -360,7 +404,11 @@ def classify_documents_subword(
     Both weight tables must be LABEL-DENSE (every unit carries a row
     for every label) — true by construction from token_label_weights,
     and fastText's own shape — because the matched-unit count n_units
-    is read off the joined rows per (doc, label)."""
+    is read off the joined rows per (doc, label). The invariant is
+    ENFORCED at runtime: per-doc min/max of the per-label unit counts
+    ride the existing aggregate, and a caller-supplied pruned table
+    (e.g. near-zero weights dropped from a real model) raises instead
+    of silently mis-normalizing scores."""
     from swiftbeaver_spark.parallel import spread
 
     # the n-gram expansion + FNV fold cost per TOKEN (~10 n-grams and
@@ -406,7 +454,24 @@ def classify_documents_subword(
                 F.struct("label", "score_micro"),
                 F.struct(-F.col("score_micro"), F.col("label")),
             ).alias("best"),
-            F.first("n_units").alias("n_units"),
+            # label-density runtime guard: n_units is read off the
+            # per-(doc,label) rows, which is only well-defined when
+            # every matched unit carries a row for EVERY label. A
+            # pruned (non-label-dense) weight table would silently
+            # skew scores — instead the min/max drift raises loudly.
+            # Two extra agg buffers; no extra shuffle or join.
+            F.min("n_units").alias("_n_lo"),
+            F.max("n_units").alias("_n_hi"),
+        )
+    )
+    density_ok = F.col("_n_lo").isNull() | (F.col("_n_lo") == F.col("_n_hi"))
+    n_units_checked = F.when(density_ok, F.col("_n_hi")).otherwise(
+        F.raise_error(
+            F.lit(
+                "classify_documents_subword: weight tables are not "
+                "label-dense (per-(doc,label) matched-unit counts "
+                "diverge) — every unit must carry a row for every label"
+            )
         )
     )
     return (
@@ -421,9 +486,26 @@ def classify_documents_subword(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("score_micro"),
-            F.coalesce(F.col("n_units"), F.lit(0)).cast("long").alias("n_units"),
+            F.coalesce(n_units_checked, F.lit(0)).cast("long").alias("n_units"),
         )
     )
+
+
+def save_token_label_weights(weights: DataFrame, path: str) -> None:
+    """Persist a (token, label, weight_micro) table to parquet — the
+    q147 index-persistence convention applied to model weights. The
+    weight build (vocabulary x labels dots over a parsed .vec) runs
+    once per MODEL, not once per corpus scored, so production scoring
+    reads this table instead of re-deriving it; the split build/score
+    walls are recorded in SCALE.md (q171 note)."""
+    weights.write.mode("overwrite").parquet(path)
+
+
+def load_token_label_weights(spark, path: str) -> DataFrame:
+    """Read a persisted weight table with the pinned schema (explicit,
+    so a corrupt/foreign parquet fails loudly at plan time rather than
+    surfacing NULL weights)."""
+    return spark.read.schema(_WEIGHTS_DDL).parquet(path)
 
 
 def weighted_quality_score(

@@ -2035,18 +2035,19 @@ def test_spark_round_half_up_matches_f_round(spark):
 
 
 def test_auto_segments_thresholds():
-    """VERDICT r6 item 5: the blocking layout derives from corpus size
-    in the published k<=4 regime (keep grows as candidates overtake
-    table overhead) and is always keep=1 past k=4 (measured optimal
-    regardless of size — SCALE.md q27 note)."""
+    """VERDICT r8 task 2: thresholds pinned to the measured keep-regime
+    sweep (tools/bench_simhash_scale100.py — keep=2 won or tied at
+    5e4/5e5/5e6 docs, keep=3 superlinearly worse), so keep=2 holds
+    for the whole measurable k<=4 range and keep=3 waits for the
+    published ~1e9-doc regime; always keep=1 past k=4 (measured
+    optimal regardless of size — SCALE.md q27 note)."""
     from swiftbeaver_spark.llm.dedup import _auto_segments
 
-    assert _auto_segments(3, 5_000) == 4       # keep=1
-    assert _auto_segments(3, 299_999) == 4
-    assert _auto_segments(3, 300_000) == 5     # keep=2
-    assert _auto_segments(3, 29_999_999) == 5
-    assert _auto_segments(3, 30_000_000) == 6  # keep=3, published regime
-    assert _auto_segments(4, 1_000) == 5
+    assert _auto_segments(3, 5_000) == 5       # keep=2 (measured best)
+    assert _auto_segments(3, 5_000_000) == 5
+    assert _auto_segments(3, 10**9 - 1) == 5
+    assert _auto_segments(3, 10**9) == 6       # keep=3, published regime
+    assert _auto_segments(4, 1_000) == 6
     for n in (0, 5_000, 10**9):
         assert _auto_segments(8, n) == 9       # k>4: keep=1 always
 
