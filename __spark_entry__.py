@@ -11532,122 +11532,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # before every commit.
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-7 cut, per VERDICT r6 item 7: with the backlog at zero,
-        # the window holds (a) the irreplaceable composites — q02 scan
-        # kernel and q30-q33, whose carve engine was re-batched this
-        # round (collect_list window reassembly + Arrow-batch carve);
-        # (b) the queries round 7 touched: q171 (NEW — fastText .vec
-        # weight loading, entering the contract with a window seat, the
-        # standing rule) and q35 (UTF-16 regex scanner + scan spread);
-        # and (c) the staleness cohort — ALL 42 r3-vintage rows (the
-        # oldest green checks on record: q01-q57 families) plus the two
-        # oldest r4 rows (q43, q51), so after this round no green row
-        # is older than round 4 and staleness stays under ~3 rounds.
-        # q26/q27 (auto-layout change, pair outputs proven identical)
-        # and the RocksDB-re-verified streaming family were re-gated by
-        # tools/drive_contract.py this round and rotate to the tail.
-        # q172 (NEW — fastText subword/OOV classification) takes the
-        # window seat of q51 (r4-vintage, re-confirmed r4 + swept
-        # tri-SF on every commit), per the new-operator seat rule.
+        # Round-8 cut, per VERDICT r7 item 6: (a) the irreplaceable
+        # composites — q02 scan kernel and q30-q33, whose carve engine
+        # was re-architected this round (shuffle-free stream pass +
+        # cogroup fallback); (b) queries touched by round-8 changes:
+        # q01 (chunks_from_file now range-partitions contiguously),
+        # q26/q27 (simhash auto-layout re-pinned to the 5e6-doc
+        # keep-regime sweep; pair sets layout-independent but re-gated),
+        # q172 (classify_documents_subword gained the label-density
+        # runtime guard); and (c) the ENTIRE r4-vintage cohort — all 41
+        # rows last driver-checked in round 4 (q51-q94 families, the
+        # oldest green checks on record) — so after this round no green
+        # row is older than round 5 and staleness stays under ~3
+        # rounds. The RocksDB streaming sweep (q37/q47/q52/q53/q75/
+        # q78/q104/q140/q148/q149 under SPARK_GRAFT_ROCKSDB=1) was
+        # additionally recorded via tools/drive_contract.py this round;
+        # q52/q53/q75/q78 sit in the window anyway as r4-vintage.
         "q02_chunked_scan": q02_chunked_scan,
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
-        "q171_fasttext_classify": q171_fasttext_classify,
-        "q172_fasttext_subword": q172_fasttext_subword,
-        "q35_string_spans": q35_string_spans,
         "q01_chunk_plan": q01_chunk_plan,
-        "q03_scan_counts": q03_scan_counts,
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
-        "q06_join_history": q06_join_history,
-        "q07_left_join_coalesce": q07_left_join_coalesce,
-        "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
-        "q10_case_mapping": q10_case_mapping,
-        "q11_time_conversions": q11_time_conversions,
-        "q12_url_parse": q12_url_parse,
-        "q13_email_split": q13_email_split,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
-        "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q20_token_stats": q20_token_stats,
-        "q21_quality": q21_quality,
-        "q22_langid": q22_langid,
-        "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q25_top_orders": q25_top_orders,
-        "q28_lsh_topk": q28_lsh_topk,
-        "q29_media_meta": q29_media_meta,
-        "q34_ivf_topk": q34_ivf_topk,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q37_stream_sessionize": q37_stream_sessionize,
-        "q38_pack_sequences": q38_pack_sequences,
-        "q39_hash_sample": q39_hash_sample,
-        "q40_pii_scrub": q40_pii_scrub,
-        "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q45_session_window": q45_session_window,
-        "q46_kmv_sketch": q46_kmv_sketch,
-        "q47_stream_window_agg": q47_stream_window_agg,
-        "q48_asof_join": q48_asof_join,
-        "q49_countmin": q49_countmin,
-        "q50_weighted_sample": q50_weighted_sample,
-        "q43_line_dedup": q43_line_dedup,
-        # --- tail (driver-proven in r4-r6; all still swept tri-SF by
-        #     tools/drive_contract.py before every commit) --------------
-        "q51_crossdoc_dup": q51_crossdoc_dup,
-        "q167_jpeg_decode": q167_jpeg_decode,
-        "q97_compaction_plan": q97_compaction_plan,
-        "q102_retention_cohorts": q102_retention_cohorts,
-        "q103_event_transitions": q103_event_transitions,
-        "q109_boilerplate_removal": q109_boilerplate_removal,
-        "q112_snapshot_diff": q112_snapshot_diff,
-        "q113_fk_orphans": q113_fk_orphans,
-        "q118_curation_v2": q118_curation_v2,
-        "q119_split_assignment": q119_split_assignment,
-        "q128_hilbert": q128_hilbert,
-        "q129_kmv_set_ops": q129_kmv_set_ops,
-        "q130_temperature_sample": q130_temperature_sample,
-        "q132_weighted_median": q132_weighted_median,
-        "q133_json_extract": q133_json_extract,
-        "q134_bfs_distances": q134_bfs_distances,
-        "q135_format_roundtrip": q135_format_roundtrip,
-        "q137_kmeans": q137_kmeans,
-        "q138_privacy_audit": q138_privacy_audit,
-        "q141_dense_timeline": q141_dense_timeline,
-        "q142_schema_evolution": q142_schema_evolution,
-        "q143_time_travel": q143_time_travel,
-        "q144_collocations": q144_collocations,
-        "q145_tfidf_keywords": q145_tfidf_keywords,
-        "q146_inference_batching": q146_inference_batching,
-        "q150_feature_store": q150_feature_store,
-        "q151_semantic_decontamination": q151_semantic_decontamination,
-        "q152_cluster_best_keep": q152_cluster_best_keep,
-        "q159_data_card": q159_data_card,
-        "q162_sft_spans": q162_sft_spans,
-        "q163_prefix_cache_plan": q163_prefix_cache_plan,
-        "q59_bpe_learn": q59_bpe_learn,
-        "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q157_bitext_mining": q157_bitext_mining,
-        "q160_mmr_rerank": q160_mmr_rerank,
-        "q165_equidepth_histogram": q165_equidepth_histogram,
-        "q166_domain_caps": q166_domain_caps,
         "q26_minhash_neardup": q26_minhash_neardup,
         "q27_simhash_neardup": q27_simhash_neardup,
-        "q168_mp3_frames": q168_mp3_frames,
-        "q169_vorbis_meta": q169_vorbis_meta,
-        "q121_filtered_ann": q121_filtered_ann,
-        "q122_semantic_dedup": q122_semantic_dedup,
-        "q136_substring_dedup": q136_substring_dedup,
-        "q170_flac_decode": q170_flac_decode,
-        "q120_ivfpq_residual": q120_ivfpq_residual,
-        "q88_ivfpq_topk": q88_ivfpq_topk,
+        "q172_fasttext_subword": q172_fasttext_subword,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
@@ -11683,12 +11593,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_pq_topk": q85_pq_topk,
         "q86_sq8_quantize": q86_sq8_quantize,
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q88_ivfpq_topk": q88_ivfpq_topk,
         "q89_webdataset": q89_webdataset,
         "q90_shard_manifest": q90_shard_manifest,
-        "q91_coarse_refine_topk": q91_coarse_refine_topk,
         "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
+        # --- tail (driver-proven in r5-r7; ordered oldest-vintage first;
+        #     all still swept tri-SF by tools/drive_contract.py before
+        #     every commit) ------------------------------------------------
+        "q91_coarse_refine_topk": q91_coarse_refine_topk,
         "q95_incremental_minhash": q95_incremental_minhash,
+        "q96_star_join": q96_star_join,
         "q98_cube_summary": q98_cube_summary,
         "q99_resize_images": q99_resize_images,
         "q100_frame_sample": q100_frame_sample,
@@ -11722,7 +11637,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        "q96_star_join": q96_star_join,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q97_compaction_plan": q97_compaction_plan,
+        "q102_retention_cohorts": q102_retention_cohorts,
+        "q103_event_transitions": q103_event_transitions,
+        "q109_boilerplate_removal": q109_boilerplate_removal,
+        "q112_snapshot_diff": q112_snapshot_diff,
+        "q113_fk_orphans": q113_fk_orphans,
+        "q118_curation_v2": q118_curation_v2,
+        "q119_split_assignment": q119_split_assignment,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
+        "q121_filtered_ann": q121_filtered_ann,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q128_hilbert": q128_hilbert,
+        "q129_kmv_set_ops": q129_kmv_set_ops,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q132_weighted_median": q132_weighted_median,
+        "q133_json_extract": q133_json_extract,
+        "q134_bfs_distances": q134_bfs_distances,
+        "q135_format_roundtrip": q135_format_roundtrip,
+        "q136_substring_dedup": q136_substring_dedup,
+        "q137_kmeans": q137_kmeans,
+        "q138_privacy_audit": q138_privacy_audit,
+        "q141_dense_timeline": q141_dense_timeline,
+        "q142_schema_evolution": q142_schema_evolution,
+        "q143_time_travel": q143_time_travel,
+        "q144_collocations": q144_collocations,
+        "q145_tfidf_keywords": q145_tfidf_keywords,
+        "q146_inference_batching": q146_inference_batching,
+        "q150_feature_store": q150_feature_store,
+        "q151_semantic_decontamination": q151_semantic_decontamination,
+        "q152_cluster_best_keep": q152_cluster_best_keep,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q159_data_card": q159_data_card,
+        "q160_mmr_rerank": q160_mmr_rerank,
+        "q162_sft_spans": q162_sft_spans,
+        "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q165_equidepth_histogram": q165_equidepth_histogram,
+        "q166_domain_caps": q166_domain_caps,
+        "q167_jpeg_decode": q167_jpeg_decode,
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
+        "q170_flac_decode": q170_flac_decode,
+        "q03_scan_counts": q03_scan_counts,
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q06_join_history": q06_join_history,
+        "q07_left_join_coalesce": q07_left_join_coalesce,
+        "q08_group_dedup": q08_group_dedup,
+        "q09_run_summary": q09_run_summary,
+        "q10_case_mapping": q10_case_mapping,
+        "q11_time_conversions": q11_time_conversions,
+        "q12_url_parse": q12_url_parse,
+        "q13_email_split": q13_email_split,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_token_stats": q20_token_stats,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_cosine_topk": q23_cosine_topk,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q25_top_orders": q25_top_orders,
+        "q28_lsh_topk": q28_lsh_topk,
+        "q29_media_meta": q29_media_meta,
+        "q34_ivf_topk": q34_ivf_topk,
+        "q35_string_spans": q35_string_spans,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
+        "q43_line_dedup": q43_line_dedup,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q171_fasttext_classify": q171_fasttext_classify,
     }
 
 
