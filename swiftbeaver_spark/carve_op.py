@@ -58,6 +58,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     LongType,
     StringType,
@@ -87,8 +88,12 @@ _DEFAULT_BUCKET_BYTES = 16 * 1024 * 1024
 # chunk strategy's window bound by this alias
 _ROW_CAP_LIMIT = _WINDOW_CAP_LIMIT
 
-# stream-pass output: carve columns (nullable) + pending-hit columns.
-# Pending rows carry the un-carved hit key; carved rows leave it null.
+# stream-pass output: carve columns (nullable) + pending-hit columns +
+# run-edge columns. Pending rows carry the un-carved hit key and (when
+# the partition is contiguous) the hit's partial window bytes; edge
+# rows carry a run's head/back byte stashes so the boundary-resolve
+# pass can stitch windows across partitions WITHOUT re-scanning the
+# chunk table; carved rows leave all of those null.
 _STREAM_SCHEMA = StructType(
     [StructField(f.name, f.dataType, True) for f in schemas.CARVED_FILES.fields]
     + [
@@ -96,6 +101,14 @@ _STREAM_SCHEMA = StructType(
         StructField("h_off", LongType(), True),
         StructField("h_ft", StringType(), True),
         StructField("h_pat", StringType(), True),
+        StructField("h_wstart", LongType(), True),
+        StructField("h_bytes", BinaryType(), True),
+        StructField("h_lim", LongType(), True),
+        StructField("edge", BooleanType(), False),
+        StructField("e_start", LongType(), True),
+        StructField("e_vend", LongType(), True),
+        StructField("e_head", BinaryType(), True),
+        StructField("e_back", BinaryType(), True),
     ]
 )
 
@@ -176,13 +189,20 @@ class WindowReader(Reader):
             else window_start + len(data)
         )
         self.hit_window_end = False
+        # a read below window_start — callers that CLIPPED the window
+        # (stream pass at a run boundary) use this to detect that the
+        # handler wanted backup bytes the run doesn't hold
+        self.read_before_start = False
 
     def length(self) -> int:
         return self._len
 
     def read_at(self, offset: int, length: int) -> bytes:
         rel = offset - self._start
-        if rel < 0 or length <= 0:
+        if rel < 0:
+            self.read_before_start = True
+            return b""
+        if length <= 0:
             return b""
         lim_rel = self._limit - self._start
         # a read wanting bytes past the window while the EVIDENCE
@@ -276,16 +296,26 @@ def carve_hits_with_chunks(
             ("h_off", pa.int64()),
             ("h_ft", pa.string()),
             ("h_pat", pa.string()),
+            ("h_wstart", pa.int64()),
+            ("h_bytes", pa.binary()),
+            ("h_lim", pa.int64()),
+            ("edge", pa.bool_()),
+            ("e_start", pa.int64()),
+            ("e_vend", pa.int64()),
+            ("e_head", pa.binary()),
+            ("e_back", pa.binary()),
         ]
     )
     n_carve_cols = len(_CARVE_COLUMNS)
     empty_carve = (None,) * n_carve_cols
+    _NO_HIT = (None, None, None, None, None, None)
+    _NO_EDGE = (False, None, None, None, None)
     reg_holder: list = []
 
     # bytes a deferred window may need past its run end: backup +
-    # window + chunk-alignment slack (also how much of each run's head
-    # is stashed for partition-end stitching)
-    reach_bytes = worst + 512 + 2 * chunk_size
+    # window + overlap + chunk-alignment slack (also how much of each
+    # run's head is stashed for partition-end stitching)
+    reach_bytes = worst + 512 + overlap + 2 * chunk_size
 
     def stream_walk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -308,15 +338,31 @@ def carve_hits_with_chunks(
         # falls back to the cogroup pass.
         head = bytearray()
         run_start = 0
-        # run_start -> (valid_end, head_valid_bytes, overlap_tail)
-        runs: dict[int, tuple[int, bytes, bytes]] = {}
+        # scattered-table guard: a contiguous chunk table yields few
+        # runs per partition, so stashing per-run edge bytes and
+        # per-pending partial windows is a few MB. A hash-scattered
+        # legacy table yields one run PER ROW — there, emitting bytes
+        # would echo the whole partition through the metadata output,
+        # so past this bound everything strips to key-only pending
+        # rows and the cogroup pass (which handles scattered tables
+        # natively) takes over.
+        _MAX_STASHED_RUNS = 512
+
+        def emit_bytes() -> bool:
+            return len(runs) <= _MAX_STASHED_RUNS
+        # run_start -> (valid_end, head_valid_bytes, overlap_tail,
+        #               back_valid_bytes: the run's last ~512+chunk
+        #               valid bytes, captured before the buf resets —
+        #               what a successor's backward-anchored hit needs)
+        runs: dict[int, tuple[int, bytes, bytes, bytes]] = {}
         # tail_start, valid_tail_bytes, own_overlap_tail, pending
         deferred: list[tuple[int, bytes, bytes, list]] = []
 
         def carve_one(
             off: int, ft: str, pat: str, limit_end: int, w_start: int, w_buf
         ) -> None:
-            lo = max(w_start, ((max(0, off - 512)) // chunk_size) * chunk_size)
+            aligned = (max(0, off - 512) // chunk_size) * chunk_size
+            lo = max(w_start, aligned)
             hi_cov = w_start + len(w_buf)
             window = bytes(w_buf[lo - w_start : min(limit_end, hi_cov) - w_start])
             reader = WindowReader(
@@ -326,10 +372,28 @@ def carve_hits_with_chunks(
                 limit_end=limit_end,
             )
             rec = carve_hit(reader, off, ft, pat, registry, cfg)
+            if reader.read_before_start and lo > aligned:
+                # the handler wanted header-backup bytes (tar/mobi
+                # anchor the carve start before the hit) that sit in
+                # another run/partition — this run CLIPPED the claimed
+                # window, so the in-stream answer is not faithful.
+                # Defer WITH the in-hand forward window: the boundary-
+                # resolve pass prepends the predecessor run's back
+                # bytes (positioned-read parity). Types that never
+                # read backward (the overwhelming majority) are
+                # unaffected.
+                out_rows.append(
+                    (*empty_carve, True, off, ft, pat,
+                     lo, window if emit_bytes() else None,
+                     limit_end, *_NO_EDGE)
+                )
+                return
             if rec is not None:
                 if reader.hit_window_end:
                     rec.errors = [*rec.errors, "over_cap"]
-                out_rows.append((*_record_to_tuple(rec), False, None, None, None))
+                out_rows.append(
+                    (*_record_to_tuple(rec), False, *_NO_HIT, *_NO_EDGE)
+                )
 
         def resolve(at_eof: bool) -> None:
             if not pending:
@@ -355,7 +419,13 @@ def carve_hits_with_chunks(
                 last_tail = b""
             coverage = buf_start + len(buf)
             resolve(at_eof=ev_len is not None and coverage >= ev_len)
-            runs[run_start] = (valid_end, bytes(head), tail)
+            back_from = max(buf_start, valid_end - 512 - chunk_size)
+            runs[run_start] = (
+                valid_end,
+                bytes(head),
+                tail,
+                bytes(buf[back_from - buf_start : valid_end - buf_start]),
+            )
             if pending:
                 keep_from = max(
                     buf_start,
@@ -379,7 +449,11 @@ def carve_hits_with_chunks(
 
         def evict() -> None:
             nonlocal buf, buf_start
-            keep_from = pos - 2 * chunk_size - 512
+            # future hits land in chunks starting at >= pos; their
+            # chunk-aligned 512-byte backup never reaches below this
+            # (at the production 512 MiB chunk size, retaining a whole
+            # extra chunk here would double per-task residency)
+            keep_from = ((pos - 512) // chunk_size) * chunk_size
             if pending:
                 keep_from = min(
                     keep_from,
@@ -408,7 +482,7 @@ def carve_hits_with_chunks(
                     nxt = runs.get(cur)
                     if nxt is None:
                         break
-                    valid_end, nxt_head, nxt_tail = nxt
+                    valid_end, nxt_head, nxt_tail, _nxt_back = nxt
                     ext += nxt_head
                     grown += len(nxt_head)
                     if cur + len(nxt_head) < valid_end:
@@ -423,12 +497,33 @@ def carve_hits_with_chunks(
                     ext += end_tail
                 coverage = tail_start + len(ext)
                 at_eof = ev_len is not None and coverage >= ev_len
+                ext_b = None
                 for off, ft, pat, lim in pend:
                     if lim <= coverage or at_eof:
                         carve_one(off, ft, pat, lim, tail_start, ext)
                     else:
-                        # crosses the partition boundary -> fallback pass
-                        out_rows.append((*empty_carve, True, off, ft, pat))
+                        # crosses the partition boundary -> the
+                        # boundary-resolve pass stitches this window
+                        # from another partition's edge stash (bytes
+                        # included while the table looks contiguous)
+                        if ext_b is None and emit_bytes():
+                            ext_b = bytes(ext)
+                        out_rows.append(
+                            (*empty_carve, True, off, ft, pat,
+                             tail_start, ext_b, lim, *_NO_EDGE)
+                        )
+            if emit_bytes():
+                for r_start, (valid_end, r_head, r_tail, r_back) in runs.items():
+                    # e_head: the run's first bytes (plus the overlap
+                    # tail when the head covers the whole run — then it
+                    # IS the run); e_back: its last valid bytes
+                    whole = len(r_head) >= valid_end - r_start
+                    out_rows.append(
+                        (*empty_carve, False, *_NO_HIT,
+                         True, r_start, valid_end,
+                         r_head + r_tail if whole else r_head,
+                         r_back)
+                    )
 
         import numpy as np
 
@@ -528,24 +623,115 @@ def carve_hits_with_chunks(
     joined = chunks.join(F.broadcast(hit_by_chunk), "chunk_id", "left").select(
         "start", "valid_length", "data", "hs"
     )
-    # the stream output is metadata-only (carve records + pending hit
-    # keys, never chunk bytes), so persisting it is cheap — and needed:
-    # both the carved filter and the fallback filter consume it
+    # the stream output is near-metadata-only (carve records, pending
+    # hit keys with bounded partial windows, per-run edge stashes —
+    # never the chunk table itself), so persisting it is cheap — and
+    # needed: the carved/pending/edge filters all consume it
     out = joined.mapInArrow(stream_walk, _STREAM_SCHEMA).persist()
-    carved = out.filter(~F.col("pending")).select(*_CARVE_COLUMNS)
-    pend_hits = out.filter(F.col("pending")).select(
-        F.col("h_off").alias("global_offset"),
-        F.col("h_ft").alias("file_type_id"),
-        F.col("h_pat").alias("pattern_id"),
+    carved = out.filter(~F.col("pending") & ~F.col("edge")).select(*_CARVE_COLUMNS)
+    pend = out.filter(F.col("pending"))
+    edges = out.filter(F.col("edge"))
+
+    # boundary-resolve pass: windows cut at a partition boundary are
+    # stitched from OTHER partitions' edge stashes — two broadcast
+    # joins and a mapInPandas over the handful of boundary hits. The
+    # chunk table is NOT re-scanned (the round-7 fallback re-scanned
+    # it per carve call; measured ~0.35 s of the sf1 wall for ~50
+    # boundary hits).
+    p2_in = (
+        pend.filter(F.col("h_bytes").isNotNull())
+        .select("h_off", "h_ft", "h_pat", "h_wstart", "h_bytes", "h_lim")
+        .withColumn("h_cov", F.col("h_wstart") + F.length("h_bytes"))
+        .join(
+            F.broadcast(
+                edges.select(F.col("e_start").alias("h_cov"), "e_head")
+            ),
+            "h_cov",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                edges.select(F.col("e_vend").alias("h_wstart"), "e_back")
+            ),
+            "h_wstart",
+            "left",
+        )
     )
-    # pending hits cluster at run/partition boundaries, so the fallback
-    # uses MINIMAL bucket spans (span == reach): the semi-join then
-    # prunes the chunk shuffle down to the boundary neighborhoods
-    # instead of dragging whole default-sized buckets back in
+
+    def resolve_boundary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not reg_holder:
+            reg_holder.append(build_registry(cfg))
+        registry = reg_holder[0]
+        cols = [*_CARVE_COLUMNS, "pending", "h_off", "h_ft", "h_pat"]
+        for pdf in batches:
+            rows = []
+            for off, ft, pat, wstart, hbytes, lim, ehead, eback in zip(
+                pdf["h_off"], pdf["h_ft"], pdf["h_pat"], pdf["h_wstart"],
+                pdf["h_bytes"], pdf["h_lim"], pdf["e_head"], pdf["e_back"],
+            ):
+                off, ft, pat = int(off), str(ft), str(pat)
+                back = bytes(eback) if eback is not None else b""
+                fwd = bytes(ehead) if ehead is not None else b""
+                window = back + bytes(hbytes) + fwd
+                w_start = int(wstart) - len(back)
+                lim = int(lim)
+                aligned = (max(0, off - 512) // chunk_size) * chunk_size
+                lo = max(w_start, aligned)
+                cov = w_start + len(window)
+                at_eof = ev_len is not None and cov >= ev_len
+                if not (lim <= cov or at_eof):
+                    # needs a second forward link -> cogroup pass
+                    rows.append((*empty_carve, True, off, ft, pat))
+                    continue
+                reader = WindowReader(
+                    lo,
+                    window[lo - w_start : max(0, min(lim, cov) - w_start)],
+                    ev_len if ev_len is not None else lim,
+                    limit_end=lim,
+                )
+                rec = carve_hit(reader, off, ft, pat, registry, cfg)
+                if reader.read_before_start and lo > aligned:
+                    # still missing backup bytes -> cogroup pass
+                    rows.append((*empty_carve, True, off, ft, pat))
+                    continue
+                if rec is not None:
+                    if reader.hit_window_end:
+                        rec.errors = [*rec.errors, "over_cap"]
+                    rows.append((*_record_to_tuple(rec), False, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    p2_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in schemas.CARVED_FILES.fields]
+        + [
+            StructField("pending", BooleanType(), False),
+            StructField("h_off", LongType(), True),
+            StructField("h_ft", StringType(), True),
+            StructField("h_pat", StringType(), True),
+        ]
+    )
+    p2_out = p2_in.mapInPandas(resolve_boundary, p2_schema).persist()
+    carved2 = p2_out.filter(~F.col("pending")).select(*_CARVE_COLUMNS)
+
+    # totality backstop: hits the stream could not even stash bytes for
+    # (scattered tables past the run guard) or that phase 2 could not
+    # finish (multi-link chains). Usually EMPTY — AQE's empty-relation
+    # propagation then collapses the semi-join and never scans the
+    # chunk table. MINIMAL bucket spans (span == reach) keep the
+    # shuffle to boundary neighborhoods when it does run.
+    pend_keys = (
+        pend.filter(F.col("h_bytes").isNull())
+        .select("h_off", "h_ft", "h_pat")
+        .unionByName(p2_out.filter(F.col("pending")).select("h_off", "h_ft", "h_pat"))
+        .select(
+            F.col("h_off").alias("global_offset"),
+            F.col("h_ft").alias("file_type_id"),
+            F.col("h_pat").alias("pattern_id"),
+        )
+    )
     fallback = _carve_cogroup(
-        pend_hits, chunks, cfg, eff, worst, cap, evidence_len, cfg.chunk_size
+        pend_keys, chunks, cfg, eff, worst, cap, evidence_len, cfg.chunk_size
     )
-    return carved.unionByName(fallback)
+    return carved.unionByName(carved2).unionByName(fallback)
 
 
 def _carve_cogroup(

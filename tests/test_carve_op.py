@@ -266,3 +266,51 @@ def test_stream_stitches_windows_across_file_boundaries(spark, tmp_path):
     assert len(want) == 8
     assert all(not r[3] for r in want)  # nothing truncated
     assert got == want
+
+
+def test_stream_defers_backward_anchored_hits_at_run_starts(spark, tmp_path):
+    """A tar's ustar hit sits 257 bytes into its header; when the hit
+    lands at (or near) the start of a parquet run, the in-stream window
+    lacks the backup bytes — the handler's backward read must route the
+    hit to the fallback pass, matching positioned reads exactly."""
+    from tests.fixtures import mk_tar
+
+    from swiftbeaver_spark import schemas
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+
+    tar = mk_tar()  # 2048 bytes, ustar at +257
+    chunk = 1024
+    # place the tar so its HIT (start+257) is exactly at a chunk/run
+    # boundary: tar start = 4*chunk - 257
+    tar_at = 4 * chunk - 257
+    evidence = bytearray(b"\x00" * tar_at)
+    evidence += tar
+    evidence += b"\x00" * (12 * chunk - len(evidence))
+    evidence = bytes(evidence)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, chunk_size=chunk, overlap=0)
+    chunks = chunks_from_bytes(spark, evidence, chunk, 0)
+    pq = str(tmp_path / "runs.parquet")
+    # 3 contiguous files; run 2 starts at chunk 4 == the hit offset
+    chunks.repartitionByRange(3, "chunk_id").write.parquet(pq)
+    multi = spark.read.schema(schemas.CHUNKS).parquet(pq)
+    hits = spark.createDataFrame(
+        [(tar_at + 257, "tar", "tar_ustar")],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    sel = ("global_start", "size", "sha256", "truncated")
+    ev_path = tmp_path / "ev.raw"
+    ev_path.write_bytes(evidence)
+    want = sorted(
+        map(tuple, carve_hits_with_evidence(hits, str(ev_path), cfg).select(*sel).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            carve_hits_with_chunks(
+                hits, multi, cfg, window_cap=8 * chunk, evidence_len=len(evidence)
+            ).select(*sel).collect(),
+        )
+    )
+    assert len(want) == 1
+    assert want[0][0] == tar_at  # carve start backed up 257 bytes
+    assert got == want
