@@ -1,15 +1,19 @@
-"""Decompose the chunk-join carve wall at sf1 (VERDICT r8 task 1).
+"""Decompose the chunk-strategy carve wall (round-8 architecture).
 
-Measures, over the round-7 jpeg-dense sf1 artifacts (204.8 MB image,
-50k hits), cumulative walls for successive prefixes of the strategy-2
-plan so the dominant term is identified before any rework:
+Measures, over the jpeg-dense artifacts, cumulative walls for prefixes
+of the STREAM strategy so the dominant term stays identified:
 
-  scan_only   : parquet chunk scan, JVM-side length sum (no join)
-  join_only   : claimed-ranges equi-join, JVM-side length sum (no group)
-  grouped     : + groupBy collect_list/sort_array (no Python)
-  arrow_xfer  : + mapInPandas passthrough (Arrow transfer, no carve)
-  full        : the production carve_hits_with_chunks
-  positioned  : strategy-1 baseline
+  scan_only    : parquet chunk scan, JVM-side length sum
+  join_only    : + broadcast of per-chunk hit lists (left join), JVM sum
+  stream_xfer  : + mapInArrow passthrough (Arrow transfer, no carve)
+  full         : the production carve_hits_with_chunks (stream +
+                 boundary-resolve + cogroup backstop)
+  positioned   : strategy-1 baseline
+
+The round-7 findings this architecture answered: the collect_list
+reassembly shuffled every chunk byte once per claiming hit (~3x table
+size) and crossed Arrow duplicated — both terms are gone; what remains
+is scan + one Arrow crossing + the shared per-hit carve cost.
 
 Usage: python tools/profile_carve_chunkjoin.py [sf0.1|sf1]
 """
@@ -21,6 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pyarrow as pa
 from pyspark.sql import functions as F
 
 from swiftbeaver_spark.carve_op import carve_hits_with_chunks, carve_hits_with_evidence
@@ -48,6 +53,7 @@ def main() -> None:
     hits = scan_evidence(spark, img, cfg).persist()
     n_hits = hits.count()
     chunks = read_chunks(spark, chunk_pq)
+    ev_len = os.path.getsize(img)
     out = {"label": label, "hits": n_hits}
 
     def timed(name, fn):
@@ -56,50 +62,35 @@ def main() -> None:
         out[name] = round(time.time() - t0, 3)
         print(f"# {name}: {out[name]}s ({r})", file=sys.stderr)
 
-    # rebuild the strategy-2 plan prefix by prefix (mirrors carve_op.py)
-    cap = 2 * BLOCK
-    window_end = (F.col("global_offset") + F.lit(cap)).alias("window_end")
-    hit_rows = hits.select(
-        "global_offset", "file_type_id", "pattern_id", window_end,
-        F.monotonically_increasing_id().alias("hit_id"),
+    hit_by_chunk = (
+        hits.select(
+            F.expr(f"global_offset div {BLOCK}").alias("chunk_id"),
+            F.struct("global_offset", "file_type_id", "pattern_id").alias("h"),
+        )
+        .groupBy("chunk_id")
+        .agg(F.collect_list("h").alias("hs"))
     )
-    claimed = hit_rows.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0), (F.col("global_offset") - 512) / BLOCK).cast("long"),
-                ((F.col("window_end") - 1) / BLOCK).cast("long"),
-            )
-        ).alias("chunk_id"),
+    joined = chunks.join(F.broadcast(hit_by_chunk), "chunk_id", "left").select(
+        "start", "valid_length", "data", "hs"
     )
-    joined = claimed.join(chunks, "chunk_id", "inner").select(
-        "hit_id", "global_offset", "file_type_id", "pattern_id",
-        "start", "valid_length", "data",
-    )
-    grouped = joined.groupBy(
-        "hit_id", "global_offset", "file_type_id", "pattern_id"
-    ).agg(
-        F.sort_array(F.collect_list(F.struct("start", "valid_length", "data"))).alias("parts")
-    )
+
+    def walk(batches):
+        n = b = 0
+        for tbl in batches:
+            n += tbl.num_rows
+            col = tbl.column("data")
+            for i in range(tbl.num_rows):
+                b += len(col[i].as_buffer())
+        yield pa.RecordBatch.from_pydict({"n": [n], "b": [b]})
 
     timed("scan_only", lambda: chunks.select(F.sum(F.length("data"))).collect()[0][0])
     timed("join_only", lambda: joined.select(F.sum(F.length("data"))).collect()[0][0])
-    timed("grouped", lambda: grouped.select(
-        F.sum(F.aggregate("parts", F.lit(0), lambda a, p: a + F.length(p["data"])))
-    ).collect()[0][0])
-
-    import pandas as pd
-
-    def passthrough(batches):
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"n": [n]})
-
-    timed("arrow_xfer", lambda: grouped.mapInPandas(
-        passthrough, "n long").select(F.sum("n")).collect()[0][0])
+    timed("stream_xfer", lambda: joined.mapInArrow(
+        walk, "n long, b long").agg(F.sum("n"), F.sum("b")).collect()[0][0])
     timed("full", lambda: len(
-        carve_hits_with_chunks(hits, chunks, cfg, window_cap=cap).collect()))
+        carve_hits_with_chunks(
+            hits, chunks, cfg, window_cap=2 * BLOCK, evidence_len=ev_len
+        ).collect()))
     timed("positioned", lambda: len(
         carve_hits_with_evidence(hits, img, cfg).collect()))
     hits.unpersist()
