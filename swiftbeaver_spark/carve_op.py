@@ -347,6 +347,14 @@ def carve_hits_with_chunks(
         # rows and the cogroup pass (which handles scattered tables
         # natively) takes over.
         _MAX_STASHED_RUNS = 512
+        # per-partition byte budget for head stashes + deferred tails:
+        # with the default 128 MiB window cap, reach_bytes-sized
+        # stashes across many runs could otherwise echo a whole
+        # partition through worker memory and the metadata output.
+        # Past the budget, stashes strip to key-only pending rows and
+        # the cogroup backstop takes over (correctness unchanged).
+        _STASH_BUDGET = 64 << 20
+        stash_used = [0]
 
         def emit_bytes() -> bool:
             return len(runs) <= _MAX_STASHED_RUNS
@@ -419,10 +427,19 @@ def carve_hits_with_chunks(
                 last_tail = b""
             coverage = buf_start + len(buf)
             resolve(at_eof=ev_len is not None and coverage >= ev_len)
-            back_from = max(buf_start, valid_end - 512 - chunk_size)
+            # back stash: the handler backup contract is 512 bytes
+            # before the hit — 1 KiB covers it at any chunk size;
+            # deeper backward reads surface read_before_start in the
+            # resolve pass and fall through to the cogroup backstop
+            back_from = max(buf_start, valid_end - 1024)
+            h_stash = bytes(head)
+            if stash_used[0] + len(h_stash) > _STASH_BUDGET:
+                h_stash = b""  # budget-stripped: chaining/stitching
+                # through this run degrades to the cogroup backstop
+            stash_used[0] += len(h_stash)
             runs[run_start] = (
                 valid_end,
-                bytes(head),
+                h_stash,
                 tail,
                 bytes(buf[back_from - buf_start : valid_end - buf_start]),
             )
@@ -434,14 +451,17 @@ def carve_hits_with_chunks(
                 # valid bytes only — stitching re-derives overlap bytes
                 # from successor runs (a tail duplicates its successor's
                 # first `overlap` valid bytes)
-                deferred.append(
-                    (
-                        keep_from,
-                        bytes(buf[keep_from - buf_start : valid_end - buf_start]),
-                        tail,
-                        list(pending),
-                    )
-                )
+                t_stash = bytes(buf[keep_from - buf_start : valid_end - buf_start])
+                if stash_used[0] + len(t_stash) <= _STASH_BUDGET:
+                    stash_used[0] += len(t_stash)
+                    deferred.append((keep_from, t_stash, tail, list(pending)))
+                else:
+                    # over budget: key-only pending -> cogroup backstop
+                    for off, ft, pat, _lim in pending:
+                        out_rows.append(
+                            (*empty_carve, True, off, ft, pat,
+                             None, None, None, *_NO_EDGE)
+                        )
             pending.clear()
             head.clear()
             buf = bytearray()
@@ -573,7 +593,7 @@ def carve_hits_with_chunks(
                     chunk_bytes = vb[voffs[i0] : voffs[i1]]
                     buf += chunk_bytes
                     need = reach_bytes - len(head)
-                    if need > 0:
+                    if need > 0 and stash_used[0] < _STASH_BUDGET:
                         head += chunk_bytes[:need]
                     last_tail = b""
                     pos = int(starts[i1 - 1]) + int(vlens[i1 - 1])
@@ -594,7 +614,7 @@ def carve_hits_with_chunks(
                     dbuf = data_col[i].as_buffer()
                     valid = dbuf[:vlen]
                     buf += valid
-                    if len(head) < reach_bytes:
+                    if len(head) < reach_bytes and stash_used[0] < _STASH_BUDGET:
                         head += valid
                     last_tail = bytes(dbuf[vlen:]) if len(dbuf) > vlen else b""
                     pos = start + vlen
@@ -639,8 +659,7 @@ def carve_hits_with_chunks(
     # it per carve call; measured ~0.35 s of the sf1 wall for ~50
     # boundary hits).
     p2_in = (
-        pend.filter(F.col("h_bytes").isNotNull())
-        .select("h_off", "h_ft", "h_pat", "h_wstart", "h_bytes", "h_lim")
+        pend.select("h_off", "h_ft", "h_pat", "h_wstart", "h_bytes", "h_lim")
         .withColumn("h_cov", F.col("h_wstart") + F.length("h_bytes"))
         .join(
             F.broadcast(
@@ -670,6 +689,11 @@ def carve_hits_with_chunks(
                 pdf["h_bytes"], pdf["h_lim"], pdf["e_head"], pdf["e_back"],
             ):
                 off, ft, pat = int(off), str(ft), str(pat)
+                if hbytes is None:
+                    # stripped (scattered table / stash budget) ->
+                    # straight to the cogroup backstop
+                    rows.append((*empty_carve, True, off, ft, pat))
+                    continue
                 back = bytes(eback) if eback is not None else b""
                 fwd = bytes(ehead) if ehead is not None else b""
                 window = back + bytes(hbytes) + fwd
@@ -718,15 +742,10 @@ def carve_hits_with_chunks(
     # propagation then collapses the semi-join and never scans the
     # chunk table. MINIMAL bucket spans (span == reach) keep the
     # shuffle to boundary neighborhoods when it does run.
-    pend_keys = (
-        pend.filter(F.col("h_bytes").isNull())
-        .select("h_off", "h_ft", "h_pat")
-        .unionByName(p2_out.filter(F.col("pending")).select("h_off", "h_ft", "h_pat"))
-        .select(
-            F.col("h_off").alias("global_offset"),
-            F.col("h_ft").alias("file_type_id"),
-            F.col("h_pat").alias("pattern_id"),
-        )
+    pend_keys = p2_out.filter(F.col("pending")).select(
+        F.col("h_off").alias("global_offset"),
+        F.col("h_ft").alias("file_type_id"),
+        F.col("h_pat").alias("pattern_id"),
     )
     fallback = _carve_cogroup(
         pend_keys, chunks, cfg, eff, worst, cap, evidence_len, cfg.chunk_size
