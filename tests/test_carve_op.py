@@ -314,3 +314,78 @@ def test_stream_defers_backward_anchored_hits_at_run_starts(spark, tmp_path):
     assert len(want) == 1
     assert want[0][0] == tar_at  # carve start backed up 257 bytes
     assert got == want
+
+
+def test_stream_differential_random_layouts(spark, tmp_path):
+    """Differential totality: random evidence mixing forward-truncating
+    (bmp) and backward-anchored (tar) types, random chunk/overlap
+    geometry, random parquet layouts (contiguous ranges, hash-scattered,
+    many small files) — the chunk strategy must match positioned reads
+    on every (start, size, sha256, truncated) tuple, for every layout.
+    Deterministic seeds; exercises in-stream carve, run stitching, the
+    boundary-resolve pass, backward defer, and the cogroup backstop."""
+    import random
+
+    from tests.fixtures import mk_tar
+
+    from swiftbeaver_spark import schemas
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+
+    tar = mk_tar()
+    bmp = big_bmp()
+    sel = ("global_start", "size", "sha256", "truncated")
+    for seed, chunk, overlap in ((1, 1024, 0), (2, 2048, 256), (3, 4096, 512)):
+        rng = random.Random(seed)
+        evidence = bytearray()
+        hits = []
+        for _ in range(12):
+            evidence += b"\x00" * rng.randrange(1, 3000)
+            pad = (-len(evidence)) % 512
+            evidence += b"\x00" * pad
+            if rng.random() < 0.5:
+                hits.append((len(evidence) + 257, "tar", "tar_ustar"))
+                evidence += tar
+            else:
+                hits.append((len(evidence), "bmp", "bmp_header"))
+                evidence += bmp
+        evidence += b"\x00" * ((-len(evidence)) % chunk)
+        evidence = bytes(evidence)
+        cfg = dataclasses.replace(DEFAULT_CONFIG, chunk_size=chunk, overlap=overlap)
+        hits_df = spark.createDataFrame(
+            hits, "global_offset long, file_type_id string, pattern_id string"
+        )
+        ev_path = tmp_path / f"ev{seed}.raw"
+        ev_path.write_bytes(evidence)
+        want = sorted(
+            map(
+                tuple,
+                carve_hits_with_evidence(hits_df, str(ev_path), cfg)
+                .select(*sel)
+                .collect(),
+            )
+        )
+        assert len(want) == 12
+        chunks = chunks_from_bytes(spark, evidence, chunk, overlap)
+        layouts = {
+            "ranges": chunks.repartitionByRange(rng.randrange(2, 9), "chunk_id"),
+            "scattered": chunks.repartition(5, "chunk_id"),
+            "single": chunks.coalesce(1),
+        }
+        for name, df in layouts.items():
+            pq = str(tmp_path / f"l{seed}_{name}.parquet")
+            df.write.mode("overwrite").parquet(pq)
+            got = sorted(
+                map(
+                    tuple,
+                    carve_hits_with_chunks(
+                        hits_df,
+                        spark.read.schema(schemas.CHUNKS).parquet(pq),
+                        cfg,
+                        window_cap=len(bmp) + 4 * chunk,
+                        evidence_len=len(evidence),
+                    )
+                    .select(*sel)
+                    .collect(),
+                )
+            )
+            assert got == want, f"seed={seed} layout={name}"
