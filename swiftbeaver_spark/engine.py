@@ -98,12 +98,24 @@ class Engine:
         evidence_path: str | None = None,
         chunks: DataFrame | None = None,
         evidence_len: int | None = None,
+        chunk_strategy: str = "stream",
     ) -> DataFrame:
+        """`chunk_strategy` (chunks path only): "stream" broadcasts hit
+        metadata onto the chunk scan — right whenever the hit set fits
+        a broadcast (tens of bytes per hit; virtually always).
+        "cogroup" instead shuffles chunk bytes once on bucket keys —
+        the escape hatch for hit sets too large to broadcast (billions
+        of hits), where a forced broadcast would pressure executor
+        memory. Results are identical (differential-tested)."""
         if evidence_path is not None:
             carved = carve_hits_with_evidence(hits, evidence_path, self.cfg)
         elif chunks is not None:
             carved = carve_hits_with_chunks(
-                hits, chunks, self.cfg, evidence_len=evidence_len
+                hits,
+                chunks,
+                self.cfg,
+                evidence_len=evidence_len,
+                strategy=chunk_strategy,
             )
         else:
             raise ValueError("need evidence_path or chunks")
