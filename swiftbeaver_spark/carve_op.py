@@ -88,6 +88,15 @@ _DEFAULT_BUCKET_BYTES = 16 * 1024 * 1024
 # chunk strategy's window bound by this alias
 _ROW_CAP_LIMIT = _WINDOW_CAP_LIMIT
 
+# per-partition byte budget for the stream pass's head stashes +
+# deferred tails (module-level so tests can force the degradation
+# path): past it, stashes strip to key-only pending rows and the
+# cogroup backstop takes over — correctness unchanged, re-scan cost
+# returns. With the default 128 MiB window cap, reach-sized stashes
+# across many runs could otherwise echo a whole partition through
+# worker memory and the metadata output.
+_STASH_BUDGET = 64 << 20
+
 # stream-pass output: carve columns (nullable) + pending-hit columns +
 # run-edge columns. Pending rows carry the un-carved hit key and (when
 # the partition is contiguous) the hit's partial window bytes; edge
@@ -347,13 +356,7 @@ def carve_hits_with_chunks(
         # rows and the cogroup pass (which handles scattered tables
         # natively) takes over.
         _MAX_STASHED_RUNS = 512
-        # per-partition byte budget for head stashes + deferred tails:
-        # with the default 128 MiB window cap, reach_bytes-sized
-        # stashes across many runs could otherwise echo a whole
-        # partition through worker memory and the metadata output.
-        # Past the budget, stashes strip to key-only pending rows and
-        # the cogroup backstop takes over (correctness unchanged).
-        _STASH_BUDGET = 64 << 20
+        stash_budget = _STASH_BUDGET  # bound at call time, see module doc
         stash_used = [0]
 
         def emit_bytes() -> bool:
@@ -433,7 +436,7 @@ def carve_hits_with_chunks(
             # resolve pass and fall through to the cogroup backstop
             back_from = max(buf_start, valid_end - 1024)
             h_stash = bytes(head)
-            if stash_used[0] + len(h_stash) > _STASH_BUDGET:
+            if stash_used[0] + len(h_stash) > stash_budget:
                 h_stash = b""  # budget-stripped: chaining/stitching
                 # through this run degrades to the cogroup backstop
             stash_used[0] += len(h_stash)
@@ -452,7 +455,7 @@ def carve_hits_with_chunks(
                 # from successor runs (a tail duplicates its successor's
                 # first `overlap` valid bytes)
                 t_stash = bytes(buf[keep_from - buf_start : valid_end - buf_start])
-                if stash_used[0] + len(t_stash) <= _STASH_BUDGET:
+                if stash_used[0] + len(t_stash) <= stash_budget:
                     stash_used[0] += len(t_stash)
                     deferred.append((keep_from, t_stash, tail, list(pending)))
                 else:
@@ -593,7 +596,7 @@ def carve_hits_with_chunks(
                     chunk_bytes = vb[voffs[i0] : voffs[i1]]
                     buf += chunk_bytes
                     need = reach_bytes - len(head)
-                    if need > 0 and stash_used[0] < _STASH_BUDGET:
+                    if need > 0 and stash_used[0] < stash_budget:
                         head += chunk_bytes[:need]
                     last_tail = b""
                     pos = int(starts[i1 - 1]) + int(vlens[i1 - 1])
@@ -614,7 +617,7 @@ def carve_hits_with_chunks(
                     dbuf = data_col[i].as_buffer()
                     valid = dbuf[:vlen]
                     buf += valid
-                    if len(head) < reach_bytes and stash_used[0] < _STASH_BUDGET:
+                    if len(head) < reach_bytes and stash_used[0] < stash_budget:
                         head += valid
                     last_tail = bytes(dbuf[vlen:]) if len(dbuf) > vlen else b""
                     pos = start + vlen

@@ -389,3 +389,42 @@ def test_stream_differential_random_layouts(spark, tmp_path):
                 )
             )
             assert got == want, f"seed={seed} layout={name}"
+
+
+def test_stash_budget_degrades_to_cogroup(spark, tmp_path, monkeypatch):
+    """Forcing the per-partition stash budget to zero strips every edge
+    stash and deferred tail to key-only pending rows — results must
+    still match positioned reads via the cogroup backstop."""
+    import swiftbeaver_spark.carve_op as C
+
+    monkeypatch.setattr(C, "_STASH_BUDGET", 0)
+    bmp = big_bmp()
+    evidence = bytearray()
+    offsets = []
+    for k in range(4):
+        offsets.append(len(evidence))
+        evidence += bmp
+        evidence += b"\x00" * ((-len(evidence)) % 4096)
+    evidence = bytes(evidence)
+    chunks = chunks_from_bytes(spark, evidence, CFG.chunk_size, CFG.overlap)
+    pq = str(tmp_path / "budget.parquet")
+    chunks.repartitionByRange(5, "chunk_id").write.parquet(pq)
+    from swiftbeaver_spark import schemas
+
+    hits = spark.createDataFrame(
+        [(off, "bmp", "bmp_header") for off in offsets],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            C.carve_hits_with_chunks(
+                hits,
+                spark.read.schema(schemas.CHUNKS).parquet(pq),
+                CFG,
+                window_cap=32768,
+                evidence_len=len(evidence),
+            ).select("global_start", "size", "truncated").collect(),
+        )
+    )
+    assert got == [(off, len(bmp), False) for off in offsets]
