@@ -131,6 +131,12 @@ def main() -> None:
         t0 = time.time()
         r1 = sorted(map(tuple, c1.collect()))
         w1 = round(time.time() - t0, 3)
+        # steady: fresh plan object (bench.py's convention — rebuild,
+        # rerun; JIT/page-cache warm, AQE stage waves still paid)
+        c1b = carve_hits_with_evidence(hits, img, cfg).select(*sel)
+        t0 = time.time()
+        c1b.collect()
+        w1s = round(time.time() - t0, 3)
 
         # evidence_len is threaded exactly as engine.py does (the chunk
         # plan knows it arithmetically) — it lets the stream pass carve
@@ -142,6 +148,15 @@ def main() -> None:
         r2 = sorted(map(tuple, c2.collect()))
         w2 = round(time.time() - t0, 3)
         p2_exec = plan_profile(c2, executed=True)
+        spark.catalog.clearCache()  # drop run-1's internal persist
+        hits.persist()
+        hits.count()  # clearCache dropped it too; re-materialize untimed
+        c2b = carve_hits_with_chunks(
+            hits, chunks, cfg, window_cap=2 * BLOCK, evidence_len=size
+        ).select(*sel)
+        t0 = time.time()
+        c2b.collect()
+        w2s = round(time.time() - t0, 3)
 
         assert r1 == r2, (
             f"strategy outputs diverge @{label}: {len(r1)} vs {len(r2)} rows"
@@ -156,7 +171,9 @@ def main() -> None:
             "scan_wall_sec": scan_wall,
             "materialize_wall_sec": mat_wall,
             "positioned_wall_sec": w1,
+            "positioned_steady_sec": w1s,
             "chunkjoin_wall_sec": w2,
+            "chunkjoin_steady_sec": w2s,
             "chunkjoin_plan": p2_planned,
             "chunkjoin_plan_executed": p2_exec,
             "forbidden": bad,
@@ -177,6 +194,11 @@ def main() -> None:
         ),
         "chunkjoin_vs_positioned_sf1": round(
             out["sf1"]["chunkjoin_wall_sec"] / max(out["sf1"]["positioned_wall_sec"], 1e-9), 2
+        ),
+        "chunkjoin_vs_positioned_sf1_steady": round(
+            out["sf1"]["chunkjoin_steady_sec"]
+            / max(out["sf1"]["positioned_steady_sec"], 1e-9),
+            2,
         ),
         "plan_shape": (
             "stable"
