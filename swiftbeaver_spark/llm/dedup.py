@@ -501,29 +501,31 @@ def simhash_pairs_from_signatures(
         raise ValueError("max_hamming must be < n_segments")
     combos = list(combinations(range(n_segments), keep))
 
-    def combo_key(sim: Column, combo: tuple[int, ...]) -> Column:
-        key = F.lit(0).cast("long")
+    # All block-key and min-block expressions are built as SQL STRINGS
+    # and parsed with one F.expr call each: the Column-operator form
+    # cost one py4j round trip per bitwise op (~300 driver round trips
+    # for a k=8 layout, ~0.4-0.7 s of pure driver latency per plan
+    # build, measured round 8) while parsing is O(1) round trips. The
+    # parsed tree is operator-identical — shiftright/&/shiftleft/| on
+    # bigint — so candidate sets and codegen are unchanged.
+    def combo_key_sql(src: str, combo: tuple[int, ...]) -> str:
+        parts = []
         pos = 0
         for s in combo:
             lo, w = segs[s]
-            part = _shr(sim, F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1))
-            key = key.bitwiseOR(_shl(part, F.lit(pos)))
+            mask = (1 << w) - 1
+            parts.append(f"shiftleft(shiftright({src}, {lo}) & {mask}L, {pos})")
             pos += w
-        return key
+        return " | ".join(parts)
 
-    combo_structs = [
-        F.struct(
-            F.lit(cid).alias("block"),
-            combo_key(F.col("simhash"), combo).alias("key"),
-        )
+    structs = ", ".join(
+        f"named_struct('block', {cid}, 'key', {combo_key_sql('simhash', combo)})"
         for cid, combo in enumerate(combos)
-    ]
+    )
     blocked = sims.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(*combo_structs)
-        ).alias("bk"),
+        F.explode(F.expr(f"array({structs})")).alias("bk"),
     ).select("doc_id", "simhash", "bk.block", "bk.key")
     l, r = blocked.alias("l"), blocked.alias("r")
     # A pair sharing several block keys would surface once per shared
@@ -538,16 +540,15 @@ def simhash_pairs_from_signatures(
     # is emitted iff no earlier block matched. Identical result set,
     # one less shuffle at any scale (the smallest-common-block dedup of
     # the similarity-join literature, e.g. PPJoin-family).
-    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-    earlier_match = F.lit(False)
+    xor_s = "(l.simhash ^ r.simhash)"
+    earlier_terms = []
     for cid, combo in enumerate(combos):
-        match_c = F.lit(True)
-        for s in combo:
-            lo, w = segs[s]
-            match_c = match_c & (
-                _shr(xor, F.lit(lo)).bitwiseAND(F.lit((1 << w) - 1)) == 0
-            )
-        earlier_match = earlier_match | (match_c & (F.lit(cid) < F.col("l.block")))
+        seg_terms = " AND ".join(
+            f"(shiftright({xor_s}, {segs[s][0]}) & {(1 << segs[s][1]) - 1}L) = 0"
+            for s in combo
+        )
+        earlier_terms.append(f"(({seg_terms}) AND {cid} < l.block)")
+    not_earlier = F.expr("NOT (" + " OR ".join(earlier_terms) + ")")
     out = (
         l.join(
             r,
@@ -555,7 +556,7 @@ def simhash_pairs_from_signatures(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .where(~earlier_match)
+        .where(not_earlier)
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
