@@ -384,3 +384,42 @@ def test_sessionize_stream_rocksdb_state_store(spark, tmp_path):
     assert (1, 50, 55, 2) in got
     assert (2, 7, 7, 1) in got
     assert len({g for g in got if g[1] != 600}) >= 3
+
+
+def test_spread_partition_count_memo(spark):
+    """spread's partition-count probe memoizes by analyzed-plan
+    semanticHash: two FRESH plan objects for the same query share one
+    .rdd replan, and the memoized count steers the same repartition
+    decision the direct probe would."""
+    from swiftbeaver_spark.parallel import _cached_partition_count, spread
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    direct = docs.rdd.getNumPartitions()
+    n1 = _cached_partition_count(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    memo = spark._sb_partition_count_memo
+    assert n1 == direct
+    before = dict(memo)
+    n2 = _cached_partition_count(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    assert n2 == direct
+    assert dict(memo) == before  # second fresh plan hit the memo
+    # the spread decision matches the direct-probe decision
+    target = spark.sparkContext.defaultParallelism
+    out = spread(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    want_repartition = direct < target
+    assert ("Repartition" in out._jdf.queryExecution().logical().toString()) == (
+        want_repartition
+    )
