@@ -165,19 +165,17 @@ def minhash_band_index(
     production index for continuous ingestion: persist it partitioned
     by (band, band_hash) and new batches probe it with an equi-join
     (incremental_minhash_near_dups) instead of re-banding the corpus."""
+    # One parsed expression instead of per-op Column building — the
+    # same py4j round-trip economics as the simhash block keys (see
+    # simhash_pairs_from_signatures); the parsed tree is identical.
+    band_expr = (
+        f"transform(sequence(0, {num_bands - 1}), b -> named_struct("
+        f"'band', b, 'band_hash', "
+        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))"
+    )
     return signatures.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
+        F.explode(F.expr(band_expr)).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
 
 
