@@ -1112,15 +1112,20 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
-    cos = F.round(
-        dot(F.col("vec"), F.col("qvec"))
-        / (
-            F.sqrt(dot(F.col("vec"), F.col("vec")))
-            * F.sqrt(dot(F.col("qvec"), F.col("qvec")))
-        ),
-        6,
+    # Self-norms are precomputed per ROW before the cross join instead
+    # of per (vector x query) PAIR inside it: higher-order array
+    # lambdas are interpreted (not codegen'd), so moving 2 of the 3
+    # dot products out of the pair loop cuts ~2/3 of the interpreted
+    # work. sqrt-then-multiply order is unchanged -> bit-identical
+    # cosines.
+    emb_n = emb.withColumn("vnorm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    queries_n = queries.withColumn(
+        "qnorm", F.sqrt(dot(F.col("qvec"), F.col("qvec")))
     )
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    cos = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("vnorm") * F.col("qnorm")), 6
+    )
+    scored = emb_n.crossJoin(F.broadcast(queries_n)).select(
         "query_id", "vec_id", cos.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
