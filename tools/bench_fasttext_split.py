@@ -44,6 +44,31 @@ def main() -> None:
     spark = get_spark(app_name="swiftbeaver-bench-fasttext-split")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(WORK, exist_ok=True)
+    # warm-up (same discipline as bench.py): executor threads + python
+    # worker pool + one tiny build/score round at sf0.001, so the first
+    # timed build isn't charged ~5s of one-time session start-up (the
+    # round-8 first cut recorded sf0.1 build 8.79s > sf1 build 3.86s —
+    # a larger vocabulary "building faster" was exactly that artifact)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(256, numPartitions=32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    warm_docs = entry._t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    warm_labels = spark.createDataFrame(
+        [(w,) for w in entry.FASTTEXT_LABELS], "word string"
+    )
+    warm_vocab = entry._fasttext_vocab(warm_docs, ("__label__",))
+    warm_weights = token_label_weights(
+        parse_fasttext_vec_lines(
+            entry._fasttext_vec_lines(warm_vocab.unionAll(warm_labels)), 4
+        ),
+        labels=parse_fasttext_vec_lines(entry._fasttext_vec_lines(warm_labels), 4),
+    )
+    warm_path = os.path.join(WORK, "weights_warm.parquet")
+    save_token_label_weights(warm_weights, warm_path)
+    classify_documents(warm_docs, load_token_label_weights(spark, warm_path)).count()
     out = {}
     for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
         docs = entry._t(spark, sf_dir, "documents").select("doc_id", "text")
