@@ -35,6 +35,7 @@ _SOURCES = (
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
     "SimHashUdf.java",
+    "SubwordUdf.java",
 )
 
 # cache attribute stashed on the SparkSession object itself: id() keys
@@ -113,6 +114,9 @@ def ensure_kernel(spark: SparkSession) -> bool:
             )
             spark.udf.registerJavaFunction("sb_simhash", "sbspark.SimHashUdf", "bigint")
             spark.udf.registerJavaFunction("sb_jaccard", "sbspark.JaccardUdf", "double")
+            spark.udf.registerJavaFunction(
+                "sb_subword", "sbspark.SubwordUdf", "array<int>"
+            )
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
                 "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"

@@ -395,7 +395,11 @@ def classify_documents_subword(
     table consumed by ONE join (an earlier draft joined word and bucket
     weights in four separate branches, re-evaluating the whole weight
     subtree per consumer — 4x the vocab scan and a 10x slower plan);
-    the n-gram expansion is Catalyst (subword_ngrams) so the explode ->
+    the n-gram expansion runs in the compiled JVM kernel (sb_subword —
+    the Catalyst subword_ngrams + fnv1a32 chain is higher-order
+    expressions, CodegenFallback-interpreted per n-gram, and dominated
+    the wall: 4.7 s -> 1.5 s at sf0.1; the Catalyst chain remains the
+    pinned-identical fallback for JRE-only hosts), so the explode ->
     hash -> join pipeline never leaves the JVM; one shuffle on doc_id
     for the map-side-combinable sums. n_buckets bounds the subword
     table regardless of corpus n-gram diversity — fastText's own answer
@@ -417,18 +421,42 @@ def classify_documents_subword(
     # (measured: the whole sf0.1 pipeline ran on one task, ~20 s, vs
     # ~2 s spread); a no-op at scale where splits >> cores. The
     # exchange is reused by both unit branches (ReuseExchange).
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    # validate here (not only inside subword_ngrams): the kernel path
+    # never builds the Catalyst expansion, and a bad spec must raise in
+    # Python, not as an executor-side IllegalArgumentException
+    if not 1 <= minn <= maxn:
+        raise ValueError(f"need 1 <= minn <= maxn, got {minn}..{maxn}")
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+
     toks = spread(_doc_tokens(df, text_col, id_col))
+    if ensure_kernel(df.sparkSession):
+        # compiled expansion: subword_ngrams + fnv1a32 are higher-order
+        # Catalyst expressions (CodegenFallback — interpreted per
+        # n-gram), and their fold dominated the q172 wall; the JVM
+        # kernel emits the same bucket stream (order, duplicates,
+        # codepoint fold — differential-pinned by test) in one
+        # compiled pass per token
+        buckets = F.explode(
+            F.call_udf(
+                "sb_subword", F.col("token"), F.lit(f"{minn};{maxn};{n_buckets}")
+            )
+        ).alias("bucket")
+    else:
+        buckets = F.explode(
+            F.transform(
+                subword_ngrams(F.col("token"), minn, maxn),
+                lambda g: (fnv1a32(g) % n_buckets).cast("int"),
+            )
+        ).alias("bucket")
     units = toks.select(
         "doc_id", F.concat(F.lit("w:"), F.col("token")).alias("unit")
     ).unionByName(
-        toks.select(
+        toks.select("doc_id", buckets).select(
             "doc_id",
-            F.explode(subword_ngrams(F.col("token"), minn, maxn)).alias("ngram"),
-        ).select(
-            "doc_id",
-            F.concat(
-                F.lit("b:"), (fnv1a32(F.col("ngram")) % n_buckets).cast("string")
-            ).alias("unit"),
+            F.concat(F.lit("b:"), F.col("bucket").cast("string")).alias("unit"),
         )
     )
     wt = word_weights.select(

@@ -338,3 +338,69 @@ def test_persisted_weights_round_trip(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 2
+
+
+def test_subword_kernel_matches_catalyst(spark):
+    """The compiled JVM subword kernel (sb_subword) must emit the
+    exact bucket stream of the Catalyst chain (subword_ngrams ->
+    fnv1a32 % n_buckets): same order (n ascending, position
+    ascending), duplicates kept, codepoint fold (CJK + non-BMP
+    emoji pinned), null -> null."""
+    from swiftbeaver_spark.jvm import ensure_kernel
+    from swiftbeaver_spark.llm.weights import fnv1a32, subword_ngrams
+
+    if not ensure_kernel(spark):
+        pytest.skip("JVM kernel unavailable")
+    tokens = [
+        "hello", "a", "ab", "abc", "abcd", "übermäßig", "東京都庁",
+        "x" * 50, "naïve", "<weird>", "", "🙂emoji🙂",
+    ]
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    for minn, maxn, nb in [(3, 4, 256), (1, 1, 7), (2, 5, 1000003)]:
+        rows = df.select(
+            "token",
+            F.call_udf(
+                "sb_subword", F.col("token"), F.lit(f"{minn};{maxn};{nb}")
+            ).alias("jvm"),
+            F.transform(
+                subword_ngrams(F.col("token"), minn, maxn),
+                lambda g: (fnv1a32(g) % nb).cast("int"),
+            ).alias("cat"),
+        ).collect()
+        for r in rows:
+            assert list(r.jvm) == list(r.cat), (minn, maxn, nb, r.token)
+    null_row = (
+        spark.createDataFrame([(None,)], "token string")
+        .select(F.call_udf("sb_subword", F.col("token"), F.lit("3;4;256")).alias("j"))
+        .collect()[0]
+    )
+    assert null_row.j is None
+
+
+def test_classify_subword_fallback_matches_kernel(spark, monkeypatch):
+    """classify_documents_subword must return identical rows on the
+    kernel and pure-Catalyst paths (the fallback for JRE-only hosts)."""
+    import swiftbeaver_spark.llm.weights as W
+    from swiftbeaver_spark.llm.weights import classify_documents_subword
+
+    word_w = spark.createDataFrame(
+        [("hello", "en", 4_000_000), ("hello", "de", -1_000_000)],
+        "token string, label string, weight_micro long",
+    )
+    bucket_w = spark.createDataFrame(
+        [(b, lab, (b + 1) * m) for b in range(7) for lab, m in (("en", 250_000), ("de", 400_000))],
+        "bucket long, label string, weight_micro long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "zzzz"), (3, None), (4, "東京 🙂")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, classify_documents_subword(docs, word_w, bucket_w, n_buckets=7).collect())
+    )
+    monkeypatch.setattr(W, "ensure_kernel", lambda _s: False, raising=False)
+    monkeypatch.setattr("swiftbeaver_spark.jvm.ensure_kernel", lambda _s: False)
+    got = sorted(
+        map(tuple, classify_documents_subword(docs, word_w, bucket_w, n_buckets=7).collect())
+    )
+    assert got == want
