@@ -1109,8 +1109,9 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
 
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    # shared builder: compiled sb_dot when the JVM kernel is registered
+    # (bit-exact twin of the zip_with/aggregate fold), Catalyst fallback
+    from swiftbeaver_spark.llm.similarity import dot
 
     # Self-norms are precomputed per ROW before the cross join instead
     # of per (vector x query) PAIR inside it: higher-order array

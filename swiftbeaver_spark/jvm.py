@@ -29,9 +29,14 @@ _JAVA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 _JAR_NAME = "sb-kernel.jar"
 _SOURCES = (
     "Ac.java",
+    "AdcUdf.java",
+    "CentTable.java",
+    "DotUdf.java",
+    "DotsUdf.java",
     "EwfImage.java",
     "JaccardUdf.java",
     "MinHashUdf.java",
+    "SqDistsUdf.java",
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
     "SimHashUdf.java",
@@ -117,6 +122,14 @@ def ensure_kernel(spark: SparkSession) -> bool:
             spark.udf.registerJavaFunction(
                 "sb_subword", "sbspark.SubwordUdf", "array<int>"
             )
+            spark.udf.registerJavaFunction("sb_dot", "sbspark.DotUdf", "double")
+            spark.udf.registerJavaFunction(
+                "sb_dots", "sbspark.DotsUdf", "array<double>"
+            )
+            spark.udf.registerJavaFunction(
+                "sb_sqdists", "sbspark.SqDistsUdf", "array<double>"
+            )
+            spark.udf.registerJavaFunction("sb_adc", "sbspark.AdcUdf", "double")
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
                 "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"

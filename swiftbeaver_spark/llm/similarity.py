@@ -20,14 +20,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _kernel_active() -> bool:
+    """True when the session's JVM kernel jar is registered — resolved
+    at PLAN-BUILD time on the driver (these are Column builders). The
+    compiled folds are bit-exact twins of the Catalyst chains (same
+    IEEE order, same null algebra — differential-pinned by test), so
+    the gate can never change a result, only which engine folds.
+    SPARK_GRAFT_NO_VEC_KERNEL=1 forces the Catalyst path (A/B
+    measurement + fallback testing)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from swiftbeaver_spark.jvm import ensure_kernel
+
+    if os.environ.get("SPARK_GRAFT_NO_VEC_KERNEL", "0") == "1":
+        return False
+    s = SparkSession.getActiveSession()
+    return s is not None and ensure_kernel(s)
+
+
 def dot(a: Column, b: Column) -> Column:
+    if _kernel_active():
+        return F.call_udf("sb_dot", a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    # dot(a, a) multiplies and folds in the same index order as the
+    # transform(x*x) form — identical IEEE bits, one builder
+    return F.sqrt(dot(a, a))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -133,10 +157,26 @@ def hyperplane_bucket(
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    """array<array<double>> literal of the coarse-quantizer centroids."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    """array<array<double>> literal of the coarse-quantizer centroids —
+    parsed from ONE SQL string instead of nested F.array(F.lit(...))
+    chains: a 16x64 table is ~2000 py4j round-trips (~3 s of pure
+    DataFrame-build wall per call, measured on q88/q120), vs one
+    JVM-side parse of a CAST('<repr>' AS DOUBLE) forest that constant-
+    folds to the identical literal (repr round-trips doubles exactly;
+    so does Spark's string->double cast)."""
+    rows = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+        for c in centroids
     )
+    return F.expr(f"array({rows})")
+
+
+def _centroid_spec(centroids: list[list[float]]) -> str:
+    """Kernel spec string for sb_sqdists/sb_dots: ';'-joined rows of
+    ','-joined repr(double) components — ONE string literal in the
+    plan, parsed once per executor (ConcurrentHashMap in CentTable)
+    instead of a per-row array<array<double>> -> Seq conversion."""
+    return ";".join(",".join(repr(float(x)) for x in c) for c in centroids)
 
 
 def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
@@ -144,6 +184,8 @@ def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
     array<double>. Index-ordered zip_with/aggregate folds — deterministic
     IEEE results; compact HOF plan (an unrolled 16x64 fold overflows
     Janino's 64 KB codegen method limit)."""
+    if _kernel_active():
+        return F.call_udf("sb_sqdists", vec, F.lit(_centroid_spec(centroids)))
     return F.transform(
         _centroid_lit(centroids),
         lambda c: F.aggregate(
@@ -238,7 +280,13 @@ def md5_centroids(nlist: int, dim: int, tag: str = "ivfcent") -> list[list[float
 def _dots(vec: Column, centroids: list[list[float]], round_dp: int) -> Column:
     """round(dot(vec, centroid), dp) for every centroid, as one array.
     The zip_with/aggregate fold is the q23-proven construct that agrees
-    with DuckDB's list_dot_product at >= 6 dp."""
+    with DuckDB's list_dot_product at >= 6 dp. Kernel path: sb_dots
+    folds compiled, rounding stays in Catalyst (k ops/row)."""
+    if _kernel_active():
+        return F.transform(
+            F.call_udf("sb_dots", vec, F.lit(_centroid_spec(centroids))),
+            lambda d: F.round(d, round_dp),
+        )
     return F.transform(
         _centroid_lit(centroids),
         lambda c: F.round(
@@ -518,6 +566,8 @@ def _adc_score(code_col: str, codebooks: list[list[list[float]]]) -> Column:
     the asymmetric distance of one code against the query's LUT."""
     m = len(codebooks)
     kk = len(codebooks[0])
+    if _kernel_active():
+        return F.call_udf("sb_adc", F.col("_lut"), F.col(code_col), F.lit(kk))
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),

@@ -354,3 +354,125 @@ def test_simhash_jvm_matches_numpy(spark):
         setattr(spark, jvm_mod._MARKER, saved)
     assert jvm == py and len(jvm) == 153
     assert jvm[900] == 0 and jvm[901] == 0
+
+
+def test_vec_kernels_match_catalyst_folds(spark):
+    """sb_dot / sb_sqdists / sb_dots / sb_adc must be bit-exact twins
+    of the Catalyst zip_with/aggregate folds they replace (same IEEE
+    order, same null algebra: null array / null element / dim mismatch
+    -> null (per entry for the table kernels), empty arrays -> the 0.0
+    init)."""
+    from swiftbeaver_spark.llm.similarity import _centroid_lit, _centroid_spec
+
+    assert ensure_kernel(spark)
+    rows = [
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        ([0.1] * 64, [0.3] * 64),
+        ([], []),
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),  # dim mismatch -> null
+        (None, [1.0]),
+        ([1.0, None, 3.0], [1.0, 2.0, 3.0]),  # null element -> null
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    cat_dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    for r in df.select(F.call_udf("sb_dot", "a", "b").alias("j"), cat_dot.alias("c")).collect():
+        assert r.j == r.c or (r.j is None and r.c is None)
+
+    cents = [
+        [1.0, 0.0, 2.5],
+        [0.5, 0.5, 0.5],
+        [-1.0, 2.0, 1e-17],
+        [0.1, -0.30000000000000004, 123456789.123456],
+    ]
+    cl = _centroid_lit(cents)
+    spec = F.lit(_centroid_spec(cents))
+    cat_sq = F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with("a", c, lambda v, cc: (v - cc) * (v - cc)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    cat_dots = F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with("a", c, lambda v, cc: v * cc), F.lit(0.0), lambda s, x: s + x
+        ),
+    )
+    vdf = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([0.1, 0.2, 0.30000000000000004],), (None,),
+         ([1.0, None, 2.0],), ([1.0, 2.0],)],
+        "a array<double>",
+    )
+    out = vdf.select(
+        F.call_udf("sb_sqdists", "a", spec).alias("js"), cat_sq.alias("cs"),
+        F.call_udf("sb_dots", "a", spec).alias("jd"), cat_dots.alias("cd"),
+    ).collect()
+    for r in out:
+        assert list(r.js or []) == list(r.cs or [])
+        assert list(r.jd or []) == list(r.cd or [])
+
+    lut = [float(i) * 1.25 for i in range(8)]
+    cdf = spark.createDataFrame(
+        [([0, 3],), ([1, 2],), ([3, 3],), (None,), ([None, 1],)], "code array<int>"
+    ).withColumn("_lut", F.array(*[F.lit(x) for x in lut]))
+    cat_adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(1)),
+        F.lit(0.0),
+        lambda s, j: s
+        + F.element_at(
+            F.col("_lut"), (j * 4 + F.element_at(F.col("code"), j + 1) + 1).cast("int")
+        ),
+    )
+    for r in cdf.select(
+        F.call_udf("sb_adc", "_lut", "code", F.lit(4)).alias("j"), cat_adc.alias("c")
+    ).collect():
+        assert r.j == r.c or (r.j is None and r.c is None)
+
+
+def test_ann_results_identical_kernel_on_off(spark, monkeypatch):
+    """End-to-end: IVF cell assignment + PQ encode + brute-force top-k
+    return IDENTICAL rows with the vec kernels on and off (the
+    SPARK_GRAFT_NO_VEC_KERNEL escape hatch is also the JRE-only path)."""
+    import random
+
+    from swiftbeaver_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_cell,
+        md5_centroids,
+        pq_encode,
+    )
+
+    assert ensure_kernel(spark)
+    rng = random.Random(23)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = md5_centroids(8, 16, tag="kerneltest")
+    books = [md5_centroids(4, 4, tag=f"bk{j}") for j in range(4)]
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def run():
+        cell = {
+            r.vec_id: r.c
+            for r in df.select(
+                "vec_id", ivf_cell(F.col("embedding"), cents, round_dp=6).alias("c")
+            ).collect()
+        }
+        codes = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(df, books, round_dp=6).select("vec_id", "pq_code").collect()
+        }
+        topk = sorted(
+            map(tuple, brute_force_topk(df, queries, k=5).collect())
+        )
+        return cell, codes, topk
+
+    want = run()
+    monkeypatch.setenv("SPARK_GRAFT_NO_VEC_KERNEL", "1")
+    got = run()
+    assert got == want
