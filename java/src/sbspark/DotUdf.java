@@ -15,19 +15,26 @@ import scala.collection.Seq;
  * null array, any null element, or a length mismatch (zip_with pads
  * the shorter side with null) folds to null; two empty arrays fold to
  * the 0.0 init.
+ *
+ * Elements arrive as boxed Number (registerJavaFunction declares no
+ * input types): array&lt;double&gt; boxes Double, an uncast
+ * array&lt;float&gt; boxes Float and is WIDENED per element — slightly
+ * more precise than the Catalyst fallback's float-precision multiply,
+ * so callers wanting bit-identical kernel-on/off floats should cast to
+ * array&lt;double&gt; first, as every in-repo caller does.
  */
-public class DotUdf implements UDF2<Seq<Double>, Seq<Double>, Double> {
+public class DotUdf implements UDF2<Seq<Number>, Seq<Number>, Double> {
   @Override
-  public Double call(Seq<Double> a, Seq<Double> b) {
+  public Double call(Seq<Number> a, Seq<Number> b) {
     if (a == null || b == null || a.length() != b.length()) return null;
     double acc = 0.0;
-    Iterator<Double> ia = a.iterator();
-    Iterator<Double> ib = b.iterator();
+    Iterator<Number> ia = a.iterator();
+    Iterator<Number> ib = b.iterator();
     while (ia.hasNext()) {
-      Double x = ia.next();
-      Double y = ib.next();
+      Number x = ia.next();
+      Number y = ib.next();
       if (x == null || y == null) return null;
-      acc = acc + x * y;
+      acc = acc + x.doubleValue() * y.doubleValue();
     }
     return acc;
   }

@@ -13,9 +13,9 @@ import scala.collection.Seq;
  * (F.round's BigDecimal HALF_UP over the k results — k ops per row,
  * not k x dim). DotUdf's exact IEEE order and per-entry null algebra.
  */
-public class DotsUdf implements UDF2<Seq<Double>, String, List<Double>> {
+public class DotsUdf implements UDF2<Seq<Number>, String, List<Double>> {
   @Override
-  public List<Double> call(Seq<Double> vec, String spec) {
+  public List<Double> call(Seq<Number> vec, String spec) {
     if (spec == null) return null;
     double[][] cents = CentTable.get(spec);
     List<Double> out = new ArrayList<>(cents.length);

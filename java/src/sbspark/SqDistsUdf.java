@@ -16,11 +16,12 @@ import scala.collection.Seq;
  * dsub dims. Identical IEEE order ((v-c)*(v-c) per index, accumulate
  * left-to-right) and null algebra per ENTRY: null vec, null element,
  * or a dim mismatch with that centroid yields a null entry (the
- * transform element), never a null array.
+ * transform element), never a null array. Elements widen from boxed
+ * Number (see DotUdf on the array&lt;float&gt; caveat).
  */
-public class SqDistsUdf implements UDF2<Seq<Double>, String, List<Double>> {
+public class SqDistsUdf implements UDF2<Seq<Number>, String, List<Double>> {
   @Override
-  public List<Double> call(Seq<Double> vec, String spec) {
+  public List<Double> call(Seq<Number> vec, String spec) {
     if (spec == null) return null;
     double[][] cents = CentTable.get(spec);
     List<Double> out = new ArrayList<>(cents.length);
@@ -31,12 +32,15 @@ public class SqDistsUdf implements UDF2<Seq<Double>, String, List<Double>> {
     return out;
   }
 
-  /** One pass Seq -> Double[] (null-preserving); null vec -> null. */
-  static Double[] unbox(Seq<Double> vec) {
+  /** One pass Seq -> Double[] (null-preserving, Number-widening); null vec -> null. */
+  static Double[] unbox(Seq<Number> vec) {
     if (vec == null) return null;
     Double[] v = new Double[vec.length()];
-    Iterator<Double> it = vec.iterator();
-    for (int i = 0; it.hasNext(); i++) v[i] = it.next();
+    Iterator<Number> it = vec.iterator();
+    for (int i = 0; it.hasNext(); i++) {
+      Number x = it.next();
+      v[i] = x == null ? null : x.doubleValue();
+    }
     return v;
   }
 

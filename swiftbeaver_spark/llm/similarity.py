@@ -21,23 +21,18 @@ from pyspark.sql import functions as F
 
 
 def _kernel_active() -> bool:
-    """True when the session's JVM kernel jar is registered — resolved
-    at PLAN-BUILD time on the driver (these are Column builders). The
+    """True when the active session's JVM kernel jar is registered —
+    resolved at PLAN-BUILD time on the driver (these are Column
+    builders, so the owning session isn't reachable; see
+    jvm.vec_kernel_active for the multi-session contract). The
     compiled folds are bit-exact twins of the Catalyst chains (same
     IEEE order, same null algebra — differential-pinned by test), so
     the gate can never change a result, only which engine folds.
     SPARK_GRAFT_NO_VEC_KERNEL=1 forces the Catalyst path (A/B
     measurement + fallback testing)."""
-    import os
+    from swiftbeaver_spark.jvm import vec_kernel_active
 
-    from pyspark.sql import SparkSession
-
-    from swiftbeaver_spark.jvm import ensure_kernel
-
-    if os.environ.get("SPARK_GRAFT_NO_VEC_KERNEL", "0") == "1":
-        return False
-    s = SparkSession.getActiveSession()
-    return s is not None and ensure_kernel(s)
+    return vec_kernel_active()
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -165,10 +160,20 @@ def _centroid_lit(centroids: list[list[float]]) -> Column:
     folds to the identical literal (repr round-trips doubles exactly;
     so does Spark's string->double cast)."""
     rows = ",".join(
-        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+        "array(" + ",".join(f"CAST('{_dbl_repr(x)}' AS DOUBLE)" for x in c) + ")"
         for c in centroids
     )
     return F.expr(f"array({rows})")
+
+
+def _dbl_repr(x: float) -> str:
+    """repr(float) with Python's inf/nan spellings translated to the
+    Infinity/NaN both Spark's string->double cast and Java's
+    Double.parseDouble accept (repr gives 'inf'/'nan', which
+    parseDouble rejects — non-finite centroids would otherwise crash
+    the kernel path while the old F.lit path handled them)."""
+    r = repr(float(x))
+    return {"inf": "Infinity", "-inf": "-Infinity", "nan": "NaN"}.get(r, r)
 
 
 def _centroid_spec(centroids: list[list[float]]) -> str:
@@ -176,7 +181,7 @@ def _centroid_spec(centroids: list[list[float]]) -> str:
     ','-joined repr(double) components — ONE string literal in the
     plan, parsed once per executor (ConcurrentHashMap in CentTable)
     instead of a per-row array<array<double>> -> Seq conversion."""
-    return ";".join(",".join(repr(float(x)) for x in c) for c in centroids)
+    return ";".join(",".join(_dbl_repr(x) for x in c) for c in centroids)
 
 
 def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:

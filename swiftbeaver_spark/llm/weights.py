@@ -421,18 +421,20 @@ def classify_documents_subword(
     # (measured: the whole sf0.1 pipeline ran on one task, ~20 s, vs
     # ~2 s spread); a no-op at scale where splits >> cores. The
     # exchange is reused by both unit branches (ReuseExchange).
-    from swiftbeaver_spark.jvm import ensure_kernel
+    from swiftbeaver_spark.jvm import vec_kernel_active
 
     # validate here (not only inside subword_ngrams): the kernel path
     # never builds the Catalyst expansion, and a bad spec must raise in
-    # Python, not as an executor-side IllegalArgumentException
+    # Python, not as an executor-side exception. The upper bound is the
+    # kernel's int parse AND the fallback's .cast("int") wrap point —
+    # fastText production tables are ~2M buckets, nowhere near it
     if not 1 <= minn <= maxn:
         raise ValueError(f"need 1 <= minn <= maxn, got {minn}..{maxn}")
-    if n_buckets < 1:
-        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    if not 1 <= n_buckets <= 2**31 - 1:
+        raise ValueError(f"need 1 <= n_buckets <= 2^31-1, got {n_buckets}")
 
     toks = spread(_doc_tokens(df, text_col, id_col))
-    if ensure_kernel(df.sparkSession):
+    if vec_kernel_active(df.sparkSession):
         # compiled expansion: subword_ngrams + fnv1a32 are higher-order
         # Catalyst expressions (CodegenFallback — interpreted per
         # n-gram), and their fold dominated the q172 wall; the JVM

@@ -70,19 +70,32 @@ COUNTED = (
     "BroadcastHashJoin",
     "SortMergeJoin",
     "ShuffledHashJoin",
-    "Exchange",
+    # negative lookbehind: a bare 'Exchange' count would also match
+    # every BroadcastExchange/ReusedExchange node, inflating the
+    # shuffle inventory with broadcast traffic (review finding)
+    r"(?<![A-Za-z])Exchange",
     "ArrowEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
     "MapInArrow",
 )
+_KEY_NAMES = {r"(?<![A-Za-z])Exchange": "Exchange"}
 
 
 def main() -> None:
+    # the output path is recognized by its .json suffix, not by "does
+    # not start with q" (a q-prefixed path would silently become a
+    # query filter and clobber the default output — review finding)
     args = sys.argv[1:]
-    out_path = args[0] if args and not args[0].startswith("q") else "PLAN_AUDIT_r8.json"
-    only = tuple(a for a in args if a.startswith("q"))
+    out_path = "PLAN_AUDIT_r8.json"
+    only_list = []
+    for a in args:
+        if a.endswith(".json"):
+            out_path = a
+        else:
+            only_list.append(a)
+    only = tuple(only_list)
 
     spark = get_spark(app_name="swiftbeaver-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,7 +118,9 @@ def main() -> None:
             per_query[name] = {"error": str(exc)[:200]}
             flagged[name] = per_query[name]
             continue
-        row = {s: len(re.findall(s, txt)) for s in COUNTED + FORBIDDEN}
+        row = {
+            _KEY_NAMES.get(s, s): len(re.findall(s, txt)) for s in COUNTED + FORBIDDEN
+        }
         per_query[name] = row
         bad = {k: v for k, v in row.items() if k in FORBIDDEN and v}
         allowed, why = ADJUDICATED_BNLJ.get(name, (0, None))
@@ -133,7 +148,9 @@ def main() -> None:
             if n in per_query and per_query[n].get("BroadcastNestedLoopJoin", 0)
         },
         "totals": {
-            s: sum(r.get(s, 0) for r in per_query.values())
+            _KEY_NAMES.get(s, s): sum(
+                r.get(_KEY_NAMES.get(s, s), 0) for r in per_query.values()
+            )
             for s in COUNTED + FORBIDDEN
         },
         "per_query": per_query,
