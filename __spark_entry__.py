@@ -11364,11 +11364,13 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is replayed in the oracle: the .vec-line build + reparse
     for word, label AND bucket vectors (the q171 machinery, extended
-    with 256 '__bucket__<i>' rows), the Catalyst n-gram expansion
-    (subword_ngrams — '<word>' wrapping, n in [3, 4], duplicates kept),
-    the FNV-1a-over-codepoints fold (fnv1a32 == DuckDB's list_reduce of
-    ord()s — pinned vs an independent Python reference in
-    tests/test_weights.py), the per-(doc, label) integer micro sums,
+    with 256 '__bucket__<i>' rows), the n-gram expansion ('<word>'
+    wrapping, n in [3, 4], duplicates kept — the compiled sb_subword
+    kernel by default, round 8; the Catalyst subword_ngrams chain as
+    the differential-pinned fallback), the FNV-1a-over-codepoints fold
+    (fnv1a32 == DuckDB's list_reduce of ord()s — pinned vs an
+    independent Python reference in tests/test_weights.py), the
+    per-(doc, label) integer micro sums,
     the matched-unit mean (truncating div, both engines), and the
     min_by argmax with the 'und' fallback.
 
