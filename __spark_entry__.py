@@ -10019,9 +10019,12 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedily select 5 maximizing
       lambda*rel(q,d) - (1-lambda)*max_sim(d, already-selected),
     with ALL similarity in integer micro-units and the greedy argmax
-    tie-broken by vec_id — the selection loop is FIVE unrolled
-    dataframe steps (the q80/q137 fixed-iteration convention), and
-    the oracle unrolls the identical five steps in SQL. The top-10
+    tie-broken by vec_id — the selection loop runs DRIVER-SIDE over
+    the collected integer candidate/sim tables (bounded: <= k and
+    <= k(k-1) rows per query, corpus-independent; round 8 — the prior
+    five unrolled dataframe steps built a ~7k-node plan costing ~5 s
+    of pure driver wall at every scale), while the oracle unrolls the
+    identical five steps in SQL. The top-10
     shortlist comes from the gated IVF index (similarity.py::
     ivf_candidates — cell assignment map-only, candidates via a
     BroadcastHashJoin on the probed cell, ~|corpus|*nprobe/nlist
@@ -10078,64 +10081,48 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("sim_micro"),
         )
     )
-    sim.persist()
-    cached = [cand, sim]
+    cached = [cand]
     lam, inv = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
-    pool = cand.select("query_id", "vec_id", "rel_micro")
-    selected = None  # (query_id, vec_id, pick_order)
-    for step in range(1, MMR_SELECT + 1):
-        if selected is None:
-            score = pool.select(
-                "query_id", "vec_id", (F.lit(lam) * F.col("rel_micro")).alias("score")
-            )
-        else:
-            maxsim = (
-                sim.join(
-                    selected.select("query_id", F.col("vec_id").alias("b")),
-                    ["query_id", "b"],
-                )
-                .groupBy("query_id", "a")
-                .agg(F.max("sim_micro").alias("ms"))
-                .select(
-                    F.col("query_id").alias("mq"),
-                    F.col("a").alias("ma"),
-                    "ms",
-                )
-            )
-            score = (
-                pool.join(
-                    selected.select("query_id", "vec_id", F.lit(True).alias("_s")),
-                    ["query_id", "vec_id"],
-                    "left",
-                )
-                .where(F.col("_s").isNull())
-                .join(
-                    maxsim,
-                    (F.col("query_id") == F.col("mq"))
-                    & (F.col("vec_id") == F.col("ma")),
-                    "left",
-                )
-                .select(
-                    "query_id",
-                    "vec_id",
-                    (
-                        F.lit(lam) * F.col("rel_micro")
-                        - F.lit(inv) * F.coalesce(F.col("ms"), F.lit(0))
-                    ).alias("score"),
-                )
-            )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
-        pick = (
-            score.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("query_id", "vec_id", F.lit(step).alias("pick_order"))
-        )
-        selected = pick if selected is None else selected.unionByName(pick)
-        selected.persist()
-        cached.append(selected)
+    # The greedy loop runs DRIVER-SIDE over the collected integer
+    # tables (round-8 rework). All distributed work — IVF candidate
+    # pruning, cosine scoring, the k x k pairwise sims — already
+    # happened above, and rel_micro/sim_micro are exact bigints, so the
+    # selection is pure integer arithmetic: collecting the <= k and
+    # <= k(k-1) rows per query is a BOUNDED sync point (independent of
+    # corpus size), replacing MMR_SELECT unrolled join/window steps
+    # whose plan grew to ~7k operator nodes — ~5 s of per-invocation
+    # driver wall at EVERY scale (the measured sf0.1->sf1 ratio was
+    # 1.02: pure plan cost, not data). Same argmax, same (score desc,
+    # vec_id asc) tie-break, same max-over-selected coalesce-to-0.
+    rel_by_q: dict = {}
+    for r in cand.select("query_id", "vec_id", "rel_micro").collect():
+        rel_by_q.setdefault(r.query_id, {})[r.vec_id] = r.rel_micro
+    sim_by_q: dict = {}
+    for r in sim.collect():
+        sim_by_q.setdefault(r.query_id, {})[(r.a, r.b)] = r.sim_micro
+    out_rows = []
+    for q in sorted(rel_by_q):
+        rel_q, sim_q = rel_by_q[q], sim_by_q.get(q, {})
+        sel: list = []
+        for step in range(1, MMR_SELECT + 1):
+            best = None
+            for v in rel_q:
+                if v in sel:
+                    continue
+                ms = max((sim_q[(v, s)] for s in sel if (v, s) in sim_q), default=0)
+                score = lam * rel_q[v] if not sel else lam * rel_q[v] - inv * ms
+                key = (-score, v)
+                if best is None or key < best[0]:
+                    best = (key, v)
+            if best is None:
+                break
+            out_rows.append((q, step, best[1], rel_q[best[1]]))
+            sel.append(best[1])
     out = (
-        selected.join(pool, ["query_id", "vec_id"])
-        .select("query_id", F.col("pick_order").cast("int").alias("pick_order"), "vec_id", "rel_micro")
+        spark.createDataFrame(
+            out_rows,
+            "query_id bigint, pick_order int, vec_id bigint, rel_micro bigint",
+        )
         .orderBy("query_id", "pick_order")
     )
     # Pin the tiny (queries x MMR_SELECT rows) result and release every
