@@ -550,9 +550,12 @@ def pagerank(
     Scale per iteration: one shuffle joining ranks to edges on src and
     one partial-agg shuffle on dst — both on narrow key columns; the
     rank table is one row per node. Out-degree normalization is
-    precomputed once. `iterations` is deliberately a small constant:
-    each round deepens the plan, so checkpoint/persist between rounds
-    if you raise it past ~10.
+    precomputed once. Every round localCheckpoints the rank table —
+    without the lineage cut each round's plan contains every prior
+    round's subtree and per-round Catalyst cost GROWS (the q36
+    connected-components loop measured 0.7 -> 3.7 s/round from
+    exactly this; see llm/cluster.py), so `iterations` can now be
+    raised freely.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -563,11 +566,14 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = e.join(outw, "src").withColumn("frac", F.col("w") / F.col("outw"))
+    e = e.join(outw, "src").withColumn(
+        "frac", F.col("w") / F.col("outw")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # one scalar; the driver holds a single long
     base = (1.0 - damping) / n_nodes
@@ -587,6 +593,7 @@ def pagerank(
                     "pr"
                 ),
             )
+            .localCheckpoint()
         )
     return ranks
 
@@ -728,40 +735,42 @@ def bfs_distances(
     minimum distance, so no re-relaxation round is needed.
 
     Scale: each round shuffles only the FRONTIER joined to its
-    out-edges (not the whole graph); settled/frontier persist between
-    rounds, and the loop exits early on an empty frontier (one bounded
-    driver-side emptiness check per level, <= max_dist actions).
-    Deterministic — set semantics, no ordering dependence."""
-    dist = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "dist", F.lit(0)
+    out-edges (not the whole graph); every level localCheckpoints the
+    frontier and the settled set — the earlier persist + isEmpty()
+    version left each level's cache PARTIALLY populated (isEmpty is a
+    limit-1 scan) and kept the full lineage, so later levels recomputed
+    through every prior level's plan (the q36 connected-components
+    pathology, llm/cluster.py; measured there 0.7 -> 3.7 s/round).
+    The loop exits early on an empty frontier (one bounded driver-side
+    emptiness check per level, <= max_dist actions); checkpoint
+    snapshots are freed by the ContextCleaner as levels go
+    unreferenced. Deterministic — set semantics, no ordering
+    dependence."""
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
     )
-    dist.persist()
-    cached = [dist]
     frontier = dist
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
     for level in range(1, max_dist + 1):
         reached = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select(F.col("_d").alias("node"))
             .distinct()
         )
-        new = reached.join(dist, "node", "left_anti").withColumn(
-            "dist", F.lit(level)
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint()
         )
-        new.persist()
-        cached.append(new)
         if new.isEmpty():
             break
-        dist = dist.unionByName(new)
-        dist.persist()
-        cached.append(dist)
+        dist = dist.unionByName(new).localCheckpoint()
         frontier = new
-    # Pin the final node->dist table (node-table sized, << edges) and
-    # release every per-level cache — otherwise up to 2*max_dist cached
-    # frames accumulate for the life of the session. persist+count,
-    # not localCheckpoint (the RDD path bypasses AQE/codegen).
-    out = dist.select("node", F.col("dist").cast("int").alias("dist")).persist()
-    out.count()
-    for c in cached:
-        c.unpersist()
-    return out
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
