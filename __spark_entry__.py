@@ -10094,11 +10094,28 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver wall at EVERY scale (the measured sf0.1->sf1 ratio was
     # 1.02: pure plan cost, not data). Same argmax, same (score desc,
     # vec_id asc) tie-break, same max-over-selected coalesce-to-0.
+    # NULL micro scores cannot happen for rows that survived the rank
+    # window (rel_micro NULL would sort last and a NULL embedding can't
+    # produce a cosine), but a silent None here would crash the greedy
+    # with a bare TypeError (lam * None) far from the cause — fail
+    # loudly with the offending ids instead.
     rel_by_q: dict = {}
     for r in cand.select("query_id", "vec_id", "rel_micro").collect():
+        if r.rel_micro is None:
+            raise ValueError(
+                f"q160: NULL rel_micro for query_id={r.query_id} "
+                f"vec_id={r.vec_id} — a null/zero embedding survived "
+                "into the MMR candidate set"
+            )
         rel_by_q.setdefault(r.query_id, {})[r.vec_id] = r.rel_micro
     sim_by_q: dict = {}
     for r in sim.collect():
+        if r.sim_micro is None:
+            raise ValueError(
+                f"q160: NULL sim_micro for query_id={r.query_id} "
+                f"pair=({r.a}, {r.b}) — a null/zero embedding survived "
+                "into the MMR candidate set"
+            )
         sim_by_q.setdefault(r.query_id, {})[(r.a, r.b)] = r.sim_micro
     out_rows = []
     for q in sorted(rel_by_q):
@@ -10118,10 +10135,15 @@ def q160_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             out_rows.append((q, step, best[1], rel_q[best[1]]))
             sel.append(best[1])
+    # Output id/score types INHERIT from the candidate frame's schema
+    # (not hard-coded bigint) so a source-type change can't silently
+    # drift the result schema away from the oracle's.
+    ctypes = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
     out = (
         spark.createDataFrame(
             out_rows,
-            "query_id bigint, pick_order int, vec_id bigint, rel_micro bigint",
+            f"query_id {ctypes['query_id']}, pick_order int, "
+            f"vec_id {ctypes['vec_id']}, rel_micro {ctypes['rel_micro']}",
         )
         .orderBy("query_id", "pick_order")
     )

@@ -19,9 +19,15 @@ import org.apache.spark.sql.api.java.UDF2;
  * than n contribute nothing for that n, null token -> null.
  */
 public class SubwordUdf implements UDF2<String, String, List<Integer>> {
+  // Executor-lifetime cache; bounded like CentTable.CACHE so a caller
+  // sweeping n_buckets/minn/maxn can't accumulate entries forever.
+  // Entries are 3 ints, so a small bound suffices; on overflow the
+  // whole map clears and any live query re-seeds its own spec.
+  static final int MAX_ENTRIES = 256;
   private static final ConcurrentHashMap<String, int[]> SPECS = new ConcurrentHashMap<>();
 
   private static int[] parse(String spec) {
+    if (SPECS.size() >= MAX_ENTRIES) SPECS.clear();
     return SPECS.computeIfAbsent(
         spec,
         s -> {

@@ -148,9 +148,12 @@ def vec_kernel_active(spark: SparkSession | None = None) -> bool:
     """Shared gate for the compiled vector/subword kernels (sb_dot,
     sb_dots, sb_sqdists, sb_adc, sb_subword): True when the kernel jar
     is registered in `spark` (or, for session-less Column builders, the
-    ACTIVE session) and SPARK_GRAFT_NO_VEC_KERNEL is not set. The env
-    var forces the pinned bit-exact Catalyst fallback — the A/B-
-    measurement and incident escape hatch for the WHOLE kernel family.
+    ACTIVE session) and SPARK_GRAFT_NO_VEC_KERNEL is not set. Any
+    non-empty value other than "0" counts as set (=1/true/yes all
+    disable) — an incident escape hatch must not silently no-op on a
+    plausible spelling. The env var forces the pinned bit-exact
+    Catalyst fallback — the A/B-measurement and incident escape hatch
+    for the WHOLE kernel family.
 
     The gate resolves at plan-build time on the driver. Registration is
     session-scoped: callers holding a DataFrame should pass its
@@ -158,7 +161,7 @@ def vec_kernel_active(spark: SparkSession | None = None) -> bool:
     session, so multi-session users must ensure_kernel() their own
     session (a mismatch fails loudly at analysis — 'undefined function
     sb_*' — never silently with different results)."""
-    if os.environ.get("SPARK_GRAFT_NO_VEC_KERNEL", "0") == "1":
+    if os.environ.get("SPARK_GRAFT_NO_VEC_KERNEL") not in (None, "", "0"):
         return False
     if spark is None:
         spark = SparkSession.getActiveSession()

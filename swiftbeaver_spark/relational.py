@@ -37,6 +37,7 @@ import functools
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from swiftbeaver_spark.parsers.timeconv import (
     ntz_from_unix_micros,
@@ -556,6 +557,15 @@ def pagerank(
     connected-components loop measured 0.7 -> 3.7 s/round from
     exactly this; see llm/cluster.py), so `iterations` can now be
     raised freely.
+
+    The EDGE table, by contrast, is the largest input at target scale
+    and is only persist()-ed (MEMORY_AND_DISK), never
+    localCheckpoint-ed: localCheckpoint blocks are non-recomputable,
+    so an executor loss (or dynamic-allocation decommission) during
+    the iteration would fail the whole job, where a persisted frame
+    recomputes the lost partitions from lineage. Its subtree is
+    static — it does not participate in the per-round plan growth the
+    rank-table cuts exist for.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -566,14 +576,16 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = e.join(outw, "src").withColumn(
-        "frac", F.col("w") / F.col("outw")
-    ).localCheckpoint()
+    e = (
+        e.join(outw, "src")
+        .withColumn("frac", F.col("w") / F.col("outw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()  # one scalar; the driver holds a single long
     base = (1.0 - damping) / n_nodes
@@ -595,6 +607,9 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    ranks = ranks.localCheckpoint()  # sever lineage before freeing inputs
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -741,6 +756,11 @@ def bfs_distances(
     limit-1 scan) and kept the full lineage, so later levels recomputed
     through every prior level's plan (the q36 connected-components
     pathology, llm/cluster.py; measured there 0.7 -> 3.7 s/round).
+    The EDGE table — the largest input at target scale — is only
+    persist()-ed (recomputable from lineage on executor loss), never
+    localCheckpoint-ed: non-recomputable blocks on the biggest frame
+    would turn any executor decommission into a whole-job failure,
+    and its static subtree plays no part in per-level plan growth.
     The loop exits early on an empty frontier (one bounded driver-side
     emptiness check per level, <= max_dist actions); checkpoint
     snapshots are freed by the ContextCleaner as levels go
@@ -756,7 +776,7 @@ def bfs_distances(
     e = (
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for level in range(1, max_dist + 1):
         reached = (
@@ -773,4 +793,5 @@ def bfs_distances(
             break
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new
+    e.unpersist()  # dist is checkpoint-backed; safe to free the edges
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
