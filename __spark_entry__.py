@@ -11548,76 +11548,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail, still swept at three SFs by tools/drive_contract.py
     # before every commit.
     return {
+
         # --- driver window (first 50) -----------------------------------
-        # Round-8 cut, per VERDICT r7 item 6: (a) the irreplaceable
-        # composites — q02 scan kernel and q30-q33, whose carve engine
-        # was re-architected this round (shuffle-free stream pass +
-        # cogroup fallback); (b) queries touched by round-8 changes:
-        # q01 (chunks_from_file now range-partitions contiguously),
-        # q26/q27 (simhash auto-layout re-pinned to the 5e6-doc
-        # keep-regime sweep; pair sets layout-independent but re-gated),
-        # q172 (classify_documents_subword gained the label-density
-        # runtime guard); and (c) the ENTIRE r4-vintage cohort — all 41
-        # rows last driver-checked in round 4 (q51-q94 families, the
-        # oldest green checks on record) — so after this round no green
-        # row is older than round 5 and staleness stays under ~3
-        # rounds. The RocksDB streaming sweep (q37/q47/q52/q53/q75/
-        # q78/q104/q140/q148/q149 under SPARK_GRAFT_ROCKSDB=1) was
-        # additionally recorded via tools/drive_contract.py this round;
-        # q52/q53/q75/q78 sit in the window anyway as r4-vintage.
+        # Round-9 cut, per VERDICT r8 item 1: (a) the irreplaceable
+        # composites — q02 scan kernel and the q30-q33 carve engine;
+        # (b) every query round 9 touched: q26 (minhash layout is now
+        # corpus-size-derived via _auto_minhash_layout — the auto path
+        # picks the historical 64x16 at every test SF, re-gated here),
+        # q80/q134 (graph-loop edge tables persist instead of
+        # localCheckpoint — ADVICE r8), q160 (NULL-micro guard + schema
+        # inheritance — ADVICE r8), q171/q172 (classify_documents
+        # gained the broadcast_weights production flag), q34/q88/q122
+        # (the IVF family gained the measured auto_nlist default;
+        # their pinned nlist constants are unchanged but the module
+        # carrying them changed); and (c) the ENTIRE 36-query
+        # r5-vintage cohort — the rotation policy's due-date set
+        # (VERDICT r8 item 1) — so after this round no green driver
+        # row is older than round 6 and staleness stays under ~3
+        # rounds. Everything else rotates to the tail, still swept at
+        # three SFs by tools/drive_contract.py before every commit.
         "q02_chunked_scan": q02_chunked_scan,
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
-        "q01_chunk_plan": q01_chunk_plan,
         "q26_minhash_neardup": q26_minhash_neardup,
-        "q27_simhash_neardup": q27_simhash_neardup,
-        "q172_fasttext_subword": q172_fasttext_subword,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
-        "q52_stream_dedup": q52_stream_dedup,
-        "q53_stream_interval_join": q53_stream_interval_join,
-        "q54_histogram_quantiles": q54_histogram_quantiles,
-        "q55_linear_quality": q55_linear_quality,
-        "q56_interval_join_batch": q56_interval_join_batch,
-        "q57_salted_join": q57_salted_join,
-        "q58_incremental_dedup": q58_incremental_dedup,
-        "q60_curation_pipeline": q60_curation_pipeline,
-        "q61_time_rollup": q61_time_rollup,
-        "q62_bm25": q62_bm25,
-        "q63_bloom_membership": q63_bloom_membership,
-        "q64_funnel": q64_funnel,
-        "q65_scd2": q65_scd2,
-        "q66_zorder": q66_zorder,
-        "q67_token_rarity": q67_token_rarity,
-        "q68_stratified_fixed_k": q68_stratified_fixed_k,
-        "q69_skew_profile": q69_skew_profile,
-        "q70_sketch_outliers": q70_sketch_outliers,
-        "q71_edit_distance_neardup": q71_edit_distance_neardup,
-        "q72_inverted_index": q72_inverted_index,
-        "q73_pivot_matrix": q73_pivot_matrix,
-        "q74_rollup_revenue": q74_rollup_revenue,
-        "q75_stream_countmin": q75_stream_countmin,
-        "q76_merge_upsert": q76_merge_upsert,
-        "q77_label_centroids": q77_label_centroids,
-        "q78_stream_static_join": q78_stream_static_join,
-        "q79_grouped_topn": q79_grouped_topn,
         "q80_pagerank": q80_pagerank,
-        "q81_profile": q81_profile,
-        "q82_quality_deciles": q82_quality_deciles,
-        "q83_multiset_ops": q83_multiset_ops,
-        "q84_corpus_mixture": q84_corpus_mixture,
-        "q85_pq_topk": q85_pq_topk,
-        "q86_sq8_quantize": q86_sq8_quantize,
-        "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q134_bfs_distances": q134_bfs_distances,
+        "q160_mmr_rerank": q160_mmr_rerank,
+        "q171_fasttext_classify": q171_fasttext_classify,
+        "q172_fasttext_subword": q172_fasttext_subword,
+        "q34_ivf_topk": q34_ivf_topk,
         "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q89_webdataset": q89_webdataset,
-        "q90_shard_manifest": q90_shard_manifest,
-        "q93_embedding_neardup": q93_embedding_neardup,
-        "q94_doc_fingerprint": q94_doc_fingerprint,
-        # --- tail (driver-proven in r5-r7; ordered oldest-vintage first;
-        #     all still swept tri-SF by tools/drive_contract.py before
-        #     every commit) ------------------------------------------------
+        "q122_semantic_dedup": q122_semantic_dedup,
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         "q95_incremental_minhash": q95_incremental_minhash,
         "q96_star_join": q96_star_join,
@@ -11654,6 +11617,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
+        # --- tail (driver-proven in r6-r8; all still swept tri-SF by
+        #     tools/drive_contract.py before every commit) ---------------
+        "q01_chunk_plan": q01_chunk_plan,
+        "q27_simhash_neardup": q27_simhash_neardup,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q52_stream_dedup": q52_stream_dedup,
+        "q53_stream_interval_join": q53_stream_interval_join,
+        "q54_histogram_quantiles": q54_histogram_quantiles,
+        "q55_linear_quality": q55_linear_quality,
+        "q56_interval_join_batch": q56_interval_join_batch,
+        "q57_salted_join": q57_salted_join,
+        "q58_incremental_dedup": q58_incremental_dedup,
+        "q60_curation_pipeline": q60_curation_pipeline,
+        "q61_time_rollup": q61_time_rollup,
+        "q62_bm25": q62_bm25,
+        "q63_bloom_membership": q63_bloom_membership,
+        "q64_funnel": q64_funnel,
+        "q65_scd2": q65_scd2,
+        "q66_zorder": q66_zorder,
+        "q67_token_rarity": q67_token_rarity,
+        "q68_stratified_fixed_k": q68_stratified_fixed_k,
+        "q69_skew_profile": q69_skew_profile,
+        "q70_sketch_outliers": q70_sketch_outliers,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
+        "q72_inverted_index": q72_inverted_index,
+        "q73_pivot_matrix": q73_pivot_matrix,
+        "q74_rollup_revenue": q74_rollup_revenue,
+        "q75_stream_countmin": q75_stream_countmin,
+        "q76_merge_upsert": q76_merge_upsert,
+        "q77_label_centroids": q77_label_centroids,
+        "q78_stream_static_join": q78_stream_static_join,
+        "q79_grouped_topn": q79_grouped_topn,
+        "q81_profile": q81_profile,
+        "q82_quality_deciles": q82_quality_deciles,
+        "q83_multiset_ops": q83_multiset_ops,
+        "q84_corpus_mixture": q84_corpus_mixture,
+        "q85_pq_topk": q85_pq_topk,
+        "q86_sq8_quantize": q86_sq8_quantize,
+        "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q89_webdataset": q89_webdataset,
+        "q90_shard_manifest": q90_shard_manifest,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
         "q59_bpe_learn": q59_bpe_learn,
         "q92_bpe_tokenize": q92_bpe_tokenize,
         "q97_compaction_plan": q97_compaction_plan,
@@ -11666,13 +11672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_split_assignment": q119_split_assignment,
         "q120_ivfpq_residual": q120_ivfpq_residual,
         "q121_filtered_ann": q121_filtered_ann,
-        "q122_semantic_dedup": q122_semantic_dedup,
         "q128_hilbert": q128_hilbert,
         "q129_kmv_set_ops": q129_kmv_set_ops,
         "q130_temperature_sample": q130_temperature_sample,
         "q132_weighted_median": q132_weighted_median,
         "q133_json_extract": q133_json_extract,
-        "q134_bfs_distances": q134_bfs_distances,
         "q135_format_roundtrip": q135_format_roundtrip,
         "q136_substring_dedup": q136_substring_dedup,
         "q137_kmeans": q137_kmeans,
@@ -11688,7 +11692,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_cluster_best_keep": q152_cluster_best_keep,
         "q157_bitext_mining": q157_bitext_mining,
         "q159_data_card": q159_data_card,
-        "q160_mmr_rerank": q160_mmr_rerank,
         "q162_sft_spans": q162_sft_spans,
         "q163_prefix_cache_plan": q163_prefix_cache_plan,
         "q165_equidepth_histogram": q165_equidepth_histogram,
@@ -11722,7 +11725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_top_orders": q25_top_orders,
         "q28_lsh_topk": q28_lsh_topk,
         "q29_media_meta": q29_media_meta,
-        "q34_ivf_topk": q34_ivf_topk,
         "q35_string_spans": q35_string_spans,
         "q36_dedup_clusters": q36_dedup_clusters,
         "q37_stream_sessionize": q37_stream_sessionize,
@@ -11739,7 +11741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_join": q48_asof_join,
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
-        "q171_fasttext_classify": q171_fasttext_classify,
     }
 
 

@@ -151,6 +151,59 @@ def hyperplane_bucket(
     )
 
 
+# nlist x dim literals; past this, plan-embedded centroid tables are
+# themselves the bottleneck (the round-9 nlist sweep measured the
+# semantic_dedup ccos literal stalling the driver from ~1.4e5 literals
+# and OOMing a 16 GiB heap at ~5.7e5) — large-nlist paths must carry
+# centroids as kernel specs (CentTable) or arrow-broadcast matrices
+_CENTROID_LITERAL_BUDGET = 4096
+
+
+def auto_nlist(
+    n_vectors: int, n_queries: int | None = None, nprobe: int = 1
+) -> int:
+    """Measured cell-count law for the IVF family (VERDICT r8 task 2b;
+    tools/bench_ivf_nlist.py at 5e5 and 5e6 synthetic 64-dim vectors,
+    md5 quantizer + arrow assignment — the production path).
+
+    Two workload shapes, two laws:
+
+    **Corpus-vs-corpus** (n_queries=None: semantic dedup, bitext
+    mining, knn-graph — every vector is also a query, nprobe=1):
+    cells-PROPORTIONAL-to-corpus at a measured ~2000 mean occupancy.
+    Sweep walls (full semantic_dedup, arrow kernel + assign):
+
+      n=5e5: nlist 256 (occ 1953) 12.5 s | 707: 18.3 | 1024: 25.9 | 2828: 71 | 4096: 118
+      n=5e6: nlist 2236 (occ 2236) 366 s | 4096 (occ 1221): 347 s | 8944: plan-literal OOM
+
+    The optimum tracked occupancy ~1200-2200 at both scales — the
+    SemDeDup paper's own layout (100M docs / 50k clusters = 2000) —
+    so: nlist = n / 2000. Assignment cost is n x nlist x dim flops
+    (one matmul per batch), so this law is overall-quadratic in n;
+    past ~1e8 vectors assignment needs the coarse-to-fine pattern
+    (q91) — recorded as a known ceiling in SCALE.md.
+
+    **Query-driven top-k** (small fixed query set, broadcast): the
+    wall-minimizing nlist was CORPUS-SIZE-INDEPENDENT — 64-256 at both
+    5e5 and 5e6 for 50 queries x nprobe 4 (nlist 16: 5.1/25.2 s, 64:
+    1.8/15.7 s, 256: 1.7/17.7 s, then rising: 4096: 49/147 s) —
+    balancing per-candidate scoring (~n_q * nprobe * n / nlist rows)
+    against assignment (~n * nlist flops): nlist* ~ 8 * sqrt(n_q *
+    nprobe) fits the measured optimum (~113 for the 50x4 shape).
+    Recall@10 falls with nlist under the pinned random quantizer
+    (0.94 at 64 -> 0.77 at 4096 at fixed nprobe) — another reason
+    query-driven nlist stays SMALL; the gated queries' hand-pinned
+    nlist=16 sits exactly where this law puts their 3-query shape.
+
+    Bounds: at least 16 (the gated default), at most n/32 (cells
+    below ~32 vectors waste assignment on empty probes)."""
+    if n_queries is None:
+        nlist = n_vectors // 2000
+    else:
+        nlist = int(round(8.0 * (max(n_queries, 1) * nprobe) ** 0.5))
+    return max(16, min(nlist, max(n_vectors // 32, 16)))
+
+
 def _centroid_lit(centroids: list[list[float]]) -> Column:
     """array<array<double>> literal of the coarse-quantizer centroids —
     parsed from ONE SQL string instead of nested F.array(F.lit(...))
@@ -321,7 +374,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
@@ -350,7 +403,14 @@ def ivf_topk(
     extension, patterned on FAISS IVF-Flat. At paper-scale nlist the
     corpus-side expression argmax is the bottleneck — compose with
     assign_cells_arrow the way ivf_candidates(assign='arrow') and
-    semantic_dedup(assign='arrow') do (measured in SCALE.md)."""
+    semantic_dedup(assign='arrow') do (measured in SCALE.md).
+
+    nlist=None derives the cell count from the MEASURED law
+    (auto_nlist: ~8*sqrt(n_queries*nprobe) for this query-driven
+    shape, corpus-size-independent — the round-9 sweep's optimum) at
+    the cost of one count() per side; the default 16 is the
+    oracle-pinned layout the gated queries keep, and it already sits
+    on the law's answer for few-query shapes."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
@@ -377,6 +437,8 @@ def ivf_topk(
         unit = F.transform(F.col("vec"), lambda x: x / norm(F.col("vec")))
         c = c.withColumn("uvec", unit)
         if centroids is None:
+            if nlist is None:
+                nlist = auto_nlist(c.count(), q.count(), nprobe)
             centroids = ivf_train(
                 c, nlist=nlist, iters=iters, id_col="vec_id", vec_col="uvec"
             )
@@ -1049,8 +1111,10 @@ def ivf_candidates(
     plan-literal centroid table; the only join is the hash equi-join
     on `cell` (broadcast when `broadcast_queries`, shuffle otherwise
     for corpus-sized query sides). Candidate volume per query is
-    ~|corpus| * nprobe / nlist — raise nlist at scale (FAISS rule of
-    thumb nlist ~ sqrt(n)) to keep cells executor-sized. Every step
+    ~|corpus| * nprobe / nlist — raise nlist at scale to keep cells
+    executor-sized: the measured law (auto_nlist, round-9 sweep) is
+    cells ∝ corpus at ~2000 occupancy for corpus-sided query sets and
+    ~8*sqrt(n_queries*nprobe) for small broadcast ones. Every step
     is SQL-replayable (md5-pinned centroids, rounded-dot argmax).
     assign='arrow' computes the corpus-side assignment via
     assign_cells_arrow (one matmul per batch vs nlist folds per row —
@@ -1240,27 +1304,44 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    over_budget = (
+        len(centroids) * len(centroids[0]) > _CENTROID_LITERAL_BUDGET
+    )
     if assign == "arrow":
         assigned = assign_cells_arrow(
             proj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp
         )
+        if not over_budget:
+            # small-nlist (oracle-gated) path: keep the bit-exact
+            # Catalyst ccos fold below; the arrow pass's own-dot ccos
+            # differs only by the documented ~1 ulp BLAS-order noise,
+            # but the gated rows get the engine-replayable form
+            assigned = assigned.drop("centroid_cos")
     else:
         assigned = proj.withColumn(
             "cell", ivf_cell_dot(F.col("vec"), centroids, round_dp)
         )
-    # rounded cosine to the OWN cell's centroid (keep-policy ordering)
-    cent = _centroid_lit(centroids)
-    own = F.element_at(cent, F.col("cell") + 1)
-    ccos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("vec"), own, lambda v, c: v * c),
-            F.lit(0.0),
-            lambda s, x: s + x,
+    if assign != "arrow" or not over_budget:
+        # rounded cosine to the OWN cell's centroid (keep-policy
+        # ordering). This expression embeds an O(nlist x dim) literal
+        # centroid array in the plan — measured to stall the driver
+        # from ~1.4e5 literals and OOM a 16g heap at ~5.7e5 (nlist
+        # 2236/8944 x dim 64, round-9 nlist sweep) — so past
+        # _CENTROID_LITERAL_BUDGET the arrow assignment's own-dot ccos
+        # (already computed by the matmul) is used instead; at that
+        # scale assign='arrow' is the only viable assignment anyway.
+        cent = _centroid_lit(centroids)
+        own = F.element_at(cent, F.col("cell") + 1)
+        ccos = F.round(
+            F.aggregate(
+                F.zip_with(F.col("vec"), own, lambda v, c: v * c),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            / (norm(F.col("vec")) * norm(own)),
+            round_dp,
         )
-        / (norm(F.col("vec")) * norm(own)),
-        round_dp,
-    )
-    assigned = assigned.withColumn("centroid_cos", ccos)
+        assigned = assigned.withColumn("centroid_cos", ccos)
     if kernel == "arrow":
         dropped = _semantic_dedup_dropped_arrow(assigned, threshold, round_dp)
     else:
@@ -1577,11 +1658,13 @@ def assign_cells_arrow(
     )
 
     cmat = np.asarray(centroids, dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
     out_schema = StructType(
         [
             StructField("vec_id", LongType(), False),
             StructField("vec", ArrayType(DoubleType()), False),
             StructField("cell", IntegerType(), False),
+            StructField("centroid_cos", DoubleType(), True),
         ]
     )
 
@@ -1590,14 +1673,27 @@ def assign_cells_arrow(
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            dots = mat @ cmat.T
-            dots = _spark_round_half_up(dots, round_dp)
+            raw = mat @ cmat.T
+            dots = _spark_round_half_up(raw, round_dp)
             cells = dots.argmax(axis=1).astype(np.int32)
+            # rounded cosine to the OWN cell's centroid, read off the
+            # RAW (pre-rounded) dot row the argmax selected — the
+            # matmul already computed every dot, so the ccos that the
+            # expression path re-derives per row from an O(nlist x
+            # dim) plan-literal centroid array (the round-9 measured
+            # OOM at nlist~9e3, see semantic_dedup) is free here
+            own = raw[np.arange(len(raw)), cells]
+            denom = np.sqrt((mat * mat).sum(axis=1)) * cnorms[cells]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ccos = _spark_round_half_up(
+                    np.where(denom == 0.0, np.nan, own / denom), round_dp
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].astype("int64").to_numpy(),
                     "vec": list(mat),
                     "cell": cells,
+                    "centroid_cos": ccos,
                 }
             )
 

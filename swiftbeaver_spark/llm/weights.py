@@ -239,6 +239,7 @@ def classify_documents(
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """fastText-style linear classification: per (doc, label) score =
     sum of token weight_micros over the doc's tokens (missing-vocab
@@ -252,7 +253,18 @@ def classify_documents(
     sum per (doc, label) -> min_by argmax ((-score, label): highest
     score, lexicographically-smallest label on ties — deterministic
     across engines). One shuffle on doc_id; the weight table never
-    exceeds vocab x labels."""
+    exceeds vocab x labels.
+
+    `broadcast_weights=False` drops the broadcast hint and lets the
+    join shuffle on token: at the REAL-model shape (~200k vocab x 150
+    labels = 30M weight rows, measured in
+    tools/bench_fasttext_realistic.py) a forced broadcast ships a
+    ~GiB table to every executor and pressures the driver, while the
+    shuffle join moves each weight row once. The flag is explicit
+    rather than auto-derived because deciding by count() would
+    re-execute the weight frame's upstream plan when it is derived
+    (the round-7 labels-collect finding) — callers KNOW whether their
+    model is toy- or production-sized."""
     from swiftbeaver_spark.llm.dedup import normalized_text
 
     toks = _doc_tokens(df, text_col, id_col)
@@ -274,8 +286,9 @@ def classify_documents(
         .cast("long")
         .alias("n_tokens"),
     )
+    wtab = F.broadcast(weights) if broadcast_weights else weights
     scored = (
-        toks.join(F.broadcast(weights), "token")
+        toks.join(wtab, "token")
         .groupBy("doc_id", "label")
         .agg(F.sum("weight_micro").cast("long").alias("score_micro"))
     )
@@ -373,6 +386,7 @@ def classify_documents_subword(
     maxn: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """fastText-style linear classification WITH subword units — the
     architecture that scores out-of-vocabulary words instead of
@@ -412,7 +426,13 @@ def classify_documents_subword(
     ENFORCED at runtime: per-doc min/max of the per-label unit counts
     ride the existing aggregate, and a caller-supplied pruned table
     (e.g. near-zero weights dropped from a real model) raises instead
-    of silently mis-normalizing scores."""
+    of silently mis-normalizing scores.
+
+    `broadcast_weights=False` drops the broadcast hint for real-model
+    unit tables ((vocab + n_buckets) x labels rows — at fastText's 2M
+    production buckets x 150 labels that is 300M+ rows, far past any
+    broadcast) — see classify_documents for why this is an explicit
+    flag, not a count()-derived auto."""
     from swiftbeaver_spark.parallel import spread
 
     # the n-gram expansion + FNV fold cost per TOKEN (~10 n-grams and
@@ -471,7 +491,7 @@ def classify_documents_subword(
         )
     )
     best = (
-        units.join(F.broadcast(wt), "unit")
+        units.join(F.broadcast(wt) if broadcast_weights else wt, "unit")
         .groupBy("doc_id", "label")
         .agg(
             F.sum("weight_micro").cast("long").alias("sum_micro"),

@@ -2110,3 +2110,94 @@ def test_spark_round_half_up_large_magnitudes(spark):
         assert mism.size == 0, (
             f"dp={dp}: {vals[mism]} -> {ours[mism]} vs {theirs[mism]}"
         )
+
+
+def test_auto_minhash_layout_thresholds():
+    """VERDICT r8 task 2a: the b x r layout thresholds pinned to the
+    band sweep (tools/bench_minhash_bands.py — blocking favors r=8
+    from ~5e5 docs but the doubled signature pass costs 3.7x linear;
+    the end-to-end crossover, measured to 5.5e6 and modeled beyond,
+    sits at ~5e8 — the published web-dedup regime)."""
+    from swiftbeaver_spark.llm.dedup import _auto_minhash_layout
+
+    assert _auto_minhash_layout(0) == (64, 16)
+    assert _auto_minhash_layout(55_000) == (64, 16)
+    assert _auto_minhash_layout(5_500_000) == (64, 16)
+    assert _auto_minhash_layout(500_000_000 - 1) == (64, 16)
+    assert _auto_minhash_layout(500_000_000) == (128, 16)  # r=8 wide regime
+
+
+def test_minhash_auto_layout_matches_explicit(spark, documents):
+    """Below the crossover the auto path must reproduce the historical
+    explicit (64, 16) layout bit-for-bit — the oracle-rows-unchanged
+    guarantee for q26 — and the n_docs hint must skip the count job
+    without changing the pick."""
+    from swiftbeaver_spark.llm.dedup import minhash_near_dups
+
+    corpus = documents.limit(80).select("doc_id", "text")
+    explicit = sorted(
+        map(
+            tuple,
+            minhash_near_dups(
+                corpus, num_hashes=64, num_bands=16, threshold=0.5
+            ).collect(),
+        )
+    )
+    auto = sorted(map(tuple, minhash_near_dups(corpus, threshold=0.5).collect()))
+    hinted = sorted(
+        map(tuple, minhash_near_dups(corpus, threshold=0.5, n_docs=80).collect())
+    )
+    assert auto == explicit
+    assert hinted == explicit
+
+
+def test_auto_nlist_thresholds():
+    """VERDICT r8 task 2b: cell-count laws pinned to the round-9 nlist
+    sweep (tools/bench_ivf_nlist.py — dedup shape: occupancy ~2000 won
+    at both 5e5 and 5e6; topk shape: optimum corpus-size-independent
+    at ~8*sqrt(n_q*nprobe))."""
+    from swiftbeaver_spark.llm.similarity import auto_nlist
+
+    assert auto_nlist(500_000) == 250          # occ 2000, matches measured 256
+    assert auto_nlist(5_000_000) == 2500       # measured flat 2236-4096
+    assert auto_nlist(10_000) == 16            # floor
+    assert auto_nlist(1_000) == 16
+    # topk shape: 50 queries x nprobe 4 -> ~113 at ANY corpus size
+    assert auto_nlist(500_000, n_queries=50, nprobe=4) == 113
+    assert auto_nlist(5_000_000, n_queries=50, nprobe=4) == 113
+    assert auto_nlist(5_000_000, n_queries=3, nprobe=4) == 28
+    # n/32 cap: cells below ~32 vectors waste assignment
+    assert auto_nlist(1_000, n_queries=10_000, nprobe=16) == 31
+
+
+def test_semantic_dedup_arrow_ccos_over_budget_matches_expr(spark, monkeypatch):
+    """Past _CENTROID_LITERAL_BUDGET the arrow path reads centroid_cos
+    off the assignment matmul instead of the O(nlist x dim) plan
+    literal (the round-9 OOM fix). Forcing the budget to 1 must leave
+    the full semantic_dedup output identical to the literal path on
+    the real embeddings table."""
+    import __spark_entry__ as em
+    import swiftbeaver_spark.llm.similarity as S
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = S.md5_centroids(16, 64, tag="semdedup")
+    want = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(
+                emb, cents, threshold=0.95, kernel="arrow", assign="arrow"
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(S, "_CENTROID_LITERAL_BUDGET", 1)
+    got = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(
+                emb, cents, threshold=0.95, kernel="arrow", assign="arrow"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 500

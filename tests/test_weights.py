@@ -404,3 +404,35 @@ def test_classify_subword_fallback_matches_kernel(spark, monkeypatch):
         map(tuple, classify_documents_subword(docs, word_w, bucket_w, n_buckets=7).collect())
     )
     assert got == want
+
+
+def test_classify_documents_broadcast_flag_plans_and_matches(spark):
+    """broadcast_weights=False must drop the broadcast hint (the
+    real-model escape: ~30M weight rows must shuffle, not ship to
+    every executor) without changing results. With auto-broadcast
+    disabled, only the hint can produce a broadcast join — so the
+    flag's effect is visible in the static plan."""
+    weights = spark.createDataFrame(
+        [("hello", "en", 2_000_000), ("hello", "de", -1_000_000),
+         ("welt", "de", 3_000_000), ("welt", "en", 100)],
+        "token string, label string, weight_micro long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "hello hello"), (2, "hallo welt"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, classify_documents(docs, weights).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = classify_documents(docs, weights, broadcast_weights=True)
+        plain = classify_documents(docs, weights, broadcast_weights=False)
+        explain = lambda df: df._sc._jvm.PythonSQLUtils.explainString(  # noqa: E731,SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in explain(hinted)
+        assert "BroadcastHashJoin" not in explain(plain)
+        assert sorted(map(tuple, plain.collect())) == want
+        assert sorted(map(tuple, hinted.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

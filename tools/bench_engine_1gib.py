@@ -1,0 +1,164 @@
+"""Reference-parity full-pipeline throughput at >= 1 GiB (VERDICT r8
+task 3 — the stress_tests.rs:83-103 analog run END TO END).
+
+The reference's stress shapes are (a) a large sparse image scanned for
+bytes/s and (b) a dense tiling of minimal JPEGs
+(tests/stress_tests.rs:83-124); its published scan-only bench
+(benches/throughput.rs:69-81) was matched at 256 MiB in round 2
+(343 MiB/s on 2 cores, BASELINE.md). This tool runs the FULL pipeline
+— signature scan + carve + string scan + entropy + sqlite/browser
+stage — over a synthetic >= 1 GiB image with realistic hit density,
+and hash-checks the carves against the planted manifest, so the
+100 TB throughput claim rests on an end-to-end measurement instead of
+the scan-only row.
+
+Image layout: 1 MiB stripes cycling three textures (zero fill / seeded
+pseudo-random / ASCII text with URLs+emails — so the entropy and
+string scanners both do real work), with one planted file at each
+MiB boundary cycling {jpeg, png, sqlite, pdf, gzip, bmp} — ~1 file
+per MiB, the reference's dense-test density order. Every planted
+file must come back from the carve stage with its exact offset, size
+and sha256 (the golden-image contract).
+
+Stage walls are measured as separate actions over the fused
+evidence-path plan (each stage re-reads its own byte ranges — the
+positioned-read strategy), then ONE combined run gives the end-to-end
+wall; MiB/s = image_size / wall.
+
+Usage: python tools/bench_engine_1gib.py [mib] [out_json]
+  -> one JSON line {"engine_full_pipeline_1gib": {...}}
+"""
+import dataclasses
+import hashlib
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.engine import Engine
+from swiftbeaver_spark.session import get_spark
+from tests.fixtures import mk_bmp, mk_gzip, mk_jpeg, mk_pdf, mk_png, mk_sqlite
+
+MIB = 1 << 20
+SIZE_MIB = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+PLANT = [
+    ("jpeg", mk_jpeg()),
+    ("png", mk_png()),
+    ("sqlite", mk_sqlite()),
+    ("pdf", mk_pdf()),
+    ("gzip", mk_gzip()),
+    ("bmp", mk_bmp()),
+]
+# textures cycle per MiB stripe: zeros (low entropy), random (high
+# entropy -> entropy regions), ASCII text (string/URL/email hits)
+TEXT_BLOCK = (
+    b"Lorem ipsum dolor sit amet, consectetur adipiscing elit. "
+    b"Contact alice@example.com or visit https://example.com/data "
+    b"call +1-555-0142 for details. "
+)
+
+
+def build_image(path: str, size_mib: int) -> list[dict]:
+    rng = np.random.RandomState(20260815)
+    manifest = []
+    text = (TEXT_BLOCK * (MIB // len(TEXT_BLOCK) + 1))[:MIB]
+    with open(path, "wb") as fh:
+        for i in range(size_mib):
+            kind = i % 3
+            if kind == 0:
+                stripe = bytearray(MIB)
+            elif kind == 1:
+                stripe = bytearray(rng.bytes(MIB))
+            else:
+                stripe = bytearray(text)
+            name, blob = PLANT[i % len(PLANT)]
+            off = 4096  # 4096-aligned inside the stripe, like generate.sh
+            stripe[off : off + len(blob)] = blob
+            manifest.append(
+                {
+                    "type": name,
+                    "offset": i * MIB + off,
+                    "size": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            )
+            fh.write(stripe)
+    return manifest
+
+
+def main() -> None:
+    spark = get_spark(app_name="swiftbeaver-engine-1gib")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="sb1gib_")
+    path = os.path.join(tmp, "stress.raw")
+    t0 = time.time()
+    manifest = build_image(path, SIZE_MIB)
+    gen_wall = round(time.time() - t0, 3)
+    size = os.path.getsize(path)
+    print(f"# image: {size / MIB:.0f} MiB, {len(manifest)} planted, "
+          f"gen {gen_wall}s", file=sys.stderr)
+
+    planted_types = {m["type"] for m in manifest}
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        file_types=tuple(
+            dataclasses.replace(ft, min_size=5)
+            for ft in DEFAULT_CONFIG.file_types
+            if ft.type_id in planted_types
+        ),
+        enable_string_scan=True,
+        enable_entropy_detection=True,
+        enable_sqlite_page_recovery=True,
+    )
+    engine = Engine(spark, cfg)
+
+    # per-stage walls (separate actions over the fused plan)
+    stages = {}
+    run = engine.run(evidence_path=path)
+    for stage in ("hits", "carved_files", "string_artefacts", "entropy_regions",
+                  "browser_history", "run_summary"):
+        t0 = time.time()
+        cnt = run[stage].count()
+        stages[stage] = {"rows": cnt, "wall_sec": round(time.time() - t0, 3)}
+        print(f"# stage {stage}: {cnt} rows, {stages[stage]['wall_sec']}s",
+              file=sys.stderr)
+
+    # end-to-end: one fresh run, ALL tables driven to completion
+    t0 = time.time()
+    run2 = engine.run(evidence_path=path)
+    carved = run2["carved_files"].select("global_start", "size", "sha256").collect()
+    for t in ("hits", "string_artefacts", "entropy_regions", "browser_history"):
+        run2[t].count()
+    summary = run2["run_summary"].collect()[0].asDict()
+    e2e = round(time.time() - t0, 3)
+
+    got = {(r.global_start, r.size, r.sha256) for r in carved}
+    missing = [
+        m for m in manifest if (m["offset"], m["size"], m["sha256"]) not in got
+    ]
+    out = {
+        "image_mib": size // MIB,
+        "planted": len(manifest),
+        "recovered": len(manifest) - len(missing),
+        "missing": len(missing),
+        "stages": stages,
+        "end_to_end_sec": e2e,
+        "mib_per_sec": round(size / MIB / e2e, 1),
+        "bytes_scanned": summary.get("bytes_scanned"),
+        "hits_found": summary.get("hits_found"),
+        "files_carved": summary.get("files_carved"),
+    }
+    if missing:
+        print(f"# MISSING {len(missing)}: {missing[:5]}", file=sys.stderr)
+    print(json.dumps({"engine_full_pipeline_1gib": out}))
+    os.unlink(path)
+
+
+if __name__ == "__main__":
+    main()
