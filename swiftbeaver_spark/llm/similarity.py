@@ -170,18 +170,27 @@ def auto_nlist(
 
     **Corpus-vs-corpus** (n_queries=None: semantic dedup, bitext
     mining, knn-graph — every vector is also a query, nprobe=1):
-    cells-PROPORTIONAL-to-corpus at a measured ~2000 mean occupancy.
-    Sweep walls (full semantic_dedup, arrow kernel + assign):
+    nlist* ~ sqrt(n)/2. Sweep walls (full semantic_dedup, arrow
+    kernel + assign, AFTER the round-9 ccos fix removed the
+    O(nlist x dim) plan-literal tax — the pre-fix sweep OOM'd at
+    nlist 8944 and mismeasured the curve):
 
-      n=5e5: nlist 256 (occ 1953) 12.5 s | 707: 18.3 | 1024: 25.9 | 2828: 71 | 4096: 118
-      n=5e6: nlist 2236 (occ 2236) 366 s | 4096 (occ 1221): 347 s | 8944: plan-literal OOM
+      n=5e5: nlist 32: 29 s | 64: 12.9 | 128: 7.4 | 256: 6.1 |
+             512: 5.7 | 1024: 18.2
+      n=5e6: nlist 128: 340 s | 256: 179 | 512: 137 | 1024: 89.6 |
+             2236: 141 | 4096: 251 | 8944: 533
 
-    The optimum tracked occupancy ~1200-2200 at both scales — the
-    SemDeDup paper's own layout (100M docs / 50k clusters = 2000) —
-    so: nlist = n / 2000. Assignment cost is n x nlist x dim flops
-    (one matmul per batch), so this law is overall-quadratic in n;
-    past ~1e8 vectors assignment needs the coarse-to-fine pattern
-    (q91) — recorded as a known ceiling in SCALE.md.
+    Three cost terms fit the measured curves: in-cell gram flops
+    ~ n * occ (penalizes LOW nlist), assignment matmul ~ n * nlist
+    (penalizes high), and ~30-60 ms of applyInPandas overhead PER
+    GROUP ~ nlist (penalizes high; see the occ 559 point). Balancing
+    gram against assignment gives occ* ~ 2.2 * sqrt(n) at both scales
+    (occ* 1000-2000 at 5e5, ~4900 at 5e6), i.e. nlist* = sqrt(n)/2:
+    354 predicted / 256-512 measured best at 5e5, 1118 / 1024 at 5e6.
+    The assignment term makes the TOTAL quadratic in n at the optimum
+    (~n^1.5 flops); past ~1e8 vectors assignment needs the
+    coarse-to-fine pattern (q91) — recorded as a known ceiling in
+    SCALE.md.
 
     **Query-driven top-k** (small fixed query set, broadcast): the
     wall-minimizing nlist was CORPUS-SIZE-INDEPENDENT — 64-256 at both
@@ -198,7 +207,7 @@ def auto_nlist(
     Bounds: at least 16 (the gated default), at most n/32 (cells
     below ~32 vectors waste assignment on empty probes)."""
     if n_queries is None:
-        nlist = n_vectors // 2000
+        nlist = int(round(n_vectors**0.5 / 2.0))
     else:
         nlist = int(round(8.0 * (max(n_queries, 1) * nprobe) ** 0.5))
     return max(16, min(nlist, max(n_vectors // 32, 16)))

@@ -2153,15 +2153,16 @@ def test_minhash_auto_layout_matches_explicit(spark, documents):
 
 def test_auto_nlist_thresholds():
     """VERDICT r8 task 2b: cell-count laws pinned to the round-9 nlist
-    sweep (tools/bench_ivf_nlist.py — dedup shape: occupancy ~2000 won
-    at both 5e5 and 5e6; topk shape: optimum corpus-size-independent
-    at ~8*sqrt(n_q*nprobe))."""
+    sweep (tools/bench_ivf_nlist.py + the post-ccos-fix re-sweep —
+    dedup shape: nlist* ~ sqrt(n)/2, occ* ~ 2.2*sqrt(n) at both 5e5
+    and 5e6; topk shape: optimum corpus-size-independent at
+    ~8*sqrt(n_q*nprobe))."""
     from swiftbeaver_spark.llm.similarity import auto_nlist
 
-    assert auto_nlist(500_000) == 250          # occ 2000, matches measured 256
-    assert auto_nlist(5_000_000) == 2500       # measured flat 2236-4096
-    assert auto_nlist(10_000) == 16            # floor
-    assert auto_nlist(1_000) == 16
+    assert auto_nlist(500_000) == 354          # measured best 256-512
+    assert auto_nlist(5_000_000) == 1118       # measured best 1024
+    assert auto_nlist(10_000) == 50
+    assert auto_nlist(1_000) == 16             # floor
     # topk shape: 50 queries x nprobe 4 -> ~113 at ANY corpus size
     assert auto_nlist(500_000, n_queries=50, nprobe=4) == 113
     assert auto_nlist(5_000_000, n_queries=50, nprobe=4) == 113
