@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from swiftbeaver_spark.config import EngineConfig
+from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
 from swiftbeaver_spark.parallel import spread
 
 WINDOW_SCHEMA = StructType(
@@ -201,7 +201,14 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
     window_size = cfg.entropy_window_size
     threshold = cfg.entropy_threshold
     total = evidence_length(path)
-    plan = plan_chunks(spark, total, cfg.chunk_size, cfg.overlap)
+    # Python-kernel granule (see strings_scan.spans_from_evidence): a
+    # 512 MiB-chunk plan leaves all but ceil(size/512MiB) cores idle.
+    # The granule is rounded to a window_size multiple so the absolute
+    # window grid (start is always a chunk_size multiple) is unchanged.
+    granule = max(
+        window_size, (PY_SCAN_GRANULE // window_size) * window_size
+    )
+    plan = plan_chunks(spark, total, min(cfg.chunk_size, granule), cfg.overlap)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
