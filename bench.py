@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from swiftbeaver_spark.session import get_spark
 
 # headline set: the engine's core operator families + the heavy LLM ops
@@ -75,11 +76,31 @@ def main() -> None:
     # same query — so the measured sf0.1 runs execute already-compiled
     # plans, exactly as a long-lived cluster would. Data volume touched
     # here is ~1/100 of one measured run.
+    def drive(df):
+        """Force FULL execution: count(*) + a value hash over every
+        output column in one aggregate. A bare count() lets Catalyst
+        ELIMINATE work — projection-shaped queries (q22, q20) read
+        `struct<>` from parquet and the bench measured a metadata row
+        count (0.14 s "wall" vs 2.07 s of real compute at sf0.1,
+        found round 9); count over a terminal left join with unique
+        right keys likewise drops the joined subtree. The hash column
+        references every output column, so nothing prunes. (Rounds
+        1-8 used count() uniformly, so cross-round RATIOS were
+        method-consistent; absolute walls for eliminated shapes were
+        vacuous — BASELINE.md r9 records both methods once to bridge.)
+        """
+        if os.environ.get("SPARK_GRAFT_BENCH_COUNT_ONLY") == "1":
+            return df.count()  # the rounds-1-8 method, kept for bridging
+        n, _h = df.select(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
+        ).collect()[0]
+        return n
+
     warm_sf = sf_dir.replace("sf0.1", "sf0.001")
     if warm_sf != sf_dir and os.path.isdir(warm_sf):
         for name in BENCH_QUERIES:
             try:
-                qs[name](spark, warm_sf).count()
+                drive(qs[name](spark, warm_sf))
             except Exception as exc:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
@@ -89,8 +110,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
-        # count() forces full execution without driver-side row transfer
-        n = fn(spark, sf_dir).count()
+        n = drive(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         # second run = steady state: first runs still pay one-time
         # plan-path costs (codegen compile, JIT of that plan's UDF call
@@ -98,7 +118,7 @@ def main() -> None:
         # amortizes to zero; both numbers are reported, the headline
         # total stays the comparable single-run figure
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        drive(fn(spark, sf_dir))
         steady[name] = round(time.time() - t0, 3)
         print(
             f"# {name}: {timings[name]}s (steady {steady[name]}s, {n} rows)",

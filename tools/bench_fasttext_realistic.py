@@ -48,15 +48,27 @@ VOCAB, DIM, LABELS = 200_000, 300, 150
 N_BUCKETS = 200_000  # subword bucket table (fastText production: 2M)
 
 
-def vec_lines(spark, n_words: int, n_labels: int):
+def vec_lines(spark, corpus_vocab, n_words: int, n_labels: int):
     """Distributed synthetic .vec lines: 'word v0 v1 ... v299' with
-    xxhash64-derived components in [-1, 1] at 4 dp."""
+    xxhash64-derived components in [-1, 1] at 4 dp. The vocabulary is
+    the CORPUS vocabulary padded to n_words with synthetic tokens —
+    a disjoint all-synthetic vocab would make the scoring join match
+    nothing and time an empty aggregate (the first cut of this tool
+    did exactly that: runtime filters pruned the whole weight scan
+    and 'scoring' took 0.25 s)."""
     comps = (
         f"array_join(transform(sequence(0, {DIM - 1}), j -> "
         "printf('%.4f', (cast(pmod(xxhash64(word, j), 2001) as double)"
         " - 1000.0) / 1000.0)), ' ')"
     )
-    words = spark.range(n_words).selectExpr("printf('tok%06d', id) as word")
+    # pad by COUNT, not .limit(n): GlobalLimit collapses the plan to
+    # one partition and the whole 200k x 150 x 300 dot build then runs
+    # in a single task (measured: a 10+ min straggler)
+    n_corpus = corpus_vocab.count()
+    pad = spark.range(max(n_words - n_corpus, 0), numPartitions=32).selectExpr(
+        "printf('tok%06d', id) as word"
+    )
+    words = corpus_vocab.unionByName(pad)
     labels = spark.range(n_labels).selectExpr(
         "printf('__label__L%03d', id) as word"
     )
@@ -81,7 +93,8 @@ def main() -> None:
     ).persist()
     docs.count()
 
-    all_lines, label_lines = vec_lines(spark, VOCAB, LABELS)
+    corpus_vocab = entry._fasttext_vocab(docs, ("__label__",))
+    all_lines, label_lines = vec_lines(spark, corpus_vocab, VOCAB, LABELS)
     wpath = os.path.join(WORK, "weights_realistic.parquet")
 
     t0 = time.time()
@@ -110,17 +123,27 @@ def main() -> None:
         "build_wall_sec": build_wall,
         "fallback_plan": "BroadcastHashJoin",
     }
+    # force FULL evaluation with a value hash over every output column:
+    # a bare .count() of classify_documents gets optimizer-ELIMINATED
+    # (count over the final left join with unique right keys drops the
+    # whole scoring subtree — the first cut of this tool "measured"
+    # 0.25 s of counting doc ids)
+    def drive(df):
+        # bit_xor, not sum: ANSI mode long-overflows a 5000-doc
+        # xxhash64 sum
+        return df.select(
+            F.bit_xor(F.xxhash64("doc_id", "label", "score_micro", "n_tokens"))
+        ).collect()[0][0]
+
     for mode in (False, True):
         walls = []
         for _ in range(2):
             t0 = time.time()
-            n = classify_documents(
-                docs, persisted, broadcast_weights=mode
-            ).count()
+            h = drive(classify_documents(docs, persisted, broadcast_weights=mode))
             walls.append(round(time.time() - t0, 3))
         key = "score_broadcast_sec" if mode else "score_shuffle_sec"
         out[key] = walls
-        print(f"# score broadcast={mode}: {walls} ({n} docs)", file=sys.stderr)
+        print(f"# score broadcast={mode}: {walls} (hash {h})", file=sys.stderr)
 
     # subword shape: word table + dense bucket table, shuffle join
     bucket_w = (
@@ -138,9 +161,12 @@ def main() -> None:
     bucket_w = bucket_w.persist()
     bucket_w.count()
     t0 = time.time()
-    n = classify_documents_subword(
+    sub = classify_documents_subword(
         docs, word_w, bucket_w, n_buckets=N_BUCKETS, broadcast_weights=False
-    ).count()
+    )
+    n = sub.select(
+        F.bit_xor(F.xxhash64("doc_id", "label", "score_micro", "n_units"))
+    ).collect()[0][0]
     out["subword_score_shuffle_sec"] = round(time.time() - t0, 3)
     out["subword_unit_rows"] = n_weights + N_BUCKETS * LABELS
     print(f"# subword shuffle: {out['subword_score_shuffle_sec']}s ({n} docs)",
