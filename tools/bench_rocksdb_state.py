@@ -70,7 +70,9 @@ def run_one(provider: str, n_keys: int) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1800)
+    finished = q.awaitTermination(1800)
+    if not finished:
+        q.stop()
     wall = round(time.time() - t0, 3)
     jvm = spark.sparkContext._jvm  # noqa: SLF001
     jvm.java.lang.System.gc()
@@ -91,6 +93,7 @@ def run_one(provider: str, n_keys: int) -> dict:
         "provider": provider,
         "keys": n_keys,
         "wall_sec": wall,
+        "finished": bool(finished),
         "heap_used_mb": round(heap / (1 << 20), 1),
         "checkpoint_mb": round(ck_bytes / (1 << 20), 1),
     }
