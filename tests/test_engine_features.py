@@ -423,3 +423,45 @@ def test_spread_partition_count_memo(spark):
     assert ("Repartition" in out._jdf.queryExecution().logical().toString()) == (
         want_repartition
     )
+
+
+def test_run_cache_intermediates_same_tables(spark, tmp_path):
+    """cache_intermediates must change evaluation count, never results:
+    every table identical to the uncached run, and the stage frames
+    really are persisted (storage level set)."""
+    import dataclasses
+
+    from tests.fixtures import mk_jpeg
+    from tests.test_pipeline import TEST_CFG
+    from swiftbeaver_spark.engine import Engine
+
+    evidence = bytearray(b"\x00" * 4096)
+    blob = mk_jpeg()
+    evidence[1024 : 1024 + len(blob)] = blob
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(evidence))
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg"),
+        enable_string_scan=True,
+        enable_entropy_detection=True,
+    )
+    eng = Engine(spark, cfg)
+    plain = eng.run(evidence_path=path)
+    cached = eng.run(evidence_path=path, cache_intermediates=True)
+    try:
+        for name in plain.tables:
+            a = sorted(map(tuple, plain[name].collect()))
+            b = sorted(map(tuple, cached[name].collect()))
+            assert a == b, name
+        assert cached["hits"].storageLevel.useMemory
+        assert cached["carved_files"].storageLevel.useDisk
+        # (no negative assertion on `plain`: Spark's cache manager
+        # matches by LOGICAL PLAN equality, so the logically-identical
+        # uncached frame reports — and reuses — the same cache entry)
+    finally:
+        for name in ("hits", "carved_files", "string_spans",
+                     "string_artefacts", "entropy_regions"):
+            if name in cached.tables:
+                cached[name].unpersist()
