@@ -1,0 +1,172 @@
+"""Granule-boundary parity for the fused strings scan.
+
+The fused evidence path plans at a sub-chunk granule for parallelism,
+but row semantics must stay pinned to cfg.chunk_size geometry (the
+chunk-table path / reference build_chunks anchor runs and max_len piece
+grids at chunk starts). These tests drive spans_from_evidence at a
+granule far smaller than chunk_size over content engineered to straddle
+every kind of boundary, and require bit-identical rows to a
+parent-geometry _blob_spans scan — the exact divergence ADVICE r9
+(high) flagged: tail re-emission and piece-grid re-anchoring at sub-
+chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+
+import pytest
+
+from swiftbeaver_spark.config import DEFAULT_CONFIG
+from swiftbeaver_spark.strings_scan import _blob_spans, spans_from_evidence
+
+CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    chunk_size=4096,
+    overlap=256,
+    enable_string_scan=True,
+    string_scan_utf16=True,
+    string_min_len=4,
+    string_max_len=16,
+)
+GRANULE = 512
+
+
+def reference_rows(data: bytes, cfg) -> list[tuple]:
+    """Parent-geometry scan: the pinned semantics (chunk-table path)."""
+    rows: list[tuple] = []
+    for c in range(0, len(data), cfg.chunk_size):
+        blob = data[c : c + cfg.chunk_size + cfg.overlap]
+        vlen = min(cfg.chunk_size, len(data) - c)
+        rows.extend(
+            _blob_spans(
+                blob, c, vlen, cfg.string_min_len, cfg.string_max_len,
+                cfg.string_scan_utf16,
+            )
+        )
+    return sorted(rows)
+
+
+def fused_rows(spark, tmp_path, data: bytes, cfg, granule=GRANULE) -> list[tuple]:
+    p = tmp_path / "evidence.bin"
+    p.write_bytes(data)
+    df = spans_from_evidence(spark, str(p), cfg, granule=granule)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def place(buf: bytearray, off: int, payload: bytes) -> None:
+    buf[off : off + len(payload)] = payload
+
+
+def test_ascii_run_straddles_granule(spark, tmp_path):
+    data = bytearray(2 * 4096)  # two parent chunks, all NUL
+    # 70-byte printable run straddling the 512 granule boundary: pieces
+    # must stay anchored at 481 (grid 481, 497, 513, ...), and the
+    # 512-start tail fragment the old code emitted must NOT appear
+    place(data, 481, b"A" * 70)
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+    starts = [r[0] for r in got if r[3] == "ascii"]
+    assert 481 in starts and 513 in starts and 512 not in starts
+
+
+def test_long_ascii_run_spans_many_subchunks(spark, tmp_path):
+    data = bytearray(2 * 4096)
+    place(data, 100, b"x" * 1500)  # crosses granule boundaries 512 and 1024
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    ref = reference_rows(bytes(data), CFG)
+    assert got == ref
+    # piece grid anchored at 100 with step max_len=16
+    ascii_starts = sorted(r[0] for r in got if r[3] == "ascii")
+    assert ascii_starts == list(range(100, 100 + 1500 - 16 + 1, 16)) + [
+        100 + (1500 // 16) * 16
+    ][: 1 if 1500 % 16 >= CFG.string_min_len else 0]
+
+
+def test_run_crossing_parent_boundary_reanchors(spark, tmp_path):
+    data = bytearray(2 * 4096)
+    # run crossing the PARENT boundary at 4096: both paths re-anchor the
+    # grid at 4096 (the parent blob truncation/re-anchor IS the pinned
+    # semantics) — fused must reproduce the duplicate coverage exactly
+    place(data, 4096 - 40, b"B" * 100)
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+
+
+def test_utf8_run_straddles_granule(spark, tmp_path):
+    data = bytearray(2 * 4096)
+    text = ("héllo wörld " * 12).encode("utf-8")  # MB chars both sides
+    place(data, 500, text)
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+    assert any(r[3] == "utf-8" for r in got)
+
+
+def test_utf8_global_check_kills_across_boundary(spark, tmp_path):
+    """A non-printable (soft hyphen, Cf) AFTER the granule boundary must
+    kill utf-8 pieces BEFORE it — whole-run semantics across sub-chunks."""
+    data = bytearray(2 * 4096)
+    run = ("é" * 200).encode("utf-8") + b"\xc2\xad" + ("é" * 20).encode("utf-8")
+    place(data, 400, run)  # run covers [400, 400+440+2): crosses 512
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    ref = reference_rows(bytes(data), CFG)
+    assert got == ref
+    assert not any(r[3] == "utf-8" for r in got)  # the whole run is dead
+
+
+def test_utf16_runs_straddle_granule(spark, tmp_path):
+    data = bytearray(2 * 4096)
+    payload = "UTF SIXTEEN DATA EXAMPLE ROW".encode("utf-16-le") * 12
+    place(data, 490, payload)  # crosses 512 and 1024
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+    assert any(r[3] == "utf-16le" for r in got)
+
+
+def test_zero_fill_and_exact_boundary_runs(spark, tmp_path):
+    data = bytearray(3 * 4096)
+    place(data, 512 - 32, b"C" * 32)  # ends exactly at a granule boundary
+    place(data, 1024, b"D" * 48)  # starts exactly at a granule boundary
+    place(data, 2048 - 8, b"E" * 16)  # 8 bytes each side
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_differential_fuzz(spark, tmp_path, seed):
+    """Random mixture of every content class vs the parent-geometry
+    reference — granule chosen NOT to divide chunk_size so the ragged
+    last sub-chunk path is exercised too."""
+    rng = random.Random(seed)
+    data = bytearray()
+    total = 3 * 4096 + 1000
+    words = ["alpha", "Beta9", "héllo", "wörldé", "日本語テスト", "x" * 40]
+    while len(data) < total:
+        kind = rng.randrange(6)
+        if kind == 0:
+            data += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        elif kind == 1:
+            data += bytes(rng.randrange(1, 30))
+        elif kind == 2:
+            data += " ".join(rng.choices(words, k=rng.randrange(1, 30))).encode()
+        elif kind == 3:
+            data += rng.choice(words).encode("utf-16-le") * rng.randrange(1, 8)
+        elif kind == 4:
+            data += rng.choice(words).encode("utf-16-be") * rng.randrange(1, 8)
+        else:
+            data += b"\xc2\xad" if rng.random() < 0.5 else b"\xed\xa0\x80"
+    data = bytes(data[:total])
+    cfg = dataclasses.replace(CFG, string_min_len=3, string_max_len=7)
+    granule = 509  # prime: ragged tiling, boundaries land everywhere
+    assert fused_rows(spark, tmp_path, data, cfg, granule=granule) == reference_rows(
+        data, cfg
+    )
+
+
+def test_degenerate_granule_equals_chunk(spark, tmp_path):
+    """granule >= chunk_size reduces to exactly the parent-geometry scan."""
+    data = bytes(random.Random(7).randrange(256) for _ in range(6000))
+    assert fused_rows(
+        spark, tmp_path, data, CFG, granule=1 << 20
+    ) == reference_rows(data, CFG)
