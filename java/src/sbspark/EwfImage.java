@@ -258,6 +258,31 @@ final class EwfImage {
   }
 
   /**
+   * Positioned read of decompressed media [pos, pos+len), clamped at the
+   * media end — the random-access primitive for the JVM strings kernel
+   * (chunk decompression reuses the per-thread buffers).
+   */
+  byte[] readAt(long pos, int len) throws IOException {
+    if (pos >= mediaSize || len <= 0) return new byte[0];
+    len = (int) Math.min(len, mediaSize - pos);
+    byte[] dst = new byte[len];
+    byte[] out = outBuf.get();
+    int copied = 0;
+    while (copied < len) {
+      long abs = pos + copied;
+      int idx = (int) (abs / chunkSize);
+      if (idx >= chunkPath.length) break;
+      int valid = chunk(idx, out);
+      int lo = (int) (abs - (long) idx * chunkSize);
+      int take = (int) Math.min((long) valid - lo, (long) len - copied);
+      if (take <= 0) break;
+      System.arraycopy(out, lo, dst, copied, take);
+      copied += take;
+    }
+    return copied == len ? dst : java.util.Arrays.copyOfRange(dst, 0, copied);
+  }
+
+  /**
    * Stream-scan decompressed media [start, start+length): automaton
    * state carries across chunk boundaries, offsets are region-local —
    * identical semantics to Ac.scanFile on a raw image.

@@ -40,7 +40,16 @@ _SOURCES = (
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
     "SimHashUdf.java",
+    "StringScanBytesUdf.java",
+    "StringScanEvidenceUdf.java",
+    "Strs.java",
     "SubwordUdf.java",
+)
+
+# STRING_SPANS as a DDL fragment (must stay in lockstep with schemas.py)
+_SPAN_ROWS_TYPE = (
+    "array<struct<global_start:bigint,byte_length:int,content:string,"
+    "encoding:string,url_like:boolean,email_like:boolean,phone_like:boolean>>"
 )
 
 # cache attribute stashed on the SparkSession object itself: id() keys
@@ -130,6 +139,12 @@ def ensure_kernel(spark: SparkSession) -> bool:
                 "sb_sqdists", "sbspark.SqDistsUdf", "array<double>"
             )
             spark.udf.registerJavaFunction("sb_adc", "sbspark.AdcUdf", "double")
+            spark.udf.registerJavaFunction(
+                "sb_scan_strings_bytes", "sbspark.StringScanBytesUdf", _SPAN_ROWS_TYPE
+            )
+            spark.udf.registerJavaFunction(
+                "sb_scan_strings", "sbspark.StringScanEvidenceUdf", _SPAN_ROWS_TYPE
+            )
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
                 "SELECT sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263') AS h"

@@ -193,10 +193,56 @@ def _decode_span(raw: bytes, encoding: str) -> str:
     return raw.decode("utf-8", "replace")
 
 
+@functools.lru_cache(maxsize=1)
+def _printable_intervals() -> str:
+    """Python's str.isprintable() truth for codepoints >= 0x80, as hex
+    'lo-hi' ranges — exported to the JVM kernel in the spec string so
+    UTF-8 printability parity can never drift with JVM Unicode versions
+    (ASCII and \\t are handled structurally on both sides)."""
+    parts = []
+    lo = None
+    for cp in range(0x80, 0x110000):
+        if chr(cp).isprintable():
+            if lo is None:
+                lo = cp
+        elif lo is not None:
+            parts.append(f"{lo:x}-{cp - 1:x}")
+            lo = None
+    if lo is not None:
+        parts.append(f"{lo:x}-{0x10FFFF:x}")
+    return ",".join(parts)
+
+
+def _strings_spec(cfg: EngineConfig) -> str:
+    """JVM kernel spec (see java/src/sbspark/Strs.java)."""
+    return (
+        f"{cfg.string_min_len};{cfg.string_max_len};"
+        f"{1 if cfg.string_scan_utf16 else 0};{cfg.chunk_size};{cfg.overlap};"
+        f"{_printable_intervals()}"
+    )
+
+
 def scan_string_spans(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """chunks -> string spans with hint flags, overlap-deduped."""
+    """chunks -> string spans with hint flags, overlap-deduped.
+
+    Dispatches to the JVM span kernel when it registers into this
+    session (chunk bytes never cross into Python; ~an order of
+    magnitude over the Python kernel — see SCALE.md r10); the Python
+    mapInPandas pass below is the pinned fallback
+    (SPARK_GRAFT_NO_VEC_KERNEL=1 forces it)."""
+    from swiftbeaver_spark.jvm import vec_kernel_active
+
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
     scan_utf16 = cfg.string_scan_utf16
+    if vec_kernel_active(chunks.sparkSession):
+        rows = F.call_udf(
+            "sb_scan_strings_bytes",
+            F.col("data"),
+            F.col("start").cast("long"),
+            F.col("valid_length").cast("long"),
+            F.lit(_strings_spec(cfg)),
+        )
+        return spread(chunks).select(F.inline(rows))
     # spread the compute-dense scan across cores when the chunk source
     # collapsed to fewer input splits than the cluster has slots
     # (measured 2 of 32 cores busy on the 10x q35 corpus, whose 100 MB
@@ -616,12 +662,26 @@ def spans_from_evidence(
     the JVM boundary; see scanner.scan_evidence for the rationale).
     Plans at the Python-kernel granule for parallelism; row semantics
     stay pinned to cfg.chunk_size geometry via the continuation-aware
-    sub-chunk scan above (identical rows to the chunk-table path)."""
+    sub-chunk scan above (identical rows to the chunk-table path).
+    Dispatches to the JVM kernel (sb_scan_strings — positioned read +
+    scan inside the executor JVM, same continuation semantics) when
+    registered; Python below is the pinned fallback."""
+    from swiftbeaver_spark.jvm import vec_kernel_active
     from swiftbeaver_spark.source import evidence_length, open_evidence
 
     total = evidence_length(path)
     g = granule if granule is not None else PY_SCAN_GRANULE
     plan = subchunk_plan(spark, total, cfg.chunk_size, min(cfg.chunk_size, g))
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    if vec_kernel_active(spark):
+        rows = F.call_udf(
+            "sb_scan_strings",
+            F.lit(path),
+            F.col("start").cast("long"),
+            F.col("valid_length").cast("long"),
+            F.lit(_strings_spec(cfg)),
+        )
+        return plan.repartition(n_parts).select(F.inline(rows))
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -636,5 +696,4 @@ def spans_from_evidence(
         finally:
             reader.close()
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
     return plan.repartition(n_parts).mapInPandas(fused, schemas.STRING_SPANS)

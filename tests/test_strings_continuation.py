@@ -33,6 +33,18 @@ CFG = dataclasses.replace(
 GRANULE = 512
 
 
+@pytest.fixture(params=["jvm", "python"])
+def kernel_mode(request, monkeypatch):
+    """Run every parity test under BOTH kernels: the JVM span kernel
+    (default) and the pinned Python fallback (SPARK_GRAFT_NO_VEC_KERNEL).
+    On a JRE-only host the 'jvm' param degrades to the Python path."""
+    if request.param == "python":
+        monkeypatch.setenv("SPARK_GRAFT_NO_VEC_KERNEL", "1")
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_NO_VEC_KERNEL", raising=False)
+    return request.param
+
+
 def reference_rows(data: bytes, cfg) -> list[tuple]:
     """Parent-geometry scan: the pinned semantics (chunk-table path)."""
     rows: list[tuple] = []
@@ -59,7 +71,7 @@ def place(buf: bytearray, off: int, payload: bytes) -> None:
     buf[off : off + len(payload)] = payload
 
 
-def test_ascii_run_straddles_granule(spark, tmp_path):
+def test_ascii_run_straddles_granule(spark, tmp_path, kernel_mode):
     data = bytearray(2 * 4096)  # two parent chunks, all NUL
     # 70-byte printable run straddling the 512 granule boundary: pieces
     # must stay anchored at 481 (grid 481, 497, 513, ...), and the
@@ -71,7 +83,7 @@ def test_ascii_run_straddles_granule(spark, tmp_path):
     assert 481 in starts and 513 in starts and 512 not in starts
 
 
-def test_long_ascii_run_spans_many_subchunks(spark, tmp_path):
+def test_long_ascii_run_spans_many_subchunks(spark, tmp_path, kernel_mode):
     data = bytearray(2 * 4096)
     place(data, 100, b"x" * 1500)  # crosses granule boundaries 512 and 1024
     got = fused_rows(spark, tmp_path, bytes(data), CFG)
@@ -84,7 +96,7 @@ def test_long_ascii_run_spans_many_subchunks(spark, tmp_path):
     ][: 1 if 1500 % 16 >= CFG.string_min_len else 0]
 
 
-def test_run_crossing_parent_boundary_reanchors(spark, tmp_path):
+def test_run_crossing_parent_boundary_reanchors(spark, tmp_path, kernel_mode):
     data = bytearray(2 * 4096)
     # run crossing the PARENT boundary at 4096: both paths re-anchor the
     # grid at 4096 (the parent blob truncation/re-anchor IS the pinned
@@ -94,7 +106,7 @@ def test_run_crossing_parent_boundary_reanchors(spark, tmp_path):
     assert got == reference_rows(bytes(data), CFG)
 
 
-def test_utf8_run_straddles_granule(spark, tmp_path):
+def test_utf8_run_straddles_granule(spark, tmp_path, kernel_mode):
     data = bytearray(2 * 4096)
     text = ("héllo wörld " * 12).encode("utf-8")  # MB chars both sides
     place(data, 500, text)
@@ -103,7 +115,7 @@ def test_utf8_run_straddles_granule(spark, tmp_path):
     assert any(r[3] == "utf-8" for r in got)
 
 
-def test_utf8_global_check_kills_across_boundary(spark, tmp_path):
+def test_utf8_global_check_kills_across_boundary(spark, tmp_path, kernel_mode):
     """A non-printable (soft hyphen, Cf) AFTER the granule boundary must
     kill utf-8 pieces BEFORE it — whole-run semantics across sub-chunks."""
     data = bytearray(2 * 4096)
@@ -115,7 +127,7 @@ def test_utf8_global_check_kills_across_boundary(spark, tmp_path):
     assert not any(r[3] == "utf-8" for r in got)  # the whole run is dead
 
 
-def test_utf16_runs_straddle_granule(spark, tmp_path):
+def test_utf16_runs_straddle_granule(spark, tmp_path, kernel_mode):
     data = bytearray(2 * 4096)
     payload = "UTF SIXTEEN DATA EXAMPLE ROW".encode("utf-16-le") * 12
     place(data, 490, payload)  # crosses 512 and 1024
@@ -124,7 +136,7 @@ def test_utf16_runs_straddle_granule(spark, tmp_path):
     assert any(r[3] == "utf-16le" for r in got)
 
 
-def test_zero_fill_and_exact_boundary_runs(spark, tmp_path):
+def test_zero_fill_and_exact_boundary_runs(spark, tmp_path, kernel_mode):
     data = bytearray(3 * 4096)
     place(data, 512 - 32, b"C" * 32)  # ends exactly at a granule boundary
     place(data, 1024, b"D" * 48)  # starts exactly at a granule boundary
@@ -134,7 +146,7 @@ def test_zero_fill_and_exact_boundary_runs(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
-def test_differential_fuzz(spark, tmp_path, seed):
+def test_differential_fuzz(spark, tmp_path, seed, kernel_mode):
     """Random mixture of every content class vs the parent-geometry
     reference — granule chosen NOT to divide chunk_size so the ragged
     last sub-chunk path is exercised too."""
@@ -164,9 +176,41 @@ def test_differential_fuzz(spark, tmp_path, seed):
     )
 
 
-def test_degenerate_granule_equals_chunk(spark, tmp_path):
+def test_degenerate_granule_equals_chunk(spark, tmp_path, kernel_mode):
     """granule >= chunk_size reduces to exactly the parent-geometry scan."""
     data = bytes(random.Random(7).randrange(256) for _ in range(6000))
     assert fused_rows(
         spark, tmp_path, data, CFG, granule=1 << 20
     ) == reference_rows(data, CFG)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_bytes_kernel_differential_fuzz(spark, tmp_path, seed):
+    """Chunk-table path: JVM sb_scan_strings_bytes vs the Python
+    _blob_spans kernel, bit-identical rows on random mixed content."""
+    from swiftbeaver_spark.chunking import chunks_from_bytes
+    from swiftbeaver_spark.jvm import ensure_kernel
+    from swiftbeaver_spark.strings_scan import scan_string_spans
+
+    if not ensure_kernel(spark):
+        pytest.skip("JVM kernel unavailable")
+    rng = random.Random(seed)
+    data = bytearray()
+    words = ["mixed", "Ascii", "ünïcødé", "桜とコード", "tab\there"]
+    while len(data) < 3 * 4096:
+        k = rng.randrange(5)
+        if k == 0:
+            data += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 50)))
+        elif k == 1:
+            data += b"\x00" * rng.randrange(1, 20)
+        elif k == 2:
+            data += " ".join(rng.choices(words, k=rng.randrange(1, 20))).encode()
+        elif k == 3:
+            data += rng.choice(words)[:4].encode("utf-16-le") * rng.randrange(1, 6)
+        else:
+            data += b"\xe0\x80\x80\xf4\x90\x80\x80"  # overlong + >10FFFF
+    data = bytes(data[: 3 * 4096])
+    cfg = dataclasses.replace(CFG, string_min_len=3, string_max_len=9)
+    chunks = chunks_from_bytes(spark, data, cfg.chunk_size, cfg.overlap)
+    jvm_rows = sorted(tuple(r) for r in scan_string_spans(chunks, cfg).collect())
+    assert jvm_rows == reference_rows(data, cfg)
