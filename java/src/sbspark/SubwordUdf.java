@@ -21,13 +21,21 @@ import org.apache.spark.sql.api.java.UDF2;
 public class SubwordUdf implements UDF2<String, String, List<Integer>> {
   // Executor-lifetime cache; bounded like CentTable.CACHE so a caller
   // sweeping n_buckets/minn/maxn can't accumulate entries forever.
-  // Entries are 3 ints, so a small bound suffices; on overflow the
-  // whole map clears and any live query re-seeds its own spec.
+  // Entries are 3 ints, so a small bound suffices; strictly over the
+  // cap one arbitrary entry evicts (never the whole map — a full
+  // clear() at exactly MAX_ENTRIES live specs would thrash every
+  // insert and drop hot entries under a wide sweep; ADVICE r9).
   static final int MAX_ENTRIES = 256;
   private static final ConcurrentHashMap<String, int[]> SPECS = new ConcurrentHashMap<>();
 
   private static int[] parse(String spec) {
-    if (SPECS.size() >= MAX_ENTRIES) SPECS.clear();
+    if (SPECS.size() > MAX_ENTRIES) {
+      java.util.Iterator<String> it = SPECS.keySet().iterator();
+      if (it.hasNext()) {
+        it.next();
+        it.remove();
+      }
+    }
     return SPECS.computeIfAbsent(
         spec,
         s -> {

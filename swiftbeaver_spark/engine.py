@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import secrets
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,9 +43,56 @@ def make_run_id() -> str:
 @dataclass
 class RunResult:
     tables: dict[str, DataFrame]
+    # stage frames persisted by run(cache_intermediates=True); the
+    # CALLER owns their lifetime — repeated runs in one session leak
+    # executor storage unless unpersist() frees them (ADVICE r9)
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    # per-stage Observation objects (CollectMetrics riding the stage
+    # plans): counters captured as a BYPRODUCT of whatever action first
+    # drives each table — the Spark analog of the reference's
+    # single-pass counters (src/pipeline/mod.rs:256-264)
+    observations: dict = field(default_factory=dict)
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.tables[name]
+
+    def observed_summary(self) -> DataFrame | None:
+        """run_summary built from the stage observations instead of
+        re-deriving every consumed subtree — with caching OFF that
+        re-derivation is a second full evidence scan on the fused path
+        (round-9: 32.5 s of a 61 s 1 GiB run). ONLY call after an
+        action has driven every observed stage table (write_tables
+        does); Observation.get blocks until the first action finishes.
+        The chunks-side counters stay a real aggregate — on the fused
+        path the chunk plan is pure range arithmetic (no evidence
+        read), on the chunk-table path the table is cached."""
+        if "hits" not in self.observations:
+            return None
+        got = {k: o.get for k, o in self.observations.items()}
+
+        def n(name: str):
+            return int(got[name]["n"]) if name in got else 0
+
+        return self.tables["chunks"].agg(
+            F.coalesce(F.sum("valid_length"), F.lit(0)).cast("long").alias("bytes_scanned"),
+            F.count("*").alias("chunks_processed"),
+        ).select(
+            "bytes_scanned",
+            "chunks_processed",
+            F.lit(n("hits")).cast("long").alias("hits_found"),
+            F.lit(n("carved_files")).cast("long").alias("files_carved"),
+            F.lit(n("string_spans")).cast("long").alias("string_spans"),
+            F.lit(n("string_artefacts")).cast("long").alias("artefacts_extracted"),
+        )
+
+    def unpersist(self) -> None:
+        """Free the stage caches created by run(cache_intermediates=
+        True). Call once every consumer of the tables has materialised
+        (lazy frames read through the cache while it is live)."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 class Engine:
@@ -146,7 +193,9 @@ class Engine:
         (write_tables, the stress bench); OFF by default so
         single-table uses stay cache-free. Stage outputs are metadata
         rows (spans/hits/carves), orders of magnitude smaller than
-        evidence."""
+        evidence. The caches are CALLER-owned: call RunResult.unpersist()
+        when done, or repeated runs in one session accumulate executor
+        storage."""
         if evidence_path is not None and not chunk_join:
             # fused path: the chunk *plan* (arithmetic rows) distributes;
             # each scan reads its own byte ranges — chunk bytes never
@@ -208,6 +257,7 @@ class Engine:
                 tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
             if self.cfg.enable_entropy_detection:
                 tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
+        persisted: list[DataFrame] = []
         if cache_intermediates:
             from pyspark.storagelevel import StorageLevel
 
@@ -222,6 +272,7 @@ class Engine:
                     tables[name] = tables[name].persist(
                         StorageLevel.MEMORY_AND_DISK
                     )
+                    persisted.append(tables[name])
             carved = tables["carved_files"]  # browser stage reuses the cache
         if evidence_path is not None and any(
             ft.type_id == "sqlite" for ft in self.cfg.file_types
@@ -247,7 +298,7 @@ class Engine:
             tables["browser_cookies"] = browser["browser_cookies"]
             tables["browser_downloads"] = browser["browser_downloads"]
         tables["run_summary"] = self.run_summary(tables)
-        return RunResult(tables)
+        return RunResult(tables, persisted)
 
     def run_summary(self, tables: dict[str, DataFrame]) -> DataFrame:
         """Single-row counters table (reference src/pipeline/mod.rs:256-264,

@@ -265,8 +265,13 @@ def minhash_near_dups(
     up, but the doubled signature pass costs 3.7x linear, and the
     measured-to-5e6 / modeled-beyond end-to-end crossover sits at
     ~5e8). `n_docs` supplies the size hint; without it the
-    auto path pays one count() of the input (column-pruned parquet
-    count — metadata-only — in the common case). Explicit values pin
+    auto path pays one count() of the input — metadata-only on a bare
+    parquet scan, but a FULL upstream re-execution when `df` is a
+    derived plan (filters/joins/UDF stages run once for the count and
+    again for the signature pass — the round-7 labels-collect hazard).
+    Pass `n_docs` (even a cheap estimate; it only picks the layout
+    band) for any non-trivial input, as q26 does, or persist `df`
+    yourself before calling. Explicit values pin
     the layout exactly as before (the oracle-gated queries' path:
     passing num_hashes=64 alone keeps the historical bands=hashes/4).
     Verification is exact Jaccard at `threshold`, so the layout moves

@@ -1697,12 +1697,21 @@ def assign_cells_arrow(
                 ccos = _spark_round_half_up(
                     np.where(denom == 0.0, np.nan, own / denom), round_dp
                 )
+            # zero-norm vectors must come out NULL, not NaN, to match
+            # the Catalyst expression path (Spark Divide-by-zero yields
+            # NULL; NaN sorts ABOVE all doubles while NULL sorts first,
+            # which could flip keep-policy ordering for degenerate
+            # vectors — ADVICE r9). NaN only arises from denom == 0, so
+            # the nullable conversion is off the NaN-free fast path.
+            ccos_col = (
+                pd.array(ccos, dtype="Float64") if np.isnan(ccos).any() else ccos
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].astype("int64").to_numpy(),
                     "vec": list(mat),
                     "cell": cells,
-                    "centroid_cos": ccos,
+                    "centroid_cos": ccos_col,
                 }
             )
 

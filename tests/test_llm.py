@@ -1954,6 +1954,25 @@ def test_semantic_dedup_arrow_kernel_matches_expr(spark):
     assert expr_rows == full_arrow
 
 
+def test_assign_cells_arrow_zero_norm_is_null(spark):
+    """A zero-norm vector's centroid_cos must be NULL on the arrow path
+    (pandas NA -> Spark NULL), matching the Catalyst expression path's
+    divide-by-zero NULL — NaN would sort ABOVE all doubles and flip
+    keep-policy ordering (ADVICE r9)."""
+    from swiftbeaver_spark.llm.similarity import assign_cells_arrow, md5_centroids
+
+    cents = md5_centroids(4, 8, tag="zeronorm")
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7)], "vec_id long, vec array<double>"
+    )
+    rows = {
+        r.vec_id: r.centroid_cos
+        for r in assign_cells_arrow(df, cents, vec_col="vec").collect()
+    }
+    assert rows[0] is None  # NULL, never NaN
+    assert rows[1] is not None and rows[1] == rows[1]  # real value, not NaN
+
+
 def test_assign_cells_arrow_matches_expr(spark):
     """The Arrow assignment kernel must reproduce ivf_cell_dot cell for
     cell over the full embeddings table (rounding + lowest-cell ties)."""
