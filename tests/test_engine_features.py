@@ -465,3 +465,67 @@ def test_run_cache_intermediates_same_tables(spark, tmp_path):
                      "string_artefacts", "entropy_regions"):
             if name in cached.tables:
                 cached[name].unpersist()
+
+
+def test_observed_summary_matches_run_summary(spark, tmp_path):
+    """observed_summary (counters captured as a byproduct of the
+    actions that drove the stage tables — no subtree re-derivation)
+    must produce the exact run_summary row; and the cached-run
+    unpersist() helper frees the tracked frames."""
+    import dataclasses
+
+    from tests.fixtures import mk_jpeg
+    from tests.test_pipeline import TEST_CFG
+    from swiftbeaver_spark.engine import Engine
+
+    evidence = bytearray(b"\x00" * 4096)
+    evidence[100:130] = b"text with https://example.com " 
+    blob = mk_jpeg()
+    evidence[1024 : 1024 + len(blob)] = blob
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(evidence))
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg"),
+        enable_string_scan=True,
+    )
+    eng = Engine(spark, cfg)
+    run = eng.run(evidence_path=path, cache_intermediates=True)
+    try:
+        # drive every observed table (fills the observations)
+        for name in ("hits", "carved_files", "string_spans", "string_artefacts"):
+            run[name].count()
+        lazy = run["run_summary"].collect()[0].asDict()
+        observed = run.observed_summary().collect()[0].asDict()
+        assert observed == lazy
+        assert lazy["hits_found"] >= 1 and lazy["string_spans"] >= 1
+    finally:
+        run.unpersist()
+    assert not run.persisted
+
+
+def test_observed_summary_unfilled_returns_none(spark, tmp_path):
+    """Before any action drives the observed tables, observed_summary
+    must return None (non-blocking probe) — never hang on
+    Observation.get."""
+    import dataclasses
+
+    from tests.fixtures import mk_jpeg
+    from tests.test_pipeline import TEST_CFG
+    from swiftbeaver_spark.engine import Engine
+
+    evidence = bytearray(b"\x00" * 4096)
+    blob = mk_jpeg()
+    evidence[1024 : 1024 + len(blob)] = blob
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(evidence))
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg"),
+    )
+    run = Engine(spark, cfg).run(evidence_path=path)
+    assert run.observed_summary() is None
+    run["hits"].count()  # fills hits only; carved still unfilled
+    assert run.observed_summary() is None
