@@ -249,7 +249,13 @@ final class Strs {
       // lead there => nothing emittable => skip before extension
       if (!mbLeadIn(blob, (int) Math.max(rs, ownStart - base), i)) continue;
       byte[] run;
-      if (i == n && base + i < eCap && io != null) {
+      // extend when the run reaches the window end OR ends within 3
+      // bytes of it: a multibyte unit straddling the window cut leaves
+      // a dangling prefix the structural scan excludes, but the
+      // parent-geometry run continues through it (mirrors the Python
+      // kernel; extendRun's truncated-unit logic reassembles it or
+      // ends the run where it truly ends)
+      if (io != null && base + n < eCap && n - i <= 3) {
         run = extendRun(io, runG, blob, rs, n, eCap);
       } else {
         run = java.util.Arrays.copyOfRange(blob, rs, i);

@@ -1625,12 +1625,46 @@ def kmeans_micro(
     return out
 
 
+# past this many centroids the flat assignment matmul (n x nlist
+# flops; ~n^1.5 at the auto_nlist optimum — the SCALE.md r9 known
+# ceiling) loses to the two-level coarse quantizer; measured crossover
+# from tools/bench_assign_hier.py (see SCALE.md r10)
+_HIER_NLIST_MIN = 2048
+
+
+def _centroid_groups(cmat, n_super: int, iters: int = 10):
+    """Deterministic mini-kmeans over the CENTROID table itself: the
+    coarse quantizer for two-level assignment. Strided init (no RNG),
+    fixed iteration count, empty supers dropped — fully reproducible
+    for a given (pinned) centroid table."""
+    import numpy as np
+
+    n = len(cmat)
+    n_super = max(2, min(n_super, n))
+    stride = max(1, n // n_super)
+    sup = cmat[::stride][:n_super].copy()
+    for _ in range(iters):
+        d = ((cmat[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for s in range(len(sup)):
+            m = lab == s
+            if m.any():
+                sup[s] = cmat[m].mean(axis=0)
+    d = ((cmat[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+    members = [np.flatnonzero(lab == s) for s in range(len(sup))]
+    keep = [s for s, m in enumerate(members) if len(m)]
+    return sup[keep], [members[s] for s in keep]
+
+
 def assign_cells_arrow(
     df: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    hier: bool | None = None,
+    probe_super: int = 8,
 ) -> DataFrame:
     """DataFrame-level Arrow twin of `ivf_cell_dot`: (id, vec, cell) via
     one numpy matmul per batch against the broadcast centroid matrix —
@@ -1654,7 +1688,30 @@ def assign_cells_arrow(
     corpus pass. The driver gate evaluates query and oracle on the
     same host (verified identical tri-SF + sf1 here); the expr forms
     remain the bit-guaranteed engine-replayable path for cross-engine
-    reproduction."""
+    reproduction.
+
+    `hier` switches to TWO-LEVEL assignment (the coarse-to-fine wiring
+    VERDICT r9 task 4 asked for): centroids group into ~sqrt(nlist)
+    super-cells via a deterministic mini-kmeans over the centroid
+    table; each vector dots against the supers, takes its top
+    `probe_super`, and runs the exact rounded-dot argmax only over
+    those supers' member centroids — ~(1+probe_super)*sqrt(nlist)
+    flops/vector instead of nlist, which removes the ~n^1.5
+    flat-assignment wall past ~1e8 vectors. hier=None (default)
+    auto-switches at nlist >= _HIER_NLIST_MIN (measured crossover,
+    tools/bench_assign_hier.py) — every gated query's pinned nlist is
+    far below it, so gated outputs are bit-identical to flat. The
+    hierarchical result is approximate only when a vector's true
+    nearest centroid lives outside its probed super-cells: measured
+    agreement at probe_super=8 is ~99.98% for TRAINED quantizers
+    (ivf_train/kmeans — the production path at the scales where the
+    switch fires; clustered centroids make super-routing informative)
+    but degrades badly for RANDOM pinned quantizers (md5_centroids:
+    ~86% at p=8, since near-orthogonal random centroids carry no
+    cluster structure) — callers keeping a random quantizer past the
+    crossover should pass hier=False or raise probe_super. IVF cell
+    assignment is itself a blocking heuristic; probing ALL supers is
+    bit-identical to flat (pytest-pinned)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -1668,6 +1725,11 @@ def assign_cells_arrow(
 
     cmat = np.asarray(centroids, dtype=np.float64)
     cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    if hier is None:
+        hier = len(cmat) >= _HIER_NLIST_MIN
+    sup_members = (
+        _centroid_groups(cmat, int(round(len(cmat) ** 0.5))) if hier else None
+    )
     out_schema = StructType(
         [
             StructField("vec_id", LongType(), False),
@@ -1677,21 +1739,44 @@ def assign_cells_arrow(
         ]
     )
 
+    def assign_flat(mat):
+        raw = mat @ cmat.T
+        dots = _spark_round_half_up(raw, round_dp)
+        cells = dots.argmax(axis=1).astype(np.int32)
+        return cells, raw[np.arange(len(raw)), cells]
+
+    def assign_hier(mat):
+        sup, members = sup_members
+        sdots = mat @ sup.T
+        p = min(probe_super, len(sup))
+        # top-p supers per row, deterministic (full argsort, stable)
+        top = np.argsort(-sdots, kind="stable", axis=1)[:, :p]
+        cells = np.empty(len(mat), dtype=np.int32)
+        own = np.empty(len(mat), dtype=np.float64)
+        uniq, inv = np.unique(top, axis=0, return_inverse=True)
+        for gi in range(len(uniq)):
+            rows = np.flatnonzero(inv == gi)
+            cand = np.unique(np.concatenate([members[s] for s in uniq[gi]]))
+            sub = mat[rows] @ cmat[cand].T
+            loc = _spark_round_half_up(sub, round_dp).argmax(axis=1)
+            cells[rows] = cand[loc].astype(np.int32)
+            own[rows] = sub[np.arange(len(rows)), loc]
+        return cells, own
+
     def work(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            raw = mat @ cmat.T
-            dots = _spark_round_half_up(raw, round_dp)
-            cells = dots.argmax(axis=1).astype(np.int32)
-            # rounded cosine to the OWN cell's centroid, read off the
-            # RAW (pre-rounded) dot row the argmax selected — the
-            # matmul already computed every dot, so the ccos that the
+            # rounded-dot argmax (ties to the lowest cell; candidate
+            # index lists are sorted ascending on the hier path, so
+            # subset argmax keeps the same tie rule); own = the RAW
+            # (pre-rounded) dot the argmax selected — the matmul
+            # already computed every dot, so the ccos that the
             # expression path re-derives per row from an O(nlist x
             # dim) plan-literal centroid array (the round-9 measured
             # OOM at nlist~9e3, see semantic_dedup) is free here
-            own = raw[np.arange(len(raw)), cells]
+            cells, own = assign_hier(mat) if hier else assign_flat(mat)
             denom = np.sqrt((mat * mat).sum(axis=1)) * cnorms[cells]
             with np.errstate(divide="ignore", invalid="ignore"):
                 ccos = _spark_round_half_up(

@@ -572,7 +572,14 @@ def _utf8_owned_rows(
             continue
         raw = m.group(0)
         run_g = w0 + rs
-        if re_ == len(blob) and w0 + re_ < e_cap:
+        # forward-extend when the run reaches the window end OR ends
+        # within 3 bytes of it: a multibyte unit STRADDLING the window
+        # cut leaves a dangling lead/continuation prefix the structural
+        # match excludes, but the parent-geometry run continues through
+        # it — the extension re-reads from the file so the straddling
+        # unit reassembles (an invalid dangling tail just ends the
+        # re-match where the run truly ends)
+        if w0 + len(blob) < e_cap and len(blob) - re_ <= 3:
             raw = _extend_utf8_run(reader, run_g, raw, e_cap)
         if not _HAS_MB.search(raw):
             continue

@@ -2221,3 +2221,51 @@ def test_semantic_dedup_arrow_ccos_over_budget_matches_expr(spark, monkeypatch):
         )
     )
     assert got == want and len(got) == 500
+
+
+def test_assign_cells_hier_full_probe_equals_flat(spark):
+    """Two-level assignment probing ALL super-cells evaluates the exact
+    argmax over every centroid — must be bit-identical to the flat
+    path (proves the hier machinery changes candidates, never the
+    rule: rounding, tie-breaks, own-dot ccos all shared)."""
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.similarity import assign_cells_arrow, md5_centroids
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = md5_centroids(32, 64, tag="hierparity")
+    flat = {
+        (r.vec_id, r.cell, r.centroid_cos)
+        for r in assign_cells_arrow(emb, cents, hier=False).collect()
+    }
+    hier = {
+        (r.vec_id, r.cell, r.centroid_cos)
+        for r in assign_cells_arrow(
+            emb, cents, hier=True, probe_super=32
+        ).collect()
+    }
+    assert flat == hier and len(flat) == 500
+
+
+def test_assign_cells_hier_trained_quantizer_agreement(spark):
+    """With a TRAINED quantizer (the production path at the scales the
+    auto-switch fires), probe_super=8 must agree with flat on nearly
+    every vector — the documented coarse-quantizer approximation
+    bound. Random md5 quantizers route far worse (documented in the
+    assign_cells_arrow docstring), which is why the bound is pinned on
+    the trained shape."""
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.similarity import assign_cells_arrow, ivf_train
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_train(emb, nlist=64, vec_col="embedding", id_col="vec_id", iters=2)
+    flat = {r.vec_id: r.cell for r in assign_cells_arrow(emb, cents, hier=False).collect()}
+    hier = {
+        r.vec_id: r.cell
+        for r in assign_cells_arrow(emb, cents, hier=True, probe_super=8).collect()
+    }
+    agree = sum(flat[k] == hier[k] for k in flat) / len(flat)
+    assert agree >= 0.97, agree

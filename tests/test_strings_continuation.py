@@ -214,3 +214,35 @@ def test_bytes_kernel_differential_fuzz(spark, tmp_path, seed):
     chunks = chunks_from_bytes(spark, data, cfg.chunk_size, cfg.overlap)
     jvm_rows = sorted(tuple(r) for r in scan_string_spans(chunks, cfg).collect())
     assert jvm_rows == reference_rows(data, cfg)
+
+
+def test_utf8_unit_straddles_window_end(spark, tmp_path, kernel_mode):
+    """A multibyte char STRADDLING the sub-chunk read-window end (w1 =
+    own_end + margin) leaves a dangling lead the structural scan
+    excludes; the run-global printability check must still see the
+    full run — here a soft hyphen at 780 kills pieces owned by the
+    first sub-chunk, which a window-truncated run check would wrongly
+    emit. (Found by reasoning about the extension trigger; the fuzz
+    missed it because straddles at exactly own_end+margin are rare.)"""
+    data = bytearray(2 * 4096)
+    # CFG margin = max(overlap=256, 4*max_len=64) = 256; sub-chunk 0's
+    # window is [0, 512+256=768). 'a' at 490 then é-pairs from 491:
+    # leads at odd offsets, so one é straddles 767/768.
+    run = b"a" + "é".encode() * 144  # [490, 779): crosses 768
+    run += b"\xc2\xad" + "é".encode() * 4  # soft hyphen at 779 kills ALL
+    place(data, 490, run)
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    ref = reference_rows(bytes(data), CFG)
+    assert got == ref
+    assert not any(r[3] == "utf-8" for r in got)
+
+
+def test_utf8_unit_straddles_window_end_run_survives(spark, tmp_path, kernel_mode):
+    """Same straddle geometry but the run stays printable — pieces
+    owned by every sub-chunk must keep the TRUE (extended) run grid."""
+    data = bytearray(2 * 4096)
+    run = b"a" + "é".encode() * 200  # [490, 891): crosses 768 mid-unit
+    place(data, 490, run)
+    got = fused_rows(spark, tmp_path, bytes(data), CFG)
+    assert got == reference_rows(bytes(data), CFG)
+    assert any(r[3] == "utf-8" for r in got)

@@ -25,8 +25,12 @@ evidence-path plan (each stage re-reads its own byte ranges — the
 positioned-read strategy), then ONE combined run gives the end-to-end
 wall; MiB/s = image_size / wall.
 
-Usage: python tools/bench_engine_1gib.py [mib] [out_json]
+Usage: python tools/bench_engine_1gib.py [mib] [e01]
   -> one JSON line {"engine_full_pipeline_1gib": {...}}
+Passing the literal arg `e01` converts the image to an EWF/E01
+container first (write_ewf, zlib per chunk) and runs the WHOLE
+pipeline against the container — the distributed-E01-source stress
+(every stage decompresses only the chunks its reads touch).
 """
 import dataclasses
 import hashlib
@@ -113,8 +117,21 @@ def main() -> None:
     manifest = build_image(path, SIZE_MIB)
     gen_wall = round(time.time() - t0, 3)
     size = os.path.getsize(path)
+    e01 = "e01" in sys.argv[2:]
+    if e01:
+        from swiftbeaver_spark.ewf import write_ewf
+
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        os.unlink(path)
+        path = os.path.join(tmp, "stress.E01")
+        t0 = time.time()
+        write_ewf(path, raw, sectors_per_chunk=64)
+        del raw
+        print(f"# E01 container: {os.path.getsize(path) / MIB:.0f} MiB on disk, "
+              f"convert {time.time() - t0:.1f}s", file=sys.stderr)
     print(f"# image: {size / MIB:.0f} MiB, {len(manifest)} planted, "
-          f"gen {gen_wall}s", file=sys.stderr)
+          f"gen {gen_wall}s, container={'e01' if e01 else 'raw'}", file=sys.stderr)
 
     planted_types = {m["type"] for m in manifest}
     cfg = dataclasses.replace(
@@ -173,6 +190,7 @@ def main() -> None:
     ]
     out = {
         "image_mib": size // MIB,
+        "container": "e01" if e01 else "raw",
         "planted": len(manifest),
         "recovered": len(manifest) - len(missing),
         "missing": len(missing),
