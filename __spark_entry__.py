@@ -11538,42 +11538,80 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver checks only the FIRST 50 entries
     # (confirmed in rounds 4 and 5 — each CORRECTNESS file holds exactly
-    # the first 50 keys). Round-6 window, per VERDICT r5 item 1: keep the
-    # irreplaceable composite gates (q02 scan kernel, q30-q33 carve
-    # engine), then CLOSE THE BACKLOG — q167 (the only query with neither
-    # a driver row nor a recorded tri-SF sweep) plus the 29 remaining
-    # never-driver-checked queries. After this window, every one of the
-    # 167 contract queries has had at least one green driver CORRECTNESS
-    # row. The 15 backfill slots go to: q59/q92 (newly HASH-GATED this
-    # round — the unrolled-training oracle needs a driver row to prove
-    # it), q157/q160/q165/q166 (round-5 operators re-confirmed after the
-    # margin-guard change), q26/q27 (touched by this round's AQE
-    # coalescing perf work), q43/q96/q121 (verdict-named high-churn
-    # re-confirmations), and q122/q136/q88/q120 (the heavy families
-    # measured at sf1 in SCALE.md this round). Everything else rotates to
-    # the tail, still swept at three SFs by tools/drive_contract.py
-    # before every commit.
+    # the first 50 keys). The window comment below documents each
+    # round's cut; the standing policy (VERDICT r8/r9 task "rotation"):
+    # every query whose code a round touches re-gates THAT round, and
+    # no green driver row may age past ~3 rounds (the due-date cohort
+    # fills the remaining slots oldest-first).
     return {
-
         # --- driver window (first 50) -----------------------------------
-        # Round-9 cut, per VERDICT r8 item 1: (a) the irreplaceable
-        # composites — q02 scan kernel and the q30-q33 carve engine;
-        # (b) every query round 9 touched: q26 (minhash layout is now
-        # corpus-size-derived via _auto_minhash_layout — the auto path
-        # picks the historical 64x16 at every test SF, re-gated here),
-        # q80/q134 (graph-loop edge tables persist instead of
-        # localCheckpoint — ADVICE r8), q160 (NULL-micro guard + schema
-        # inheritance — ADVICE r8), q171/q172 (classify_documents
-        # gained the broadcast_weights production flag), q34/q88/q122
-        # (the IVF family gained the measured auto_nlist default;
-        # their pinned nlist constants are unchanged but the module
-        # carrying them changed); and (c) the ENTIRE 36-query
-        # r5-vintage cohort — the rotation policy's due-date set
-        # (VERDICT r8 item 1) — so after this round no green driver
-        # row is older than round 6 and staleness stays under ~3
-        # rounds. Everything else rotates to the tail, still swept at
-        # three SFs by tools/drive_contract.py before every commit.
+        # Round-10 cut, per VERDICT r9 task 2: (a) the q02 scan-kernel
+        # composite (jvm.py registration changed this round); (b) the
+        # round-9-touched-but-not-windowed strings/entropy family —
+        # q04, q05, q14-q17, q35 — closing the r9 rotation slip, with
+        # q35 now ALSO gating the new JVM span kernel end to end;
+        # (c) the round-10 code-touched queries: q122 (semantic_dedup's
+        # arrow assignment gained the NULL-ccos fix + the hierarchical
+        # auto-switch plumbing) and q172 (SubwordUdf cache eviction);
+        # (d) the ENTIRE 40-query r6-vintage cohort — the rotation
+        # policy's due-date set — so after this round no green driver
+        # row is older than round 7. That fills exactly 50 slots; the
+        # carve composites q30-q33 rotate to the tail FOR THIS ROUND
+        # ONLY (fresh r9-green rows, carver code untouched in r10, and
+        # still swept tri-SF by tools/drive_contract.py before every
+        # commit) — they return to the window next round.
         "q02_chunked_scan": q02_chunked_scan,
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q35_string_spans": q35_string_spans,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q172_fasttext_subword": q172_fasttext_subword,
+        "q102_retention_cohorts": q102_retention_cohorts,
+        "q103_event_transitions": q103_event_transitions,
+        "q109_boilerplate_removal": q109_boilerplate_removal,
+        "q112_snapshot_diff": q112_snapshot_diff,
+        "q113_fk_orphans": q113_fk_orphans,
+        "q118_curation_v2": q118_curation_v2,
+        "q119_split_assignment": q119_split_assignment,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
+        "q121_filtered_ann": q121_filtered_ann,
+        "q128_hilbert": q128_hilbert,
+        "q129_kmv_set_ops": q129_kmv_set_ops,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q132_weighted_median": q132_weighted_median,
+        "q133_json_extract": q133_json_extract,
+        "q135_format_roundtrip": q135_format_roundtrip,
+        "q136_substring_dedup": q136_substring_dedup,
+        "q137_kmeans": q137_kmeans,
+        "q138_privacy_audit": q138_privacy_audit,
+        "q141_dense_timeline": q141_dense_timeline,
+        "q142_schema_evolution": q142_schema_evolution,
+        "q143_time_travel": q143_time_travel,
+        "q144_collocations": q144_collocations,
+        "q145_tfidf_keywords": q145_tfidf_keywords,
+        "q146_inference_batching": q146_inference_batching,
+        "q150_feature_store": q150_feature_store,
+        "q151_semantic_decontamination": q151_semantic_decontamination,
+        "q152_cluster_best_keep": q152_cluster_best_keep,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q159_data_card": q159_data_card,
+        "q162_sft_spans": q162_sft_spans,
+        "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q165_equidepth_histogram": q165_equidepth_histogram,
+        "q166_domain_caps": q166_domain_caps,
+        "q167_jpeg_decode": q167_jpeg_decode,
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
+        "q170_flac_decode": q170_flac_decode,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q97_compaction_plan": q97_compaction_plan,
+        # --- tail (all driver-proven in r7-r9; all still swept tri-SF
+        #     by tools/drive_contract.py before every commit) ----------
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
@@ -11583,10 +11621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_bfs_distances": q134_bfs_distances,
         "q160_mmr_rerank": q160_mmr_rerank,
         "q171_fasttext_classify": q171_fasttext_classify,
-        "q172_fasttext_subword": q172_fasttext_subword,
         "q34_ivf_topk": q34_ivf_topk,
         "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q122_semantic_dedup": q122_semantic_dedup,
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         "q95_incremental_minhash": q95_incremental_minhash,
         "q96_star_join": q96_star_join,
@@ -11623,8 +11659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        # --- tail (driver-proven in r6-r8; all still swept tri-SF by
-        #     tools/drive_contract.py before every commit) ---------------
         "q01_chunk_plan": q01_chunk_plan,
         "q27_simhash_neardup": q27_simhash_neardup,
         "q51_crossdoc_dup": q51_crossdoc_dup,
@@ -11666,49 +11700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_shard_manifest": q90_shard_manifest,
         "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
-        "q59_bpe_learn": q59_bpe_learn,
-        "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q97_compaction_plan": q97_compaction_plan,
-        "q102_retention_cohorts": q102_retention_cohorts,
-        "q103_event_transitions": q103_event_transitions,
-        "q109_boilerplate_removal": q109_boilerplate_removal,
-        "q112_snapshot_diff": q112_snapshot_diff,
-        "q113_fk_orphans": q113_fk_orphans,
-        "q118_curation_v2": q118_curation_v2,
-        "q119_split_assignment": q119_split_assignment,
-        "q120_ivfpq_residual": q120_ivfpq_residual,
-        "q121_filtered_ann": q121_filtered_ann,
-        "q128_hilbert": q128_hilbert,
-        "q129_kmv_set_ops": q129_kmv_set_ops,
-        "q130_temperature_sample": q130_temperature_sample,
-        "q132_weighted_median": q132_weighted_median,
-        "q133_json_extract": q133_json_extract,
-        "q135_format_roundtrip": q135_format_roundtrip,
-        "q136_substring_dedup": q136_substring_dedup,
-        "q137_kmeans": q137_kmeans,
-        "q138_privacy_audit": q138_privacy_audit,
-        "q141_dense_timeline": q141_dense_timeline,
-        "q142_schema_evolution": q142_schema_evolution,
-        "q143_time_travel": q143_time_travel,
-        "q144_collocations": q144_collocations,
-        "q145_tfidf_keywords": q145_tfidf_keywords,
-        "q146_inference_batching": q146_inference_batching,
-        "q150_feature_store": q150_feature_store,
-        "q151_semantic_decontamination": q151_semantic_decontamination,
-        "q152_cluster_best_keep": q152_cluster_best_keep,
-        "q157_bitext_mining": q157_bitext_mining,
-        "q159_data_card": q159_data_card,
-        "q162_sft_spans": q162_sft_spans,
-        "q163_prefix_cache_plan": q163_prefix_cache_plan,
-        "q165_equidepth_histogram": q165_equidepth_histogram,
-        "q166_domain_caps": q166_domain_caps,
-        "q167_jpeg_decode": q167_jpeg_decode,
-        "q168_mp3_frames": q168_mp3_frames,
-        "q169_vorbis_meta": q169_vorbis_meta,
-        "q170_flac_decode": q170_flac_decode,
         "q03_scan_counts": q03_scan_counts,
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
         "q06_join_history": q06_join_history,
         "q07_left_join_coalesce": q07_left_join_coalesce,
         "q08_group_dedup": q08_group_dedup,
@@ -11717,10 +11709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_time_conversions": q11_time_conversions,
         "q12_url_parse": q12_url_parse,
         "q13_email_split": q13_email_split,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
         "q18_exact_dedup": q18_exact_dedup,
         "q19_ngram_jaccard": q19_ngram_jaccard,
         "q20_token_stats": q20_token_stats,
@@ -11731,7 +11719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_top_orders": q25_top_orders,
         "q28_lsh_topk": q28_lsh_topk,
         "q29_media_meta": q29_media_meta,
-        "q35_string_spans": q35_string_spans,
         "q36_dedup_clusters": q36_dedup_clusters,
         "q37_stream_sessionize": q37_stream_sessionize,
         "q38_pack_sequences": q38_pack_sequences,

@@ -37,7 +37,7 @@ from swiftbeaver_spark.session import get_spark  # noqa: E402
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 DIM = 64
 N_CENTERS = 200
-NLISTS = [512, 1024, 2048, 4096]
+NLISTS = [int(x) for x in os.environ.get("SPARK_GRAFT_NLISTS", "1024,2048,4096").split(",")]
 
 
 def corpus_df(spark, n):
@@ -65,14 +65,14 @@ def corpus_df(spark, n):
     return spark.range(n).mapInPandas(gen, schema)
 
 
-def train_centroids(df, nlist, sample=100_000):
+def train_centroids(df, nlist, sample=30_000):
     """numpy kmeans over a corpus sample — the trained-quantizer shape
     (ivf_train semantics, offline for bench speed)."""
     rows = df.limit(sample).collect()
     data = np.array([r.vec for r in rows])
     rng = np.random.RandomState(7)
     c = data[rng.choice(len(data), min(nlist, len(data)), replace=False)].copy()
-    for _ in range(6):
+    for _ in range(4):
         d2 = (data**2).sum(1)[:, None] - 2 * data @ c.T + (c**2).sum(1)[None, :]
         lab = d2.argmin(1)
         for s in range(len(c)):
@@ -105,7 +105,7 @@ def main():
             }
             print(f"# nlist={nlist} {mode}: {row[mode]}", file=sys.stderr)
         # agreement on a 200k sample (full-join agreement would double-read)
-        sample = df.limit(200_000)
+        sample = df.limit(100_000)
         flat = assign_cells_arrow(sample, cents, vec_col="vec", hier=False).select(
             "vec_id", F.col("cell").alias("cf")
         )
