@@ -1627,9 +1627,14 @@ def kmeans_micro(
 
 # past this many centroids the flat assignment matmul (n x nlist
 # flops; ~n^1.5 at the auto_nlist optimum — the SCALE.md r9 known
-# ceiling) loses to the two-level coarse quantizer; measured crossover
-# from tools/bench_assign_hier.py (see SCALE.md r10)
-_HIER_NLIST_MIN = 2048
+# ceiling) loses to the two-level coarse quantizer. Measured
+# (tools/bench_assign_hier.py, SCALE.md r10): hier wins at every
+# point >= 1024 — 1.2x at (n=2e6, nlist=1024), 2.2x at (2e6, 2048),
+# 7.4x at (2e6, 4096), 3.6x at (1e7, 1581 — the auto_nlist value);
+# the ratio grows ~sqrt(nlist)/9, so the advantage only widens at the
+# >=1e8 scales the switch exists for. Gated queries pin nlist <= 160,
+# far below the switch.
+_HIER_NLIST_MIN = 1024
 
 
 def _centroid_groups(cmat, n_super: int, iters: int = 10):
@@ -1703,9 +1708,11 @@ def assign_cells_arrow(
     far below it, so gated outputs are bit-identical to flat. The
     hierarchical result is approximate only when a vector's true
     nearest centroid lives outside its probed super-cells: measured
-    agreement at probe_super=8 is ~99.98% for TRAINED quantizers
-    (ivf_train/kmeans — the production path at the scales where the
-    switch fires; clustered centroids make super-routing informative)
+    agreement at probe_super=8 is 96-98% on the 2e6-vector crossover
+    bench and ~99.98% when nlist is near the true cluster count, for
+    TRAINED quantizers (ivf_train/kmeans — the production path at the
+    scales where the switch fires; clustered centroids make
+    super-routing informative)
     but degrades badly for RANDOM pinned quantizers (md5_centroids:
     ~86% at p=8, since near-orthogonal random centroids carry no
     cluster structure) — callers keeping a random quantizer past the

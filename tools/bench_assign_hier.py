@@ -83,9 +83,14 @@ def train_centroids(df, nlist, sample=30_000):
 
 
 def main():
-    spark = get_spark(app_name="sb-assign-hier")
+    spark = get_spark(
+        app_name="sb-assign-hier",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    df = corpus_df(spark, N).persist()
+    from pyspark.storagelevel import StorageLevel
+
+    df = corpus_df(spark, N).persist(StorageLevel.DISK_ONLY)
     df.count()
     out = {"n": N, "dim": DIM, "rows": []}
     for nlist in NLISTS:
