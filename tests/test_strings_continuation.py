@@ -246,3 +246,22 @@ def test_utf8_unit_straddles_window_end_run_survives(spark, tmp_path, kernel_mod
     got = fused_rows(spark, tmp_path, bytes(data), CFG)
     assert got == reference_rows(bytes(data), CFG)
     assert any(r[3] == "utf-8" for r in got)
+
+
+def test_e01_container_matches_raw(spark, tmp_path, kernel_mode):
+    """spans_from_evidence over an EWF/E01 container must emit exactly
+    the raw-image rows — the positioned-read primitives (Python
+    EwfReader / JVM EwfImage.readAt) serve the backward-barrier and
+    forward-extension reads through chunk decompression."""
+    from swiftbeaver_spark.ewf import write_ewf
+
+    data = bytearray(2 * 4096)
+    place(data, 481, b"straddle the granule boundary " * 4)
+    place(data, 900, ("é" * 200).encode())  # utf-8 run over several cuts
+    place(data, 1500, "UTF16 DATA".encode("utf-16-le") * 10)
+    raw = bytes(data)
+    e01 = tmp_path / "ev.E01"
+    write_ewf(str(e01), raw, sectors_per_chunk=2)  # 1 KiB chunks: many
+    df = spans_from_evidence(spark, str(e01), CFG, granule=GRANULE)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == reference_rows(raw, CFG)
