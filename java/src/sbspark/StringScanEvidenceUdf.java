@@ -22,20 +22,6 @@ import org.apache.spark.sql.api.java.UDF4;
  */
 public class StringScanEvidenceUdf implements UDF4<String, Long, Long, String, List<Row>> {
   private static final ConcurrentHashMap<String, Boolean> IS_EWF = new ConcurrentHashMap<>();
-  private static final ConcurrentHashMap<String, FileChannel> FILES = new ConcurrentHashMap<>();
-
-  private static FileChannel channel(String path) throws IOException {
-    FileChannel ch = FILES.get(path);
-    if (ch == null) {
-      ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ);
-      FileChannel prev = FILES.putIfAbsent(path, ch);
-      if (prev != null) {
-        ch.close();
-        ch = prev;
-      }
-    }
-    return ch;
-  }
 
   private static final class RawIo implements Strs.Io {
     private final FileChannel ch;
@@ -80,17 +66,18 @@ public class StringScanEvidenceUdf implements UDF4<String, Long, Long, String, L
       ewf = EwfImage.isEwf(path);
       IS_EWF.putIfAbsent(path, ewf);
     }
-    Strs.Io io;
-    long total;
     if (ewf) {
       EwfImage img = EwfImage.get(path);
-      io = new EwfIo(img);
-      total = img.mediaSize;
-    } else {
-      FileChannel ch = channel(path);
-      io = new RawIo(ch);
-      total = ch.size();
+      return s.scanEvidence(new EwfIo(img), img.mediaSize, start, validLength);
     }
-    return s.scanEvidence(io, total, start, validLength);
+    // per-call channel: each call scans a whole sub-chunk (>= MiBs),
+    // which amortizes the open; an unbounded per-path cache would leak
+    // one fd per evidence file for the executor lifetime (round-10
+    // self-review — a directory sweep over thousands of images hits
+    // ulimit). EwfImage stays cached: its value is the parsed chunk
+    // TABLE, and image counts are small.
+    try (FileChannel ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)) {
+      return s.scanEvidence(new RawIo(ch), ch.size(), start, validLength);
+    }
   }
 }

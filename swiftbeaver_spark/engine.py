@@ -268,21 +268,15 @@ class Engine:
                 tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
             if self.cfg.enable_entropy_detection:
                 tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
-        # counter observations ride the stage plans (CollectMetrics):
-        # whatever action first drives a table also yields its count,
-        # so multi-table flows (write_tables, the stress bench) can
-        # build run_summary via RunResult.observed_summary() without
-        # re-deriving any subtree. Attached BENEATH the persist so the
-        # cached frame is the observed one (storage level visible on
-        # the table handle).
-        from pyspark.sql import Observation
-
-        observations = {}
-        for name in ("hits", "carved_files", "string_spans", "string_artefacts"):
-            if name in tables:
-                obs = Observation()
-                tables[name] = tables[name].observe(obs, F.count(F.lit(1)).alias("n"))
-                observations[name] = obs
+        # Persist FIRST (on the raw stage plans), THEN attach the
+        # counter observations on top. Order matters: Spark's cache
+        # manager substitutes by LOGICAL-PLAN equality, and the derived
+        # stages (carve from hits, artefacts from spans, browser from
+        # carved) were built from the RAW frames — persisting a
+        # CollectMetrics-wrapped plan instead would leave those
+        # subtrees cache-MISSING and re-run the full evidence scans the
+        # cache exists to avoid (caught by round-10 self-review; the
+        # raw-vs-observed mismatch was verified real on PySpark 4.1.2).
         persisted: list[DataFrame] = []
         if cache_intermediates:
             from pyspark.storagelevel import StorageLevel
@@ -300,6 +294,19 @@ class Engine:
                     )
                     persisted.append(tables[name])
             carved = tables["carved_files"]  # browser stage reuses the cache
+        # counter observations ride the stage plans (CollectMetrics):
+        # whatever action first drives a table also yields its count,
+        # so multi-table flows (write_tables, the stress bench) can
+        # build run_summary via RunResult.observed_summary() without
+        # re-deriving any subtree. Reads THROUGH the persisted frame.
+        from pyspark.sql import Observation
+
+        observations = {}
+        for name in ("hits", "carved_files", "string_spans", "string_artefacts"):
+            if name in tables:
+                obs = Observation()
+                tables[name] = tables[name].observe(obs, F.count(F.lit(1)).alias("n"))
+                observations[name] = obs
         if evidence_path is not None and any(
             ft.type_id == "sqlite" for ft in self.cfg.file_types
         ):

@@ -1105,6 +1105,8 @@ def ivf_candidates(
     round_dp: int = 6,
     broadcast_queries: bool = True,
     assign: str = "expr",
+    hier: bool | None = None,
+    probe_super: int = 8,
 ) -> DataFrame:
     """IVF cell-pruned CANDIDATE PAIR generation — the shared coarse
     stage that turns any corpus-vs-corpus similarity task (bitext
@@ -1128,7 +1130,10 @@ def ivf_candidates(
     assign='arrow' computes the corpus-side assignment via
     assign_cells_arrow (one matmul per batch vs nlist folds per row —
     the large-nlist lever, same rule as semantic_dedup; cell-for-cell
-    equivalence pytest-pinned). The query side keeps the expression
+    equivalence pytest-pinned at sub-switch nlist — hier/probe_super
+    pass through, with the same auto-switch and random-quantizer
+    caveat as semantic_dedup; hier=False forces flat).
+    The query side keeps the expression
     probe list: it needs the nprobe-nearest RANKING, not an argmax,
     and query counts are the small side.
 
@@ -1139,7 +1144,8 @@ def ivf_candidates(
     )
     if assign == "arrow":
         c = assign_cells_arrow(
-            cproj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp
+            cproj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp,
+            hier=hier, probe_super=probe_super,
         )
     else:
         c = cproj.withColumn("cell", ivf_cell_dot(F.col("vec"), centroids, round_dp))
@@ -1271,6 +1277,8 @@ def semantic_dedup(
     round_dp: int = 6,
     kernel: str = "expr",
     assign: str = "expr",
+    hier: bool | None = None,
+    probe_super: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic duplicates INSIDE each cluster
@@ -1308,7 +1316,14 @@ def semantic_dedup(
     cell assignment itself via assign_cells_arrow (one numpy matmul
     per batch vs nlist zip_with folds per row) — the large-nlist lever
     (36 s of the 42 s nlist=160 sf1 run was expression argmax;
-    cell-for-cell equivalence pytest-pinned)."""
+    cell-for-cell equivalence pytest-pinned at sub-switch nlist).
+    hier/probe_super pass through to assign_cells_arrow: hier=None
+    auto-switches to the two-level coarse quantizer at nlist >=
+    _HIER_NLIST_MIN (measured crossover), which is APPROXIMATE — fine
+    for trained quantizers (96-99.98% cell agreement), poor for random
+    pinned ones (see assign_cells_arrow); hier=False forces flat
+    assignment at any nlist. Every gated query pins nlist far below
+    the switch."""
     proj = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -1318,7 +1333,8 @@ def semantic_dedup(
     )
     if assign == "arrow":
         assigned = assign_cells_arrow(
-            proj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp
+            proj, centroids, id_col="vec_id", vec_col="vec", round_dp=round_dp,
+            hier=hier, probe_super=probe_super,
         )
         if not over_budget:
             # small-nlist (oracle-gated) path: keep the bit-exact
@@ -1648,15 +1664,27 @@ def _centroid_groups(cmat, n_super: int, iters: int = 10):
     n_super = max(2, min(n_super, n))
     stride = max(1, n // n_super)
     sup = cmat[::stride][:n_super].copy()
+
+    def labels(c):
+        # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 via one matmul — the
+        # broadcast (nlist, n_super, dim) temporary would be ~6 GB at
+        # (1e4, 100, 768) and ~190 GB at nlist 1e5, on the DRIVER, at
+        # exactly the scales the hier switch exists for (round-10
+        # self-review); the matmul form is O(nlist * n_super)
+        d2 = (
+            (cmat * cmat).sum(axis=1)[:, None]
+            - 2.0 * (cmat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return d2.argmin(axis=1)
+
     for _ in range(iters):
-        d = ((cmat[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
-        lab = d.argmin(axis=1)
+        lab = labels(sup)
         for s in range(len(sup)):
             m = lab == s
             if m.any():
                 sup[s] = cmat[m].mean(axis=0)
-    d = ((cmat[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
-    lab = d.argmin(axis=1)
+    lab = labels(sup)
     members = [np.flatnonzero(lab == s) for s in range(len(sup))]
     keep = [s for s, m in enumerate(members) if len(m)]
     return sup[keep], [members[s] for s in keep]
@@ -1789,12 +1817,19 @@ def assign_cells_arrow(
                 ccos = _spark_round_half_up(
                     np.where(denom == 0.0, np.nan, own / denom), round_dp
                 )
-            # zero-norm vectors must come out NULL, not NaN, to match
-            # the Catalyst expression path (Spark Divide-by-zero yields
-            # NULL; NaN sorts ABOVE all doubles while NULL sorts first,
-            # which could flip keep-policy ordering for degenerate
-            # vectors — ADVICE r9). NaN only arises from denom == 0, so
-            # the nullable conversion is off the NaN-free fast path.
+            # Degenerate vectors (zero-norm OR NaN-valued) come out
+            # NULL — made EXPLICIT via the nullable Float64 conversion
+            # so the behavior doesn't hang on the serializer's default.
+            # Measured truth on this stack (round-10 review follow-up):
+            # Spark's Arrow ingestion converts float NaN to NULL
+            # regardless (pa.Array.from_pandas semantics — a NaN can't
+            # cross this boundary at all, which also settles ADVICE
+            # r9's NaN-sorts-above-NULL concern), and the Catalyst
+            # expression path under Spark 4's default ANSI mode
+            # RAISES DIVIDE_BY_ZERO for zero-norm vectors rather than
+            # yielding anything — the arrow kernel is deliberately
+            # total where the expr form fails the job. Gated corpora
+            # contain no degenerate vectors (pytest-pinned behavior).
             ccos_col = (
                 pd.array(ccos, dtype="Float64") if np.isnan(ccos).any() else ccos
             )

@@ -606,7 +606,19 @@ def _subchunk_spans(
 ) -> list[tuple]:
     """All span rows owned by sub-chunk [p, p+vlen), bit-identical to
     the rows a cfg.chunk_size-geometry _blob_spans scan would emit for
-    starts in that range (pytest parity + differential fuzz)."""
+    starts in that range (pytest parity + differential fuzz).
+
+    Pathological bound (barrier-free content — e.g. one newline-less
+    printable region spanning a whole parent chunk): the backward
+    extension walks to the parent start, so per-task window memory
+    tops out at chunk_size+overlap — the SAME per-task bound the
+    chunk-table path always has — and the parent's bytes are re-read/
+    re-scanned up to n_sub times (32x at the default geometry; ~4 s of
+    vectorized numpy per 512 MiB parent). Real evidence terminates the
+    walk in a few bytes (newlines, NULs, and ~17% of random bytes are
+    barriers). A correct sub-chunk scan cannot avoid knowing the true
+    run start — only the parent-sized-task fallback (granule >=
+    chunk_size) trades the amplification back for parallelism."""
     min_len, max_len = cfg.string_min_len, cfg.string_max_len
     utf16 = cfg.string_scan_utf16
     s_par, v_par = cfg.chunk_size, cfg.overlap

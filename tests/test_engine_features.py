@@ -455,8 +455,25 @@ def test_run_cache_intermediates_same_tables(spark, tmp_path):
             a = sorted(map(tuple, plain[name].collect()))
             b = sorted(map(tuple, cached[name].collect()))
             assert a == b, name
-        assert cached["hits"].storageLevel.useMemory
-        assert cached["carved_files"].storageLevel.useDisk
+        # the table handles are observation wrappers on TOP of the
+        # persisted frames (so derived stages keep matching the cache
+        # by logical-plan equality); storage level shows on the
+        # persisted frames RunResult tracks
+        assert cached.persisted and all(
+            df.storageLevel.useMemory and df.storageLevel.useDisk
+            for df in cached.persisted
+        )
+        # ORDER regression pin (round-10 self-review): the CACHE must
+        # register the RAW stage plans (derived stages — carve from
+        # hits, artefacts from spans — were built from the raw frames
+        # and cache-match by logical-plan equality), while the handed-
+        # out tables carry the observation ON TOP
+        assert all(
+            "CollectMetrics"
+            not in df._jdf.queryExecution().logical().toString()
+            for df in cached.persisted
+        )
+        assert "CollectMetrics" in cached["hits"]._jdf.queryExecution().logical().toString()
         # (no negative assertion on `plain`: Spark's cache manager
         # matches by LOGICAL PLAN equality, so the logically-identical
         # uncached frame reports — and reuses — the same cache entry)

@@ -1954,22 +1954,31 @@ def test_semantic_dedup_arrow_kernel_matches_expr(spark):
     assert expr_rows == full_arrow
 
 
-def test_assign_cells_arrow_zero_norm_is_null(spark):
-    """A zero-norm vector's centroid_cos must be NULL on the arrow path
-    (pandas NA -> Spark NULL), matching the Catalyst expression path's
-    divide-by-zero NULL — NaN would sort ABOVE all doubles and flip
-    keep-policy ordering (ADVICE r9)."""
+def test_assign_cells_arrow_degenerate_vectors_are_null(spark):
+    """Degenerate vectors (zero-norm or NaN-valued) yield NULL
+    centroid_cos on the arrow path — the documented TOTAL behavior:
+    Spark's Arrow ingestion cannot carry a NaN (from_pandas nulls it,
+    measured on this stack), so no NaN can ever emerge to out-sort
+    real values (ADVICE r9's concern), and the expr path under
+    Spark 4's default ANSI mode instead RAISES DIVIDE_BY_ZERO for
+    zero-norm vectors — the arrow kernel deliberately degrades to
+    NULL where the expr form fails the job."""
     from swiftbeaver_spark.llm.similarity import assign_cells_arrow, md5_centroids
 
     cents = md5_centroids(4, 8, tag="zeronorm")
     df = spark.createDataFrame(
-        [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7)], "vec_id long, vec array<double>"
+        [
+            (0, [0.0] * 8),
+            (1, [1.0] + [0.0] * 7),
+            (2, [float("nan")] + [1.0] * 7),
+        ],
+        "vec_id long, vec array<double>",
     )
     rows = {
         r.vec_id: r.centroid_cos
         for r in assign_cells_arrow(df, cents, vec_col="vec").collect()
     }
-    assert rows[0] is None  # NULL, never NaN
+    assert rows[0] is None and rows[2] is None  # NULL, never NaN
     assert rows[1] is not None and rows[1] == rows[1]  # real value, not NaN
 
 
