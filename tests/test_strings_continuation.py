@@ -265,3 +265,101 @@ def test_e01_container_matches_raw(spark, tmp_path, kernel_mode):
     df = spans_from_evidence(spark, str(e01), CFG, granule=GRANULE)
     got = sorted(tuple(r) for r in df.collect())
     assert got == reference_rows(raw, CFG)
+
+
+# --- pure-Python hypothesis differential (no Spark: the continuation
+# logic itself vs the parent-geometry reference, hundreds of examples) -
+
+
+class _BufReader:
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def read_at(self, pos: int, length: int) -> bytes:
+        return self.data[pos : pos + length]
+
+
+def _tile_rows(data: bytes, cfg, granule: int) -> list[tuple]:
+    """Union of _subchunk_spans over the exact sub-chunk tiling the
+    Spark plan produces (subchunk_plan arithmetic, replayed locally)."""
+    import math
+
+    from swiftbeaver_spark.strings_scan import _subchunk_spans
+
+    reader = _BufReader(data)
+    total = len(data)
+    s = cfg.chunk_size
+    n_sub = max(1, math.ceil(s / granule))
+    g2 = math.ceil(s / n_sub)
+    rows: list[tuple] = []
+    for parent in range(max(0, math.ceil(total / s))):
+        for j in range(n_sub):
+            p = parent * s + j * g2
+            vlen = min(g2, s - j * g2, total - p)
+            if vlen > 0:
+                rows.append((p, vlen))
+    out: list[tuple] = []
+    for p, vlen in rows:
+        out.extend(_subchunk_spans(reader, p, vlen, total, cfg))
+    return sorted(out)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _seg = st.one_of(
+        st.binary(min_size=1, max_size=60),
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1,
+            max_size=80,
+        ).map(str.encode),
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20, max_codepoint=0x2FFFF, exclude_categories=("Cs",)
+            ),
+            min_size=1,
+            max_size=30,
+        ).map(lambda t: t.encode("utf-8")),
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1,
+            max_size=20,
+        ).map(lambda t: t.encode("utf-16-le")),
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1,
+            max_size=20,
+        ).map(lambda t: t.encode("utf-16-be")),
+        st.just(b"\x00" * 17),
+        st.just(b"\xc2\xad"),  # printable-killing Cf char
+        st.just(b"\xed\xa0\x80"),  # structural-but-invalid surrogate
+        st.just(b"\xc3"),  # dangling lead
+    )
+
+    @settings(
+        max_examples=120,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        segs=st.lists(_seg, min_size=1, max_size=40),
+        granule=st.sampled_from([96, 128, 177, 500]),
+        max_len=st.sampled_from([5, 9, 16]),
+    )
+    def test_hypothesis_continuation_differential(segs, granule, max_len):
+        """For ANY byte soup and ragged granule, the continuation-aware
+        sub-chunk scan must equal the parent-geometry reference."""
+        data = b"".join(segs)[: 3 * 1024]
+        cfg = dataclasses.replace(
+            CFG,
+            chunk_size=1024,
+            overlap=64,
+            string_min_len=3,
+            string_max_len=max_len,
+        )
+        assert _tile_rows(data, cfg, granule) == reference_rows(data, cfg)
+
+except ImportError:  # pragma: no cover - hypothesis ships in the image
+    pass
