@@ -339,24 +339,27 @@ try:
     )
 
     @settings(
-        max_examples=120,
+        max_examples=150,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(
         segs=st.lists(_seg, min_size=1, max_size=40),
         granule=st.sampled_from([96, 128, 177, 500]),
-        max_len=st.sampled_from([5, 9, 16]),
+        max_len=st.sampled_from([2, 5, 9, 16]),
+        overlap=st.sampled_from([16, 64, 96]),
     )
-    def test_hypothesis_continuation_differential(segs, granule, max_len):
-        """For ANY byte soup and ragged granule, the continuation-aware
-        sub-chunk scan must equal the parent-geometry reference."""
+    def test_hypothesis_continuation_differential(segs, granule, max_len, overlap):
+        """For ANY byte soup, ragged granule, and overlap (including
+        overlaps SMALLER than 4*max_len — the margin term's other
+        branch), the continuation-aware sub-chunk scan must equal the
+        parent-geometry reference."""
         data = b"".join(segs)[: 3 * 1024]
         cfg = dataclasses.replace(
             CFG,
             chunk_size=1024,
-            overlap=64,
-            string_min_len=3,
+            overlap=overlap,
+            string_min_len=2,
             string_max_len=max_len,
         )
         assert _tile_rows(data, cfg, granule) == reference_rows(data, cfg)
