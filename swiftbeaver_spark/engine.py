@@ -40,6 +40,24 @@ def make_run_id() -> str:
     return f"{now}_{secrets.token_hex(8)}"
 
 
+def _observation_filled(obs) -> bool:
+    """Non-blocking probe: has this Observation been filled by an
+    action? Uses the private PySpark handle (there is no public
+    non-blocking probe as of 4.1.2); the guard is NARROW — only
+    AttributeError, i.e. the private attribute moved — so any other
+    failure propagates loudly instead of silently degrading every
+    observed summary to the second-evidence-pass fallback (ADVICE r10
+    low). tests/test_engine_features.py pins that the probe returns
+    True after an action, so a PySpark API change fails CI visibly."""
+    try:
+        jo = obs._jo
+    except AttributeError:
+        return False
+    if jo is None:  # observation never attached to a DataFrame
+        return False
+    return bool(jo.getRowOrEmpty().isDefined())
+
+
 @dataclass
 class RunResult:
     tables: dict[str, DataFrame]
@@ -62,28 +80,47 @@ class RunResult:
         re-deriving every consumed subtree — with caching OFF that
         re-derivation is a second full evidence scan on the fused path
         (round-9: 32.5 s of a 61 s 1 GiB run). Valid only after an
-        action has driven every observed stage table (write_tables
-        drives them all); returns None — callers fall back to the lazy
-        run_summary — if any observation is still unfilled, probed
+        action has driven every observed stage table TO COMPLETION:
+        CollectMetrics captures whatever rows flowed through the FIRST
+        action on the observed frame, so a partial pre-drive (show(3)/
+        take — limit short-circuits the scan) fills an observation with
+        an undercount this probe cannot distinguish (ADVICE r10 medium).
+        Callers that fully count every stage themselves (the stress
+        bench) may use this; write_tables does NOT — it builds the
+        summary from row counts its own write actions produced
+        (summary_from_counts). Returns None — callers fall back to the
+        lazy run_summary — if any observation is still unfilled, probed
         non-blockingly (Observation.get would otherwise wait forever).
         The chunks-side counters stay a real aggregate — on the fused
         path the chunk plan is pure range arithmetic (no evidence
         read), on the chunk-table path the table is cached."""
         if "hits" not in self.observations:
             return None
-
-        def _filled(obs) -> bool:
-            try:
-                return bool(obs._jo.getRowOrEmpty().isDefined())
-            except Exception:
-                return False
-
-        if not all(_filled(o) for o in self.observations.values()):
+        if not all(_observation_filled(o) for o in self.observations.values()):
             return None
-        got = {k: o.get for k, o in self.observations.items()}
+        got = {k: int(o.get["n"]) for k, o in self.observations.items()}
+        return self._summary_select(got)
 
-        def n(name: str):
-            return int(got[name]["n"]) if name in got else 0
+    def summary_from_counts(self, counts: dict[str, int]) -> DataFrame | None:
+        """run_summary from per-stage row counts the CALLER itself
+        produced (one per full stage action — write_tables records the
+        count of every stage write via a fresh write-time Observation).
+        Unlike observed_summary this cannot be poisoned by a partial
+        pre-drive between run() and the write (ADVICE r10 medium): the
+        counts come from the very actions that produced the output.
+        Returns None if any summary-feeding stage table lacks a count."""
+        needed = [
+            n
+            for n in ("hits", "carved_files", "string_spans", "string_artefacts")
+            if n in self.tables
+        ]
+        if any(n not in counts for n in needed):
+            return None
+        return self._summary_select({k: int(v) for k, v in counts.items()})
+
+    def _summary_select(self, got: dict[str, int]) -> DataFrame:
+        def n(name: str) -> int:
+            return got.get(name, 0)
 
         return self.tables["chunks"].agg(
             F.coalesce(F.sum("valid_length"), F.lit(0)).cast("long").alias("bytes_scanned"),
@@ -368,24 +405,39 @@ def write_tables(
     run_id: str | None = None,
 ) -> None:
     """Sinks (reference src/metadata/{jsonl,csv,parquet}.rs). Parquet is
-    the scale path; JSONL/CSV parity formats for the reference's outputs."""
+    the scale path; JSONL/CSV parity formats for the reference's outputs.
+
+    run_summary is built from row counts THIS function's own write
+    actions produced (a fresh write-time Observation per stage write;
+    dryrun uses the count directly) — one arithmetic chunks aggregate
+    instead of re-deriving every subtree (the second-evidence-pass
+    hazard, VERDICT r9 task 3), and immune to the undercount a partial
+    pre-drive between run() and write_tables would plant in the
+    run()-time observations (ADVICE r10 medium)."""
+    from pyspark.sql import Observation
+
     run_id = run_id or make_run_id()
-    for name, df in result.tables.items():
-        if name == "chunks":
-            continue  # input table, not a metadata output
+    write_counts: dict[str, int] = {}
+    # summary last: its counts come from the stage writes above it
+    names = sorted(
+        (n for n in result.tables if n != "chunks"),
+        key=lambda n: n == "run_summary",
+    )
+    for name in names:
+        df = result.tables[name]
         if name == "run_summary":
-            # every stage table above has been driven, so the counter
-            # observations are filled: the summary costs one arithmetic
-            # chunks aggregate instead of re-deriving every subtree
-            # (the second-evidence-pass hazard, VERDICT r9 task 3)
-            observed = result.observed_summary()
-            if observed is not None:
-                df = observed
+            counted = result.summary_from_counts(write_counts)
+            if counted is not None:
+                df = counted
         if fmt == "dryrun":
             # reference DryRun sink (src/metadata/mod.rs:129-171):
             # execute the pipeline, count, write nothing
-            df.count()
+            write_counts[name] = df.count()
             continue
+        obs = None
+        if name != "run_summary":
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         out = df.withColumn("run_id", F.lit(run_id))
         writer = out.write.mode("overwrite")
         path = f"{out_dir}/{name}"
@@ -401,3 +453,6 @@ def write_tables(
             out.write.mode("overwrite").option("header", True).csv(path)
         else:
             raise ValueError(f"unknown sink format: {fmt}")
+        if obs is not None:
+            # the write action just drove the observed frame end to end
+            write_counts[name] = int(obs.get["n"])

@@ -4,17 +4,26 @@ Reference parity: src/entropy.rs:19-91 — non-overlapping windows of
 `window_size` bytes, qualifying windows (entropy >= threshold) merged
 when contiguous, region keeps max entropy.
 
-Spark design: window entropy is a numpy pass per chunk (vectorized
-bincount + log2 — the Pandas-UDF fast path); the merge is the classic
-gaps-and-islands pattern in pure DataFrame ops (lag -> boundary flag
--> running sum as region id -> groupBy). The merge therefore works
-ACROSS chunk boundaries, which the reference's per-chunk merge cannot
-do — same results on all reference fixtures, strictly better on
-regions straddling a chunk edge.
+Spark design: window entropy dispatches to the JVM kernel
+(java/src/sbspark/Ent.java — byte histogram + a per-count entropy
+contribution table, round 11) when the kernel jar registers, with the
+numpy bincount fold below as the pinned fallback
+(SPARK_GRAFT_NO_VEC_KERNEL=1 forces it). Bit-exact parity is by
+construction: the contribution table t[c] = -(c/N * log2(c/N)) is
+computed HERE with numpy and exported to the JVM in the spec string
+(the same export strategy as the strings kernel's printability table),
+and the JVM's per-window sum replicates numpy's pairwise summation
+tree. The merge is the classic gaps-and-islands pattern in pure
+DataFrame ops (lag -> boundary flag -> running sum as region id ->
+groupBy). The merge therefore works ACROSS chunk boundaries, which
+the reference's per-chunk merge cannot do — same results on all
+reference fixtures, strictly better on regions straddling a chunk
+edge.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,43 +44,87 @@ WINDOW_SCHEMA = StructType(
 )
 
 
+@functools.lru_cache(maxsize=8)
+def _ent_table(window_size: int) -> np.ndarray:
+    """Per-count entropy contribution table: t[c] = -(c/N * log2(c/N))
+    for c in 0..N (t[0] = 0 — absent symbols contribute nothing). The
+    single source of truth for BOTH kernels: the Python folds below
+    look it up directly, the JVM kernel receives its raw IEEE-754 bits
+    in the spec string (`_entropy_spec`), so the per-element values are
+    bit-identical by construction and only the summation tree needs
+    replicating (numpy pairwise — Ent.pairwiseSum)."""
+    c = np.arange(window_size + 1, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = c / float(window_size)
+        t = -(p * np.log2(p))
+    t[0] = 0.0
+    return t
+
+
 def shannon_entropy(window: np.ndarray) -> float:
+    """Shannon entropy of one byte window (reference src/entropy.rs:76-91).
+    Table-lookup form so it stays bit-identical to `_entropy_all_windows`
+    (pytest pins the equality) and to the JVM kernel."""
     counts = np.bincount(window, minlength=256)
-    nz = counts[counts > 0].astype(np.float64)
-    p = nz / window.size
-    return float(-(p * np.log2(p)).sum())
+    return float(_ent_table(window.size)[counts].sum())
 
 
 def _entropy_all_windows(mat: np.ndarray, window_size: int) -> np.ndarray:
     """Entropy of every row of `mat` (n_windows x window_size uint8) —
     the per-window numpy bincount fold, shared by the chunk-table and
-    fused-evidence paths.
+    fused-evidence paths (the pinned fallback below the JVM kernel).
 
     Deliberately a Python loop over windows: the per-window bincount IS
     the C-speed kernel, and the "vectorize all windows at once" form
     (bincount over (window_idx << 8 | byte) keys) was MEASURED SLOWER
     at every window size — 64 B: 9.6 s vs 7.7 s, 4 KiB: 0.6 s vs 0.2 s
-    per 64 MiB — because key-building doubles memory traffic while the
-    scalar loop's log2 only touches a window's nonzero cells. The
+    per 64 MiB — because key-building doubles memory traffic. The
     batched form also allocated up to 16x the chunk bytes in integer
     temporaries (an executor OOM at the production 512 MiB chunk), so
     the simple loop wins on both axes. O(window_size) working set per
-    iteration; a 512 MiB chunk at 4 KiB windows folds in ~1.8 s."""
+    iteration. The round-11 table-lookup form (vs the earlier
+    mask+divide+log2 per window) drops the per-window transcendental
+    work and keeps the fold bit-identical to shannon_entropy and the
+    JVM kernel (the sum runs over the same fixed 256-entry contribution
+    vector — absent symbols add exact +0.0)."""
+    t = _ent_table(window_size)
     n_windows = mat.shape[0]
     out = np.empty(n_windows, dtype=np.float64)
     for i in range(n_windows):
-        counts = np.bincount(mat[i], minlength=256)
-        # same division (not reciprocal-multiply) as shannon_entropy so
-        # the two are bit-identical for any window size
-        nz = counts[counts > 0].astype(np.float64) / window_size
-        out[i] = -(nz * np.log2(nz)).sum()
+        out[i] = t[np.bincount(mat[i], minlength=256)].sum()
     return out
 
 
+def _entropy_spec(cfg: EngineConfig) -> str:
+    """JVM kernel spec (see java/src/sbspark/Ent.java):
+    'windowSize;threshold;tableBits' — tableBits is the contribution
+    table as (N+1) x 16 hex chars of raw Double bits, exported FROM
+    numpy so per-element parity cannot drift with JVM libm versions."""
+    t = _ent_table(cfg.entropy_window_size)
+    bits = "".join(f"{b:016x}" for b in t.view(np.uint64))
+    return f"{cfg.entropy_window_size};{float(cfg.entropy_threshold)!r};{bits}"
+
+
 def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Per-chunk full windows with entropy >= threshold."""
+    """Per-chunk full windows with entropy >= threshold.
+
+    Dispatches to the JVM entropy kernel when it registers into this
+    session (chunk bytes never cross into Python; see Ent.java); the
+    numpy mapInPandas fold below is the pinned fallback
+    (SPARK_GRAFT_NO_VEC_KERNEL=1 forces it)."""
+    from swiftbeaver_spark.jvm import vec_kernel_active
+
     window_size = cfg.entropy_window_size
     threshold = cfg.entropy_threshold
+    if vec_kernel_active(chunks.sparkSession):
+        rows = F.call_udf(
+            "sb_entropy_bytes",
+            F.col("data"),
+            F.col("start").cast("long"),
+            F.col("valid_length").cast("long"),
+            F.lit(_entropy_spec(cfg)),
+        )
+        return spread(chunks).select(F.inline(rows))
     # spread across cores when the chunk source arrives in fewer input
     # splits than the cluster has slots; a no-op at scale where splits
     # >> cores
@@ -209,6 +262,21 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
         window_size, (PY_SCAN_GRANULE // window_size) * window_size
     )
     plan = plan_chunks(spark, total, min(cfg.chunk_size, granule), cfg.overlap)
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+
+    from swiftbeaver_spark.jvm import vec_kernel_active
+
+    if vec_kernel_active(spark):
+        # fused positioned-read + fold inside the executor JVM (raw or
+        # EWF); window grid identical — granule is window-size-aligned
+        rows = F.call_udf(
+            "sb_entropy",
+            F.lit(path),
+            F.col("start").cast("long"),
+            F.col("valid_length").cast("long"),
+            F.lit(_entropy_spec(cfg)),
+        )
+        return plan.repartition(n_parts).select(F.inline(rows))
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -229,7 +297,6 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
         finally:
             reader.close()
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
     return plan.repartition(n_parts).mapInPandas(fused, WINDOW_SCHEMA)
 
 

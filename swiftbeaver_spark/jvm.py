@@ -8,9 +8,12 @@ returns packed hit longs; the string-span scan (Strs, round 10) runs
 the ascii/utf-8/utf-16 run detection + piece grids + hint flags at
 ~30 MiB/s/core (13x the Python kernel) with continuation-aware
 sub-chunk windows, its UTF-8 printability table exported FROM PYTHON
-in the spec string so parity cannot drift with JVM Unicode versions.
-Reference parity: the CPU scan loops of src/scanner/cpu.rs:40-69 and
-src/strings/cpu.rs:42-216.
+in the spec string so parity cannot drift with JVM Unicode versions;
+the entropy window scan (Ent, round 11) folds byte histograms through
+a per-count contribution table exported FROM numpy, its summation
+replicating numpy's pairwise tree so entropy doubles are bit-identical.
+Reference parity: the CPU scan loops of src/scanner/cpu.rs:40-69,
+src/strings/cpu.rs:42-216, and src/entropy.rs:19-91.
 
 The jar compiles lazily with the JDK that ships in the image (javac
 against pyspark's own jars) and registers into ANY session via
@@ -36,6 +39,9 @@ _SOURCES = (
     "CentTable.java",
     "DotUdf.java",
     "DotsUdf.java",
+    "Ent.java",
+    "EntropyBytesUdf.java",
+    "EntropyEvidenceUdf.java",
     "EwfImage.java",
     "JaccardUdf.java",
     "MinHashUdf.java",
@@ -54,6 +60,9 @@ _SPAN_ROWS_TYPE = (
     "array<struct<global_start:bigint,byte_length:int,content:string,"
     "encoding:string,url_like:boolean,email_like:boolean,phone_like:boolean>>"
 )
+
+# entropy.WINDOW_SCHEMA as a DDL fragment (lockstep with entropy.py)
+_ENT_ROWS_TYPE = "array<struct<win_start:bigint,win_end:bigint,entropy:double>>"
 
 # cache attribute stashed on the SparkSession object itself: id() keys
 # can alias after a stopped session is garbage-collected, an instance
@@ -147,6 +156,12 @@ def ensure_kernel(spark: SparkSession) -> bool:
             )
             spark.udf.registerJavaFunction(
                 "sb_scan_strings", "sbspark.StringScanEvidenceUdf", _SPAN_ROWS_TYPE
+            )
+            spark.udf.registerJavaFunction(
+                "sb_entropy_bytes", "sbspark.EntropyBytesUdf", _ENT_ROWS_TYPE
+            )
+            spark.udf.registerJavaFunction(
+                "sb_entropy", "sbspark.EntropyEvidenceUdf", _ENT_ROWS_TYPE
             )
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(

@@ -1762,6 +1762,22 @@ def assign_cells_arrow(
     cnorms = np.sqrt((cmat * cmat).sum(axis=1))
     if hier is None:
         hier = len(cmat) >= _HIER_NLIST_MIN
+        if hier:
+            # the auto-switch crosses from exact to approximate
+            # assignment — callers above the threshold must get a
+            # runtime signal, not a silent behavior change (ADVICE r10):
+            # approximation is fine for trained quantizers but degrades
+            # to ~86% agreement on random pinned ones
+            import warnings
+
+            warnings.warn(
+                f"assign_cells_arrow: nlist={len(cmat)} >= "
+                f"{_HIER_NLIST_MIN} auto-enables two-level (approximate) "
+                "assignment; pass hier=False for exact flat assignment "
+                "or hier=True to silence this warning",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sup_members = (
         _centroid_groups(cmat, int(round(len(cmat) ** 0.5))) if hier else None
     )

@@ -528,9 +528,20 @@ def _find_window_start(reader, p: int, lo_cap: int, utf16: bool) -> int:
 def _extend_utf8_run(reader, run_g: int, tail: bytes, e_cap: int) -> bytes:
     """Extend a structural UTF-8 run that touches the window end forward
     to its true end (capped at the parent read end e_cap). Doubling
-    blocks + re-match keep total work ~2x the final run length."""
+    blocks + re-match keep total work ~2x the final run length.
+
+    A re-match that stops short of the buffer end is only a structural
+    run end when the remainder is NOT a dangling multibyte prefix: a
+    read boundary that cuts a unit in half leaves a lead byte
+    (0xC2-0xF4) with < 4 bytes after it, and the run may continue once
+    the unit reassembles from the next read — truncating there made the
+    run-global printability check cover only a prefix (ADVICE r10: a
+    >1 MiB run with a Cf char past the cut emitted pieces the other
+    kernels reject). JVM parity: Strs.extendRun's truncated-trailing-
+    unit re-read (Strs.java:298-300)."""
     buf = bytearray(tail)
     step = 1 << 20
+    end = len(buf)  # `tail` arrives as a structural match
     while run_g + len(buf) < e_cap:
         more = reader.read_at(run_g + len(buf), min(step, e_cap - run_g - len(buf)))
         if not more:
@@ -539,10 +550,20 @@ def _extend_utf8_run(reader, run_g: int, tail: bytes, e_cap: int) -> bytes:
         m = _UTF8_RUN.match(bytes(buf))
         end = m.end() if m else 0
         if end < len(buf):
-            del buf[end:]
-            break
+            dangling = (
+                len(buf) - end < 4
+                and 0xC2 <= buf[end] <= 0xF4
+                and all(0x80 <= c <= 0xBF for c in buf[end + 1 :])
+            )
+            if not dangling:
+                break  # the run's true structural end
+            # else: read more — the re-match reassembles the unit (an
+            # invalid reassembly just ends the match here next round,
+            # when >= 4 remainder bytes flip `dangling` off)
         step = min(step * 2, 64 << 20)
-    return bytes(buf)
+    # truncate any unverified remainder (true end, or a dangling prefix
+    # left at e_cap/EOF — the parent-geometry scan drops it there too)
+    return bytes(buf[:end])
 
 
 def _utf8_owned_rows(

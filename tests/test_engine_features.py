@@ -546,3 +546,64 @@ def test_observed_summary_unfilled_returns_none(spark, tmp_path):
     assert run.observed_summary() is None
     run["hits"].count()  # fills hits only; carved still unfilled
     assert run.observed_summary() is None
+
+
+def test_observation_filled_probe_works(spark):
+    """_observation_filled uses a PRIVATE PySpark handle (no public
+    non-blocking probe exists as of 4.1.2) under a guard narrowed to
+    AttributeError — this test fails LOUDLY if the private API moves,
+    so the regression surfaces in CI instead of silently degrading
+    every observed summary to the lazy fallback (ADVICE r10 low)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.engine import _observation_filled
+
+    obs = Observation()
+    df = spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))
+    assert _observation_filled(obs) is False  # attached, not yet driven
+    df.count()
+    assert _observation_filled(obs) is True
+    assert int(obs.get["n"]) == 10
+    # the probe path itself must exist: reach through the same private
+    # attribute directly so an API rename raises here, not inside the
+    # blanket-guard-free helper
+    assert obs._jo.getRowOrEmpty().isDefined()
+
+
+def test_write_tables_summary_immune_to_partial_predrive(spark, tmp_path):
+    """ADVICE r10 medium: a partial pre-drive between run() and
+    write_tables (take/limit short-circuits the scan) fills the
+    run()-time observations with an UNDERCOUNT. write_tables must
+    still write the correct run_summary — it builds the summary from
+    row counts its own write actions produced, never from the
+    poisoned run()-time observations."""
+    import dataclasses
+
+    from tests.fixtures import mk_jpeg
+    from tests.test_pipeline import TEST_CFG
+    from swiftbeaver_spark.engine import Engine, write_tables
+
+    evidence = bytearray(b"\x00" * (1 << 16))
+    blob = mk_jpeg()
+    for off in (1024, 8192, 16384, 32768):
+        evidence[off : off + len(blob)] = blob
+    path = str(tmp_path / "ev.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(evidence))
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        chunk_size=4096,
+        overlap=512,
+        file_types=tuple(ft for ft in TEST_CFG.file_types if ft.type_id == "jpeg"),
+    )
+    run = Engine(spark, cfg).run(evidence_path=path)
+    expected = run["run_summary"].collect()[0].asDict()
+    assert expected["hits_found"] == 4
+    # poison: limit(1) short-circuits -> the run()-time hits
+    # observation fills with however many rows the first tasks saw
+    assert len(run["hits"].take(1)) == 1
+    out = str(tmp_path / "out")
+    write_tables(run, out, fmt="parquet", run_id="poisoned")
+    got = spark.read.parquet(f"{out}/run_summary").drop("run_id").collect()[0].asDict()
+    assert got == expected

@@ -2257,6 +2257,28 @@ def test_assign_cells_hier_full_probe_equals_flat(spark):
     assert flat == hier and len(flat) == 500
 
 
+def test_assign_cells_hier_autoswitch_warns(spark):
+    """hier=None crossing the nlist auto-switch moves from exact to
+    approximate assignment — that must emit a RuntimeWarning (ADVICE
+    r10: a silent behavior change for non-gated callers), while
+    explicit hier=True and below-threshold defaults stay silent."""
+    import warnings
+
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm import similarity as sim
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(20)
+    cents = sim.md5_centroids(sim._HIER_NLIST_MIN, 64, tag="warnprobe")
+    with pytest.warns(RuntimeWarning, match="auto-enables two-level"):
+        sim.assign_cells_arrow(emb, cents).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        sim.assign_cells_arrow(emb, cents, hier=True, probe_super=4).count()
+        sim.assign_cells_arrow(emb, cents[:64]).count()  # below threshold
+
+
 def test_assign_cells_hier_trained_quantizer_agreement(spark):
     """With a TRAINED quantizer (the production path at the scales the
     auto-switch fires), probe_super=8 must agree with flat on nearly

@@ -267,6 +267,66 @@ def test_e01_container_matches_raw(spark, tmp_path, kernel_mode):
     assert got == reference_rows(raw, CFG)
 
 
+# --- 1 MiB extension-step boundary (ADVICE r10 low) ------------------------
+#
+# _extend_utf8_run reads forward in 1 MiB doubling blocks; a block
+# boundary that cuts a multibyte unit in half leaves a dangling lead the
+# structural re-match excludes, and truncating there makes the run-global
+# printability check cover only a prefix. The small-geometry fuzz above
+# cannot reach the 1 MiB step — these run a >1.3 MiB newline-free run.
+
+
+class _FakeReader:
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def read_at(self, pos: int, n: int) -> bytes:
+        return self.data[pos : pos + n]
+
+
+def test_extend_utf8_run_reassembles_1mib_cut_unit():
+    """Direct unit pin: the first 1 MiB read ends 1 byte into a 3-byte
+    '€' (run is all-€ from offset 1; 3k + 2^20 ≡ 1 mod 3), and the
+    extension must keep reading until the run's TRUE end instead of
+    truncating at the dangling lead."""
+    from swiftbeaver_spark.strings_scan import _extend_utf8_run
+
+    run = ("€" * 400_000).encode("utf-8")  # 1.2 MiB, no barriers inside
+    data = b"\n" + run + b"\n" + b"\x00" * 100
+    tail = data[1 : 1 + 3 * 1000]  # structural prefix at a unit boundary
+    got = _extend_utf8_run(_FakeReader(data), 1, tail, len(data))
+    assert got == run
+
+
+def test_1mib_step_cut_printability_is_run_global(spark, tmp_path, kernel_mode):
+    """End to end: a soft hyphen (Cf, non-printable) PAST the 1 MiB
+    extension cut must kill every utf-8 piece of the run — the
+    truncating code emitted the pre-cut prefix's pieces, which the
+    parent-geometry and JVM kernels reject."""
+    big_cfg = dataclasses.replace(CFG, chunk_size=4 << 20)
+    data = bytearray(4 << 20)
+    run = ("€" * 460_000).encode("utf-8")  # 1.38 MiB > tail + 1 MiB cut
+    run += b"\xc2\xad" + ("€" * 16).encode("utf-8")
+    place(data, 1, b"\n".join([b"", run, b""]))  # barriers both ends
+    got = fused_rows(spark, tmp_path, bytes(data), big_cfg, granule=256 << 10)
+    ref = reference_rows(bytes(data), big_cfg)
+    assert got == ref
+    assert not any(r[3] == "utf-8" for r in got)
+
+
+def test_1mib_step_cut_run_survives(spark, tmp_path, kernel_mode):
+    """Same 1 MiB-cut geometry, fully printable run: the reassembled
+    extension must reproduce the parent-geometry piece grid exactly."""
+    big_cfg = dataclasses.replace(CFG, chunk_size=4 << 20)
+    data = bytearray(4 << 20)
+    run = ("€" * 460_000).encode("utf-8")
+    place(data, 1, b"\n".join([b"", run, b""]))
+    got = fused_rows(spark, tmp_path, bytes(data), big_cfg, granule=256 << 10)
+    ref = reference_rows(bytes(data), big_cfg)
+    assert got == ref
+    assert any(r[3] == "utf-8" for r in got)
+
+
 # --- pure-Python hypothesis differential (no Spark: the continuation
 # logic itself vs the parent-geometry reference, hundreds of examples) -
 

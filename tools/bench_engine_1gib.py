@@ -155,6 +155,13 @@ def main() -> None:
         t0 = time.time()
         cnt = run[stage].count()
         stages[stage] = {"rows": cnt, "wall_sec": round(time.time() - t0, 3)}
+        if stage == "browser_history":
+            # the standalone (uncached) browser action re-derives its
+            # carve subtree — a lazy-plan cost, not a browser-parse
+            # cost; label it so the row stops reading as browser time
+            # (VERDICT r10 task 3) and measure the parse-only wall
+            # over a persisted carve below
+            stages[stage]["note"] = "uncached: includes carve-subtree re-derivation"
         print(f"# stage {stage}: {cnt} rows, {stages[stage]['wall_sec']}s",
               file=sys.stderr)
     # run_summary via the stage observations (counters captured by the
@@ -183,6 +190,26 @@ def main() -> None:
         run2[t].count()
     summary = run2["run_summary"].collect()[0].asDict()
     e2e = round(time.time() - t0, 3)
+
+    # browser parse-only (AFTER e2e so the extra warm run cannot flatter
+    # the cross-round e2e row): a cache_intermediates run persists the
+    # RAW stage plans (the engine owns the persist-before-observe
+    # ordering — persisting run["carved_files"] here would register the
+    # observed wrapper and MISS, the round-10 cache-order pitfall);
+    # driving carved_files populates the cache, so the browser action
+    # pays only sqlite parse + page recovery
+    run_c = engine.run(evidence_path=path, cache_intermediates=True)
+    run_c["carved_files"].count()
+    t0 = time.time()
+    cnt = run_c["browser_history"].count()
+    stages["browser_history_cached"] = {
+        "rows": cnt,
+        "wall_sec": round(time.time() - t0, 3),
+        "note": "parse-only over persisted carve",
+    }
+    run_c.unpersist()
+    print(f"# stage browser_history_cached: {cnt} rows, "
+          f"{stages['browser_history_cached']['wall_sec']}s", file=sys.stderr)
 
     got = {(r.global_start, r.size, r.sha256) for r in carved}
     missing = [
