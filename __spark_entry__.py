@@ -11526,6 +11526,73 @@ def q172_sql() -> str:
     """
 
 
+def q173_entropy_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL windowed-entropy scanner under the SQL oracle
+    (entropy.entropy_regions = entropy_windows -> merge_regions;
+    reference src/entropy.rs:19-91) — the end-to-end driver gate for
+    the round-11 JVM kernel (java/src/sbspark/Ent.java), exactly as
+    q35 gates the JVM span kernel. Dispatches to the JVM kernel when
+    registered; SPARK_GRAFT_NO_VEC_KERNEL exercises the pinned numpy
+    fallback (pytest pins the two bit-identical).
+
+    Per doc a 4096-byte block at doc_id*4096, four 1024-byte quarters
+    whose 256-byte windows hold 2^k equi-frequent symbols — every
+    window's Shannon entropy is EXACTLY k bits (dyadic: exact in
+    float64 for numpy, the JVM kernel, and DuckDB alike, so the hash
+    compare is rounding-free):
+      Q0: constant 0x00            -> 0.0 (below threshold)
+      Q1: 2 symbols alternating    -> 1.0 (below threshold)
+      Q2: 16 symbols cycling       -> 4.0 (qualifies)
+      Q3: even docs 256 distinct   -> 8.0; odd docs 16 symbols -> 4.0
+    threshold 3.0 keeps Q2+Q3: ONE merged region per doc spanning
+    [2048, 4095] with max entropy 8.0 (even) / 4.0 (odd) — replicated
+    arithmetically in SQL."""
+    import dataclasses
+
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+    from swiftbeaver_spark.entropy import entropy_regions
+
+    q0 = "00" * 1024
+    q1 = "6162" * 512  # 'ab' alternating: 2 symbols per window
+    q2 = bytes(range(0x30, 0x40)).hex() * 64  # 16 symbols cycling
+    q3_even = bytes(range(256)).hex() * 4  # 256 distinct per window
+    q3_odd = bytes(range(0x40, 0x50)).hex() * 64
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    chunks = docs.select(
+        F.col("doc_id").alias("chunk_id"),
+        (F.col("doc_id") * 4096).alias("start"),
+        F.lit(4096).cast("long").alias("valid_length"),
+        F.unhex(
+            F.concat(
+                F.lit(q0),
+                F.lit(q1),
+                F.lit(q2),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(q3_even)).otherwise(
+                    F.lit(q3_odd)
+                ),
+            )
+        ).alias("data"),
+    )
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        enable_entropy_detection=True,
+        entropy_window_size=256,
+        entropy_threshold=3.0,
+    )
+    return entropy_regions(chunks, cfg).orderBy("global_start")
+
+
+def q173_sql() -> str:
+    return """
+    SELECT doc_id * 4096 + 2048 AS global_start,
+           doc_id * 4096 + 4095 AS global_end,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8.0 ELSE 4.0 END AS DOUBLE) AS entropy,
+           CAST(256 AS BIGINT) AS window_size
+    FROM documents
+    ORDER BY global_start
+    """
+
+
 # --- driver contract ---------------------------------------------------------
 
 
@@ -11545,30 +11612,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills the remaining slots oldest-first).
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-10 cut, per VERDICT r9 task 2: (a) the q02 scan-kernel
-        # composite (jvm.py registration changed this round); (b) the
-        # round-9-touched-but-not-windowed strings/entropy family —
-        # q04, q05, q14-q17, q35 — closing the r9 rotation slip, with
-        # q35 now ALSO gating the new JVM span kernel end to end;
-        # (c) the round-10 code-touched queries: q122 (semantic_dedup's
-        # arrow assignment gained the NULL-ccos fix + the hierarchical
-        # auto-switch plumbing) and q172 (SubwordUdf cache eviction);
-        # (d) the ENTIRE 40-query r6-vintage cohort — the rotation
-        # policy's due-date set — so after this round no green driver
-        # row is older than round 7. That fills exactly 50 slots; the
-        # carve composites q30-q33 rotate to the tail FOR THIS ROUND
-        # ONLY (fresh r9-green rows, carver code untouched in r10, and
-        # still swept tri-SF by tools/drive_contract.py before every
-        # commit) — they return to the window next round.
+        # Round-11 cut, per VERDICT r10 task 2 (+ the rule that a body
+        # change to a shared helper touches every gated query whose
+        # EXECUTION reaches it):
+        # (a) round-11 code-touched: q173 (NEW — the JVM entropy kernel
+        #     Ent.java gated end to end, the q35 analog for entropy;
+        #     also the only gated query whose execution reaches
+        #     entropy.py) + q04/q05 (the entropy-family analogs VERDICT
+        #     r10 task 1 names as the gate) + q02/q35 (jvm.py
+        #     ensure_kernel body gained the two entropy registrations —
+        #     q02 is the standing jvm-registration gate, r10 precedent;
+        #     q35 re-gates the span kernels beside it) + q122/q157/q160
+        #     (assign_cells_arrow body gained the auto-switch warning —
+        #     the three gated queries whose execution reaches it; q160's
+        #     seat also closes the r10 touched-not-windowed slip).
+        #     NOT windowed although their FILE changed: q14-q17 — the
+        #     strings_scan.py fix is in _extend_utf8_run (fused evidence
+        #     path), which no gated query's execution reaches; the fix
+        #     is pinned by the new 1 MiB-step continuation tests.
+        # (b) composites q30-q33: their promised return after the
+        #     r10-only tail rotation.
+        # (c) the ENTIRE 34-query r7-vintage cohort (q03, q06-q13,
+        #     q18-q25, q28-q29, q36-q50) — the due-date set, so after
+        #     this round no green driver row is older than round 8.
+        # (d) 4 spare slots pre-refresh the front of the 41-query
+        #     r8-vintage cohort (q01, q27, q51, q52) — VERDICT r10
+        #     task 6's r12 overflow guard: r12 then owes 37 r8-vintage
+        #     queries + its own touches, inside 50.
+
+        "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
         "q04_entropy": q04_entropy,
         "q05_sessionize": q05_sessionize,
+        "q35_string_spans": q35_string_spans,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q160_mmr_rerank": q160_mmr_rerank,
+        "q30_carve_roundtrip": q30_carve_roundtrip,
+        "q31_carve_declared": q31_carve_declared,
+        "q32_carve_structured": q32_carve_structured,
+        "q33_carve_remaining": q33_carve_remaining,
+        "q03_scan_counts": q03_scan_counts,
+        "q06_join_history": q06_join_history,
+        "q07_left_join_coalesce": q07_left_join_coalesce,
+        "q08_group_dedup": q08_group_dedup,
+        "q09_run_summary": q09_run_summary,
+        "q10_case_mapping": q10_case_mapping,
+        "q11_time_conversions": q11_time_conversions,
+        "q12_url_parse": q12_url_parse,
+        "q13_email_split": q13_email_split,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_token_stats": q20_token_stats,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_cosine_topk": q23_cosine_topk,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q25_top_orders": q25_top_orders,
+        "q28_lsh_topk": q28_lsh_topk,
+        "q29_media_meta": q29_media_meta,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
+        "q43_line_dedup": q43_line_dedup,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q01_chunk_plan": q01_chunk_plan,
+        "q27_simhash_neardup": q27_simhash_neardup,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q52_stream_dedup": q52_stream_dedup,
+        # --- tail (all driver-proven in r8-r10; all still swept tri-SF
+        #     by tools/drive_contract.py before every commit) ----------
         "q14_phone_plausible": q14_phone_plausible,
         "q15_normalize_url": q15_normalize_url,
         "q16_string_flags": q16_string_flags,
         "q17_extract_urls": q17_extract_urls,
-        "q35_string_spans": q35_string_spans,
-        "q122_semantic_dedup": q122_semantic_dedup,
         "q172_fasttext_subword": q172_fasttext_subword,
         "q102_retention_cohorts": q102_retention_cohorts,
         "q103_event_transitions": q103_event_transitions,
@@ -11597,7 +11724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_feature_store": q150_feature_store,
         "q151_semantic_decontamination": q151_semantic_decontamination,
         "q152_cluster_best_keep": q152_cluster_best_keep,
-        "q157_bitext_mining": q157_bitext_mining,
         "q159_data_card": q159_data_card,
         "q162_sft_spans": q162_sft_spans,
         "q163_prefix_cache_plan": q163_prefix_cache_plan,
@@ -11610,16 +11736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bpe_learn": q59_bpe_learn,
         "q92_bpe_tokenize": q92_bpe_tokenize,
         "q97_compaction_plan": q97_compaction_plan,
-        # --- tail (all driver-proven in r7-r9; all still swept tri-SF
-        #     by tools/drive_contract.py before every commit) ----------
-        "q30_carve_roundtrip": q30_carve_roundtrip,
-        "q31_carve_declared": q31_carve_declared,
-        "q32_carve_structured": q32_carve_structured,
-        "q33_carve_remaining": q33_carve_remaining,
         "q26_minhash_neardup": q26_minhash_neardup,
         "q80_pagerank": q80_pagerank,
         "q134_bfs_distances": q134_bfs_distances,
-        "q160_mmr_rerank": q160_mmr_rerank,
         "q171_fasttext_classify": q171_fasttext_classify,
         "q34_ivf_topk": q34_ivf_topk,
         "q88_ivfpq_topk": q88_ivfpq_topk,
@@ -11659,10 +11778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        "q01_chunk_plan": q01_chunk_plan,
-        "q27_simhash_neardup": q27_simhash_neardup,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
-        "q52_stream_dedup": q52_stream_dedup,
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
         "q55_linear_quality": q55_linear_quality,
@@ -11700,40 +11815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_shard_manifest": q90_shard_manifest,
         "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
-        "q03_scan_counts": q03_scan_counts,
-        "q06_join_history": q06_join_history,
-        "q07_left_join_coalesce": q07_left_join_coalesce,
-        "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
-        "q10_case_mapping": q10_case_mapping,
-        "q11_time_conversions": q11_time_conversions,
-        "q12_url_parse": q12_url_parse,
-        "q13_email_split": q13_email_split,
-        "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q20_token_stats": q20_token_stats,
-        "q21_quality": q21_quality,
-        "q22_langid": q22_langid,
-        "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q25_top_orders": q25_top_orders,
-        "q28_lsh_topk": q28_lsh_topk,
-        "q29_media_meta": q29_media_meta,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q37_stream_sessionize": q37_stream_sessionize,
-        "q38_pack_sequences": q38_pack_sequences,
-        "q39_hash_sample": q39_hash_sample,
-        "q40_pii_scrub": q40_pii_scrub,
-        "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
-        "q43_line_dedup": q43_line_dedup,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q45_session_window": q45_session_window,
-        "q46_kmv_sketch": q46_kmv_sketch,
-        "q47_stream_window_agg": q47_stream_window_agg,
-        "q48_asof_join": q48_asof_join,
-        "q49_countmin": q49_countmin,
-        "q50_weighted_sample": q50_weighted_sample,
     }
 
 
@@ -11762,6 +11843,7 @@ def oracle_sql() -> dict[str, str]:
         "q33_carve_remaining": q33_sql(),
         "q171_fasttext_classify": q171_sql(),
         "q172_fasttext_subword": q172_sql(),
+        "q173_entropy_kernel": q173_sql(),
         "q35_string_spans": q35_sql(),
         "q01_chunk_plan": q01_sql(),
         "q03_scan_counts": q03_sql(),

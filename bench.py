@@ -87,10 +87,11 @@ def main() -> None:
         references every output column, so nothing prunes. (Rounds
         1-8 used count() uniformly, so cross-round RATIOS were
         method-consistent; absolute walls for eliminated shapes were
-        vacuous — BASELINE.md r9 records both methods once to bridge.)
+        vacuous — BASELINE.md r9 records both methods once to bridge;
+        the count-only bridge retired in r11 per VERDICT r10 task 4:
+        r10's row was declared the last, and cross-round comparisons
+        before r9 must quote the method.)
         """
-        if os.environ.get("SPARK_GRAFT_BENCH_COUNT_ONLY") == "1":
-            return df.count()  # the rounds-1-8 method, kept for bridging
         n, _h = df.select(
             F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
         ).collect()[0]

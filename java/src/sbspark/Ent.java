@@ -25,11 +25,21 @@ import org.apache.spark.sql.RowFactory;
  * sum matches. Differential fuzz in tests/test_strings_entropy.py pins
  * exact equality.
  *
- * Spec: "windowSize;threshold;tableBits" where tableBits is
- * (windowSize+1) x 16 hex chars, entry c = Double bits of t[c].
+ * Spec: "windowSize;threshold;merged;span;tableBits" where tableBits
+ * is (windowSize+1) x 16 hex chars, entry c = Double bits of t[c],
+ * and merged=1 pre-merges contiguous qualifying windows into islands
+ * INSIDE the scan (the reference's own per-chunk merge,
+ * src/entropy.rs:26-73) so the distributed gaps-and-islands merge
+ * downstream sees ~islands instead of ~windows (~100x fewer rows).
+ * `span` is the merge's level-1 bucket width in WINDOWS
+ * (entropy._LEVEL_SPAN, exported so the two sides cannot desync):
+ * islands split when crossing a span-bucket boundary, preserving the
+ * distributed merge's escalation invariant — every input row pokes at
+ * most one window past a bucket edge (the slack the merge absorbs),
+ * exactly like the single-window rows it was designed for.
  * Parsed specs cache per executor (bounded); the cache key is the
- * windowSize/threshold PREFIX of the spec, so the ~64 KiB table is
- * not re-hashed per row.
+ * short PREFIX of the spec, so the ~64 KiB table is not re-hashed
+ * per row.
  */
 final class Ent {
   private static final ConcurrentHashMap<String, Ent> CACHE = new ConcurrentHashMap<>();
@@ -37,13 +47,16 @@ final class Ent {
 
   final int windowSize;
   final double threshold;
+  final boolean merged;
+  final long spanBytes; // level-1 bucket width (bytes)
   private final double[] table; // t[c] for c in 0..windowSize
 
   static Ent get(String spec) {
-    // key on the short prefix (windowSize;threshold) — one config, one
-    // table; a threshold/window change produces a different prefix
-    int second = spec.indexOf(';', spec.indexOf(';') + 1);
-    String key = spec.substring(0, second);
+    // key on the short prefix (windowSize;threshold;merged;span) —
+    // the table is a pure function of windowSize
+    int p = -1;
+    for (int i = 0; i < 4; i++) p = spec.indexOf(';', p + 1);
+    String key = spec.substring(0, p);
     Ent e = CACHE.get(key);
     if (e == null) {
       if (CACHE.size() > MAX_SPECS) {
@@ -53,18 +66,22 @@ final class Ent {
           it.remove();
         }
       }
-      e = new Ent(spec, second);
+      e = new Ent(spec, p);
       Ent prev = CACHE.putIfAbsent(key, e);
       if (prev != null) e = prev;
     }
     return e;
   }
 
-  private Ent(String spec, int second) {
+  private Ent(String spec, int fourth) {
     int first = spec.indexOf(';');
+    int second = spec.indexOf(';', first + 1);
+    int third = spec.indexOf(';', second + 1);
     windowSize = Integer.parseInt(spec.substring(0, first));
     threshold = Double.parseDouble(spec.substring(first + 1, second));
-    String bits = spec.substring(second + 1);
+    merged = spec.charAt(second + 1) == '1';
+    spanBytes = (long) windowSize * Long.parseLong(spec.substring(third + 1, fourth));
+    String bits = spec.substring(fourth + 1);
     table = new double[windowSize + 1];
     if (bits.length() != table.length * 16) {
       throw new IllegalArgumentException(
@@ -125,6 +142,51 @@ final class Ent {
   }
 
   /**
+   * Qualifying-window sink: per-window rows, or (merged=1) contiguous
+   * qualifying windows pre-merged into island rows (start, end, max
+   * entropy) — associative with the downstream distributed merge, so
+   * regions are identical either way (pytest-pinned).
+   */
+  private final class Emitter {
+    final List<Row> out = new ArrayList<>();
+    private long islandStart = -1;
+    private long islandEnd = -1;
+    private double islandEnt;
+
+    void window(long ws, double ent) {
+      if (ent < threshold) return;
+      if (!merged) {
+        out.add(RowFactory.create(ws, ws + windowSize - 1, ent));
+        return;
+      }
+      if (islandStart >= 0 && ws == islandEnd + 1 && ws / spanBytes == islandStart / spanBytes) {
+        // same level-1 merge bucket: extend (the split at span
+        // boundaries keeps every emitted row poking <= one window
+        // past a bucket edge — the downstream escalation invariant)
+        islandEnd = ws + windowSize - 1;
+        if (ent > islandEnt) islandEnt = ent;
+      } else {
+        flush();
+        islandStart = ws;
+        islandEnd = ws + windowSize - 1;
+        islandEnt = ent;
+      }
+    }
+
+    private void flush() {
+      if (islandStart >= 0) {
+        out.add(RowFactory.create(islandStart, islandEnd, islandEnt));
+        islandStart = -1;
+      }
+    }
+
+    List<Row> done() {
+      flush();
+      return out;
+    }
+  }
+
+  /**
    * Qualifying windows of data[0, validLength) as (win_start, win_end,
    * entropy) rows; window grid anchored at `start` (the chunk start),
    * trailing partial window dropped — identical to the Python fold.
@@ -132,30 +194,28 @@ final class Ent {
   List<Row> scanBytes(byte[] data, long start, long validLength) {
     int vlen = (int) Math.min(validLength, data.length);
     int nWindows = vlen / windowSize;
-    List<Row> out = new ArrayList<>();
+    Emitter em = new Emitter();
     int[] counts = new int[256];
     double[] contrib = new double[256];
     for (int w = 0; w < nWindows; w++) {
       double ent = windowEntropy(data, w * windowSize, counts, contrib);
-      if (ent >= threshold) {
-        long ws = start + (long) w * windowSize;
-        out.add(RowFactory.create(ws, ws + windowSize - 1, ent));
-      }
+      em.window(start + (long) w * windowSize, ent);
     }
-    return out;
+    return em.done();
   }
 
   /**
    * Evidence path: positioned read of the sub-chunk, then the same
    * window loop. Reads in bounded blocks (window-aligned) so a large
-   * granule never materializes more than blockBytes at once.
+   * granule never materializes more than blockBytes at once; island
+   * state carries ACROSS blocks (one call = one sub-chunk).
    */
   List<Row> scanEvidence(Io io, long mediaSize, long start, long validLength)
       throws IOException {
     long vlen = Math.min(validLength, Math.max(0, mediaSize - start));
     long nWindows = vlen / windowSize;
-    List<Row> out = new ArrayList<>();
-    if (nWindows == 0) return out;
+    Emitter em = new Emitter();
+    if (nWindows == 0) return em.done();
     // 16 MiB block, rounded down to a whole number of windows
     long blockWindows = Math.max(1, (16L << 20) / windowSize);
     int[] counts = new int[256];
@@ -167,12 +227,9 @@ final class Ent {
       int got = block.length / windowSize;
       for (int w = 0; w < got; w++) {
         double ent = windowEntropy(block, w * windowSize, counts, contrib);
-        if (ent >= threshold) {
-          long ws = pos + (long) w * windowSize;
-          out.add(RowFactory.create(ws, ws + windowSize - 1, ent));
-        }
+        em.window(pos + (long) w * windowSize, ent);
       }
     }
-    return out;
+    return em.done();
   }
 }

@@ -13,12 +13,16 @@ construction: the contribution table t[c] = -(c/N * log2(c/N)) is
 computed HERE with numpy and exported to the JVM in the spec string
 (the same export strategy as the strings kernel's printability table),
 and the JVM's per-window sum replicates numpy's pairwise summation
-tree. The merge is the classic gaps-and-islands pattern in pure
-DataFrame ops (lag -> boundary flag -> running sum as region id ->
-groupBy). The merge therefore works ACROSS chunk boundaries, which
-the reference's per-chunk merge cannot do — same results on all
-reference fixtures, strictly better on regions straddling a chunk
-edge.
+tree. The scan feeding the region merge pre-merges contiguous
+qualifying windows into per-chunk islands (the reference's own
+per-chunk merge, src/entropy.rs:26-73, split at merge-bucket
+boundaries to preserve the escalation invariant), so the distributed
+merge's input is ~islands, not ~windows. The merge itself is the
+classic gaps-and-islands pattern in pure DataFrame ops (lag ->
+boundary flag -> running sum as region id -> groupBy). The merge
+therefore works ACROSS chunk boundaries, which the reference's
+per-chunk merge cannot do — same results on all reference fixtures,
+strictly better on regions straddling a chunk edge.
 """
 
 from __future__ import annotations
@@ -95,18 +99,76 @@ def _entropy_all_windows(mat: np.ndarray, window_size: int) -> np.ndarray:
     return out
 
 
-def _entropy_spec(cfg: EngineConfig) -> str:
+def _entropy_spec(cfg: EngineConfig, merged: bool) -> str:
     """JVM kernel spec (see java/src/sbspark/Ent.java):
-    'windowSize;threshold;tableBits' — tableBits is the contribution
-    table as (N+1) x 16 hex chars of raw Double bits, exported FROM
-    numpy so per-element parity cannot drift with JVM libm versions."""
+    'windowSize;threshold;merged;span;tableBits' — tableBits is the
+    contribution table as (N+1) x 16 hex chars of raw Double bits,
+    exported FROM numpy so per-element parity cannot drift with JVM
+    libm versions; merged=1 pre-merges contiguous qualifying windows
+    into islands inside the kernel; span exports _LEVEL_SPAN so the
+    island split grid cannot desync from the distributed merge."""
     t = _ent_table(cfg.entropy_window_size)
     bits = "".join(f"{b:016x}" for b in t.view(np.uint64))
-    return f"{cfg.entropy_window_size};{float(cfg.entropy_threshold)!r};{bits}"
+    return (
+        f"{cfg.entropy_window_size};{float(cfg.entropy_threshold)!r};"
+        f"{1 if merged else 0};{_LEVEL_SPAN};{bits}"
+    )
 
 
-def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Per-chunk full windows with entropy >= threshold.
+def _qualifying_rows(
+    start: int, ents: np.ndarray, window_size: int, threshold: float, merged: bool
+) -> list[tuple[int, int, float]]:
+    """(win_start, win_end, entropy) rows for one chunk's window
+    entropies — per-window, or (merged) contiguous qualifying windows
+    pre-merged into islands with max entropy (the reference's own
+    per-chunk merge, src/entropy.rs:26-73). Pre-merging is associative
+    with the downstream distributed gaps-and-islands merge, so regions
+    are identical either way; it cuts the merge's input from ~windows
+    to ~islands (~100x at stress density — the merge, not the fold,
+    dominated the stage wall once the JVM kernel landed).
+
+    Islands additionally split when crossing a level-1 merge-bucket
+    boundary (_LEVEL_SPAN windows), so every emitted row pokes at most
+    one window past a bucket edge — the escalation invariant
+    _merge_level's slack was sized for (single windows had the same
+    bound). Without the split, a long island bucketed by its START
+    could end deep inside a later bucket whose interior rows never
+    escalate, silently splitting a true region at a chunk boundary."""
+    w = np.nonzero(ents >= threshold)[0]
+    if w.size == 0:
+        return []
+    if not merged:
+        return [
+            (
+                start + int(i) * window_size,
+                start + int(i) * window_size + window_size - 1,
+                float(ents[i]),
+            )
+            for i in w
+        ]
+    span_bytes = window_size * _LEVEL_SPAN
+    abs_start = start + w * window_size
+    cuts = (
+        np.nonzero((np.diff(w) > 1) | (np.diff(abs_start // span_bytes) != 0))[0] + 1
+    )
+    rows = []
+    for grp in np.split(w, cuts):
+        rows.append(
+            (
+                start + int(grp[0]) * window_size,
+                start + int(grp[-1]) * window_size + window_size - 1,
+                float(ents[grp].max()),
+            )
+        )
+    return rows
+
+
+def entropy_windows(
+    chunks: DataFrame, cfg: EngineConfig, merged: bool = False
+) -> DataFrame:
+    """Per-chunk full windows with entropy >= threshold (merged=True:
+    per-chunk islands of contiguous qualifying windows — what
+    entropy_regions feeds the distributed merge).
 
     Dispatches to the JVM entropy kernel when it registers into this
     session (chunk bytes never cross into Python; see Ent.java); the
@@ -122,7 +184,7 @@ def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.col("data"),
             F.col("start").cast("long"),
             F.col("valid_length").cast("long"),
-            F.lit(_entropy_spec(cfg)),
+            F.lit(_entropy_spec(cfg, merged)),
         )
         return spread(chunks).select(F.inline(rows))
     # spread across cores when the chunk source arrives in fewer input
@@ -140,9 +202,9 @@ def entropy_windows(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
                     continue
                 mat = blob[: n_windows * window_size].reshape(n_windows, window_size)
                 ents = _entropy_all_windows(mat, window_size)
-                for w in np.nonzero(ents >= threshold)[0]:
-                    ws = int(start) + int(w) * window_size
-                    rows.append((ws, ws + window_size - 1, float(ents[w])))
+                rows.extend(
+                    _qualifying_rows(int(start), ents, window_size, threshold, merged)
+                )
             yield pd.DataFrame(rows, columns=["win_start", "win_end", "entropy"])
 
     return chunks.mapInPandas(scan, WINDOW_SCHEMA)
@@ -243,10 +305,16 @@ def merge_regions(windows: DataFrame, window_size: int) -> DataFrame:
 
 
 def entropy_regions(chunks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    return merge_regions(entropy_windows(chunks, cfg), cfg.entropy_window_size)
+    # merged=True: the scan emits per-chunk islands, so the distributed
+    # merge sees ~islands instead of ~windows (identical regions)
+    return merge_regions(
+        entropy_windows(chunks, cfg, merged=True), cfg.entropy_window_size
+    )
 
 
-def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
+def entropy_windows_from_evidence(
+    spark, path: str, cfg: EngineConfig, merged: bool = False
+) -> DataFrame:
     """Fused fetch+entropy off the evidence file (valid regions only)."""
     from swiftbeaver_spark.chunking import plan_chunks
     from swiftbeaver_spark.source import evidence_length, open_evidence
@@ -274,7 +342,7 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
             F.lit(path),
             F.col("start").cast("long"),
             F.col("valid_length").cast("long"),
-            F.lit(_entropy_spec(cfg)),
+            F.lit(_entropy_spec(cfg, merged)),
         )
         return plan.repartition(n_parts).select(F.inline(rows))
 
@@ -290,9 +358,11 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
                         continue
                     mat = blob[: n_windows * window_size].reshape(n_windows, window_size)
                     ents = _entropy_all_windows(mat, window_size)
-                    for w in np.nonzero(ents >= threshold)[0]:
-                        ws = int(start) + int(w) * window_size
-                        rows.append((ws, ws + window_size - 1, float(ents[w])))
+                    rows.extend(
+                        _qualifying_rows(
+                            int(start), ents, window_size, threshold, merged
+                        )
+                    )
                 yield pd.DataFrame(rows, columns=["win_start", "win_end", "entropy"])
         finally:
             reader.close()
@@ -302,5 +372,6 @@ def entropy_windows_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFr
 
 def entropy_regions_from_evidence(spark, path: str, cfg: EngineConfig) -> DataFrame:
     return merge_regions(
-        entropy_windows_from_evidence(spark, path, cfg), cfg.entropy_window_size
+        entropy_windows_from_evidence(spark, path, cfg, merged=True),
+        cfg.entropy_window_size,
     )

@@ -152,6 +152,59 @@ def test_trailing_partial_window_dropped(spark, monkeypatch):
     assert jvm == _rows(entropy_windows(chunks, cfg))
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_islands_bit_exact_and_equal_regions(spark, monkeypatch, seed):
+    """merged=True (island pre-merge inside the kernel — the reference's
+    per-chunk merge, src/entropy.rs:26-73): JVM and Python islands must
+    be bit-identical, and regions THROUGH the distributed merge must
+    equal the unmerged path's regions (associativity)."""
+    from swiftbeaver_spark.entropy import merge_regions
+
+    cfg = _cfg(256, 2.0)  # low threshold: text + random qualify -> long islands
+    data = mixed_blob(200 + seed, 1 << 18)
+    chunks = chunks_from_bytes(spark, data, 1 << 16, 256)
+    jvm = _rows(entropy_windows(chunks, cfg, merged=True))
+    jvm_regions = sorted(
+        tuple(r)
+        for r in merge_regions(
+            entropy_windows(chunks, cfg, merged=True), 256
+        ).collect()
+    )
+    unmerged_regions = sorted(
+        tuple(r)
+        for r in merge_regions(entropy_windows(chunks, cfg), 256).collect()
+    )
+    _py(monkeypatch)
+    assert jvm == _rows(entropy_windows(chunks, cfg, merged=True))
+    assert jvm_regions == unmerged_regions
+    assert jvm_regions  # non-vacuous
+
+
+def test_island_spanning_merge_buckets_not_split(spark, monkeypatch):
+    """The regression the span-boundary split prevents: one contiguous
+    qualifying region crossing a level-1 merge-bucket boundary
+    (window_size * _LEVEL_SPAN = 1 MiB at 256-B windows), scanned in
+    SMALL chunks so chunk boundaries fall mid-bucket. A start-bucketed
+    island ending deep inside the next bucket would strand its
+    continuation in an interior (never-escalated) row and split the
+    true region; both kernels must emit ONE region."""
+    from swiftbeaver_spark.entropy import entropy_regions as regions
+
+    cfg = _cfg(256, 7.5)
+    rng = np.random.default_rng(31)
+    # per-window permutations (entropy exactly 8.0) from 512 KiB to
+    # 1.5 MiB: crosses the 1 MiB level-1 boundary; zeros elsewhere
+    perm = b"".join(
+        bytes(rng.permutation(256).astype(np.uint8)) for _ in range(4096)
+    )  # 1 MiB of qualifying windows
+    data = b"\x00" * (512 << 10) + perm + b"\x00" * (512 << 10)
+    chunks = chunks_from_bytes(spark, data, 128 << 10, 0)  # mid-bucket edges
+    jvm = sorted(tuple(r) for r in regions(chunks, cfg).collect())
+    assert jvm == [(512 << 10, (512 << 10) + (1 << 20) - 1, 8.0, 256)]
+    _py(monkeypatch)
+    assert jvm == sorted(tuple(r) for r in regions(chunks, cfg).collect())
+
+
 def test_regions_identical_through_merge(spark, monkeypatch):
     """entropy_regions end to end: the Catalyst gaps-and-islands merge
     downstream of the JVM kernel yields exactly the Python path's
