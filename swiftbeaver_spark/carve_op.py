@@ -142,7 +142,18 @@ def _record_to_tuple(rec) -> tuple:
 def carve_hits_with_evidence(
     hits: DataFrame, evidence_path: str, cfg: EngineConfig
 ) -> DataFrame:
-    """Carve via positioned reads against the evidence path (strategy 1)."""
+    """Carve via positioned reads against the evidence path (strategy 1).
+
+    zip-validator hits take a RANGE-bucketed branch: carve_zip's
+    require_eocd semantics sweep up to max_size forward per hit, so N
+    co-located zip hits cost N x window reads under round-robin
+    placement (a docx/xlsx-dense 100 TB corpus would re-read
+    petabytes). Bucketing by offset // max_size lets each bucket
+    collect the EOCD magic index ONCE (collect_zip_eocds) and hand it
+    to every hit — per-bucket bytes read are bounded at bucket width +
+    max_size no matter how many hits land there, and results are
+    bit-identical to the per-hit sweep (the handler applies the same
+    selection rules to the shared index; pytest-pinned)."""
 
     def carve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from swiftbeaver_spark.source import open_evidence
@@ -162,10 +173,61 @@ def carve_hits_with_evidence(
         finally:
             reader.close()
 
-    # spread hits across tasks; carving cost varies by type, so round-robin
-    # by offset avoids one task owning all expensive hits
     n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
-    return hits.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+    zip_ids = [ft.type_id for ft in cfg.file_types if ft.validator == "zip"]
+    if not zip_ids:
+        # spread hits across tasks; carving cost varies by type, so
+        # round-robin by offset avoids one task owning all expensive hits
+        return hits.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+
+    bucket_w = max(
+        ft.max_size for ft in cfg.file_types if ft.validator == "zip"
+    ) or (1 << 30)
+
+    def carve_zips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from swiftbeaver_spark.carvers.archives import collect_zip_eocds
+        from swiftbeaver_spark.source import open_evidence
+
+        registry = build_registry(cfg)
+        reader = open_evidence(evidence_path)
+        try:
+            for pdf in batches:
+                rows = []
+                for _b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
+                    lo = int(grp["global_offset"].min())
+                    hi = min(
+                        int(grp["global_offset"].max()) + bucket_w,
+                        reader.length(),
+                    )
+                    cands = collect_zip_eocds(reader, lo, hi)
+                    for off, ft_id, pat_id in zip(
+                        grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
+                    ):
+                        rec = carve_hit(
+                            reader,
+                            int(off),
+                            str(ft_id),
+                            str(pat_id),
+                            registry,
+                            cfg,
+                            eocd_candidates=cands,
+                        )
+                        if rec is not None:
+                            rows.append(_record_to_tuple(rec))
+                yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+        finally:
+            reader.close()
+
+    is_zip = F.col("file_type_id").isin(zip_ids)
+    others = (
+        hits.where(~is_zip).repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+    )
+    zips = (
+        hits.where(is_zip)
+        .repartition(n, F.floor(F.col("global_offset") / bucket_w))
+        .mapInPandas(carve_zips, schemas.CARVED_FILES)
+    )
+    return others.unionByName(zips)
 
 
 class WindowReader(Reader):

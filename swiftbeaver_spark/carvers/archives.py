@@ -16,6 +16,41 @@ _ZIP_CD = b"PK\x01\x02"
 _ZIP_EOCD = b"PK\x05\x06"
 
 
+def collect_zip_eocds(
+    reader: Reader, lo: int, hi: int
+) -> list[tuple[int, tuple[int, int, int] | None]]:
+    """All EOCD magic positions in [lo, hi) with their parsed geometry
+    (None when the record doesn't parse), ascending — ONE buffered pass
+    over the range. carve_zip accepts this as `eocd_candidates` so
+    co-located hits share a single sweep instead of each re-scanning up
+    to max_size forward (N_hits x window read amplification on
+    zip-dense evidence — every docx/xlsx is a zip, so a 100 TB office
+    corpus would otherwise re-read petabytes). A 4-byte match always
+    includes at least one byte past the 3-byte carry, so the carry
+    cannot produce duplicates."""
+    from swiftbeaver_spark.carvers.base import IO_BUF
+
+    out: list[tuple[int, tuple[int, int, int] | None]] = []
+    overlap = len(_ZIP_EOCD) - 1
+    offset = lo
+    prev_tail = b""
+    while offset < hi:
+        buf = reader.read_at(offset, min(IO_BUF, hi - offset))
+        if not buf:
+            break
+        hay = prev_tail + buf
+        base = offset - len(prev_tail)
+        idx = hay.find(_ZIP_EOCD)
+        while idx != -1:
+            pos = base + idx
+            if pos >= lo:
+                out.append((pos, _read_eocd(reader, pos)))
+            idx = hay.find(_ZIP_EOCD, idx + 1)
+        prev_tail = hay[-overlap:]
+        offset += len(buf)
+    return out
+
+
 def _read_eocd(reader: Reader, pos: int) -> tuple[int, int, int] | None:
     buf = reader.read_exact(pos, 22)
     if buf is None or buf[:4] != _ZIP_EOCD:
@@ -88,6 +123,7 @@ def carve_zip(
     max_size: int,
     require_eocd: bool = True,
     zip_allowed_kinds: tuple[str, ...] | None = None,
+    eocd_candidates: list[tuple[int, tuple[int, int, int] | None]] | None = None,
     **_,
 ) -> CarveOutcome | None:
     """EOCD-anchored zip carve (reference src/carve/zip.rs:100-444).
@@ -95,6 +131,12 @@ def carve_zip(
     require_eocd: scan the full max_size window keeping the LAST EOCD whose
     `start + cd_offset + cd_size == eocd_offset` holds; else stop at the
     first EOCD found (best-effort, unvalidated geometry).
+
+    eocd_candidates: precollected (pos, parsed) magic index covering at
+    least [offset, offset+max_size) — see collect_zip_eocds; the carve
+    filters to its own window and applies identical selection rules, so
+    results are bit-identical to the scanning path (pytest-pinned)
+    while co-located hits share one sweep.
     """
     head = reader.read_exact(offset, 4)
     if head != _ZIP_LOCAL:
@@ -102,27 +144,44 @@ def carve_zip(
     max_end = offset + max_size if max_size > 0 else reader.length()
     truncated = False
     errors: list[str] = []
+    window_cands = None
+    if eocd_candidates is not None:
+        # scan_forward parity: a match must lie fully inside [offset, max_end)
+        window_cands = [
+            (p, g) for p, g in eocd_candidates
+            if offset <= p <= max_end - len(_ZIP_EOCD)
+        ]
 
     if require_eocd:
         last_valid = None
-        search = offset
-        while True:
-            pos = scan_forward(reader, search, _ZIP_EOCD, max_end)
-            if pos is None:
-                break
-            parsed = _read_eocd(reader, pos)
-            if parsed is not None:
-                cd_offset, cd_size, comment_len = parsed
-                if offset + cd_offset + cd_size == pos:
-                    last_valid = (pos, cd_offset, cd_size, comment_len)
-            search = pos + 1
+        if window_cands is not None:
+            for pos, parsed in window_cands:
+                if parsed is not None:
+                    cd_offset, cd_size, comment_len = parsed
+                    if offset + cd_offset + cd_size == pos:
+                        last_valid = (pos, cd_offset, cd_size, comment_len)
+        else:
+            search = offset
+            while True:
+                pos = scan_forward(reader, search, _ZIP_EOCD, max_end)
+                if pos is None:
+                    break
+                parsed = _read_eocd(reader, pos)
+                if parsed is not None:
+                    cd_offset, cd_size, comment_len = parsed
+                    if offset + cd_offset + cd_size == pos:
+                        last_valid = (pos, cd_offset, cd_size, comment_len)
+                search = pos + 1
         if last_valid is None:
             return None
         pos, cd_offset, cd_size, comment_len = last_valid
         end = pos + 22 + comment_len
         validated = True
     else:
-        pos = scan_forward(reader, offset, _ZIP_EOCD, max_end)
+        if window_cands is not None:
+            pos = window_cands[0][0] if window_cands else None
+        else:
+            pos = scan_forward(reader, offset, _ZIP_EOCD, max_end)
         if pos is None:
             end = max_end
             truncated = True

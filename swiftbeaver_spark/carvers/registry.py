@@ -72,9 +72,12 @@ def carve_hit(
     pattern_id: str,
     registry: dict[str, tuple[FileType, Handler]],
     cfg: EngineConfig,
+    eocd_candidates: list | None = None,
 ) -> CarvedRecord | None:
     """Run one hit through its format handler and finalize (hash, min-size,
-    truncation clamp). Returns None for rejected false positives."""
+    truncation clamp). Returns None for rejected false positives.
+    `eocd_candidates`: shared zip magic index (collect_zip_eocds) —
+    consumed by the zip handler, ignored by every other handler."""
     entry = registry.get(file_type_id)
     if entry is None:
         return None
@@ -90,6 +93,7 @@ def carve_hit(
         ole_allowed_kinds=cfg.ole_allowed_kinds,
         header_patterns=tuple(p.bytes for p in ft.header_patterns),
         footer_patterns=tuple(p.bytes for p in ft.footer_patterns),
+        eocd_candidates=eocd_candidates,
     )
     if outcome is None:
         return None
