@@ -174,15 +174,18 @@ def carve_hits_with_evidence(
             reader.close()
 
     n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
-    zip_ids = [ft.type_id for ft in cfg.file_types if ft.validator == "zip"]
-    if not zip_ids:
+    zip_types = [ft for ft in cfg.file_types if ft.validator == "zip"]
+    zip_ids = [ft.type_id for ft in zip_types]
+    # max_size=0 means an UNBOUNDED window (carve_zip scans to EOF) —
+    # no finite bucket can cover it, so any such type routes the whole
+    # zip family through the per-hit scan path (round-robin, correct
+    # for any window; the shared index is purely an optimization)
+    if not zip_ids or any(ft.max_size <= 0 for ft in zip_types):
         # spread hits across tasks; carving cost varies by type, so
         # round-robin by offset avoids one task owning all expensive hits
         return hits.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
 
-    bucket_w = max(
-        ft.max_size for ft in cfg.file_types if ft.validator == "zip"
-    ) or (1 << 30)
+    bucket_w = max(ft.max_size for ft in zip_types)
 
     def carve_zips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from swiftbeaver_spark.carvers.archives import collect_zip_eocds

@@ -84,7 +84,8 @@ def test_chunk_table_bit_exact(spark, monkeypatch, window_size):
     jvm = _rows(entropy_windows(chunks, cfg))
     _py(monkeypatch)
     py = _rows(entropy_windows(chunks, cfg))
-    assert len(jvm) == (1 << 17) // window_size * 4 or len(jvm) > 0
+    # threshold 0 emits EVERY full window: 4 chunks x floor(vlen/ws)
+    assert len(jvm) == (1 << 17) // window_size * 4
     assert jvm == py  # exact: win offsets AND float64 entropy bits
 
 

@@ -130,6 +130,35 @@ def test_collect_spanning_buffer_boundaries():
     assert out is not None and out.end == pad + len(z)
 
 
+def test_unbounded_zip_window_routes_to_scan_path(spark, tmp_path):
+    """max_size=0 means carve_zip scans to EOF — no finite bucket can
+    cover that window, so the evidence path must route the zip family
+    through the per-hit scan branch (review finding: the bucketed index
+    would under-cover and silently drop such carves)."""
+    import dataclasses
+
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+    from swiftbeaver_spark.config import DEFAULT_CONFIG
+
+    z = mk_zip()
+    data = b"\x00" * 4096 + z + b"\x00" * 4096
+    path = tmp_path / "ev.raw"
+    path.write_bytes(data)
+    zip_ft = next(ft for ft in DEFAULT_CONFIG.file_types if ft.type_id == "zip")
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        file_types=(dataclasses.replace(zip_ft, max_size=0, min_size=5),),
+    )
+    hits = spark.createDataFrame(
+        [(4096, "zip", "zip_header")],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    rows = carve_hits_with_evidence(hits, str(path), cfg).collect()
+    assert len(rows) == 1
+    assert rows[0].global_start == 4096 and rows[0].size == len(z)
+    assert rows[0].validated
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzzed_layouts_identical(seed):
     """Random soup of archives, stray magics, and junk: every PK-local

@@ -206,9 +206,9 @@ def main() -> None:
     run_c = engine.run(evidence_path=path, cache_intermediates=True)
     run_c["carved_files"].count()
     t0 = time.time()
-    cnt = run_c["browser_history"].count()
+    browser_cnt = run_c["browser_history"].count()
     stages["browser_history_cached"] = {
-        "rows": cnt,
+        "rows": browser_cnt,
         "wall_sec": round(time.time() - t0, 3),
         "note": "parse-only over persisted carve",
     }
@@ -224,7 +224,7 @@ def main() -> None:
         print(f"# stage string_artefacts_cached: {cnt} rows, "
               f"{stages['string_artefacts_cached']['wall_sec']}s", file=sys.stderr)
     run_c.unpersist()
-    print(f"# stage browser_history_cached: {cnt} rows, "
+    print(f"# stage browser_history_cached: {browser_cnt} rows, "
           f"{stages['browser_history_cached']['wall_sec']}s", file=sys.stderr)
 
     got = {(r.global_start, r.size, r.sha256) for r in carved}
