@@ -153,7 +153,14 @@ class Engine:
     materialized chunk table alone (the 100 TB path: the one-pass
     columnar copy replaces all later evidence reads) — a shuffle-free
     stream pass plus a bucketed-cogroup fallback for windows crossing
-    partition boundaries (carve_op.py). The chunk path bounds each
+    partition boundaries (carve_op.py). Heap sizing for the chunk-table
+    strategy (run(chunk_join=True) / carve(chunks=...)): caching
+    unrolls whole chunk ROWS in executor memory, so concurrent-tasks x
+    chunk_size must fit the executor heap (cfg.chunk_size 512 MiB x 32
+    local cores needs ~16 GiB; measured: an 8 GiB local heap OOMs at
+    4 GiB evidence) — size chunk_size to the executor, or use the
+    default fused/positioned path, which never materializes chunk
+    bytes. The chunk path bounds each
     in-flight hit's window at carve_op._WINDOW_CAP_LIMIT (1.5 GiB):
     per-type windows above that are rejected at plan time, and a carve
     the window cut short (while evidence continues) carries an explicit
