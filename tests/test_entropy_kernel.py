@@ -223,3 +223,66 @@ def test_regions_identical_through_merge(spark, monkeypatch):
     _py(monkeypatch)
     py = sorted(tuple(r) for r in entropy_regions(chunks, cfg).collect())
     assert jvm == py
+
+
+# --- pure-Python hypothesis differential (no Spark): island pre-merge
+# vs the per-window form + a naive in-chunk merge with span splits ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    def _naive_islands(rows, window_size, span_bytes):
+        """Reference: merge adjacent per-window rows, splitting whenever
+        the next window's start crosses a span-bucket boundary."""
+        out = []
+        for s, e, ent in rows:
+            if (
+                out
+                and s == out[-1][1] + 1
+                and s // span_bytes == out[-1][0] // span_bytes
+            ):
+                out[-1][1] = e
+                out[-1][2] = max(out[-1][2], ent)
+            else:
+                out.append([s, e, ent])
+        return [tuple(r) for r in out]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        window_size=st.sampled_from([1, 3, 64, 256, 4096]),
+        start_mult=st.integers(min_value=0, max_value=10_000),
+        start_shift=st.integers(min_value=0, max_value=5),  # misaligned grids
+        ents=st.lists(
+            st.sampled_from([0.0, 1.0, 3.5, 4.0, 7.99, 8.0]), min_size=0, max_size=600
+        ),
+        threshold=st.sampled_from([0.5, 4.0, 7.5]),
+    )
+    def test_hypothesis_island_premerge_differential(
+        window_size, start_mult, start_shift, ents, threshold
+    ):
+        """_qualifying_rows(merged=True) must equal merging its own
+        per-window rows with splits at _LEVEL_SPAN bucket boundaries —
+        for aligned AND misaligned window grids, any threshold, and
+        max-entropy ties. This is the geometric invariant the
+        distributed merge's escalation slack relies on; the JVM Emitter
+        implements the same grid (pinned bit-exact by the Spark tests
+        above)."""
+        from swiftbeaver_spark.entropy import _LEVEL_SPAN, _qualifying_rows
+
+        e = np.asarray(ents, dtype=np.float64)
+        start = start_mult * window_size + start_shift
+        unmerged = _qualifying_rows(start, e, window_size, threshold, False)
+        merged = _qualifying_rows(start, e, window_size, threshold, True)
+        span_bytes = window_size * _LEVEL_SPAN
+        assert merged == _naive_islands(unmerged, window_size, span_bytes)
+        # every island pokes at most one window past a span boundary
+        for s, end, _ in merged:
+            assert (end - (window_size - 1)) // span_bytes == s // span_bytes
