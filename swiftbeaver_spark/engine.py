@@ -154,13 +154,17 @@ class Engine:
     columnar copy replaces all later evidence reads) — a shuffle-free
     stream pass plus a bucketed-cogroup fallback for windows crossing
     partition boundaries (carve_op.py). Heap sizing for the chunk-table
-    strategy (run(chunk_join=True) / carve(chunks=...)): caching
-    unrolls whole chunk ROWS in executor memory, so concurrent-tasks x
-    chunk_size must fit the executor heap (cfg.chunk_size 512 MiB x 32
-    local cores needs ~16 GiB; measured: an 8 GiB local heap OOMs at
-    4 GiB evidence) — size chunk_size to the executor, or use the
-    default fused/positioned path, which never materializes chunk
-    bytes. The chunk path bounds each
+    strategy (run(chunk_join=True) / carve(chunks=...)): the working
+    set is the chunk CACHE plus, per concurrent task, a chunk row AND
+    its Arrow copy crossing the stream-carve boundary — roughly
+    cache_bytes + 3 x concurrent_tasks x chunk_size. Measured on
+    local[32] at 4 GiB evidence: an 8 GiB heap OOMs at 512 MiB chunks
+    (cache unroll), a 16 GiB heap OOMs at 64 MiB chunks (32 concurrent
+    Arrow conversions on top of the 4 GiB cache). This is the CLUSTER
+    strategy — the budget is per-executor on a many-node cluster
+    (100 TB / 1000 nodes = 100 GB/node, disk-backed) — single-JVM
+    local runs should use the default fused/positioned path, which
+    never materializes chunk bytes. The chunk path bounds each
     in-flight hit's window at carve_op._WINDOW_CAP_LIMIT (1.5 GiB):
     per-type windows above that are rejected at plan time, and a carve
     the window cut short (while evidence continues) carries an explicit
