@@ -1,0 +1,142 @@
+"""One-pass multi-scan over evidence: a single positioned read per
+sub-chunk feeds the signature scan, the string-span scan AND the
+entropy window scan (java/src/sbspark/ScanAllEvidenceUdf.java).
+
+Why: the default fused engine path runs each scan as its own
+positioned-read pass, so a full run reads the evidence three times —
+free on a page-cached local image, 3x corpus egress against object
+storage at 100 TB. The chunk-table strategy (`Engine.run(chunk_join=
+True)`) removes the re-reads by materializing chunk BYTES, which costs
+executor memory (see the Engine docstring's heap-economics note). This
+module is the third point on that trade-off curve: ONE read per
+sub-chunk, NO chunk-byte materialization — the UDF returns the three
+stages' METADATA rows (packed hits, span rows, entropy islands) in one
+struct, and callers persist that small frame instead of the bytes.
+
+Semantics are byte-identical to the three standalone paths (pinned by
+tests/test_fused_scan.py differentials on raw + E01 evidence):
+
+- hits: fresh-state Aho-Corasick over [start, start+vlen+overlap) per
+  sub-chunk with ownership dedup (local_offset < valid_length) — the
+  parent-geometry chunk scan's own cross-boundary rule, so the union
+  over sub-chunks equals scanner.scan_evidence. Reference parity: the
+  same scan loop as src/scanner/cpu.rs:40-69.
+- spans: Strs.scanEvidence on the identical subchunk_plan rows that
+  strings_scan.spans_from_evidence drives — identical by construction
+  (continuation-aware sub-chunk semantics included).
+- ents: Ent.scanEvidence per sub-chunk. Identical to
+  entropy.entropy_windows_from_evidence when the sub-chunk tiling is
+  window-aligned — `scan_all_from_evidence` verifies the geometry and
+  raises otherwise (entropy windows must not straddle plan boundaries,
+  else the dropped-partial-window set differs between tilings).
+
+Opt-in in round 11 (the engine's default path is unchanged); the
+natural consumer is a full multi-table run over remote evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
+
+
+def scan_all_from_evidence(
+    spark, path: str, cfg: EngineConfig, granule: int | None = None
+) -> dict[str, DataFrame]:
+    """Build the one-pass multi-scan frame and its three derived stage
+    tables. Returns {"raw", "hits", "string_spans", "entropy_windows",
+    "entropy_regions"}; `raw` holds one row per sub-chunk with the
+    three metadata arrays — PERSIST IT (the caller owns the lifetime)
+    before driving more than one derived table, or each table's action
+    re-runs the scan:
+
+        tables = scan_all_from_evidence(spark, path, cfg)
+        tables["raw"].persist()
+        try:
+            ... drive tables["hits"] / ["string_spans"] / ...
+        finally:
+            tables["raw"].unpersist()
+
+    Requires the JVM kernel (this is the scale path — there is no
+    Python fallback; the three standalone paths serve that role) and
+    entropy-window-aligned sub-chunk geometry; raises ValueError on
+    either precondition so misuse is loud, never silently divergent.
+    """
+    import math
+
+    from swiftbeaver_spark.entropy import _entropy_spec, merge_regions
+    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.scanner import (
+        MAX_HITS_PER_CHUNK,
+        _decode_packed_hits,
+        compile_patterns,
+        normalize_hits,
+    )
+    from swiftbeaver_spark.source import evidence_length
+    from swiftbeaver_spark.strings_scan import _strings_spec, subchunk_plan
+
+    if not ensure_kernel(spark):
+        raise ValueError(
+            "scan_all_from_evidence requires the JVM kernel; use the "
+            "standalone scan_evidence/spans_from_evidence/"
+            "entropy_*_from_evidence paths on JRE-only hosts"
+        )
+    total = evidence_length(path)
+    g = granule if granule is not None else PY_SCAN_GRANULE
+    g = min(cfg.chunk_size, g)
+    # entropy-grid gate: sub-chunks tile each parent at g2 boundaries;
+    # windows must not straddle them (or the dropped-partial set would
+    # differ from the entropy path's own tiling)
+    n_sub = max(1, math.ceil(cfg.chunk_size / g))
+    g2 = math.ceil(cfg.chunk_size / n_sub)
+    ws = cfg.entropy_window_size
+    if cfg.enable_entropy_detection and (g2 % ws != 0 or cfg.chunk_size % ws != 0):
+        raise ValueError(
+            f"sub-chunk granule {g2} / chunk_size {cfg.chunk_size} are not "
+            f"entropy-window ({ws}) aligned; run the standalone entropy "
+            "path for this geometry"
+        )
+
+    patterns = compile_patterns(cfg)
+    spec = "\n".join(
+        [
+            spec_for(patterns, MAX_HITS_PER_CHUNK),
+            _strings_spec(cfg),
+            _entropy_spec(cfg, merged=True),
+        ]
+    )
+    plan = subchunk_plan(spark, total, cfg.chunk_size, g)
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    raw = plan.repartition(n_parts).select(
+        "start",
+        "valid_length",
+        F.call_udf(
+            "sb_scan_all",
+            F.lit(path),
+            F.col("start").cast("long"),
+            F.col("valid_length").cast("long"),
+            F.lit(spec),
+        ).alias("r"),
+    )
+
+    # hits: sub-chunk rows satisfy the same normalize contract as the
+    # chunk-planned scan (local offsets relative to `start`, ownership
+    # = valid_length), so decode+normalize are shared verbatim
+    hit_cols = raw.select(
+        F.floor(F.col("start") / cfg.chunk_size).alias("chunk_id"),
+        "start",
+        "valid_length",
+        F.col("r.hits").alias("hits"),
+    )
+    hits = normalize_hits(_decode_packed_hits(hit_cols, F.col("hits"), patterns))
+    spans = raw.select(F.inline("r.spans"))
+    ents = raw.select(F.inline("r.ents"))
+    return {
+        "raw": raw,
+        "hits": hits,
+        "string_spans": spans,
+        "entropy_windows": ents,
+        "entropy_regions": merge_regions(ents, ws),
+    }

@@ -46,6 +46,7 @@ _SOURCES = (
     "JaccardUdf.java",
     "MinHashUdf.java",
     "SqDistsUdf.java",
+    "ScanAllEvidenceUdf.java",
     "ScanBytesUdf.java",
     "ScanEvidenceUdf.java",
     "SimHashUdf.java",
@@ -63,6 +64,11 @@ _SPAN_ROWS_TYPE = (
 
 # entropy.WINDOW_SCHEMA as a DDL fragment (lockstep with entropy.py)
 _ENT_ROWS_TYPE = "array<struct<win_start:bigint,win_end:bigint,entropy:double>>"
+
+# fused one-pass multi-scan output (lockstep with fused_scan.py)
+_SCAN_ALL_TYPE = (
+    f"struct<hits:array<bigint>,spans:{_SPAN_ROWS_TYPE},ents:{_ENT_ROWS_TYPE}>"
+)
 
 # cache attribute stashed on the SparkSession object itself: id() keys
 # can alias after a stopped session is garbage-collected, an instance
@@ -162,6 +168,9 @@ def ensure_kernel(spark: SparkSession) -> bool:
             )
             spark.udf.registerJavaFunction(
                 "sb_entropy", "sbspark.EntropyEvidenceUdf", _ENT_ROWS_TYPE
+            )
+            spark.udf.registerJavaFunction(
+                "sb_scan_all", "sbspark.ScanAllEvidenceUdf", _SCAN_ALL_TYPE
             )
             # probe end-to-end: a miss-then-hit scan through the whole stack
             probe = spark.sql(
