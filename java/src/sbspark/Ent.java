@@ -224,6 +224,21 @@ final class Ent {
       long wn = Math.min(blockWindows, nWindows - w0);
       long pos = start + w0 * windowSize;
       byte[] block = io.read(pos, (int) (wn * windowSize));
+      if (block.length < wn * windowSize) {
+        // vlen was clamped to the media size above, so every block read
+        // lies fully inside the media — a short read means the source
+        // was truncated or a chunk is corrupt. Fail loudly instead of
+        // advancing past the gap (silent skipped windows could split an
+        // island across the hole) — ADVICE r11.
+        throw new IOException(
+            "entropy scan: short read at "
+                + pos
+                + " ("
+                + block.length
+                + " of "
+                + (wn * windowSize)
+                + " bytes)");
+      }
       int got = block.length / windowSize;
       for (int w = 0; w < got; w++) {
         double ent = windowEntropy(block, w * windowSize, counts, contrib);

@@ -133,7 +133,11 @@ public class ScanAllEvidenceUdf implements UDF4<String, Long, Long, String, Row>
     int nl2 = spec.indexOf('\n', nl1 + 1);
     Ac ac = Ac.get(spec.substring(0, nl1));
     Strs strs = Strs.get(spec.substring(nl1 + 1, nl2));
-    Ent ent = Ent.get(spec.substring(nl2 + 1));
+    // empty third line = entropy detection disabled: skip the Ent
+    // sub-scan and return empty ents (the Python wrapper then omits
+    // the entropy tables entirely)
+    String entSpec = spec.substring(nl2 + 1);
+    Ent ent = entSpec.isEmpty() ? null : Ent.get(entSpec);
 
     Boolean ewf = IS_EWF.get(path);
     if (ewf == null) {
@@ -170,7 +174,8 @@ public class ScanAllEvidenceUdf implements UDF4<String, Long, Long, String, Row>
     }
 
     List<Row> spans = strs.scanEvidence(io, total, start, vlen);
-    List<Row> ents = ent.scanEvidence(io, total, start, vlen);
+    List<Row> ents =
+        ent == null ? new ArrayList<>() : ent.scanEvidence(io, total, start, vlen);
     return RowFactory.create(hits, spans, ents);
   }
 }

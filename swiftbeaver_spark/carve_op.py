@@ -78,6 +78,9 @@ _CARVE_COLUMNS = [f.name for f in schemas.CARVED_FILES.fields]
 # in one Python allocation, so windows past this bound belong on
 # strategy 1 (positioned reads) — see "Strategy selection" above
 _WINDOW_CAP_LIMIT = 3 * (1 << 29)  # 1.5 GiB
+# per-task LRU of zip EOCD bucket indexes (carve_zips): entries are a
+# few bytes per EOCD, so the bound exists for pathology, not pressure
+_EOCD_CACHE_BUCKETS = 64
 
 # default contiguous bucket span for the cogroup phase: big enough to
 # amortize per-group overhead, small enough that one group's buffer is
@@ -188,21 +191,39 @@ def carve_hits_with_evidence(
     bucket_w = max(ft.max_size for ft in zip_types)
 
     def carve_zips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         from swiftbeaver_spark.carvers.archives import collect_zip_eocds
         from swiftbeaver_spark.source import open_evidence
 
         registry = build_registry(cfg)
         reader = open_evidence(evidence_path)
+        # Arrow may split one offset-bucket's hits across batches, so the
+        # candidate index caches per bucket ACROSS batches (ADVICE r11:
+        # re-sweeping [lo,hi) once per batch re-introduced a slice of the
+        # read amplification the bucketing removed). Batch-independent
+        # coverage: sweep the bucket's FULL hit-window envelope
+        # [b*w, (b+2)*w) — a superset of any member hit's [off, off+
+        # max_size) window, and carve_zip filters candidates to its own
+        # window with identical selection rules, so results don't depend
+        # on which hits shared the sweep. Bounded LRU; entries are magic
+        # positions + 12-byte geometry, a few bytes per EOCD.
+        cache: OrderedDict[int, list] = OrderedDict()
         try:
             for pdf in batches:
                 rows = []
-                for _b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
-                    lo = int(grp["global_offset"].min())
-                    hi = min(
-                        int(grp["global_offset"].max()) + bucket_w,
-                        reader.length(),
-                    )
-                    cands = collect_zip_eocds(reader, lo, hi)
+                for b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
+                    b = int(b)
+                    cands = cache.get(b)
+                    if cands is None:
+                        lo = b * bucket_w
+                        hi = min(lo + 2 * bucket_w, reader.length())
+                        cands = collect_zip_eocds(reader, lo, hi)
+                        cache[b] = cands
+                        if len(cache) > _EOCD_CACHE_BUCKETS:
+                            cache.popitem(last=False)
+                    else:
+                        cache.move_to_end(b)
                     for off, ft_id, pat_id in zip(
                         grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
                     ):

@@ -239,6 +239,7 @@ class Engine:
         evidence_bytes: bytes | None = None,
         chunk_join: bool = False,
         cache_intermediates: bool = False,
+        one_pass: bool | None = None,
     ) -> RunResult:
         """`cache_intermediates=True` persists each stage output
         (MEMORY_AND_DISK — recomputable on executor loss, unlike
@@ -254,7 +255,39 @@ class Engine:
         rows (spans/hits/carves), orders of magnitude smaller than
         evidence. The caches are CALLER-owned: call RunResult.unpersist()
         when done, or repeated runs in one session accumulate executor
-        storage."""
+        storage.
+
+        `one_pass=True` runs the scans through the fused one-pass
+        multi-scan (fused_scan.scan_all_from_evidence): ONE positioned
+        read per sub-chunk feeds signature + strings + entropy, instead
+        of each scan re-reading the evidence — 3x less corpus egress at
+        object-store scale and, on E01, 3x less re-decompression (the
+        round-11 measurement: each pass on compressed containers pays
+        the full inflate again, which is why default-path E01 ran ~2x
+        raw). Requires the JVM kernel and entropy-window-aligned
+        geometry (ValueError otherwise — same loud contract as the
+        fused module). The raw metadata frame persists for the
+        RunResult's lifetime (it is what makes the read happen once);
+        RunResult.unpersist() frees it. `one_pass=None` (default)
+        auto-selects: EWF/E01 evidence with the preconditions met takes
+        the one-pass path WITH a warning (the IVF auto-switch
+        precedent), raw files keep the default fused path — on a
+        page-cached local raw image the three passes are nearly free,
+        and the standalone paths remain the bit-pinned reference.
+        Results are byte-identical either way (differential-pinned in
+        tests/test_fused_scan.py and tests/test_engine_one_pass.py)."""
+        if one_pass and (evidence_path is None or chunk_join):
+            raise ValueError(
+                "one_pass=True requires evidence_path and excludes "
+                "chunk_join (the one-pass scan reads the evidence "
+                "directly; the chunk-table strategy materializes bytes)"
+            )
+        if evidence_path is not None and not chunk_join:
+            use_one_pass = one_pass
+            if use_one_pass is None:
+                use_one_pass = self._one_pass_auto(evidence_path)
+            if use_one_pass:
+                return self._run_one_pass(evidence_path, cache_intermediates)
         if evidence_path is not None and not chunk_join:
             # fused path: the chunk *plan* (arithmetic rows) distributes;
             # each scan reads its own byte ranges — chunk bytes never
@@ -316,6 +349,92 @@ class Engine:
                 tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
             if self.cfg.enable_entropy_detection:
                 tables["entropy_regions"] = entropy_regions(chunks, self.cfg)
+        return self._finish(tables, evidence_path, cache_intermediates)
+
+    def _one_pass_auto(self, evidence_path: str) -> bool:
+        """Auto-switch rule for run(one_pass=None): take the one-pass
+        path for EWF/E01 evidence when its preconditions hold (the
+        default multi-pass path re-decompresses the whole image once
+        per scan there), quietly keep the default otherwise. Warns on
+        switch — the same contract as the IVF hier auto-switch
+        (similarity.py), so runs never change strategy silently."""
+        from swiftbeaver_spark.fused_scan import one_pass_geometry_ok
+        from swiftbeaver_spark.jvm import vec_kernel_active
+        from swiftbeaver_spark.source import is_ewf
+
+        if not self.cfg.enable_string_scan:
+            # the fused UDF always runs the span kernel; no spec form
+            # disables it, so string-scan-off runs keep the default path
+            return False
+        if not (
+            is_ewf(evidence_path)
+            and one_pass_geometry_ok(self.cfg)
+            and vec_kernel_active(self.spark)
+        ):
+            return False
+        import warnings
+
+        warnings.warn(
+            "EWF evidence: auto-switching to the one-pass multi-scan "
+            "(one positioned read feeds signature+strings+entropy; the "
+            "default path would re-decompress the image once per scan). "
+            "Pass one_pass=False to force the multi-pass path.",
+            stacklevel=3,
+        )
+        return True
+
+    def _run_one_pass(self, evidence_path: str, cache_intermediates: bool) -> RunResult:
+        """One-pass table graph: scan_all_from_evidence's raw metadata
+        frame (persisted — that persist IS the single read) feeds hits/
+        spans/entropy; carve stays on targeted positioned reads (hit
+        windows only — the one stage whose reads are sparse)."""
+        from pyspark.storagelevel import StorageLevel
+
+        from swiftbeaver_spark.chunking import plan_chunks
+        from swiftbeaver_spark.fused_scan import scan_all_from_evidence
+        from swiftbeaver_spark.source import evidence_length
+
+        if not self.cfg.enable_string_scan:
+            raise ValueError(
+                "one_pass=True requires enable_string_scan (the fused "
+                "UDF always runs the span kernel); use the default path"
+            )
+        total = evidence_length(evidence_path)
+        scans = scan_all_from_evidence(
+            self.spark,
+            evidence_path,
+            self.cfg,
+            max_bytes=self.cfg.max_bytes,
+            max_chunks=self.cfg.max_chunks,
+        )
+        # the persist is what makes the evidence read happen ONCE: every
+        # derived table reads through this small metadata cache (one row
+        # per sub-chunk: packed hits + span rows + entropy islands)
+        raw = scans["raw"].persist(StorageLevel.MEMORY_AND_DISK)
+        plan = plan_chunks(self.spark, total, self.cfg.chunk_size, self.cfg.overlap)
+        if self.cfg.max_bytes is not None:
+            plan = plan.where(F.col("start") < int(self.cfg.max_bytes))
+        if self.cfg.max_chunks is not None:
+            plan = plan.where(F.col("chunk_id") < int(self.cfg.max_chunks))
+        hits = scans["hits"]
+        carved = self.carve(hits, evidence_path=evidence_path)
+        tables = {"chunks": plan, "hits": hits, "carved_files": carved}
+        spans = scans["string_spans"]
+        tables["string_spans"] = spans
+        tables["string_artefacts"] = scan_string_artefacts(spans, self.cfg)
+        if self.cfg.enable_entropy_detection:
+            tables["entropy_regions"] = scans["entropy_regions"]
+        return self._finish(
+            tables, evidence_path, cache_intermediates, persisted_pre=[raw]
+        )
+
+    def _finish(
+        self,
+        tables: dict[str, DataFrame],
+        evidence_path: str | None,
+        cache_intermediates: bool,
+        persisted_pre: list[DataFrame] | None = None,
+    ) -> RunResult:
         # Persist FIRST (on the raw stage plans), THEN attach the
         # counter observations on top. Order matters: Spark's cache
         # manager substitutes by LOGICAL-PLAN equality, and the derived
@@ -325,7 +444,7 @@ class Engine:
         # subtrees cache-MISSING and re-run the full evidence scans the
         # cache exists to avoid (caught by round-10 self-review; the
         # raw-vs-observed mismatch was verified real on PySpark 4.1.2).
-        persisted: list[DataFrame] = []
+        persisted: list[DataFrame] = list(persisted_pre or [])
         if cache_intermediates:
             from pyspark.storagelevel import StorageLevel
 
@@ -341,7 +460,10 @@ class Engine:
                         StorageLevel.MEMORY_AND_DISK
                     )
                     persisted.append(tables[name])
-            carved = tables["carved_files"]  # browser stage reuses the cache
+        # browser stage reads the (possibly persisted) stage frame, NOT
+        # the observation-wrapped one below: a browser-table drive must
+        # not fill the carve observation (observed_summary's contract)
+        carved = tables["carved_files"]
         # counter observations ride the stage plans (CollectMetrics):
         # whatever action first drives a table also yields its count,
         # so multi-table flows (write_tables, the stress bench) can

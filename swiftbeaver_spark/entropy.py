@@ -330,6 +330,27 @@ def entropy_windows_from_evidence(
         window_size, (PY_SCAN_GRANULE // window_size) * window_size
     )
     plan = plan_chunks(spark, total, min(cfg.chunk_size, granule), cfg.overlap)
+    # scan limits (r12): match the chunk-table path, where windows come
+    # only from the truncated chunk table. The included-parents byte
+    # horizon is a cfg.chunk_size multiple; plan rows clamp to it (the
+    # granule plan may tile parents unevenly, so filter + clamp rather
+    # than a parent-id filter). The horizon is window-aligned whenever
+    # the grids coincide at all (window_size | chunk_size), so the
+    # clamped window set equals the chunk-table set exactly.
+    horizon = total
+    if cfg.max_bytes is not None:
+        import math
+
+        horizon = min(
+            horizon, math.ceil(cfg.max_bytes / cfg.chunk_size) * cfg.chunk_size
+        )
+    if cfg.max_chunks is not None:
+        horizon = min(horizon, cfg.max_chunks * cfg.chunk_size)
+    if horizon < total:
+        plan = plan.where(F.col("start") < horizon).withColumn(
+            "valid_length",
+            F.least(F.col("valid_length"), F.lit(horizon) - F.col("start")),
+        )
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
 
     from swiftbeaver_spark.jvm import vec_kernel_active

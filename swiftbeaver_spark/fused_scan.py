@@ -36,14 +36,38 @@ natural consumer is a full multi-table run over remote evidence.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
 
 
+def one_pass_geometry_ok(cfg: EngineConfig, granule: int | None = None) -> bool:
+    """True when the sub-chunk tiling is entropy-window aligned (the
+    scan_all_from_evidence precondition) — shared with Engine.run's
+    auto-switch so the quiet fallback and the loud ValueError can
+    never disagree about the same geometry. Trivially True when
+    entropy detection is off (the fused scan then skips the Ent
+    sub-scan entirely and returns no entropy tables)."""
+    if not cfg.enable_entropy_detection:
+        return True
+    g = granule if granule is not None else PY_SCAN_GRANULE
+    g = min(cfg.chunk_size, g)
+    n_sub = max(1, math.ceil(cfg.chunk_size / g))
+    g2 = math.ceil(cfg.chunk_size / n_sub)
+    ws = cfg.entropy_window_size
+    return g2 % ws == 0 and cfg.chunk_size % ws == 0
+
+
 def scan_all_from_evidence(
-    spark, path: str, cfg: EngineConfig, granule: int | None = None
+    spark,
+    path: str,
+    cfg: EngineConfig,
+    granule: int | None = None,
+    max_bytes: int | None = None,
+    max_chunks: int | None = None,
 ) -> dict[str, DataFrame]:
     """Build the one-pass multi-scan frame and its three derived stage
     tables. Returns {"raw", "hits", "string_spans", "entropy_windows",
@@ -59,15 +83,27 @@ def scan_all_from_evidence(
         finally:
             tables["raw"].unpersist()
 
+    `max_bytes`/`max_chunks` truncate the PARENT chunk plan exactly as
+    Engine.run's fused path does (a parent whose start clears the byte
+    limit is included whole), so the derived tables match the standalone
+    limit-filtered paths row for row.
+
+    With `cfg.enable_entropy_detection` False the Ent sub-scan is
+    skipped inside the UDF (empty third spec line) and the returned
+    dict has NO entropy tables — previously they were built anyway
+    while the alignment gate was off, the silent-divergence hazard the
+    gate exists to prevent (ADVICE r11).
+
     Requires the JVM kernel (this is the scale path — there is no
     Python fallback; the three standalone paths serve that role) and
     entropy-window-aligned sub-chunk geometry; raises ValueError on
     either precondition so misuse is loud, never silently divergent.
+    The SPARK_GRAFT_NO_VEC_KERNEL incident hatch disables this path
+    the same loud way (ADVICE r11): there is no fallback to mix in,
+    so under the hatch callers must run the standalone paths.
     """
-    import math
-
     from swiftbeaver_spark.entropy import _entropy_spec, merge_regions
-    from swiftbeaver_spark.jvm import ensure_kernel, spec_for
+    from swiftbeaver_spark.jvm import spec_for, vec_kernel_active
     from swiftbeaver_spark.scanner import (
         MAX_HITS_PER_CHUNK,
         _decode_packed_hits,
@@ -77,11 +113,12 @@ def scan_all_from_evidence(
     from swiftbeaver_spark.source import evidence_length
     from swiftbeaver_spark.strings_scan import _strings_spec, subchunk_plan
 
-    if not ensure_kernel(spark):
+    if not vec_kernel_active(spark):
         raise ValueError(
-            "scan_all_from_evidence requires the JVM kernel; use the "
-            "standalone scan_evidence/spans_from_evidence/"
-            "entropy_*_from_evidence paths on JRE-only hosts"
+            "scan_all_from_evidence requires the JVM kernel (and is "
+            "disabled by SPARK_GRAFT_NO_VEC_KERNEL — there is no Python "
+            "fallback); use the standalone scan_evidence/"
+            "spans_from_evidence/entropy_*_from_evidence paths"
         )
     total = evidence_length(path)
     g = granule if granule is not None else PY_SCAN_GRANULE
@@ -89,14 +126,13 @@ def scan_all_from_evidence(
     # entropy-grid gate: sub-chunks tile each parent at g2 boundaries;
     # windows must not straddle them (or the dropped-partial set would
     # differ from the entropy path's own tiling)
-    n_sub = max(1, math.ceil(cfg.chunk_size / g))
-    g2 = math.ceil(cfg.chunk_size / n_sub)
-    ws = cfg.entropy_window_size
-    if cfg.enable_entropy_detection and (g2 % ws != 0 or cfg.chunk_size % ws != 0):
+    if not one_pass_geometry_ok(cfg, granule):
+        n_sub = max(1, math.ceil(cfg.chunk_size / g))
+        g2 = math.ceil(cfg.chunk_size / n_sub)
         raise ValueError(
             f"sub-chunk granule {g2} / chunk_size {cfg.chunk_size} are not "
-            f"entropy-window ({ws}) aligned; run the standalone entropy "
-            "path for this geometry"
+            f"entropy-window ({cfg.entropy_window_size}) aligned; run the "
+            "standalone entropy path for this geometry"
         )
 
     patterns = compile_patterns(cfg)
@@ -104,10 +140,22 @@ def scan_all_from_evidence(
         [
             spec_for(patterns, MAX_HITS_PER_CHUNK),
             _strings_spec(cfg),
-            _entropy_spec(cfg, merged=True),
+            _entropy_spec(cfg, merged=True) if cfg.enable_entropy_detection else "",
         ]
     )
     plan = subchunk_plan(spark, total, cfg.chunk_size, g)
+    # parent-chunk limit rules, identical to Engine.run's fused path:
+    # the parent plan keeps chunks with start < max_bytes / chunk_id <
+    # max_chunks, so sub-chunks filter on their PARENT's start/id
+    if max_bytes is not None:
+        plan = plan.where(
+            F.floor(F.col("start") / cfg.chunk_size) * cfg.chunk_size
+            < int(max_bytes)
+        )
+    if max_chunks is not None:
+        plan = plan.where(
+            F.floor(F.col("start") / cfg.chunk_size) < int(max_chunks)
+        )
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     raw = plan.repartition(n_parts).select(
         "start",
@@ -132,11 +180,9 @@ def scan_all_from_evidence(
     )
     hits = normalize_hits(_decode_packed_hits(hit_cols, F.col("hits"), patterns))
     spans = raw.select(F.inline("r.spans"))
-    ents = raw.select(F.inline("r.ents"))
-    return {
-        "raw": raw,
-        "hits": hits,
-        "string_spans": spans,
-        "entropy_windows": ents,
-        "entropy_regions": merge_regions(ents, ws),
-    }
+    out = {"raw": raw, "hits": hits, "string_spans": spans}
+    if cfg.enable_entropy_detection:
+        ents = raw.select(F.inline("r.ents"))
+        out["entropy_windows"] = ents
+        out["entropy_regions"] = merge_regions(ents, cfg.entropy_window_size)
+    return out

@@ -712,6 +712,18 @@ def spans_from_evidence(
     total = evidence_length(path)
     g = granule if granule is not None else PY_SCAN_GRANULE
     plan = subchunk_plan(spark, total, cfg.chunk_size, min(cfg.chunk_size, g))
+    # scan limits: the chunk-table path derives spans from the truncated
+    # chunk table, so the evidence path filters sub-chunks by the same
+    # PARENT rules (a parent whose start clears max_bytes is scanned
+    # whole; sub-chunks never straddle parents by construction) —
+    # previously limits silently applied to hits but not spans (r12)
+    if cfg.max_bytes is not None:
+        plan = plan.where(
+            F.floor(F.col("start") / cfg.chunk_size) * cfg.chunk_size
+            < int(cfg.max_bytes)
+        )
+    if cfg.max_chunks is not None:
+        plan = plan.where(F.floor(F.col("start") / cfg.chunk_size) < int(cfg.max_chunks))
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     if vec_kernel_active(spark):
         rows = F.call_udf(
