@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from pyspark.sql import functions as F
 from swiftbeaver_spark.session import get_spark
+from tools.hostinfo import host_snapshot
 
 # headline set: the engine's core operator families + the heavy LLM ops
 BENCH_QUERIES = [
@@ -35,6 +36,12 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # host-state snapshot at run START (and again at the end below):
+    # this VM shows external load spikes that swing walls ±30-50%
+    # (adjudicated as host variance in VERDICT r8-r11); recording
+    # loadavg/uptime/MemAvailable into the artifact makes each row
+    # self-adjudicating instead of re-litigated by hand per round
+    host_start = host_snapshot()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="swiftbeaver-bench")
@@ -137,6 +144,8 @@ def main() -> None:
                 "queries_steady": steady,
                 "steady_total": round(sum(steady.values()), 3),
                 "sf": sf,
+                "host_start": host_start,
+                "host_end": host_snapshot(),
             }
         )
     )

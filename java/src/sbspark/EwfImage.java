@@ -35,6 +35,21 @@ final class EwfImage {
   private final ThreadLocal<byte[]> rawBuf;
   private final ThreadLocal<byte[]> outBuf;
 
+  // Bounded per-thread LRU of DECOMPRESSED chunks. Positioned reads on
+  // EWF pay inflate per touched chunk, and several access patterns
+  // re-touch the same chunks within one task: carve hits clustered in
+  // a region (each hit's window read re-inflates its chunks), the
+  // strings kernel's backward-barrier / forward-extension reads, and
+  // adjacent sub-chunk reads sharing a boundary chunk. Per-thread (no
+  // locking — the reference instead serializes ALL readers behind one
+  // libewf mutex, src/evidence.rs:165-400); budget is BYTES per thread
+  // (-Dsbspark.ewf.cacheBytes, default 8 MiB ≈ 256 entries at the
+  // common 32 KiB chunk size), so worst-case heap is threads x budget
+  // regardless of chunk geometry. 0 disables.
+  private static final long CACHE_BYTES = Long.getLong("sbspark.ewf.cacheBytes", 8L << 20);
+  private final int cacheEntries;
+  private final ThreadLocal<java.util.LinkedHashMap<Integer, byte[]>> chunkCache;
+
   static EwfImage get(String path) throws IOException {
     EwfImage img = CACHE.get(path);
     if (img == null) {
@@ -144,6 +159,18 @@ final class EwfImage {
     final int csInt = (int) cs;
     rawBuf = ThreadLocal.withInitial(() -> new byte[csInt + 4096]);
     outBuf = ThreadLocal.withInitial(() -> new byte[csInt]);
+    cacheEntries = (int) Math.min(Integer.MAX_VALUE, CACHE_BYTES / cs);
+    final int cap = cacheEntries;
+    chunkCache =
+        ThreadLocal.withInitial(
+            () ->
+                new java.util.LinkedHashMap<Integer, byte[]>(64, 0.75f, true) {
+                  @Override
+                  protected boolean removeEldestEntry(
+                      java.util.Map.Entry<Integer, byte[]> eldest) {
+                    return size() > cap;
+                  }
+                });
   }
 
   /** libewf extension progression: E01..E99 -> EAA..EZZ -> FAA.. */
@@ -208,6 +235,22 @@ final class EwfImage {
 
   /** Decompressed chunk idx into out (reusable); returns valid length. */
   private int chunk(int idx, byte[] out) throws IOException {
+    java.util.LinkedHashMap<Integer, byte[]> cache = cacheEntries > 0 ? chunkCache.get() : null;
+    if (cache != null) {
+      byte[] hit = cache.get(idx);
+      if (hit != null) {
+        System.arraycopy(hit, 0, out, 0, hit.length);
+        return hit.length;
+      }
+    }
+    int n = chunkUncached(idx, out);
+    if (cache != null) {
+      cache.put(idx, java.util.Arrays.copyOfRange(out, 0, n));
+    }
+    return n;
+  }
+
+  private int chunkUncached(int idx, byte[] out) throws IOException {
     byte[] raw = rawBuf.get();
     int cs = (int) chunkSize;
     {

@@ -25,12 +25,16 @@ evidence-path plan (each stage re-reads its own byte ranges — the
 positioned-read strategy), then ONE combined run gives the end-to-end
 wall; MiB/s = image_size / wall.
 
-Usage: python tools/bench_engine_1gib.py [mib] [e01]
+Usage: python tools/bench_engine_1gib.py [mib] [e01] [onepass|multipass]
   -> one JSON line {"engine_full_pipeline_1gib": {...}}
 Passing the literal arg `e01` converts the image to an EWF/E01
 container first (write_ewf, zlib per chunk) and runs the WHOLE
 pipeline against the container — the distributed-E01-source stress
 (every stage decompresses only the chunks its reads touch).
+`onepass`/`multipass` force Engine.run(one_pass=True/False); default
+is the engine's auto rule (E01 -> one-pass, raw -> multi-pass). The
+JSON records the resolved strategy plus host-load snapshots at run
+start and end (VERDICT r11 task 3 — self-adjudicating rows).
 """
 import dataclasses
 import hashlib
@@ -48,6 +52,7 @@ from swiftbeaver_spark.config import DEFAULT_CONFIG
 from swiftbeaver_spark.engine import Engine
 from swiftbeaver_spark.session import get_spark
 from tests.fixtures import mk_bmp, mk_jpeg, mk_pdf, mk_png, mk_sqlite, mk_zip
+from tools.hostinfo import host_snapshot
 
 MIB = 1 << 20
 SIZE_MIB = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -109,6 +114,13 @@ def build_image(path: str, size_mib: int) -> list[dict]:
 
 
 def main() -> None:
+    host_start = host_snapshot()
+    # resolved one_pass strategy: literal argv flags force it; default
+    # None = the engine's auto rule (E01 -> one-pass with the fused
+    # single-read scan, raw -> the default multi-pass fused path)
+    one_pass = True if "onepass" in sys.argv[2:] else (
+        False if "multipass" in sys.argv[2:] else None
+    )
     spark = get_spark(app_name="swiftbeaver-engine-1gib")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="sb1gib_")
@@ -147,9 +159,15 @@ def main() -> None:
     )
     engine = Engine(spark, cfg)
 
-    # per-stage walls (separate actions over the fused plan)
+    # per-stage walls (separate actions over the fused plan). Under
+    # one-pass the FIRST driven stage pays the single fused read (the
+    # persisted raw metadata frame); later scan stages read the cache —
+    # the per-stage split is no longer read-dominated by construction.
     stages = {}
-    run = engine.run(evidence_path=path)
+    run = engine.run(evidence_path=path, one_pass=one_pass)
+    resolved_one_pass = bool(run.persisted)
+    print(f"# strategy: {'one-pass' if resolved_one_pass else 'multi-pass'}"
+          f" (arg {one_pass})", file=sys.stderr)
     for stage in ("hits", "carved_files", "string_spans", "string_artefacts",
                   "entropy_regions", "browser_history"):
         t0 = time.time()
@@ -183,18 +201,20 @@ def main() -> None:
     }
     print(f"# stage run_summary ({stages['run_summary']['method']}): "
           f"{stages['run_summary']['wall_sec']}s", file=sys.stderr)
+    run.unpersist()  # free the one-pass raw cache before the e2e run
 
     # end-to-end: one fresh run, ALL tables driven to completion —
     # with stage caching on (the multi-table production setting; the
     # per-stage walls above stay uncached so each stage's own cost is
     # honest)
     t0 = time.time()
-    run2 = engine.run(evidence_path=path, cache_intermediates=True)
+    run2 = engine.run(evidence_path=path, cache_intermediates=True, one_pass=one_pass)
     carved = run2["carved_files"].select("global_start", "size", "sha256").collect()
     for t in ("hits", "string_artefacts", "entropy_regions", "browser_history"):
         run2[t].count()
     summary = run2["run_summary"].collect()[0].asDict()
     e2e = round(time.time() - t0, 3)
+    run2.unpersist()
 
     # browser parse-only (AFTER e2e so the extra warm run cannot flatter
     # the cross-round e2e row): a cache_intermediates run persists the
@@ -203,7 +223,7 @@ def main() -> None:
     # observed wrapper and MISS, the round-10 cache-order pitfall);
     # driving carved_files populates the cache, so the browser action
     # pays only sqlite parse + page recovery
-    run_c = engine.run(evidence_path=path, cache_intermediates=True)
+    run_c = engine.run(evidence_path=path, cache_intermediates=True, one_pass=one_pass)
     run_c["carved_files"].count()
     t0 = time.time()
     browser_cnt = run_c["browser_history"].count()
@@ -234,6 +254,9 @@ def main() -> None:
     out = {
         "image_mib": size // MIB,
         "container": "e01" if e01 else "raw",
+        "one_pass": resolved_one_pass,
+        "host_start": host_start,
+        "host_end": host_snapshot(),
         "planted": len(manifest),
         "recovered": len(manifest) - len(missing),
         "missing": len(missing),

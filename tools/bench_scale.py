@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E
 from swiftbeaver_spark.session import get_spark
+from tools.hostinfo import host_snapshot
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -86,6 +87,10 @@ def plan_profile(df, executed: bool) -> dict:
 
 
 def main() -> None:
+    # self-adjudication (VERDICT r11 task 3): every sweep records host
+    # load at start/end so ±30-50% hypervisor-spike swings are visible
+    # in the artifact instead of re-litigated by hand next round
+    print(json.dumps({"host_start": host_snapshot()}))
     spark = get_spark(app_name="swiftbeaver-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
@@ -195,6 +200,7 @@ def main() -> None:
     print(json.dumps({"all_plans_clean": ok,
                       "shape_stable": {k: r["plan_shape_stable"]
                                        for k, r in results.items()}}))
+    print(json.dumps({"host_end": host_snapshot()}))
 
 
 if __name__ == "__main__":
