@@ -11612,46 +11612,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills the remaining slots oldest-first).
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-11 cut, per VERDICT r10 task 2 (+ the rule that a body
-        # change to a shared helper touches every gated query whose
-        # EXECUTION reaches it):
-        # (a) round-11 code-touched: q173 (NEW — the JVM entropy kernel
-        #     Ent.java gated end to end, the q35 analog for entropy;
-        #     also the only gated query whose execution reaches
-        #     entropy.py) + q04/q05 (the entropy-family analogs VERDICT
-        #     r10 task 1 names as the gate) + q02/q35 (jvm.py
-        #     ensure_kernel body gained the two entropy registrations —
-        #     q02 is the standing jvm-registration gate, r10 precedent;
-        #     q35 re-gates the span kernels beside it) + q122/q157/q160
-        #     (assign_cells_arrow body gained the auto-switch warning —
-        #     the three gated queries whose execution reaches it; q160's
-        #     seat also closes the r10 touched-not-windowed slip).
-        #     NOT windowed although their FILE changed: q14-q17 — the
-        #     strings_scan.py fix is in _extend_utf8_run (fused evidence
-        #     path), which no gated query's execution reaches; the fix
-        #     is pinned by the new 1 MiB-step continuation tests.
-        # (b) composites q30-q33: their promised return after the
-        #     r10-only tail rotation.
-        # (c) the ENTIRE 34-query r7-vintage cohort (q03, q06-q13,
-        #     q18-q25, q28-q29, q36-q50) — the due-date set, so after
-        #     this round no green driver row is older than round 8.
-        # (d) 4 spare slots pre-refresh the front of the 41-query
-        #     r8-vintage cohort (q01, q27, q51, q52) — VERDICT r10
-        #     task 6's r12 overflow guard: r12 then owes 37 r8-vintage
-        #     queries + its own touches, inside 50.
+        # Round-12 cut, per the standing rotation policy (VERDICT r8-r11):
+        # (a) round-12 code-touched. This round's engine changes (the
+        #     one-pass adoption: fused_scan.py, engine.run, Ent.java
+        #     scanEvidence, EwfImage.java chunk cache, carve_op.py
+        #     carve_zips, spans_from_evidence / entropy_windows_from_
+        #     evidence limit filters) are NOT execution-reached by any
+        #     gated query: q35/q173 gate the kernels through the BYTES
+        #     paths (scan_string_spans / entropy_regions -> Strs.scanBytes
+        #     / Ent.scanBytes, both unchanged), q30-q33 carve via
+        #     carve_hits_with_chunks (carve_zips is the evidence-path
+        #     branch), and no query runs Engine.run or EWF evidence.
+        #     The changes are pinned by tests/test_engine_one_pass.py
+        #     differentials (engine one-pass == default, raw + E01) and
+        #     the fused/zip parity suites. q173/q02/q35 window anyway as
+        #     the standing kernel-family gates (their .java files
+        #     recompiled this round), and q30-q33 as the carve-family
+        #     gates (carve_op.py changed, same file-touched insurance).
+        # (b) the ENTIRE 37-query r8-vintage cohort (q53-q58, q60-q79,
+        #     q81-q87, q89, q90, q93, q94) — the due-date set; after
+        #     this round no green driver row is older than round 9.
+        # (c) 6 spare slots pre-refresh the front of the 42-query
+        #     r9-vintage cohort (q100, q101, q104-q107) — the r13
+        #     overflow guard (r13 then owes 36 r9-vintage + touches).
 
         "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
         "q35_string_spans": q35_string_spans,
-        "q122_semantic_dedup": q122_semantic_dedup,
-        "q157_bitext_mining": q157_bitext_mining,
-        "q160_mmr_rerank": q160_mmr_rerank,
+        "q53_stream_interval_join": q53_stream_interval_join,
+        "q54_histogram_quantiles": q54_histogram_quantiles,
+        "q55_linear_quality": q55_linear_quality,
+        "q56_interval_join_batch": q56_interval_join_batch,
+        "q57_salted_join": q57_salted_join,
+        "q58_incremental_dedup": q58_incremental_dedup,
+        "q60_curation_pipeline": q60_curation_pipeline,
+        "q61_time_rollup": q61_time_rollup,
+        "q62_bm25": q62_bm25,
+        "q63_bloom_membership": q63_bloom_membership,
+        "q64_funnel": q64_funnel,
+        "q65_scd2": q65_scd2,
+        "q66_zorder": q66_zorder,
+        "q67_token_rarity": q67_token_rarity,
+        "q68_stratified_fixed_k": q68_stratified_fixed_k,
+        "q69_skew_profile": q69_skew_profile,
+        "q70_sketch_outliers": q70_sketch_outliers,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
+        "q72_inverted_index": q72_inverted_index,
+        "q73_pivot_matrix": q73_pivot_matrix,
+        "q74_rollup_revenue": q74_rollup_revenue,
+        "q75_stream_countmin": q75_stream_countmin,
+        "q76_merge_upsert": q76_merge_upsert,
+        "q77_label_centroids": q77_label_centroids,
+        "q78_stream_static_join": q78_stream_static_join,
+        "q79_grouped_topn": q79_grouped_topn,
+        "q81_profile": q81_profile,
+        "q82_quality_deciles": q82_quality_deciles,
+        "q83_multiset_ops": q83_multiset_ops,
+        "q84_corpus_mixture": q84_corpus_mixture,
+        "q85_pq_topk": q85_pq_topk,
+        "q86_sq8_quantize": q86_sq8_quantize,
+        "q87_binary_hamming_topk": q87_binary_hamming_topk,
+        "q89_webdataset": q89_webdataset,
+        "q90_shard_manifest": q90_shard_manifest,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
         "q30_carve_roundtrip": q30_carve_roundtrip,
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
+        "q100_frame_sample": q100_frame_sample,
+        "q101_audio_windows": q101_audio_windows,
+        "q104_stream_neardup": q104_stream_neardup,
+        "q105_chunk_documents": q105_chunk_documents,
+        "q106_gopher_flags": q106_gopher_flags,
+        "q107_c4_clean": q107_c4_clean,
+        # --- past the driver window (rotation pool) ---------------------
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q160_mmr_rerank": q160_mmr_rerank,
         "q03_scan_counts": q03_scan_counts,
         "q06_join_history": q06_join_history,
         "q07_left_join_coalesce": q07_left_join_coalesce,
@@ -11690,8 +11730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_simhash_neardup": q27_simhash_neardup,
         "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
-        # --- tail (all driver-proven in r8-r10; all still swept tri-SF
-        #     by tools/drive_contract.py before every commit) ----------
         "q14_phone_plausible": q14_phone_plausible,
         "q15_normalize_url": q15_normalize_url,
         "q16_string_flags": q16_string_flags,
@@ -11747,12 +11785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_star_join": q96_star_join,
         "q98_cube_summary": q98_cube_summary,
         "q99_resize_images": q99_resize_images,
-        "q100_frame_sample": q100_frame_sample,
-        "q101_audio_windows": q101_audio_windows,
-        "q104_stream_neardup": q104_stream_neardup,
-        "q105_chunk_documents": q105_chunk_documents,
-        "q106_gopher_flags": q106_gopher_flags,
-        "q107_c4_clean": q107_c4_clean,
         "q108_hll_distinct": q108_hll_distinct,
         "q110_grouping_sets": q110_grouping_sets,
         "q111_moving_window": q111_moving_window,
@@ -11778,43 +11810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_tiff_decode": q158_tiff_decode,
         "q161_raster_consistency": q161_raster_consistency,
         "q164_nested_semijoin": q164_nested_semijoin,
-        "q53_stream_interval_join": q53_stream_interval_join,
-        "q54_histogram_quantiles": q54_histogram_quantiles,
-        "q55_linear_quality": q55_linear_quality,
-        "q56_interval_join_batch": q56_interval_join_batch,
-        "q57_salted_join": q57_salted_join,
-        "q58_incremental_dedup": q58_incremental_dedup,
-        "q60_curation_pipeline": q60_curation_pipeline,
-        "q61_time_rollup": q61_time_rollup,
-        "q62_bm25": q62_bm25,
-        "q63_bloom_membership": q63_bloom_membership,
-        "q64_funnel": q64_funnel,
-        "q65_scd2": q65_scd2,
-        "q66_zorder": q66_zorder,
-        "q67_token_rarity": q67_token_rarity,
-        "q68_stratified_fixed_k": q68_stratified_fixed_k,
-        "q69_skew_profile": q69_skew_profile,
-        "q70_sketch_outliers": q70_sketch_outliers,
-        "q71_edit_distance_neardup": q71_edit_distance_neardup,
-        "q72_inverted_index": q72_inverted_index,
-        "q73_pivot_matrix": q73_pivot_matrix,
-        "q74_rollup_revenue": q74_rollup_revenue,
-        "q75_stream_countmin": q75_stream_countmin,
-        "q76_merge_upsert": q76_merge_upsert,
-        "q77_label_centroids": q77_label_centroids,
-        "q78_stream_static_join": q78_stream_static_join,
-        "q79_grouped_topn": q79_grouped_topn,
-        "q81_profile": q81_profile,
-        "q82_quality_deciles": q82_quality_deciles,
-        "q83_multiset_ops": q83_multiset_ops,
-        "q84_corpus_mixture": q84_corpus_mixture,
-        "q85_pq_topk": q85_pq_topk,
-        "q86_sq8_quantize": q86_sq8_quantize,
-        "q87_binary_hamming_topk": q87_binary_hamming_topk,
-        "q89_webdataset": q89_webdataset,
-        "q90_shard_manifest": q90_shard_manifest,
-        "q93_embedding_neardup": q93_embedding_neardup,
-        "q94_doc_fingerprint": q94_doc_fingerprint,
     }
 
 
