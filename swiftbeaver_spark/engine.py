@@ -269,11 +269,11 @@ class Engine:
         fused module). The raw metadata frame persists for the
         RunResult's lifetime (it is what makes the read happen once);
         RunResult.unpersist() frees it. `one_pass=None` (default)
-        auto-selects: EWF/E01 evidence with the preconditions met takes
-        the one-pass path WITH a warning (the IVF auto-switch
-        precedent), raw files keep the default fused path — on a
-        page-cached local raw image the three passes are nearly free,
-        and the standalone paths remain the bit-pinned reference.
+        resolves via _one_pass_auto: one-pass whenever the
+        preconditions hold (raw AND EWF — the r12 cold-cache A/B
+        measured 0.16-0.27x the multi-pass walls with no regime where
+        multi-pass wins), multi-pass otherwise (JRE-only hosts, the
+        kernel escape hatch, misaligned geometry, string scan off).
         Results are byte-identical either way (differential-pinned in
         tests/test_fused_scan.py and tests/test_engine_one_pass.py)."""
         if one_pass and (evidence_path is None or chunk_join):
@@ -352,33 +352,35 @@ class Engine:
         return self._finish(tables, evidence_path, cache_intermediates)
 
     def _one_pass_auto(self, evidence_path: str) -> bool:
-        """Auto-switch rule for run(one_pass=None): take the one-pass
-        path for EWF/E01 evidence when its preconditions hold (the
-        default multi-pass path re-decompresses the whole image once
-        per scan there), quietly keep the default otherwise. Warns on
-        switch — the same contract as the IVF hier auto-switch
-        (similarity.py), so runs never change strategy silently."""
+        """Auto rule for run(one_pass=None): one-pass IS the default
+        strategy whenever its preconditions hold (JVM kernel, entropy-
+        window-aligned geometry, string scan on) — for BOTH raw and EWF
+        evidence. The r12 cold-cache A/B (drop_caches before every run,
+        alternating modes in one session, 2 GiB) measured one-pass at
+        0.16x multi-pass on raw and 0.27x on E01 — the object-store
+        regime where every pass is real egress — while warm-page-cache
+        runs tie within host noise; there is no regime where multi-pass
+        wins, so it is the fallback, not the default. Results are
+        byte-identical (differential-pinned). Warns once per process
+        (warnings module default dedup) so the strategy is never
+        switched silently — the IVF auto-switch contract; pass
+        one_pass=False to force the multi-pass path."""
         from swiftbeaver_spark.fused_scan import one_pass_geometry_ok
         from swiftbeaver_spark.jvm import vec_kernel_active
-        from swiftbeaver_spark.source import is_ewf
 
         if not self.cfg.enable_string_scan:
             # the fused UDF always runs the span kernel; no spec form
             # disables it, so string-scan-off runs keep the default path
             return False
-        if not (
-            is_ewf(evidence_path)
-            and one_pass_geometry_ok(self.cfg)
-            and vec_kernel_active(self.spark)
-        ):
+        if not (one_pass_geometry_ok(self.cfg) and vec_kernel_active(self.spark)):
             return False
         import warnings
 
         warnings.warn(
-            "EWF evidence: auto-switching to the one-pass multi-scan "
-            "(one positioned read feeds signature+strings+entropy; the "
-            "default path would re-decompress the image once per scan). "
-            "Pass one_pass=False to force the multi-pass path.",
+            "evidence run: using the one-pass multi-scan (one positioned "
+            "read feeds signature+strings+entropy; measured 2.6-6x the "
+            "multi-pass path on a cold cache, a wash warm). Pass "
+            "one_pass=False to force the multi-pass path.",
             stacklevel=3,
         )
         return True

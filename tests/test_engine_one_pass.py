@@ -89,22 +89,32 @@ def test_one_pass_matches_default_with_limits(spark, tmp_path):
     _assert_same_run(spark, str(p), cfg)
 
 
-def test_auto_switch_warns_on_e01_only(spark, tmp_path, recwarn):
+def test_auto_selects_one_pass_when_ready(spark, tmp_path):
+    """r12 rule: one-pass is the DEFAULT whenever the preconditions
+    hold — raw and E01 alike (the cold-cache A/B showed no regime
+    where multi-pass wins); misaligned geometry falls back quietly."""
+    import warnings as warnings_mod
+
     from swiftbeaver_spark.ewf import write_ewf
 
     raw = tmp_path / "ev.raw"
     raw.write_bytes(build_image(14, 2 << 20))
     eng = Engine(spark, CFG)
-    # raw evidence: default path, no warning, nothing persisted
-    res = eng.run(evidence_path=str(raw))
-    assert not res.persisted
-    assert not [w for w in recwarn if "one-pass" in str(w.message)]
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("always")  # defeat once-per-process dedup
+        with pytest.warns(UserWarning, match="one-pass"):
+            res = eng.run(evidence_path=str(raw))
+    assert res.persisted  # raw auto-selects one-pass too
+    res.unpersist()
     e01 = str(tmp_path / "ev.E01")
     write_ewf(e01, build_image(14, 2 << 20), sectors_per_chunk=8)
-    with pytest.warns(UserWarning, match="one-pass"):
-        res = eng.run(evidence_path=e01)
-    assert res.persisted  # auto-switched
+    res = eng.run(evidence_path=e01)
+    assert res.persisted
     res.unpersist()
+    # misaligned entropy geometry: quiet multi-pass fallback
+    bad = Engine(spark, dataclasses.replace(CFG, entropy_window_size=3000))
+    res = bad.run(evidence_path=str(raw))
+    assert not res.persisted
 
 
 def test_one_pass_true_rejects_other_strategies(spark, tmp_path):
