@@ -142,21 +142,64 @@ def _record_to_tuple(rec) -> tuple:
     )
 
 
+def _collect_zip_eocds_kw(reader, lo: int, hi: int) -> dict:
+    from swiftbeaver_spark.carvers.archives import collect_zip_eocds
+
+    return {"eocd_candidates": collect_zip_eocds(reader, lo, hi)}
+
+
+def _collect_bzip2_ends_kw(reader, lo: int, hi: int) -> dict:
+    from swiftbeaver_spark.carvers.archives import _BZIP2_END
+    from swiftbeaver_spark.carvers.base import collect_magic_positions
+
+    return {"end_candidates": collect_magic_positions(reader, lo, hi, _BZIP2_END)}
+
+
+# Sweep-bound validator families: end detection is a forward magic scan
+# of up to max_size per hit where the sweep target is NOT the hit's own
+# magic, so N co-located hits can cost N full-window reads -- each
+# family gets a range-bucketed branch whose per-bucket collector builds
+# the magic index ONCE for every hit in the bucket. zip since r11 (EOCD
+# geometry index: require_eocd keeps the LAST valid EOCD, so every hit
+# scans its full window with no early exit); bzip2 added r12 (the end
+# marker differs from the "BZh" hit magic, so dense false positives --
+# "BZh"+digit occurs in plain text/base64 -- each sweep the full
+# window: h x max_size reads on a text-dense corpus).
+#
+# gzip is deliberately NOT here (r12 decision, measured): its sweep
+# target IS the family's own hit magic, so consecutive hits' per-hit
+# sweeps TELESCOPE -- each stops at the next hit's own offset -- and
+# the family total is ~one corpus pass at any density (plus one
+# trailing window per region); the bucketed variant measured 3.5x
+# SLOWER at 17 hits/GiB because it traded that telescoping plus
+# round-robin parallelism for envelope reads. Same reasoning applies
+# to any next-own-magic handler (tar, footer-to-next-header shapes).
+#
+# The bool is `early_exit`: whether the per-hit sweep can stop at the
+# first match. Early-exit families only profit from the shared index
+# at density -- a single-hit bucket's tight index read equals the
+# hit's WORST-case sweep -- so they take the index only when a bucket
+# group holds >= 2 hits.
+_SWEEP_FAMILIES = {
+    "zip": (_collect_zip_eocds_kw, False),
+    "bzip2": (_collect_bzip2_ends_kw, True),
+}
+
+
 def carve_hits_with_evidence(
     hits: DataFrame, evidence_path: str, cfg: EngineConfig
 ) -> DataFrame:
     """Carve via positioned reads against the evidence path (strategy 1).
 
-    zip-validator hits take a RANGE-bucketed branch: carve_zip's
-    require_eocd semantics sweep up to max_size forward per hit, so N
-    co-located zip hits cost N x window reads under round-robin
-    placement (a docx/xlsx-dense 100 TB corpus would re-read
-    petabytes). Bucketing by offset // max_size lets each bucket
-    collect the EOCD magic index ONCE (collect_zip_eocds) and hand it
-    to every hit — per-bucket bytes read are bounded at bucket width +
-    max_size no matter how many hits land there, and results are
-    bit-identical to the per-hit sweep (the handler applies the same
-    selection rules to the shared index; pytest-pinned)."""
+    Sweep-bound validator families (_SWEEP_FAMILIES) take a
+    RANGE-bucketed branch: bucketing by offset // max_size lets each
+    bucket collect its magic index ONCE and hand it to every hit --
+    per-bucket bytes read are bounded at 2x bucket width no matter how
+    many hits land there, and results are bit-identical to the per-hit
+    sweep (the handler applies the same first/last-match-in-window
+    selection rules to the shared index; pytest-pinned). Everything
+    else round-robins by offset so one task never owns all the
+    expensive hits."""
 
     def carve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from swiftbeaver_spark.source import open_evidence
@@ -176,82 +219,95 @@ def carve_hits_with_evidence(
         finally:
             reader.close()
 
+    def make_swept(bucket_w: int, collector, early_exit: bool):
+        def carve_swept(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import OrderedDict
+
+            from swiftbeaver_spark.source import open_evidence
+
+            registry = build_registry(cfg)
+            reader = open_evidence(evidence_path)
+            # The index covers the TIGHT range a batch group needs
+            # ([first hit, last hit + bucket_w)), not the full 2x
+            # envelope -- always-envelope sweeps regressed sparse
+            # early-exit families (see _SWEEP_FAMILIES). Arrow may
+            # split one offset-bucket's hits across batches (ADVICE
+            # r11), so the cache is coverage-aware: reuse when the
+            # cached range covers this group's need, extend (union of
+            # ranges) otherwise. Bounded LRU; entries are magic
+            # positions (plus 12-byte geometry for zip), a few bytes
+            # each. Handlers filter candidates to their own window
+            # with identical selection rules, so results never depend
+            # on which hits shared the sweep (pytest-pinned).
+            cache = OrderedDict()
+            try:
+                for pdf in batches:
+                    rows = []
+                    for b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
+                        b = int(b)
+                        kw = None
+                        if not early_exit or len(grp) >= 2:
+                            need_lo = int(grp["global_offset"].min())
+                            need_hi = min(
+                                int(grp["global_offset"].max()) + bucket_w,
+                                reader.length(),
+                            )
+                            entry = cache.get(b)
+                            if entry is not None and entry[0] <= need_lo and entry[1] >= need_hi:
+                                cache.move_to_end(b)
+                                kw = entry[2]
+                            else:
+                                lo = need_lo if entry is None else min(need_lo, entry[0])
+                                hi = need_hi if entry is None else max(need_hi, entry[1])
+                                kw = collector(reader, lo, hi)
+                                cache[b] = (lo, hi, kw)
+                                if len(cache) > _EOCD_CACHE_BUCKETS:
+                                    cache.popitem(last=False)
+                        for off, ft_id, pat_id in zip(
+                            grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
+                        ):
+                            rec = carve_hit(
+                                reader,
+                                int(off),
+                                str(ft_id),
+                                str(pat_id),
+                                registry,
+                                cfg,
+                                sweep_kwargs=kw,
+                            )
+                            if rec is not None:
+                                rows.append(_record_to_tuple(rec))
+                    yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+            finally:
+                reader.close()
+
+        return carve_swept
+
     n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
-    zip_types = [ft for ft in cfg.file_types if ft.validator == "zip"]
-    zip_ids = [ft.type_id for ft in zip_types]
-    # max_size=0 means an UNBOUNDED window (carve_zip scans to EOF) —
-    # no finite bucket can cover it, so any such type routes the whole
-    # zip family through the per-hit scan path (round-robin, correct
-    # for any window; the shared index is purely an optimization)
-    if not zip_ids or any(ft.max_size <= 0 for ft in zip_types):
-        # spread hits across tasks; carving cost varies by type, so
-        # round-robin by offset avoids one task owning all expensive hits
-        return hits.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
-
-    bucket_w = max(ft.max_size for ft in zip_types)
-
-    def carve_zips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import OrderedDict
-
-        from swiftbeaver_spark.carvers.archives import collect_zip_eocds
-        from swiftbeaver_spark.source import open_evidence
-
-        registry = build_registry(cfg)
-        reader = open_evidence(evidence_path)
-        # Arrow may split one offset-bucket's hits across batches, so the
-        # candidate index caches per bucket ACROSS batches (ADVICE r11:
-        # re-sweeping [lo,hi) once per batch re-introduced a slice of the
-        # read amplification the bucketing removed). Batch-independent
-        # coverage: sweep the bucket's FULL hit-window envelope
-        # [b*w, (b+2)*w) — a superset of any member hit's [off, off+
-        # max_size) window, and carve_zip filters candidates to its own
-        # window with identical selection rules, so results don't depend
-        # on which hits shared the sweep. Bounded LRU; entries are magic
-        # positions + 12-byte geometry, a few bytes per EOCD.
-        cache: OrderedDict[int, list] = OrderedDict()
-        try:
-            for pdf in batches:
-                rows = []
-                for b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
-                    b = int(b)
-                    cands = cache.get(b)
-                    if cands is None:
-                        lo = b * bucket_w
-                        hi = min(lo + 2 * bucket_w, reader.length())
-                        cands = collect_zip_eocds(reader, lo, hi)
-                        cache[b] = cands
-                        if len(cache) > _EOCD_CACHE_BUCKETS:
-                            cache.popitem(last=False)
-                    else:
-                        cache.move_to_end(b)
-                    for off, ft_id, pat_id in zip(
-                        grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
-                    ):
-                        rec = carve_hit(
-                            reader,
-                            int(off),
-                            str(ft_id),
-                            str(pat_id),
-                            registry,
-                            cfg,
-                            eocd_candidates=cands,
-                        )
-                        if rec is not None:
-                            rows.append(_record_to_tuple(rec))
-                yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
-        finally:
-            reader.close()
-
-    is_zip = F.col("file_type_id").isin(zip_ids)
-    others = (
-        hits.where(~is_zip).repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+    swept_ids = []
+    out = None
+    for validator, (collector, early_exit) in _SWEEP_FAMILIES.items():
+        fam = [ft for ft in cfg.file_types if ft.validator == validator]
+        ids = [ft.type_id for ft in fam]
+        # max_size=0 means an UNBOUNDED window (scan to EOF) -- no finite
+        # bucket can cover it, so any such type routes its whole family
+        # through the per-hit scan path (round-robin, correct for any
+        # window; the shared index is purely an optimization)
+        if not ids or any(ft.max_size <= 0 for ft in fam):
+            continue
+        bucket_w = max(ft.max_size for ft in fam)
+        part = (
+            hits.where(F.col("file_type_id").isin(ids))
+            .repartition(n, F.floor(F.col("global_offset") / bucket_w))
+            .mapInPandas(make_swept(bucket_w, collector, early_exit), schemas.CARVED_FILES)
+        )
+        swept_ids.extend(ids)
+        out = part if out is None else out.unionByName(part)
+    rest = hits if not swept_ids else hits.where(
+        ~F.col("file_type_id").isin(swept_ids)
     )
-    zips = (
-        hits.where(is_zip)
-        .repartition(n, F.floor(F.col("global_offset") / bucket_w))
-        .mapInPandas(carve_zips, schemas.CARVED_FILES)
-    )
-    return others.unionByName(zips)
+    rest = rest.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
+    return rest if out is None else rest.unionByName(out)
 
 
 class WindowReader(Reader):

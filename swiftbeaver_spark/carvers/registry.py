@@ -73,15 +73,24 @@ def carve_hit(
     registry: dict[str, tuple[FileType, Handler]],
     cfg: EngineConfig,
     eocd_candidates: list | None = None,
+    sweep_kwargs: dict | None = None,
 ) -> CarvedRecord | None:
     """Run one hit through its format handler and finalize (hash, min-size,
     truncation clamp). Returns None for rejected false positives.
     `eocd_candidates`: shared zip magic index (collect_zip_eocds) —
-    consumed by the zip handler, ignored by every other handler."""
+    consumed by the zip handler, ignored by every other handler.
+    `sweep_kwargs`: generic shared-index kwargs for the other
+    sweep-bound handlers (e.g. {"end_candidates": [...]} for bzip2,
+    {"next_candidates": [...]} for gzip) — handlers take **_ so an
+    index meant for one validator is ignored by the rest."""
     entry = registry.get(file_type_id)
     if entry is None:
         return None
     ft, handler = entry
+    # sweep_kwargs may itself carry eocd_candidates (the generic sweep
+    # branch hands zip its index this way) — merge, don't duplicate
+    extra = {"eocd_candidates": eocd_candidates}
+    extra.update(sweep_kwargs or {})
     outcome = handler(
         reader,
         global_offset,
@@ -93,7 +102,7 @@ def carve_hit(
         ole_allowed_kinds=cfg.ole_allowed_kinds,
         header_patterns=tuple(p.bytes for p in ft.header_patterns),
         footer_patterns=tuple(p.bytes for p in ft.footer_patterns),
-        eocd_candidates=eocd_candidates,
+        **extra,
     )
     if outcome is None:
         return None
