@@ -18,11 +18,14 @@ import java.util.concurrent.ConcurrentHashMap;
  * src/scanner/cpu.rs per-pattern memchr scan, all overlapping matches,
  * several patterns may match at one offset).
  *
- * Spec string: "cap;hex,hex,..." — hit cap, then the pattern byte
- * strings hex-encoded in engine order. Automatons are cached per spec
- * for the executor lifetime. Hits are packed (localOffset << 16 | idx)
- * longs so the UDF returns a flat array&lt;bigint&gt; that Catalyst
- * decodes with shift/mask — no struct marshalling.
+ * Spec string: "cap;hex,hex,...[;m3=i:j:...]" — hit cap, then the
+ * pattern byte strings hex-encoded in engine order, then an optional
+ * trailer naming pattern indices whose hits the evidence-path UDFs
+ * gate through Mp3Gate.syncValid (the carver's 3-valid-frames rule,
+ * hoisted to scan time). Automatons are cached per spec for the
+ * executor lifetime. Hits are packed (localOffset << 16 | idx) longs
+ * so the UDF returns a flat array&lt;bigint&gt; that Catalyst decodes
+ * with shift/mask — no struct marshalling.
  */
 public final class Ac {
   private static final ConcurrentHashMap<String, Ac> CACHE = new ConcurrentHashMap<>();
@@ -39,6 +42,8 @@ public final class Ac {
   final int[][] out; // merged pattern indices ending at state
   final int[] patLen;
   final int cap;
+  final boolean[] mp3Gate; // per pattern: evidence UDFs drop hits failing Mp3Gate.syncValid
+  final boolean anyMp3Gate;
   private static final int OUT_BIT = 1 << 31;
 
   public static Ac get(String spec) {
@@ -54,6 +59,12 @@ public final class Ac {
     int semi = spec.indexOf(';');
     this.cap = Integer.parseInt(spec.substring(0, semi));
     String body = spec.substring(semi + 1);
+    String trailer = null;
+    int semi2 = body.indexOf(';');
+    if (semi2 >= 0) {
+      trailer = body.substring(semi2 + 1);
+      body = body.substring(0, semi2);
+    }
     String[] hexes = body.isEmpty() ? new String[0] : body.split(",");
     byte[][] pats = new byte[hexes.length][];
     patLen = new int[hexes.length];
@@ -122,6 +133,17 @@ public final class Ac {
         flat[(s << 8) | c] = out[v].length != 0 ? (v | OUT_BIT) : v;
       }
     }
+    mp3Gate = new boolean[hexes.length];
+    boolean any = false;
+    if (trailer != null && trailer.startsWith("m3=")) {
+      for (String tok : trailer.substring(3).split(":")) {
+        if (!tok.isEmpty()) {
+          mp3Gate[Integer.parseInt(tok)] = true;
+          any = true;
+        }
+      }
+    }
+    anyMp3Gate = any;
   }
 
   private static int[] newRow() {
@@ -186,15 +208,7 @@ public final class Ac {
    * path for the executor lifetime.
    */
   public List<Long> scanFile(String path, long start, long length) throws IOException {
-    FileChannel ch = FILES.get(path);
-    if (ch == null) {
-      ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ);
-      FileChannel prev = FILES.putIfAbsent(path, ch);
-      if (prev != null) {
-        ch.close();
-        ch = prev;
-      }
-    }
+    FileChannel ch = channel(path);
     List<Long> hits = new ArrayList<>();
     ByteBuffer bb = BUF.get();
     byte[] arr = bb.array();
@@ -215,5 +229,32 @@ public final class Ac {
       pos += got;
     }
     return hits;
+  }
+
+  static FileChannel channel(String path) throws IOException {
+    FileChannel ch = FILES.get(path);
+    if (ch == null) {
+      ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ);
+      FileChannel prev = FILES.putIfAbsent(path, ch);
+      if (prev != null) {
+        ch.close();
+        ch = prev;
+      }
+    }
+    return ch;
+  }
+
+  /** Positioned read via the cached per-path channel (short at EOF) — Mp3Gate's raw source. */
+  static byte[] readAt(String path, long pos, int len) throws IOException {
+    FileChannel ch = channel(path);
+    byte[] out = new byte[len];
+    ByteBuffer bb = ByteBuffer.wrap(out);
+    int got = 0;
+    while (got < len) {
+      int n = ch.read(bb, pos + got);
+      if (n <= 0) break;
+      got += n;
+    }
+    return got == len ? out : java.util.Arrays.copyOfRange(out, 0, got);
   }
 }

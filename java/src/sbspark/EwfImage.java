@@ -32,8 +32,22 @@ final class EwfImage {
   private final long[] chunkOffset;
   private final boolean[] chunkCompressed;
 
-  private final ThreadLocal<byte[]> rawBuf;
-  private final ThreadLocal<byte[]> outBuf;
+  // Scratch buffers are STATIC per-thread and grow to the largest
+  // chunk geometry the thread has touched: tying them to the image
+  // instance (which lives forever in the static CACHE) would cost
+  // threads x images x 2 x chunkSize across a long-lived executor
+  // that opens many E01 files.
+  private static final ThreadLocal<byte[]> RAW_BUF = ThreadLocal.withInitial(() -> new byte[0]);
+  private static final ThreadLocal<byte[]> OUT_BUF = ThreadLocal.withInitial(() -> new byte[0]);
+
+  private static byte[] scratch(ThreadLocal<byte[]> tl, int need) {
+    byte[] b = tl.get();
+    if (b.length < need) {
+      b = new byte[need];
+      tl.set(b);
+    }
+    return b;
+  }
 
   // Bounded per-thread LRU of DECOMPRESSED chunks. Positioned reads on
   // EWF pay inflate per touched chunk, and several access patterns
@@ -42,13 +56,58 @@ final class EwfImage {
   // strings kernel's backward-barrier / forward-extension reads, and
   // adjacent sub-chunk reads sharing a boundary chunk. Per-thread (no
   // locking — the reference instead serializes ALL readers behind one
-  // libewf mutex, src/evidence.rs:165-400); budget is BYTES per thread
-  // (-Dsbspark.ewf.cacheBytes, default 8 MiB ≈ 256 entries at the
-  // common 32 KiB chunk size), so worst-case heap is threads x budget
-  // regardless of chunk geometry. 0 disables.
+  // libewf mutex, src/evidence.rs:165-400). ONE static cache keyed by
+  // (image, chunk idx) serves every image, tracking ACTUAL cached
+  // bytes against the budget (-Dsbspark.ewf.cacheBytes, default 8 MiB
+  // per thread), so worst-case heap is threads x budget — NOT
+  // threads x images x budget, which is what a per-instance structure
+  // would cost given that EwfImage instances are cached per path for
+  // the executor lifetime (ADVICE r12). 0 disables.
   private static final long CACHE_BYTES = Long.getLong("sbspark.ewf.cacheBytes", 8L << 20);
-  private final int cacheEntries;
-  private final ThreadLocal<java.util.LinkedHashMap<Integer, byte[]>> chunkCache;
+
+  private static final class ChunkKey {
+    final EwfImage img; // canonical per path (static CACHE) — identity works
+    final int idx;
+
+    ChunkKey(EwfImage img, int idx) {
+      this.img = img;
+      this.idx = idx;
+    }
+
+    @Override
+    public boolean equals(Object o) {
+      if (!(o instanceof ChunkKey)) return false;
+      ChunkKey k = (ChunkKey) o;
+      return k.img == img && k.idx == idx;
+    }
+
+    @Override
+    public int hashCode() {
+      return System.identityHashCode(img) * 31 + idx;
+    }
+  }
+
+  private static final class ChunkLru extends java.util.LinkedHashMap<ChunkKey, byte[]> {
+    long bytes;
+
+    ChunkLru() {
+      super(64, 0.75f, true);
+    }
+
+    @Override
+    public byte[] put(ChunkKey k, byte[] v) {
+      byte[] prev = super.put(k, v);
+      bytes += v.length - (prev == null ? 0 : prev.length);
+      java.util.Iterator<java.util.Map.Entry<ChunkKey, byte[]>> it = entrySet().iterator();
+      while (bytes > CACHE_BYTES && it.hasNext()) {
+        bytes -= it.next().getValue().length;
+        it.remove();
+      }
+      return prev;
+    }
+  }
+
+  private static final ThreadLocal<ChunkLru> CHUNK_CACHE = ThreadLocal.withInitial(ChunkLru::new);
 
   static EwfImage get(String path) throws IOException {
     EwfImage img = CACHE.get(path);
@@ -156,21 +215,6 @@ final class EwfImage {
       chunkOffset[i] = offs.get(i);
       chunkCompressed[i] = comps.get(i);
     }
-    final int csInt = (int) cs;
-    rawBuf = ThreadLocal.withInitial(() -> new byte[csInt + 4096]);
-    outBuf = ThreadLocal.withInitial(() -> new byte[csInt]);
-    cacheEntries = (int) Math.min(Integer.MAX_VALUE, CACHE_BYTES / cs);
-    final int cap = cacheEntries;
-    chunkCache =
-        ThreadLocal.withInitial(
-            () ->
-                new java.util.LinkedHashMap<Integer, byte[]>(64, 0.75f, true) {
-                  @Override
-                  protected boolean removeEldestEntry(
-                      java.util.Map.Entry<Integer, byte[]> eldest) {
-                    return size() > cap;
-                  }
-                });
   }
 
   /** libewf extension progression: E01..E99 -> EAA..EZZ -> FAA.. */
@@ -235,9 +279,11 @@ final class EwfImage {
 
   /** Decompressed chunk idx into out (reusable); returns valid length. */
   private int chunk(int idx, byte[] out) throws IOException {
-    java.util.LinkedHashMap<Integer, byte[]> cache = cacheEntries > 0 ? chunkCache.get() : null;
+    ChunkLru cache = CACHE_BYTES >= chunkSize ? CHUNK_CACHE.get() : null;
+    ChunkKey key = null;
     if (cache != null) {
-      byte[] hit = cache.get(idx);
+      key = new ChunkKey(this, idx);
+      byte[] hit = cache.get(key);
       if (hit != null) {
         System.arraycopy(hit, 0, out, 0, hit.length);
         return hit.length;
@@ -245,19 +291,22 @@ final class EwfImage {
     }
     int n = chunkUncached(idx, out);
     if (cache != null) {
-      cache.put(idx, java.util.Arrays.copyOfRange(out, 0, n));
+      cache.put(key, java.util.Arrays.copyOfRange(out, 0, n));
     }
     return n;
   }
 
   private int chunkUncached(int idx, byte[] out) throws IOException {
-    byte[] raw = rawBuf.get();
     int cs = (int) chunkSize;
+    byte[] raw = scratch(RAW_BUF, cs + 4096);
     {
       // positional FileChannel reads are thread-safe; channels cache per
       // segment path for the executor lifetime (same pattern as Ac)
       java.nio.channels.FileChannel f = channel(chunkPath[idx]);
-      int want = chunkCompressed[idx] ? raw.length : cs + 4;
+      // compressed: zlib never grows a chunk past cs + slack; raw may be
+      // a shared scratch larger than this image's geometry, so bound the
+      // read by the geometry, not the buffer
+      int want = chunkCompressed[idx] ? cs + 4096 : cs + 4;
       ByteBuffer bb = ByteBuffer.wrap(raw, 0, want);
       int got = 0;
       while (got < want) {
@@ -309,7 +358,7 @@ final class EwfImage {
     if (pos >= mediaSize || len <= 0) return new byte[0];
     len = (int) Math.min(len, mediaSize - pos);
     byte[] dst = new byte[len];
-    byte[] out = outBuf.get();
+    byte[] out = scratch(OUT_BUF, (int) chunkSize);
     int copied = 0;
     while (copied < len) {
       long abs = pos + copied;
@@ -334,7 +383,7 @@ final class EwfImage {
     List<Long> hits = new ArrayList<>();
     if (start >= mediaSize || length <= 0) return hits;
     length = Math.min(length, mediaSize - start);
-    byte[] out = outBuf.get();
+    byte[] out = scratch(OUT_BUF, (int) chunkSize);
     long pos = start;
     long end = start + length;
     int state = 0;

@@ -25,8 +25,10 @@ public class ScanEvidenceUdf implements UDF4<String, Long, Long, String, List<Lo
     }
     Ac ac = Ac.get(spec);
     if (ewf) {
-      return EwfImage.get(path).scan(ac, start, length);
+      EwfImage img = EwfImage.get(path);
+      return Mp3Gate.filter(ac, img::readAt, start, img.scan(ac, start, length));
     }
-    return ac.scanFile(path, start, length);
+    return Mp3Gate.filter(
+        ac, (pos, len) -> Ac.readAt(path, pos, len), start, ac.scanFile(path, start, length));
   }
 }

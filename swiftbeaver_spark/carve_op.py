@@ -78,9 +78,11 @@ _CARVE_COLUMNS = [f.name for f in schemas.CARVED_FILES.fields]
 # in one Python allocation, so windows past this bound belong on
 # strategy 1 (positioned reads) — see "Strategy selection" above
 _WINDOW_CAP_LIMIT = 3 * (1 << 29)  # 1.5 GiB
-# per-task LRU of zip EOCD bucket indexes (carve_zips): entries are a
-# few bytes per EOCD, so the bound exists for pathology, not pressure
-_EOCD_CACHE_BUCKETS = 64
+# per-task LRU of sweep-family bucket indexes, keyed (family, bucket)
+# — every _SWEEP_FAMILIES collector shares it (zip EOCD geometry,
+# bzip2 end markers, ...). Entries are integer position lists, a few
+# bytes per magic, so the bound exists for pathology, not pressure
+_SWEEP_CACHE_BUCKETS = 64
 
 # default contiguous bucket span for the cogroup phase: big enough to
 # amortize per-group overhead, small enough that one group's buffer is
@@ -191,123 +193,128 @@ def carve_hits_with_evidence(
 ) -> DataFrame:
     """Carve via positioned reads against the evidence path (strategy 1).
 
-    Sweep-bound validator families (_SWEEP_FAMILIES) take a
-    RANGE-bucketed branch: bucketing by offset // max_size lets each
-    bucket collect its magic index ONCE and hand it to every hit --
+    Sweep-bound validator families (_SWEEP_FAMILIES) carve against a
+    RANGE-bucketed magic index: bucketing by offset // max_size lets
+    each bucket collect its index ONCE and hand it to every hit --
     per-bucket bytes read are bounded at 2x bucket width no matter how
     many hits land there, and results are bit-identical to the per-hit
     sweep (the handler applies the same first/last-match-in-window
-    selection rules to the shared index; pytest-pinned). Everything
-    else round-robins by offset so one task never owns all the
-    expensive hits."""
+    selection rules to the shared index; pytest-pinned).
 
-    def carve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ONE shuffle, ONE pass over the hits plan (r13; ADVICE r12): a
+    composite key co-locates each sweep family's hits per offset
+    bucket and spreads everything else by offset hash, and a single
+    mapInPandas dispatches per-group -- swept groups through the
+    bucket index, the rest per-hit. The r12 shape (one filtered branch
+    per family unioned with the rest) re-evaluated the upstream hits
+    plan once per branch when it was uncached -- three evidence
+    signature scans on the multi-pass path."""
+
+    n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
+    # family routing: type_id -> family, family -> (bucket_w, collector,
+    # early_exit). max_size=0 means an UNBOUNDED window (scan to EOF) --
+    # no finite bucket can cover it, so any such type routes its whole
+    # family through the per-hit path (correct for any window; the
+    # shared index is purely an optimization).
+    route: dict[str, str] = {}
+    fam_geom: dict[str, tuple[int, object, bool]] = {}
+    for validator, (collector, early_exit) in _SWEEP_FAMILIES.items():
+        fam = [ft for ft in cfg.file_types if ft.validator == validator]
+        if not fam or any(ft.max_size <= 0 for ft in fam):
+            continue
+        fam_geom[validator] = (max(ft.max_size for ft in fam), collector, early_exit)
+        for ft in fam:
+            route[ft.type_id] = validator
+
+    def carve_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         from swiftbeaver_spark.source import open_evidence
 
         registry = build_registry(cfg)
         reader = open_evidence(evidence_path)
+        # The index covers the TIGHT range a batch group needs
+        # ([first hit, last hit + bucket_w)), not the full 2x
+        # envelope -- always-envelope sweeps regressed sparse
+        # early-exit families (see _SWEEP_FAMILIES). Arrow may
+        # split one offset-bucket's hits across batches (ADVICE
+        # r11), so the cache is coverage-aware: reuse when the
+        # cached range covers this group's need, extend (union of
+        # ranges) otherwise. Bounded LRU keyed (family, bucket);
+        # entries are magic positions (plus 12-byte geometry for
+        # zip), a few bytes each. Handlers filter candidates to
+        # their own window with identical selection rules, so
+        # results never depend on which hits shared the sweep
+        # (pytest-pinned).
+        cache: OrderedDict = OrderedDict()
         try:
             for pdf in batches:
                 rows = []
-                for off, ft_id, pat_id in zip(
-                    pdf["global_offset"], pdf["file_type_id"], pdf["pattern_id"]
-                ):
-                    rec = carve_hit(reader, int(off), str(ft_id), str(pat_id), registry, cfg)
-                    if rec is not None:
-                        rows.append(_record_to_tuple(rec))
-                yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
-        finally:
-            reader.close()
-
-    def make_swept(bucket_w: int, collector, early_exit: bool):
-        def carve_swept(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from collections import OrderedDict
-
-            from swiftbeaver_spark.source import open_evidence
-
-            registry = build_registry(cfg)
-            reader = open_evidence(evidence_path)
-            # The index covers the TIGHT range a batch group needs
-            # ([first hit, last hit + bucket_w)), not the full 2x
-            # envelope -- always-envelope sweeps regressed sparse
-            # early-exit families (see _SWEEP_FAMILIES). Arrow may
-            # split one offset-bucket's hits across batches (ADVICE
-            # r11), so the cache is coverage-aware: reuse when the
-            # cached range covers this group's need, extend (union of
-            # ranges) otherwise. Bounded LRU; entries are magic
-            # positions (plus 12-byte geometry for zip), a few bytes
-            # each. Handlers filter candidates to their own window
-            # with identical selection rules, so results never depend
-            # on which hits shared the sweep (pytest-pinned).
-            cache = OrderedDict()
-            try:
-                for pdf in batches:
-                    rows = []
-                    for b, grp in pdf.groupby(pdf["global_offset"] // bucket_w):
-                        b = int(b)
-                        kw = None
+                fams = pdf["file_type_id"].map(lambda t: route.get(t, ""))
+                buckets = pd.Series(0, index=pdf.index, dtype="int64")
+                swept_mask = fams != ""
+                if swept_mask.any():
+                    widths = fams[swept_mask].map(lambda f: fam_geom[f][0])
+                    buckets[swept_mask] = (
+                        pdf["global_offset"][swept_mask] // widths
+                    ).astype("int64")
+                for (famname, b), grp in pdf.groupby([fams, buckets], sort=False):
+                    kw = None
+                    if famname:
+                        bucket_w, collector, early_exit = fam_geom[famname]
+                        # early-exit families only profit from the index
+                        # at density (see _SWEEP_FAMILIES)
                         if not early_exit or len(grp) >= 2:
+                            ck = (famname, int(b))
                             need_lo = int(grp["global_offset"].min())
                             need_hi = min(
                                 int(grp["global_offset"].max()) + bucket_w,
                                 reader.length(),
                             )
-                            entry = cache.get(b)
+                            entry = cache.get(ck)
                             if entry is not None and entry[0] <= need_lo and entry[1] >= need_hi:
-                                cache.move_to_end(b)
+                                cache.move_to_end(ck)
                                 kw = entry[2]
                             else:
                                 lo = need_lo if entry is None else min(need_lo, entry[0])
                                 hi = need_hi if entry is None else max(need_hi, entry[1])
                                 kw = collector(reader, lo, hi)
-                                cache[b] = (lo, hi, kw)
-                                if len(cache) > _EOCD_CACHE_BUCKETS:
+                                cache[ck] = (lo, hi, kw)
+                                if len(cache) > _SWEEP_CACHE_BUCKETS:
                                     cache.popitem(last=False)
-                        for off, ft_id, pat_id in zip(
-                            grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
-                        ):
-                            rec = carve_hit(
-                                reader,
-                                int(off),
-                                str(ft_id),
-                                str(pat_id),
-                                registry,
-                                cfg,
-                                sweep_kwargs=kw,
-                            )
-                            if rec is not None:
-                                rows.append(_record_to_tuple(rec))
-                    yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
-            finally:
-                reader.close()
+                    for off, ft_id, pat_id in zip(
+                        grp["global_offset"], grp["file_type_id"], grp["pattern_id"]
+                    ):
+                        rec = carve_hit(
+                            reader,
+                            int(off),
+                            str(ft_id),
+                            str(pat_id),
+                            registry,
+                            cfg,
+                            sweep_kwargs=kw,
+                        )
+                        if rec is not None:
+                            rows.append(_record_to_tuple(rec))
+                yield pd.DataFrame(rows, columns=_CARVE_COLUMNS)
+        finally:
+            reader.close()
 
-        return carve_swept
-
-    n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
-    swept_ids = []
-    out = None
-    for validator, (collector, early_exit) in _SWEEP_FAMILIES.items():
-        fam = [ft for ft in cfg.file_types if ft.validator == validator]
-        ids = [ft.type_id for ft in fam]
-        # max_size=0 means an UNBOUNDED window (scan to EOF) -- no finite
-        # bucket can cover it, so any such type routes its whole family
-        # through the per-hit scan path (round-robin, correct for any
-        # window; the shared index is purely an optimization)
-        if not ids or any(ft.max_size <= 0 for ft in fam):
-            continue
-        bucket_w = max(ft.max_size for ft in fam)
-        part = (
-            hits.where(F.col("file_type_id").isin(ids))
-            .repartition(n, F.floor(F.col("global_offset") / bucket_w))
-            .mapInPandas(make_swept(bucket_w, collector, early_exit), schemas.CARVED_FILES)
-        )
-        swept_ids.extend(ids)
-        out = part if out is None else out.unionByName(part)
-    rest = hits if not swept_ids else hits.where(
-        ~F.col("file_type_id").isin(swept_ids)
-    )
-    rest = rest.repartition(n).mapInPandas(carve, schemas.CARVED_FILES)
-    return rest if out is None else rest.unionByName(out)
+    # composite shuffle key: swept families co-locate per (family,
+    # offset // bucket_w); everything else spreads by offset hash --
+    # one task never owns all the expensive hits, and adding a sweep
+    # family costs zero extra passes or shuffles
+    key = F.concat(F.lit("r:"), F.col("global_offset").cast("string"))
+    for famname, (bucket_w, _, _) in fam_geom.items():
+        ids = [tid for tid, f in route.items() if f == famname]
+        key = F.when(
+            F.col("file_type_id").isin(ids),
+            F.concat(
+                F.lit(famname + ":"),
+                F.floor(F.col("global_offset") / bucket_w).cast("string"),
+            ),
+        ).otherwise(key)
+    return hits.repartition(n, key).mapInPandas(carve_all, schemas.CARVED_FILES)
 
 
 class WindowReader(Reader):

@@ -137,9 +137,16 @@ class RunResult:
     def unpersist(self) -> None:
         """Free the stage caches created by run(cache_intermediates=
         True). Call once every consumer of the tables has materialised
-        (lazy frames read through the cache while it is live)."""
+        (lazy frames read through the cache while it is live).
+
+        Blocking on purpose (r13): DataFrame.unpersist defaults to
+        async block dropping, so back-to-back runs (stress bench,
+        repeated write_tables) would build the next run's caches while
+        the previous run's blocks were still draining — transient
+        DOUBLE storage residency, measured as the 10 GiB one-pass OOM
+        on an 8 GiB heap."""
         for df in self.persisted:
-            df.unpersist()
+            df.unpersist(blocking=True)
         self.persisted.clear()
 
 
@@ -450,6 +457,20 @@ class Engine:
         if cache_intermediates:
             from pyspark.storagelevel import StorageLevel
 
+            # Under one-pass (persisted_pre holds the raw metadata
+            # frame) string_spans is a cheap PROJECTION of that
+            # already-persisted frame, and it carries the dominant
+            # cache bytes (the span content strings — ~1.4M rows/GiB
+            # on text-heavy evidence). Re-persisting it stores those
+            # bytes TWICE (raw struct arrays + exploded rows); at
+            # 10 GiB the doubled residency OOMed an 8 GiB heap (r13).
+            # Skipping it costs one cached-columnar re-read + explode
+            # per drive — no evidence I/O. hits / entropy_regions stay
+            # persisted: they are metadata-small (thousands of rows
+            # per GiB) and their caches save a decode/merge-shuffle
+            # per extra drive; real-compute stages (carve, artefact
+            # regexes) persist as before.
+            skip = {"string_spans"} if persisted_pre else set()
             for name in (
                 "hits",
                 "carved_files",
@@ -457,7 +478,7 @@ class Engine:
                 "string_artefacts",
                 "entropy_regions",
             ):
-                if name in tables:
+                if name in tables and name not in skip:
                     tables[name] = tables[name].persist(
                         StorageLevel.MEMORY_AND_DISK
                     )

@@ -45,6 +45,7 @@ _SOURCES = (
     "EwfImage.java",
     "JaccardUdf.java",
     "MinHashUdf.java",
+    "Mp3Gate.java",
     "SqDistsUdf.java",
     "ScanAllEvidenceUdf.java",
     "ScanBytesUdf.java",
@@ -77,9 +78,19 @@ _MARKER = "_sb_kernel_registered"
 _BUILD_FAILED = False
 
 
-def spec_for(patterns: list[tuple[bytes, str, str]], cap: int) -> str:
-    """Kernel spec string: 'cap;hex,hex,...' in engine pattern order."""
-    return f"{int(cap)};" + ",".join(p.hex() for p, _, _ in patterns)
+def spec_for(
+    patterns: list[tuple[bytes, str, str]],
+    cap: int,
+    mp3_gate: list[int] | None = None,
+) -> str:
+    """Kernel spec string: 'cap;hex,hex,...' in engine pattern order.
+    `mp3_gate` (evidence-path callers only): pattern indices whose hits
+    the JVM UDFs validate with the carver's 3-valid-frames mp3 rule at
+    scan time (Mp3Gate.java) — appended as a ';m3=i:j' trailer."""
+    spec = f"{int(cap)};" + ",".join(p.hex() for p, _, _ in patterns)
+    if mp3_gate:
+        spec += ";m3=" + ":".join(str(i) for i in mp3_gate)
+    return spec
 
 
 def _pyspark_jars() -> str:

@@ -59,6 +59,50 @@ def compile_patterns(cfg: EngineConfig) -> list[tuple[bytes, str, str]]:
     return out
 
 
+def mp3_gate_indexes(cfg: EngineConfig) -> list[int]:
+    """compile_patterns indices of mp3 bare-sync patterns (FF Ex frame
+    sync — 11 effective bits, so ~10k false hits/GiB on random or
+    text-dense evidence for a handful of real files). Evidence-backed
+    scans validate these hits at scan time with the carver's own
+    3-consecutive-valid-frames rule (carve_mp3 / the reference's
+    src/carve/mp3.rs:189-330) instead of shipping them into the carve
+    stage; ID3v2-headed patterns are never gated (the tag itself
+    validates). Chunk-table scans (scan_chunks) have no evidence
+    reader for the lookahead and stay unfiltered — the carver remains
+    the authority there."""
+    idx, out = 0, []
+    for ft in cfg.file_types:
+        for pat in ft.header_patterns:
+            if ft.validator == "mp3" and pat.bytes[:1] == b"\xff":
+                out.append(idx)
+            idx += 1
+    return out
+
+
+def _mp3_sync_ok(reader, off: int) -> bool:
+    """Python mirror of Mp3Gate.syncValid (JVM) — same reads, same
+    verdicts, so the fallback scan path stays hit-identical."""
+    from swiftbeaver_spark.carvers.media import _mp3_frame_size
+
+    h = reader.read_at(off, 4)
+    size = _mp3_frame_size(h)
+    if size is None:
+        return False
+    total, frames = size, 1
+    while frames < 3:
+        fh = reader.read_at(off + total, 4)
+        if len(fh) < 4:
+            return False
+        if fh[:3] == b"TAG":
+            return False
+        s = _mp3_frame_size(fh)
+        if s is None:
+            return False
+        total += s
+        frames += 1
+    return True
+
+
 def find_all(data: bytes, pattern: bytes, cap: int = MAX_HITS_PER_CHUNK) -> list[int]:
     """All (overlapping) occurrence offsets of `pattern` in `data`."""
     hits: list[int] = []
@@ -350,13 +394,14 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
         if cfg.max_chunks is not None:
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
 
+    mp3_gate = mp3_gate_indexes(cfg)
     n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
     # JVM fast path: positioned read + one automaton pass per chunk
     # inside the executor JVM, streamed through a bounded window. E01
     # containers decompress chunk-by-chunk straight into the automaton
     # (EwfImage.java). No Python workers.
     if ensure_kernel(plan.sparkSession):
-        spec = spec_for(patterns, MAX_HITS_PER_CHUNK)
+        spec = spec_for(patterns, MAX_HITS_PER_CHUNK, mp3_gate)
         hits = F.call_udf(
             "sb_scan_evidence",
             F.lit(path),
@@ -366,6 +411,8 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
         )
         raw = _decode_packed_hits(plan.repartition(n_parts), hits, patterns)
         return normalize_hits(raw)
+
+    gated = {(patterns[i][1], patterns[i][2]) for i in mp3_gate}
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -377,6 +424,10 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
                 ):
                     blob = reader.read_at(int(start), int(rlen))
                     for off, pat_id, ft_id in scan_blob(blob, patterns):
+                        if (pat_id, ft_id) in gated and not _mp3_sync_ok(
+                            reader, int(start) + off
+                        ):
+                            continue
                         rows.append(
                             (int(cid), int(start), int(vlen), off, pat_id, ft_id)
                         )

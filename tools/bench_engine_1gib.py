@@ -32,7 +32,9 @@ container first (write_ewf, zlib per chunk) and runs the WHOLE
 pipeline against the container — the distributed-E01-source stress
 (every stage decompresses only the chunks its reads touch).
 `onepass`/`multipass` force Engine.run(one_pass=True/False); default
-is the engine's auto rule (E01 -> one-pass, raw -> multi-pass). The
+is the engine's auto rule (one-pass for raw AND E01 alike whenever
+the kernel/geometry preconditions hold — the r12 default — with
+multi-pass only as the precondition fallback). The
 JSON records the resolved strategy plus host-load snapshots at run
 start and end (VERDICT r11 task 3 — self-adjudicating rows).
 """
@@ -116,8 +118,9 @@ def build_image(path: str, size_mib: int) -> list[dict]:
 def main() -> None:
     host_start = host_snapshot()
     # resolved one_pass strategy: literal argv flags force it; default
-    # None = the engine's auto rule (E01 -> one-pass with the fused
-    # single-read scan, raw -> the default multi-pass fused path)
+    # None = the engine's auto rule (one-pass for raw and E01 alike
+    # when the kernel/geometry preconditions hold; multi-pass is the
+    # precondition fallback — _one_pass_auto, default since r12)
     one_pass = True if "onepass" in sys.argv[2:] else (
         False if "multipass" in sys.argv[2:] else None
     )

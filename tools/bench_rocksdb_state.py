@@ -16,9 +16,15 @@ other — and records:
   checkpoint_mb   — du of the streaming checkpoint dir
 
 Usage:
-  python tools/bench_rocksdb_state.py            # both providers x sizes
+  python tools/bench_rocksdb_state.py [n_keys ...]  # both providers x sizes
   python tools/bench_rocksdb_state.py _one hdfs 1000000   # child mode
   -> one JSON line {"rocksdb_state_residency": {...}}
+
+r13: sizes take from argv (default 2M/5M/10M — the growth-curve steps
+VERDICT r12 task 5 asked for after both providers hit the old 1800 s
+cap unfinished at 10M), the await cap rises to SB_STATE_CAP_SEC
+(default 3600), and each row records keys_per_sec so the throughput
+penalty is readable directly.
 """
 import json
 import os
@@ -30,7 +36,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SIZES = [1_000_000, 10_000_000]
+SIZES = [2_000_000, 5_000_000, 10_000_000]
+CAP_SEC = int(os.environ.get("SB_STATE_CAP_SEC", "3600"))
 
 
 def run_one(provider: str, n_keys: int) -> dict:
@@ -70,7 +77,7 @@ def run_one(provider: str, n_keys: int) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(1800)
+    finished = q.awaitTermination(CAP_SEC)
     if not finished:
         q.stop()
     wall = round(time.time() - t0, 3)
@@ -94,6 +101,7 @@ def run_one(provider: str, n_keys: int) -> dict:
         "keys": n_keys,
         "wall_sec": wall,
         "finished": bool(finished),
+        "keys_per_sec": round(n_keys / wall) if finished and wall > 0 else None,
         "heap_used_mb": round(heap / (1 << 20), 1),
         "checkpoint_mb": round(ck_bytes / (1 << 20), 1),
     }
@@ -105,14 +113,15 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "_one":
         print(json.dumps(run_one(sys.argv[2], int(sys.argv[3]))))
         return
+    sizes = [int(a) for a in sys.argv[1:]] or SIZES
     rows = []
-    for n in SIZES:
+    for n in sizes:
         for provider in ("hdfs", "rocksdb"):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "_one", provider, str(n)],
                 capture_output=True,
                 text=True,
-                timeout=3600,
+                timeout=CAP_SEC + 900,
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             row = json.loads(line)
