@@ -18,14 +18,16 @@ import java.util.concurrent.ConcurrentHashMap;
  * src/scanner/cpu.rs per-pattern memchr scan, all overlapping matches,
  * several patterns may match at one offset).
  *
- * Spec string: "cap;hex,hex,...[;m3=i:j:...]" — hit cap, then the
- * pattern byte strings hex-encoded in engine order, then an optional
- * trailer naming pattern indices whose hits the evidence-path UDFs
- * gate through Mp3Gate.syncValid (the carver's 3-valid-frames rule,
- * hoisted to scan time). Automatons are cached per spec for the
- * executor lifetime. Hits are packed (localOffset << 16 | idx) longs
- * so the UDF returns a flat array&lt;bigint&gt; that Catalyst decodes
- * with shift/mask — no struct marshalling.
+ * Spec string: "cap;hex,hex,...[;tag=i:j:...[;tag=...]]" — hit cap,
+ * then the pattern byte strings hex-encoded in engine order, then
+ * optional trailer sections naming pattern indices whose hits the
+ * evidence-path UDFs validate through ScanGates (tags: m3 = mp3
+ * 3-valid-frames rule, bm = bmp header cascade, ic = ico directory
+ * prefix — each a hoisted prefix of its carver's own rejection
+ * cascade). Automatons are cached per spec for the executor lifetime.
+ * Hits are packed (localOffset << 16 | idx) longs so the UDF returns
+ * a flat array&lt;bigint&gt; that Catalyst decodes with shift/mask —
+ * no struct marshalling.
  */
 public final class Ac {
   private static final ConcurrentHashMap<String, Ac> CACHE = new ConcurrentHashMap<>();
@@ -42,8 +44,8 @@ public final class Ac {
   final int[][] out; // merged pattern indices ending at state
   final int[] patLen;
   final int cap;
-  final boolean[] mp3Gate; // per pattern: evidence UDFs drop hits failing Mp3Gate.syncValid
-  final boolean anyMp3Gate;
+  final byte[] gateKind; // per pattern: ScanGates kind (NONE/MP3/BMP/ICO) for evidence UDFs
+  final boolean anyGate;
   private static final int OUT_BIT = 1 << 31;
 
   public static Ac get(String spec) {
@@ -133,17 +135,22 @@ public final class Ac {
         flat[(s << 8) | c] = out[v].length != 0 ? (v | OUT_BIT) : v;
       }
     }
-    mp3Gate = new boolean[hexes.length];
+    gateKind = new byte[hexes.length];
     boolean any = false;
-    if (trailer != null && trailer.startsWith("m3=")) {
-      for (String tok : trailer.substring(3).split(":")) {
-        if (!tok.isEmpty()) {
-          mp3Gate[Integer.parseInt(tok)] = true;
-          any = true;
+    if (trailer != null && !trailer.isEmpty()) {
+      for (String section : trailer.split(";")) {
+        int eq = section.indexOf('=');
+        if (eq <= 0) continue;
+        byte kind = ScanGates.kindFor(section.substring(0, eq));
+        for (String tok : section.substring(eq + 1).split(":")) {
+          if (!tok.isEmpty()) {
+            gateKind[Integer.parseInt(tok)] = kind;
+            any = true;
+          }
         }
       }
     }
-    anyMp3Gate = any;
+    anyGate = any;
   }
 
   private static int[] newRow() {
@@ -244,7 +251,7 @@ public final class Ac {
     return ch;
   }
 
-  /** Positioned read via the cached per-path channel (short at EOF) — Mp3Gate's raw source. */
+  /** Positioned read via the cached per-path channel (short at EOF) — ScanGates' raw source. */
   static byte[] readAt(String path, long pos, int len) throws IOException {
     FileChannel ch = channel(path);
     byte[] out = new byte[len];

@@ -171,10 +171,11 @@ public class ScanAllEvidenceUdf implements UDF4<String, Long, Long, String, Row>
     if (start < blockStart + block.length && start < total) {
       int sOff = (int) (start - blockStart);
       ac.scanRange(block, sOff, block.length, 0, 0, hits);
-      // mp3 bare-sync gate: validation reads usually land inside the
-      // preloaded block (BlockIo falls through to the source past it),
-      // absolute offset = start + sub-chunk-relative hit offset
-      hits = Mp3Gate.filter(ac, io::read, start, hits);
+      // loose-signature gates (mp3/bmp/ico): validation reads usually
+      // land inside the preloaded block (BlockIo falls through to the
+      // source past it); absolute offset = start + sub-chunk-relative
+      // hit offset
+      hits = ScanGates.filter(ac, io::read, start, hits);
     }
 
     List<Row> spans = strs.scanEvidence(io, total, start, vlen);

@@ -26,9 +26,9 @@ public class ScanEvidenceUdf implements UDF4<String, Long, Long, String, List<Lo
     Ac ac = Ac.get(spec);
     if (ewf) {
       EwfImage img = EwfImage.get(path);
-      return Mp3Gate.filter(ac, img::readAt, start, img.scan(ac, start, length));
+      return ScanGates.filter(ac, img::readAt, start, img.scan(ac, start, length));
     }
-    return Mp3Gate.filter(
+    return ScanGates.filter(
         ac, (pos, len) -> Ac.readAt(path, pos, len), start, ac.scanFile(path, start, length));
   }
 }

@@ -150,23 +150,15 @@ def _collect_zip_eocds_kw(reader, lo: int, hi: int) -> dict:
     return {"eocd_candidates": collect_zip_eocds(reader, lo, hi)}
 
 
-def _collect_bzip2_ends_kw(reader, lo: int, hi: int) -> dict:
-    from swiftbeaver_spark.carvers.archives import _BZIP2_END
-    from swiftbeaver_spark.carvers.base import collect_magic_positions
-
-    return {"end_candidates": collect_magic_positions(reader, lo, hi, _BZIP2_END)}
-
-
 # Sweep-bound validator families: end detection is a forward magic scan
 # of up to max_size per hit where the sweep target is NOT the hit's own
 # magic, so N co-located hits can cost N full-window reads -- each
 # family gets a range-bucketed branch whose per-bucket collector builds
 # the magic index ONCE for every hit in the bucket. zip since r11 (EOCD
 # geometry index: require_eocd keeps the LAST valid EOCD, so every hit
-# scans its full window with no early exit); bzip2 added r12 (the end
-# marker differs from the "BZh" hit magic, so dense false positives --
-# "BZh"+digit occurs in plain text/base64 -- each sweep the full
-# window: h x max_size reads on a text-dense corpus).
+# scans its full window with no early exit, and the carve output is
+# bounded by EOCD geometry -- the sweep IS the dominant term, and the
+# shared index measured 2.4x).
 #
 # gzip is deliberately NOT here (r12 decision, measured): its sweep
 # target IS the family's own hit magic, so consecutive hits' per-hit
@@ -177,6 +169,20 @@ def _collect_bzip2_ends_kw(reader, lo: int, hi: int) -> dict:
 # round-robin parallelism for envelope reads. Same reasoning applies
 # to any next-own-magic handler (tar, footer-to-next-header shapes).
 #
+# bzip2 is NOT here either (added r12 on the zip analogy, REMOVED r13
+# after the density A/B, tools/bench_bzip2_density.py): on a planted
+# dense-"BZh" text corpus the bucketed branch measured 7.3x slower
+# with end markers every MiB and 8.1x slower with none. The sweep
+# reads the index saves are NOT the dominant term for an early-exit
+# family whose misses carve: every false sync still carves a
+# truncated file to max_size/EOF, so the stage wall is the md5+sha256
+# of those outputs -- identical bytes either way -- and range
+# co-location SERIALIZES that hashing into one task per max_size
+# bucket while the per-hit path spreads it across the cluster. Rule
+# of thumb for the next family: the shared index pays only when the
+# per-hit sweep dominates the per-hit CARVE (zip: yes -- full-window
+# sweep, bounded parse; bzip2/gzip: no).
+#
 # The bool is `early_exit`: whether the per-hit sweep can stop at the
 # first match. Early-exit families only profit from the shared index
 # at density -- a single-hit bucket's tight index read equals the
@@ -184,7 +190,6 @@ def _collect_bzip2_ends_kw(reader, lo: int, hi: int) -> dict:
 # group holds >= 2 hits.
 _SWEEP_FAMILIES = {
     "zip": (_collect_zip_eocds_kw, False),
-    "bzip2": (_collect_bzip2_ends_kw, True),
 }
 
 

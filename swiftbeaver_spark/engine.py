@@ -260,9 +260,12 @@ class Engine:
         (write_tables, the stress bench); OFF by default so
         single-table uses stay cache-free. Stage outputs are metadata
         rows (spans/hits/carves), orders of magnitude smaller than
-        evidence. The caches are CALLER-owned: call RunResult.unpersist()
-        when done, or repeated runs in one session accumulate executor
-        storage.
+        evidence. Under one-pass the string_spans table is NOT
+        re-persisted — it is a projection of the already-persisted raw
+        frame, and double-storing the span content bytes OOMed an
+        8 GiB heap at 10 GiB evidence (r13). The caches are
+        CALLER-owned: call RunResult.unpersist() when done, or
+        repeated runs in one session accumulate executor storage.
 
         `one_pass=True` runs the scans through the fused one-pass
         multi-scan (fused_scan.scan_all_from_evidence): ONE positioned

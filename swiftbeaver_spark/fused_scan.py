@@ -135,12 +135,12 @@ def scan_all_from_evidence(
             "standalone entropy path for this geometry"
         )
 
-    from swiftbeaver_spark.scanner import mp3_gate_indexes
+    from swiftbeaver_spark.scanner import scan_gate_indexes
 
     patterns = compile_patterns(cfg)
     spec = "\n".join(
         [
-            spec_for(patterns, MAX_HITS_PER_CHUNK, mp3_gate_indexes(cfg)),
+            spec_for(patterns, MAX_HITS_PER_CHUNK, scan_gate_indexes(cfg)),
             _strings_spec(cfg),
             _entropy_spec(cfg, merged=True) if cfg.enable_entropy_detection else "",
         ]

@@ -45,7 +45,7 @@ _SOURCES = (
     "EwfImage.java",
     "JaccardUdf.java",
     "MinHashUdf.java",
-    "Mp3Gate.java",
+    "ScanGates.java",
     "SqDistsUdf.java",
     "ScanAllEvidenceUdf.java",
     "ScanBytesUdf.java",
@@ -81,15 +81,22 @@ _BUILD_FAILED = False
 def spec_for(
     patterns: list[tuple[bytes, str, str]],
     cap: int,
-    mp3_gate: list[int] | None = None,
+    gates: dict[str, list[int]] | list[int] | None = None,
 ) -> str:
     """Kernel spec string: 'cap;hex,hex,...' in engine pattern order.
-    `mp3_gate` (evidence-path callers only): pattern indices whose hits
-    the JVM UDFs validate with the carver's 3-valid-frames mp3 rule at
-    scan time (Mp3Gate.java) — appended as a ';m3=i:j' trailer."""
+    `gates` (evidence-path callers only): scan-time hit-validation
+    assignments for ScanGates.java — {tag: [pattern indices]} with
+    tags m3 (mp3 3-valid-frames), bm (bmp header cascade), ic (ico
+    directory prefix), appended as ';tag=i:j' trailer sections in
+    sorted-tag order so equal assignments yield equal cache keys. A
+    bare list means {'m3': list} (r13 back-compat)."""
     spec = f"{int(cap)};" + ",".join(p.hex() for p, _, _ in patterns)
-    if mp3_gate:
-        spec += ";m3=" + ":".join(str(i) for i in mp3_gate)
+    if isinstance(gates, list):
+        gates = {"m3": gates} if gates else None
+    for tag in sorted(gates or {}):
+        idxs = gates[tag]
+        if idxs:
+            spec += f";{tag}=" + ":".join(str(i) for i in idxs)
     return spec
 
 

@@ -62,14 +62,8 @@ def compile_patterns(cfg: EngineConfig) -> list[tuple[bytes, str, str]]:
 def mp3_gate_indexes(cfg: EngineConfig) -> list[int]:
     """compile_patterns indices of mp3 bare-sync patterns (FF Ex frame
     sync — 11 effective bits, so ~10k false hits/GiB on random or
-    text-dense evidence for a handful of real files). Evidence-backed
-    scans validate these hits at scan time with the carver's own
-    3-consecutive-valid-frames rule (carve_mp3 / the reference's
-    src/carve/mp3.rs:189-330) instead of shipping them into the carve
-    stage; ID3v2-headed patterns are never gated (the tag itself
-    validates). Chunk-table scans (scan_chunks) have no evidence
-    reader for the lookahead and stay unfiltered — the carver remains
-    the authority there."""
+    text-dense evidence for a handful of real files). ID3v2-headed
+    patterns are never gated (the tag itself validates)."""
     idx, out = 0, []
     for ft in cfg.file_types:
         for pat in ft.header_patterns:
@@ -79,8 +73,37 @@ def mp3_gate_indexes(cfg: EngineConfig) -> list[int]:
     return out
 
 
+def scan_gate_indexes(cfg: EngineConfig) -> dict[str, list[int]]:
+    """Scan-time hit-validation assignments for the evidence-backed
+    scans: {spec tag: [compile_patterns indices]}. Loose signatures
+    (mp3's 11-bit sync, bmp's 2-byte "BM", ico's low-entropy type
+    words) emit thousands of false hits per GiB that exist only to be
+    rejected by the handler's first header reads — each gate hoists a
+    PREFIX of its carver's own rejection cascade to hit time
+    (ScanGates.java / the _gate_ok mirror below), so those rows are
+    never shipped, shuffled or Python-crossed. A gate drops a hit only
+    when the evidence bytes prove the carver would return None, so
+    carved output is identical with gates on or off (pytest-pinned).
+    Chunk-table scans (scan_chunks) have no evidence reader for the
+    lookahead and stay unfiltered — the carver remains the authority
+    there."""
+    gates = {"m3": mp3_gate_indexes(cfg)}
+    bm, ic = [], []
+    idx = 0
+    for ft in cfg.file_types:
+        for _pat in ft.header_patterns:
+            if ft.validator == "bmp":
+                bm.append(idx)
+            elif ft.validator == "ico":
+                ic.append(idx)
+            idx += 1
+    gates["bm"] = bm
+    gates["ic"] = ic
+    return {tag: idxs for tag, idxs in gates.items() if idxs}
+
+
 def _mp3_sync_ok(reader, off: int) -> bool:
-    """Python mirror of Mp3Gate.syncValid (JVM) — same reads, same
+    """Python mirror of ScanGates.mp3Valid (JVM) — same reads, same
     verdicts, so the fallback scan path stays hit-identical."""
     from swiftbeaver_spark.carvers.media import _mp3_frame_size
 
@@ -101,6 +124,41 @@ def _mp3_sync_ok(reader, off: int) -> bool:
         total += s
         frames += 1
     return True
+
+
+def _bmp_ok(reader, off: int) -> bool:
+    """carve_bmp's accept rule IS a pure function of one header read,
+    so the Python side gates through the handler itself — zero drift
+    by construction (max_size only affects truncation, never
+    None-vs-outcome)."""
+    from swiftbeaver_spark.carvers.images import carve_bmp
+
+    return carve_bmp(reader, off, 0) is not None
+
+
+def _ico_prefix_ok(reader, off: int) -> bool:
+    """Python mirror of ScanGates.icoPrefixValid — the first checks of
+    carve_ico's cascade (count bounds + first directory entry sanity);
+    reserved/type bytes are guaranteed by the hit patterns."""
+    from swiftbeaver_spark.carvers.images import _ICO_MAX_ENTRIES, _ICO_MAX_IMAGE
+
+    h = reader.read_at(off, 6)
+    if len(h) < 6:
+        return False
+    count = h[4] | (h[5] << 8)
+    if count == 0 or count > _ICO_MAX_ENTRIES:
+        return False
+    d = reader.read_at(off + 6, 16)
+    if len(d) < 16:
+        return False
+    size = int.from_bytes(d[8:12], "little")
+    img_off = int.from_bytes(d[12:16], "little")
+    if size == 0 or img_off < 6 + count * 16 or size > _ICO_MAX_IMAGE:
+        return False
+    return True
+
+
+_GATE_CHECKS = {"m3": _mp3_sync_ok, "bm": _bmp_ok, "ic": _ico_prefix_ok}
 
 
 def find_all(data: bytes, pattern: bytes, cap: int = MAX_HITS_PER_CHUNK) -> list[int]:
@@ -394,14 +452,14 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
         if cfg.max_chunks is not None:
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
 
-    mp3_gate = mp3_gate_indexes(cfg)
+    gates = scan_gate_indexes(cfg)
     n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
     # JVM fast path: positioned read + one automaton pass per chunk
     # inside the executor JVM, streamed through a bounded window. E01
     # containers decompress chunk-by-chunk straight into the automaton
     # (EwfImage.java). No Python workers.
     if ensure_kernel(plan.sparkSession):
-        spec = spec_for(patterns, MAX_HITS_PER_CHUNK, mp3_gate)
+        spec = spec_for(patterns, MAX_HITS_PER_CHUNK, gates)
         hits = F.call_udf(
             "sb_scan_evidence",
             F.lit(path),
@@ -412,7 +470,11 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
         raw = _decode_packed_hits(plan.repartition(n_parts), hits, patterns)
         return normalize_hits(raw)
 
-    gated = {(patterns[i][1], patterns[i][2]) for i in mp3_gate}
+    gated = {
+        (patterns[i][1], patterns[i][2]): _GATE_CHECKS[tag]
+        for tag, idxs in gates.items()
+        for i in idxs
+    }
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)
@@ -424,9 +486,8 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
                 ):
                     blob = reader.read_at(int(start), int(rlen))
                     for off, pat_id, ft_id in scan_blob(blob, patterns):
-                        if (pat_id, ft_id) in gated and not _mp3_sync_ok(
-                            reader, int(start) + off
-                        ):
+                        check = gated.get((pat_id, ft_id))
+                        if check is not None and not check(reader, int(start) + off):
                             continue
                         rows.append(
                             (int(cid), int(start), int(vlen), off, pat_id, ft_id)

@@ -12,10 +12,13 @@ bucket and serves every co-located hit from it.
 
 Method (host-variance discipline): modes alternate in ONE session
 (bucketed/per-hit x rounds), carved outputs sorted-collected and
-asserted identical every round; per-hit mode is produced by removing
-bzip2 from _SWEEP_FAMILIES for the call (exactly the pre-r12 path).
-Config narrows to the bzip2 file type so the carve wall isolates the
-family under test.
+asserted identical every round; bucketed mode INSTALLS a bzip2 entry
+into _SWEEP_FAMILIES for the call (the r12 branch — removed from the
+shipping table in r13 after this tool measured it 7.3x/8.1x slower
+at marker-dense/marker-free density: the stage wall is the hashing
+of the truncated carve outputs, which range-bucketing serializes
+into one task per max_size bucket). Config narrows to the bzip2 file
+type so the carve wall isolates the family under test.
 
 Usage: python tools/bench_bzip2_density.py [mib] [hit_stride_kib]
        [end_stride_kib] [rounds] -> one JSON line.
@@ -96,8 +99,16 @@ def main() -> None:
     total_hits = hits.count()
     print(f"# scanned {total_hits} hits", file=sys.stderr)
 
-    real_fams = dict(carve_mod._SWEEP_FAMILIES)
-    no_bz = {k: v for k, v in real_fams.items() if k != "bzip2"}
+    def _collect_bzip2_ends_kw(reader, lo, hi):
+        from swiftbeaver_spark.carvers.archives import _BZIP2_END
+        from swiftbeaver_spark.carvers.base import collect_magic_positions
+
+        return {"end_candidates": collect_magic_positions(reader, lo, hi, _BZIP2_END)}
+
+    orig_fams = carve_mod._SWEEP_FAMILIES
+    no_bz = {k: v for k, v in orig_fams.items() if k != "bzip2"}
+    real_fams = dict(no_bz)
+    real_fams["bzip2"] = (_collect_bzip2_ends_kw, True)
     sel = ["global_start", "global_end", "size", "sha256", "validated", "truncated"]
 
     def one_mode(bucketed: bool) -> tuple[float, list]:
@@ -112,7 +123,7 @@ def main() -> None:
             )
             return round(time.time() - t0, 3), rows
         finally:
-            carve_mod._SWEEP_FAMILIES = real_fams
+            carve_mod._SWEEP_FAMILIES = orig_fams
 
     obs = {"bucketed": [], "per_hit": []}
     ref = None
