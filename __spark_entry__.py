@@ -11612,33 +11612,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills the remaining slots oldest-first).
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-12 cut, per the standing rotation policy (VERDICT r8-r11):
-        # (a) round-12 code-touched. This round's engine changes (the
-        #     one-pass adoption: fused_scan.py, engine.run, Ent.java
-        #     scanEvidence, EwfImage.java chunk cache, carve_op.py
-        #     carve_zips, spans_from_evidence / entropy_windows_from_
-        #     evidence limit filters) are NOT execution-reached by any
-        #     gated query: q35/q173 gate the kernels through the BYTES
-        #     paths (scan_string_spans / entropy_regions -> Strs.scanBytes
-        #     / Ent.scanBytes, both unchanged), q30-q33 carve via
-        #     carve_hits_with_chunks (carve_zips is the evidence-path
-        #     branch), and no query runs Engine.run or EWF evidence.
-        #     The changes are pinned by tests/test_engine_one_pass.py
-        #     differentials (engine one-pass == default, raw + E01) and
-        #     the fused/zip parity suites. q173/q02/q35 window anyway as
-        #     the standing kernel-family gates (their .java files
-        #     recompiled this round), and q30-q33 as the carve-family
-        #     gates (carve_op.py changed, same file-touched insurance).
-        # (b) the ENTIRE 37-query r8-vintage cohort (q53-q58, q60-q79,
-        #     q81-q87, q89, q90, q93, q94) — the due-date set; after
-        #     this round no green driver row is older than round 9.
-        # (c) 6 spare slots pre-refresh the front of the 42-query
-        #     r9-vintage cohort (q100, q101, q104-q107) — the r13
-        #     overflow guard (r13 then owes 36 r9-vintage + touches).
-
+        # Round-13 cut, per the standing rotation policy (VERDICT r8-r12):
+        # (a) round-13 code-touched gates. This round changed the scan
+        #     kernel spec plumbing (jvm.spec_for grew an optional
+        #     mp3-gate trailer; Ac.java parses it and gained channel/
+        #     readAt helpers) — execution-reached by every query that
+        #     scans through the JVM kernel: q02 (scan_chunks_jvm) and
+        #     q30-q33 (scan_and_normalize + carve). The mp3 gate itself
+        #     fires only on EVIDENCE-path scans (scan_evidence /
+        #     sb_scan_all), which no gated query runs — those paths are
+        #     pinned by tests/test_mp3_gate.py (JVM==fallback==E01
+        #     differentials) and the one-pass parity suite. q173/q35
+        #     window as the standing kernel-family gates (the jar
+        #     recompiled this round; Ent.java/Strs.java bodies are
+        #     unchanged). The r13 carve_op.py rewrite (single-shuffle
+        #     family dispatch) and engine.py cache changes touch only
+        #     carve_hits_with_evidence / Engine.run paths, which no
+        #     gated query executes (q30-q33 carve via
+        #     carve_hits_with_chunks) — pinned by tests/test_sweep_
+        #     index.py, test_carve_op.py and test_engine_one_pass.py.
+        # (b) the ENTIRE 36-query r9-vintage cohort (q26/q34/q80/q88/
+        #     q91/q95/q96/q98/q99 + the q108-q171 band) — the due-date
+        #     set; after this round no green driver row is older than
+        #     round 10.
+        # (c) 7 spare slots pre-refresh the front of the 44-query
+        #     r10-vintage cohort (q14-q17, q59, q92, q97) — the r14
+        #     overflow guard (r14 then owes 37 r10-vintage + touches).
         "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
         "q35_string_spans": q35_string_spans,
+        "q30_carve_roundtrip": q30_carve_roundtrip,
+        "q31_carve_declared": q31_carve_declared,
+        "q32_carve_structured": q32_carve_structured,
+        "q33_carve_remaining": q33_carve_remaining,
+        "q26_minhash_neardup": q26_minhash_neardup,
+        "q34_ivf_topk": q34_ivf_topk,
+        "q80_pagerank": q80_pagerank,
+        "q88_ivfpq_topk": q88_ivfpq_topk,
+        "q91_coarse_refine_topk": q91_coarse_refine_topk,
+        "q95_incremental_minhash": q95_incremental_minhash,
+        "q96_star_join": q96_star_join,
+        "q98_cube_summary": q98_cube_summary,
+        "q99_resize_images": q99_resize_images,
+        "q108_hll_distinct": q108_hll_distinct,
+        "q110_grouping_sets": q110_grouping_sets,
+        "q111_moving_window": q111_moving_window,
+        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
+        "q115_grouped_median": q115_grouped_median,
+        "q116_grouped_mode": q116_grouped_mode,
+        "q117_contamination_scores": q117_contamination_scores,
+        "q123_prefix_filter_join": q123_prefix_filter_join,
+        "q124_html_extract": q124_html_extract,
+        "q125_warc_roundtrip": q125_warc_roundtrip,
+        "q126_small_qty_revenue": q126_small_qty_revenue,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
+        "q134_bfs_distances": q134_bfs_distances,
+        "q139_patch_means": q139_patch_means,
+        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
+        "q147_persisted_index": q147_persisted_index,
+        "q148_watermark_late_drop": q148_watermark_late_drop,
+        "q149_stream_outer_join": q149_stream_outer_join,
+        "q153_png_decode": q153_png_decode,
+        "q154_audio_energy": q154_audio_energy,
+        "q155_cdc_dedup": q155_cdc_dedup,
+        "q156_gif_decode": q156_gif_decode,
+        "q158_tiff_decode": q158_tiff_decode,
+        "q161_raster_consistency": q161_raster_consistency,
+        "q164_nested_semijoin": q164_nested_semijoin,
+        "q171_fasttext_classify": q171_fasttext_classify,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q97_compaction_plan": q97_compaction_plan,
+        # --- past the driver window (rotation pool) ---------------------
+        # ordered oldest-vintage-first for the next recuts:
+        # r10 cohort (37 remaining, due r14):
+        "q102_retention_cohorts": q102_retention_cohorts,
+        "q103_event_transitions": q103_event_transitions,
+        "q109_boilerplate_removal": q109_boilerplate_removal,
+        "q112_snapshot_diff": q112_snapshot_diff,
+        "q113_fk_orphans": q113_fk_orphans,
+        "q118_curation_v2": q118_curation_v2,
+        "q119_split_assignment": q119_split_assignment,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
+        "q121_filtered_ann": q121_filtered_ann,
+        "q128_hilbert": q128_hilbert,
+        "q129_kmv_set_ops": q129_kmv_set_ops,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q132_weighted_median": q132_weighted_median,
+        "q133_json_extract": q133_json_extract,
+        "q135_format_roundtrip": q135_format_roundtrip,
+        "q136_substring_dedup": q136_substring_dedup,
+        "q137_kmeans": q137_kmeans,
+        "q138_privacy_audit": q138_privacy_audit,
+        "q141_dense_timeline": q141_dense_timeline,
+        "q142_schema_evolution": q142_schema_evolution,
+        "q143_time_travel": q143_time_travel,
+        "q144_collocations": q144_collocations,
+        "q145_tfidf_keywords": q145_tfidf_keywords,
+        "q146_inference_batching": q146_inference_batching,
+        "q150_feature_store": q150_feature_store,
+        "q151_semantic_decontamination": q151_semantic_decontamination,
+        "q152_cluster_best_keep": q152_cluster_best_keep,
+        "q159_data_card": q159_data_card,
+        "q162_sft_spans": q162_sft_spans,
+        "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q165_equidepth_histogram": q165_equidepth_histogram,
+        "q166_domain_caps": q166_domain_caps,
+        "q167_jpeg_decode": q167_jpeg_decode,
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
+        "q170_flac_decode": q170_flac_decode,
+        "q172_fasttext_subword": q172_fasttext_subword,
+        # r11 cohort (43, due r15):
+        "q01_chunk_plan": q01_chunk_plan,
+        "q03_scan_counts": q03_scan_counts,
+        "q04_entropy": q04_entropy,
+        "q05_sessionize": q05_sessionize,
+        "q06_join_history": q06_join_history,
+        "q07_left_join_coalesce": q07_left_join_coalesce,
+        "q08_group_dedup": q08_group_dedup,
+        "q09_run_summary": q09_run_summary,
+        "q10_case_mapping": q10_case_mapping,
+        "q11_time_conversions": q11_time_conversions,
+        "q12_url_parse": q12_url_parse,
+        "q13_email_split": q13_email_split,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q20_token_stats": q20_token_stats,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_cosine_topk": q23_cosine_topk,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q25_top_orders": q25_top_orders,
+        "q27_simhash_neardup": q27_simhash_neardup,
+        "q28_lsh_topk": q28_lsh_topk,
+        "q29_media_meta": q29_media_meta,
+        "q36_dedup_clusters": q36_dedup_clusters,
+        "q37_stream_sessionize": q37_stream_sessionize,
+        "q38_pack_sequences": q38_pack_sequences,
+        "q39_hash_sample": q39_hash_sample,
+        "q40_pii_scrub": q40_pii_scrub,
+        "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
+        "q43_line_dedup": q43_line_dedup,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q45_session_window": q45_session_window,
+        "q46_kmv_sketch": q46_kmv_sketch,
+        "q47_stream_window_agg": q47_stream_window_agg,
+        "q48_asof_join": q48_asof_join,
+        "q49_countmin": q49_countmin,
+        "q50_weighted_sample": q50_weighted_sample,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q52_stream_dedup": q52_stream_dedup,
+        "q122_semantic_dedup": q122_semantic_dedup,
+        "q157_bitext_mining": q157_bitext_mining,
+        "q160_mmr_rerank": q160_mmr_rerank,
+        # r12 cohort (43):
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
         "q55_linear_quality": q55_linear_quality,
@@ -11676,140 +11810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_shard_manifest": q90_shard_manifest,
         "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
-        "q30_carve_roundtrip": q30_carve_roundtrip,
-        "q31_carve_declared": q31_carve_declared,
-        "q32_carve_structured": q32_carve_structured,
-        "q33_carve_remaining": q33_carve_remaining,
         "q100_frame_sample": q100_frame_sample,
         "q101_audio_windows": q101_audio_windows,
         "q104_stream_neardup": q104_stream_neardup,
         "q105_chunk_documents": q105_chunk_documents,
         "q106_gopher_flags": q106_gopher_flags,
         "q107_c4_clean": q107_c4_clean,
-        # --- past the driver window (rotation pool) ---------------------
-        "q04_entropy": q04_entropy,
-        "q05_sessionize": q05_sessionize,
-        "q122_semantic_dedup": q122_semantic_dedup,
-        "q157_bitext_mining": q157_bitext_mining,
-        "q160_mmr_rerank": q160_mmr_rerank,
-        "q03_scan_counts": q03_scan_counts,
-        "q06_join_history": q06_join_history,
-        "q07_left_join_coalesce": q07_left_join_coalesce,
-        "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
-        "q10_case_mapping": q10_case_mapping,
-        "q11_time_conversions": q11_time_conversions,
-        "q12_url_parse": q12_url_parse,
-        "q13_email_split": q13_email_split,
-        "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q20_token_stats": q20_token_stats,
-        "q21_quality": q21_quality,
-        "q22_langid": q22_langid,
-        "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q25_top_orders": q25_top_orders,
-        "q28_lsh_topk": q28_lsh_topk,
-        "q29_media_meta": q29_media_meta,
-        "q36_dedup_clusters": q36_dedup_clusters,
-        "q37_stream_sessionize": q37_stream_sessionize,
-        "q38_pack_sequences": q38_pack_sequences,
-        "q39_hash_sample": q39_hash_sample,
-        "q40_pii_scrub": q40_pii_scrub,
-        "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
-        "q43_line_dedup": q43_line_dedup,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q45_session_window": q45_session_window,
-        "q46_kmv_sketch": q46_kmv_sketch,
-        "q47_stream_window_agg": q47_stream_window_agg,
-        "q48_asof_join": q48_asof_join,
-        "q49_countmin": q49_countmin,
-        "q50_weighted_sample": q50_weighted_sample,
-        "q01_chunk_plan": q01_chunk_plan,
-        "q27_simhash_neardup": q27_simhash_neardup,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
-        "q52_stream_dedup": q52_stream_dedup,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
-        "q172_fasttext_subword": q172_fasttext_subword,
-        "q102_retention_cohorts": q102_retention_cohorts,
-        "q103_event_transitions": q103_event_transitions,
-        "q109_boilerplate_removal": q109_boilerplate_removal,
-        "q112_snapshot_diff": q112_snapshot_diff,
-        "q113_fk_orphans": q113_fk_orphans,
-        "q118_curation_v2": q118_curation_v2,
-        "q119_split_assignment": q119_split_assignment,
-        "q120_ivfpq_residual": q120_ivfpq_residual,
-        "q121_filtered_ann": q121_filtered_ann,
-        "q128_hilbert": q128_hilbert,
-        "q129_kmv_set_ops": q129_kmv_set_ops,
-        "q130_temperature_sample": q130_temperature_sample,
-        "q132_weighted_median": q132_weighted_median,
-        "q133_json_extract": q133_json_extract,
-        "q135_format_roundtrip": q135_format_roundtrip,
-        "q136_substring_dedup": q136_substring_dedup,
-        "q137_kmeans": q137_kmeans,
-        "q138_privacy_audit": q138_privacy_audit,
-        "q141_dense_timeline": q141_dense_timeline,
-        "q142_schema_evolution": q142_schema_evolution,
-        "q143_time_travel": q143_time_travel,
-        "q144_collocations": q144_collocations,
-        "q145_tfidf_keywords": q145_tfidf_keywords,
-        "q146_inference_batching": q146_inference_batching,
-        "q150_feature_store": q150_feature_store,
-        "q151_semantic_decontamination": q151_semantic_decontamination,
-        "q152_cluster_best_keep": q152_cluster_best_keep,
-        "q159_data_card": q159_data_card,
-        "q162_sft_spans": q162_sft_spans,
-        "q163_prefix_cache_plan": q163_prefix_cache_plan,
-        "q165_equidepth_histogram": q165_equidepth_histogram,
-        "q166_domain_caps": q166_domain_caps,
-        "q167_jpeg_decode": q167_jpeg_decode,
-        "q168_mp3_frames": q168_mp3_frames,
-        "q169_vorbis_meta": q169_vorbis_meta,
-        "q170_flac_decode": q170_flac_decode,
-        "q59_bpe_learn": q59_bpe_learn,
-        "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q97_compaction_plan": q97_compaction_plan,
-        "q26_minhash_neardup": q26_minhash_neardup,
-        "q80_pagerank": q80_pagerank,
-        "q134_bfs_distances": q134_bfs_distances,
-        "q171_fasttext_classify": q171_fasttext_classify,
-        "q34_ivf_topk": q34_ivf_topk,
-        "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q91_coarse_refine_topk": q91_coarse_refine_topk,
-        "q95_incremental_minhash": q95_incremental_minhash,
-        "q96_star_join": q96_star_join,
-        "q98_cube_summary": q98_cube_summary,
-        "q99_resize_images": q99_resize_images,
-        "q108_hll_distinct": q108_hll_distinct,
-        "q110_grouping_sets": q110_grouping_sets,
-        "q111_moving_window": q111_moving_window,
-        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
-        "q115_grouped_median": q115_grouped_median,
-        "q116_grouped_mode": q116_grouped_mode,
-        "q117_contamination_scores": q117_contamination_scores,
-        "q123_prefix_filter_join": q123_prefix_filter_join,
-        "q124_html_extract": q124_html_extract,
-        "q125_warc_roundtrip": q125_warc_roundtrip,
-        "q126_small_qty_revenue": q126_small_qty_revenue,
-        "q127_bigram_lm": q127_bigram_lm,
-        "q131_crawl_pipeline": q131_crawl_pipeline,
-        "q139_patch_means": q139_patch_means,
-        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
-        "q147_persisted_index": q147_persisted_index,
-        "q148_watermark_late_drop": q148_watermark_late_drop,
-        "q149_stream_outer_join": q149_stream_outer_join,
-        "q153_png_decode": q153_png_decode,
-        "q154_audio_energy": q154_audio_energy,
-        "q155_cdc_dedup": q155_cdc_dedup,
-        "q156_gif_decode": q156_gif_decode,
-        "q158_tiff_decode": q158_tiff_decode,
-        "q161_raster_consistency": q161_raster_consistency,
-        "q164_nested_semijoin": q164_nested_semijoin,
     }
 
 

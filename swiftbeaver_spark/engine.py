@@ -33,6 +33,12 @@ from swiftbeaver_spark.entropy import entropy_regions
 from swiftbeaver_spark.scanner import scan_and_normalize
 from swiftbeaver_spark.strings_scan import scan_string_artefacts, scan_string_spans
 
+from pyspark.storagelevel import StorageLevel
+
+# Storage level for the one-pass raw metadata frame (see _run_one_pass);
+# module-level so tools/bench_persist_level.py can A/B levels in-session.
+ONE_PASS_RAW_STORAGE = StorageLevel.MEMORY_AND_DISK
+
 
 def make_run_id() -> str:
     """`YYYYMMDDTHHMMSSZ_<hex>` (reference src/config.rs:114-126)."""
@@ -420,9 +426,18 @@ class Engine:
             max_chunks=self.cfg.max_chunks,
         )
         # the persist is what makes the evidence read happen ONCE: every
-        # derived table reads through this small metadata cache (one row
-        # per sub-chunk: packed hits + span rows + entropy islands)
-        raw = scans["raw"].persist(StorageLevel.MEMORY_AND_DISK)
+        # derived table reads through this metadata cache (one row per
+        # sub-chunk: packed hits + span rows + entropy islands). The
+        # frame is the one SIZE-PROPORTIONAL intermediate (span content
+        # ~ the text share of the corpus); MEMORY_AND_DISK lets Spark
+        # degrade it to disk partition-by-partition when it outgrows
+        # the storage pool — the in-session persist-level A/B
+        # (tools/bench_persist_level.py, r13) measured MEMORY_AND_DISK
+        # vs DISK_ONLY within noise at 4 GiB on local[32], so the
+        # graceful default keeps the memory-hit fast path where the
+        # frame fits and the disk shape where it does not. Module
+        # constant so the A/B tool can swap levels in one session.
+        raw = scans["raw"].persist(ONE_PASS_RAW_STORAGE)
         plan = plan_chunks(self.spark, total, self.cfg.chunk_size, self.cfg.overlap)
         if self.cfg.max_bytes is not None:
             plan = plan.where(F.col("start") < int(self.cfg.max_bytes))

@@ -459,10 +459,13 @@ def test_run_cache_intermediates_same_tables(spark, tmp_path):
         # persisted frames (so derived stages keep matching the cache
         # by logical-plan equality); storage level shows on the
         # persisted frames RunResult tracks
+        # every tracked frame is persisted with a disk component; the
+        # one-pass RAW frame is DISK_ONLY by design (size-proportional
+        # span content — r13), stage caches are MEMORY_AND_DISK
         assert cached.persisted and all(
-            df.storageLevel.useMemory and df.storageLevel.useDisk
-            for df in cached.persisted
+            df.storageLevel.useDisk for df in cached.persisted
         )
+        assert any(df.storageLevel.useMemory for df in cached.persisted)
         # ORDER regression pin (round-10 self-review): the CACHE must
         # register the RAW stage plans (derived stages — carve from
         # hits, artefacts from spans — were built from the raw frames
