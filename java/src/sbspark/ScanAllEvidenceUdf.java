@@ -174,8 +174,9 @@ public class ScanAllEvidenceUdf implements UDF4<String, Long, Long, String, Row>
       // loose-signature gates (mp3/bmp/ico): validation reads usually
       // land inside the preloaded block (BlockIo falls through to the
       // source past it); absolute offset = start + sub-chunk-relative
-      // hit offset
-      hits = ScanGates.filter(ac, io::read, start, hits);
+      // hit offset. Overlap-tail hits (offset >= vlen) skip validation
+      // — normalize_hits discards them downstream.
+      hits = ScanGates.filter(ac, io::read, start, hits, vlen);
     }
 
     List<Row> spans = strs.scanEvidence(io, total, start, vlen);

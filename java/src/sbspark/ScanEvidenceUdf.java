@@ -24,11 +24,17 @@ public class ScanEvidenceUdf implements UDF4<String, Long, Long, String, List<Lo
       IS_EWF.putIfAbsent(path, ewf);
     }
     Ac ac = Ac.get(spec);
+    // valid_length is not part of this UDF's signature (the plan drops
+    // overlap-tail hits in normalize_hits), so no validLimit cutoff here
     if (ewf) {
       EwfImage img = EwfImage.get(path);
-      return ScanGates.filter(ac, img::readAt, start, img.scan(ac, start, length));
+      return ScanGates.filter(ac, img::readAt, start, img.scan(ac, start, length), Long.MAX_VALUE);
     }
     return ScanGates.filter(
-        ac, (pos, len) -> Ac.readAt(path, pos, len), start, ac.scanFile(path, start, length));
+        ac,
+        (pos, len) -> Ac.readAt(path, pos, len),
+        start,
+        ac.scanFile(path, start, length),
+        Long.MAX_VALUE);
   }
 }

@@ -212,17 +212,22 @@ final class ScanGates {
   /**
    * Filter packed (localOffset &lt;&lt; 16 | patIdx) hits: gated pattern
    * indices keep only offsets passing their gate (absolute offset =
-   * regionStart + localOffset). No-op unless the spec flagged any
-   * pattern.
+   * regionStart + localOffset). Hits at localOffset &gt;= validLimit
+   * are passed through UNvalidated: normalize_hits discards the
+   * overlap tail anyway, so validating there would pay lookahead
+   * reads (chunk decompressions on E01) for rows that never reach
+   * the carve stage — callers without a known valid length pass
+   * Long.MAX_VALUE. No-op unless the spec flagged any pattern.
    */
-  static List<Long> filter(Ac ac, ReadAt src, long regionStart, List<Long> hits)
+  static List<Long> filter(Ac ac, ReadAt src, long regionStart, List<Long> hits, long validLimit)
       throws IOException {
     if (!ac.anyGate || hits.isEmpty()) return hits;
     List<Long> kept = new ArrayList<>(hits.size());
     for (long h : hits) {
       int idx = (int) (h & 0xFFFF);
       byte kind = ac.gateKind[idx];
-      if (kind == NONE || valid(kind, src, regionStart + (h >> 16))) {
+      long off = h >> 16;
+      if (kind == NONE || off >= validLimit || valid(kind, src, regionStart + off)) {
         kept.add(h);
       }
     }

@@ -406,8 +406,6 @@ class Engine:
         frame (persisted — that persist IS the single read) feeds hits/
         spans/entropy; carve stays on targeted positioned reads (hit
         windows only — the one stage whose reads are sparse)."""
-        from pyspark.storagelevel import StorageLevel
-
         from swiftbeaver_spark.chunking import plan_chunks
         from swiftbeaver_spark.fused_scan import scan_all_from_evidence
         from swiftbeaver_spark.source import evidence_length
@@ -473,8 +471,6 @@ class Engine:
         # raw-vs-observed mismatch was verified real on PySpark 4.1.2).
         persisted: list[DataFrame] = list(persisted_pre or [])
         if cache_intermediates:
-            from pyspark.storagelevel import StorageLevel
-
             # Under one-pass (persisted_pre holds the raw metadata
             # frame) string_spans is a cheap PROJECTION of that
             # already-persisted frame, and it carries the dominant

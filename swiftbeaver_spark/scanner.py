@@ -486,8 +486,14 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
                 ):
                     blob = reader.read_at(int(start), int(rlen))
                     for off, pat_id, ft_id in scan_blob(blob, patterns):
+                        # overlap-tail hits (off >= valid_length) skip
+                        # validation — normalize_hits discards them
                         check = gated.get((pat_id, ft_id))
-                        if check is not None and not check(reader, int(start) + off):
+                        if (
+                            check is not None
+                            and off < int(vlen)
+                            and not check(reader, int(start) + off)
+                        ):
                             continue
                         rows.append(
                             (int(cid), int(start), int(vlen), off, pat_id, ft_id)

@@ -1,6 +1,6 @@
 """Scan-time mp3 bare-sync gate (round 13): the carver's 3-consecutive-
 valid-frames rule (carve_mp3, reference src/carve/mp3.rs:189-330),
-hoisted into the evidence-path scans (Mp3Gate.java + the Python
+hoisted into the evidence-path scans (ScanGates.java + the Python
 fallback's _mp3_sync_ok). Contract:
 
 - evidence-path hits DROP exactly the bare-sync hits the carver would
@@ -112,7 +112,7 @@ def test_gate_python_fallback_identical(spark, tmp_path):
 def test_gate_fuzzed_jvm_equals_python(spark, tmp_path):
     """Random bytes are dense in FF Ex false syncs with arbitrary
     header fields — fuzzes the frame-size table parity between
-    Mp3Gate.java and carvers/media._mp3_frame_size."""
+    ScanGates.java and carvers/media._mp3_frame_size."""
     rng = random.Random(13)
     buf = bytearray(rng.randbytes(256 * 1024))
     # a couple of real streams so the keep side is exercised too

@@ -2,7 +2,7 @@
 showed mp3 as the top aggregate carve term — ~10k bare-sync false
 hits/GiB (11-bit frame sync) for ~23 real files, ~6 s of the 1 GiB
 carve stage. Round 13 hoists the carver's 3-consecutive-valid-frames
-rule to hit time (Mp3Gate.java / scanner._mp3_sync_ok). This tool
+rule to hit time (ScanGates.java / scanner._mp3_sync_ok). This tool
 measures what that buys, in-session and alternating (host-variance
 discipline):
 
@@ -14,8 +14,12 @@ discipline):
     remove hits that carve to None).
 
 Gate OFF is produced by patching scanner.mp3_gate_indexes to return
-no indices — exactly the r12 behavior (spec without the m3 trailer,
-no fallback filtering).
+no indices — removing the m3 trailer and the fallback's mp3 check.
+This ISOLATES the mp3 gate: the bm/ic gates added later in r13 stay
+active in BOTH modes, so the on/off delta measures the mp3 term
+alone (it understates the total scan-gate effect — see the
+carve_format_profile_all_gates row in BENCH_SCALE_r13.json for the
+full-gate hit-volume picture).
 
 Usage: python tools/bench_mp3_gate.py [mib] [rounds] -> one JSON line.
 """
