@@ -24,7 +24,10 @@ import java.util.concurrent.ConcurrentHashMap;
  * evidence-path UDFs validate through ScanGates (tags: m3 = mp3
  * 3-valid-frames rule, bm = bmp header cascade, ic = ico directory
  * prefix — each a hoisted prefix of its carver's own rejection
- * cascade). Automatons are cached per spec for the executor lifetime.
+ * cascade). A tag may carry a numeric parameter ("bm@200=i:j", r14):
+ * for bm it is the type's min_size, hoisting finalize()'s min-size
+ * rejection into the gate (stored per pattern in gateParam).
+ * Automatons are cached per spec for the executor lifetime.
  * Hits are packed (localOffset << 16 | idx) longs so the UDF returns
  * a flat array&lt;bigint&gt; that Catalyst decodes with shift/mask —
  * no struct marshalling.
@@ -45,6 +48,7 @@ public final class Ac {
   final int[] patLen;
   final int cap;
   final byte[] gateKind; // per pattern: ScanGates kind (NONE/MP3/BMP/ICO) for evidence UDFs
+  final long[] gateParam; // per pattern: gate parameter (bm: min_size), 0 = none
   final boolean anyGate;
   private static final int OUT_BIT = 1 << 31;
 
@@ -136,15 +140,25 @@ public final class Ac {
       }
     }
     gateKind = new byte[hexes.length];
+    gateParam = new long[hexes.length];
     boolean any = false;
     if (trailer != null && !trailer.isEmpty()) {
       for (String section : trailer.split(";")) {
         int eq = section.indexOf('=');
         if (eq <= 0) continue;
-        byte kind = ScanGates.kindFor(section.substring(0, eq));
+        String tag = section.substring(0, eq);
+        long param = 0;
+        int at = tag.indexOf('@');
+        if (at >= 0) {
+          param = Long.parseLong(tag.substring(at + 1));
+          tag = tag.substring(0, at);
+        }
+        byte kind = ScanGates.kindFor(tag);
         for (String tok : section.substring(eq + 1).split(":")) {
           if (!tok.isEmpty()) {
-            gateKind[Integer.parseInt(tok)] = kind;
+            int pi = Integer.parseInt(tok);
+            gateKind[pi] = kind;
+            gateParam[pi] = param;
             any = true;
           }
         }

@@ -145,13 +145,22 @@ final class ScanGates {
     return (h[i] & 0xFF) | ((h[i + 1] & 0xFF) << 8);
   }
 
-  /** carve_bmp's full header cascade — byte-for-byte the Python handler's checks. */
-  static boolean bmpValid(ReadAt src, long off) throws IOException {
+  /**
+   * carve_bmp's full header cascade — byte-for-byte the Python handler's
+   * checks — plus (r14) the pipeline's min-size rejection hoisted from
+   * finalize() (carvers/base.py:219): the carved size is
+   * min(declared fileSize, max_size truncation, EOF clamp), which can
+   * only SHRINK fileSize, so fileSize &lt; minSize proves finalize
+   * would return None. minSize 0 (no param in the spec) disables the
+   * check.
+   */
+  static boolean bmpValid(ReadAt src, long off, long minSize) throws IOException {
     byte[] h = src.read(off, 58);
     if (h.length < 18 || h[0] != 'B' || h[1] != 'M') return false;
     long fileSize = u32(h, 2);
     long pixelOffset = u32(h, 10);
     if (fileSize < 14 || fileSize < pixelOffset) return false;
+    if (fileSize < minSize) return false;
     long dib = u32(h, 14);
     if (!validDib(dib)) return false;
     if (pixelOffset < 14 + dib) return false;
@@ -196,12 +205,12 @@ final class ScanGates {
 
   // --- dispatch ---------------------------------------------------------
 
-  static boolean valid(byte kind, ReadAt src, long off) throws IOException {
+  static boolean valid(byte kind, ReadAt src, long off, long param) throws IOException {
     switch (kind) {
       case MP3:
         return mp3Valid(src, off);
       case BMP:
-        return bmpValid(src, off);
+        return bmpValid(src, off, param);
       case ICO:
         return icoPrefixValid(src, off);
       default:
@@ -227,7 +236,9 @@ final class ScanGates {
       int idx = (int) (h & 0xFFFF);
       byte kind = ac.gateKind[idx];
       long off = h >> 16;
-      if (kind == NONE || off >= validLimit || valid(kind, src, regionStart + off)) {
+      if (kind == NONE
+          || off >= validLimit
+          || valid(kind, src, regionStart + off, ac.gateParam[idx])) {
         kept.add(h);
       }
     }

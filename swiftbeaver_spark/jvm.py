@@ -89,7 +89,10 @@ def spec_for(
     tags m3 (mp3 3-valid-frames), bm (bmp header cascade), ic (ico
     directory prefix), appended as ';tag=i:j' trailer sections in
     sorted-tag order so equal assignments yield equal cache keys. A
-    bare list means {'m3': list} (r13 back-compat)."""
+    tag may carry a numeric parameter ('bm@200', r14: the bmp type's
+    min_size, hoisting finalize()'s min-size rejection into the gate);
+    Ac.java parses it per section. A bare list means {'m3': list}
+    (r13 back-compat)."""
     spec = f"{int(cap)};" + ",".join(p.hex() for p, _, _ in patterns)
     if isinstance(gates, list):
         gates = {"m3": gates} if gates else None

@@ -19,6 +19,7 @@ backstop against pathological inputs.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -87,17 +88,24 @@ def scan_gate_indexes(cfg: EngineConfig) -> dict[str, list[int]]:
     Chunk-table scans (scan_chunks) have no evidence reader for the
     lookahead and stay unfiltered — the carver remains the authority
     there."""
-    gates = {"m3": mp3_gate_indexes(cfg)}
-    bm, ic = [], []
+    gates: dict[str, list[int]] = {"m3": mp3_gate_indexes(cfg)}
+    ic = []
     idx = 0
     for ft in cfg.file_types:
         for _pat in ft.header_patterns:
             if ft.validator == "bmp":
-                bm.append(idx)
+                # r14: the tag carries the type's min_size (`bm@200`) so
+                # the gate can also hoist finalize()'s min-size rejection
+                # — carved size = min(declared, max_size, EOF-clamp) can
+                # only SHRINK the declared file_size, so declared <
+                # min_size proves finalize would return None
+                # (carvers/base.py:219). Distinct min_sizes get distinct
+                # sections; Ac.java stores the param per pattern.
+                tag = f"bm@{ft.min_size}" if ft.min_size > 0 else "bm"
+                gates.setdefault(tag, []).append(idx)
             elif ft.validator == "ico":
                 ic.append(idx)
             idx += 1
-    gates["bm"] = bm
     gates["ic"] = ic
     return {tag: idxs for tag, idxs in gates.items() if idxs}
 
@@ -126,14 +134,20 @@ def _mp3_sync_ok(reader, off: int) -> bool:
     return True
 
 
-def _bmp_ok(reader, off: int) -> bool:
+def _bmp_ok(reader, off: int, min_size: int = 0) -> bool:
     """carve_bmp's accept rule IS a pure function of one header read,
     so the Python side gates through the handler itself — zero drift
     by construction (max_size only affects truncation, never
-    None-vs-outcome)."""
+    None-vs-outcome). min_size (r14) mirrors ScanGates.bmpValid's
+    hoisted finalize() rejection: the carved size can only shrink the
+    declared file_size, so declared < min_size proves the pipeline
+    would drop the hit anyway (carvers/base.py:219)."""
     from swiftbeaver_spark.carvers.images import carve_bmp
 
-    return carve_bmp(reader, off, 0) is not None
+    out = carve_bmp(reader, off, 0)
+    if out is None:
+        return False
+    return (out.end - off) >= min_size
 
 
 def _ico_prefix_ok(reader, off: int) -> bool:
@@ -465,16 +479,20 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
             F.lit(path),
             F.col("start").cast("long"),
             F.col("read_length").cast("long"),
+            F.col("valid_length").cast("long"),
             F.lit(spec),
         )
         raw = _decode_packed_hits(plan.repartition(n_parts), hits, patterns)
         return normalize_hits(raw)
 
-    gated = {
-        (patterns[i][1], patterns[i][2]): _GATE_CHECKS[tag]
-        for tag, idxs in gates.items()
-        for i in idxs
-    }
+    gated = {}
+    for tag, idxs in gates.items():
+        base, _, param = tag.partition("@")
+        check = _GATE_CHECKS[base]
+        if param:
+            check = functools.partial(check, min_size=int(param))
+        for i in idxs:
+            gated[(patterns[i][1], patterns[i][2])] = check
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         reader = open_evidence(path)

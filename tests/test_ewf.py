@@ -214,7 +214,7 @@ def test_multi_segment_jvm_scan_matches(spark, tmp_path):
 
     def hits(path):
         [row] = spark.sql(
-            f"SELECT sb_scan_evidence('{path}', 0L, {len(data)}L, '{spec}') AS h"
+            f"SELECT sb_scan_evidence('{path}', 0L, {len(data)}L, {len(data)}L, '{spec}') AS h"
         ).collect()
         return sorted(int(h) for h in row["h"])
 
@@ -270,6 +270,6 @@ def test_short_final_chunk_roundtrip(spark, tmp_path):
         write_ewf(p2, bytes(planted), pad_final=False)
         spec = spec_for(compile_patterns(DEFAULT_CONFIG), MAX_HITS_PER_CHUNK)
         [row] = spark.sql(
-            f"SELECT sb_scan_evidence('{p2}', 0L, {len(planted)}L, '{spec}') AS h"
+            f"SELECT sb_scan_evidence('{p2}', 0L, {len(planted)}L, {len(planted)}L, '{spec}') AS h"
         ).collect()
         assert (len(data) - 100) in {int(h) >> 16 for h in row["h"]}

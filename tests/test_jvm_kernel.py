@@ -94,7 +94,7 @@ def test_evidence_udf_streams_across_io_windows(spark, tmp_path):
         fh.write(bytes(buf))
     spec = spec_for(PATTERNS, MAX_HITS_PER_CHUNK)
     [row] = spark.sql(
-        f"SELECT sb_scan_evidence('{path}', 0L, {len(buf)}L, '{spec}') AS h"
+        f"SELECT sb_scan_evidence('{path}', 0L, {len(buf)}L, {len(buf)}L, '{spec}') AS h"
     ).collect()
     offs = {int(h) >> 16 for h in row["h"] if PATTERNS[int(h) & 0xFFFF][1] == "jpeg_soi"}
     assert {10, win - 1} <= offs
@@ -177,7 +177,7 @@ def test_evidence_udf_reads_e01_natively(spark, tmp_path):
 
     def hits(path, length):
         [row] = spark.sql(
-            f"SELECT sb_scan_evidence('{path}', 0L, {length}L, '{spec}') AS h"
+            f"SELECT sb_scan_evidence('{path}', 0L, {length}L, {length}L, '{spec}') AS h"
         ).collect()
         return sorted(int(h) for h in row["h"])
 

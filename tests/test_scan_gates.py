@@ -150,3 +150,64 @@ def test_carved_rows_identical_gates_on_off(spark, tmp_path):
         )
     )
     assert got == want != []
+
+
+def test_bmp_min_size_hoisted_into_gate(spark, tmp_path):
+    """r14: a bmp whose full header cascade PASSES but whose declared
+    file_size is below the type's min_size is dropped at scan time —
+    finalize()'s min-size rejection (carvers/base.py:219) is a pure
+    function of the declared size, which the carved size can only
+    shrink, so the drop is provably what the pipeline would do. JVM
+    and Python-fallback verdicts agree; the ungated hit carves to
+    zero rows, proving soundness directly."""
+    import dataclasses as dc
+
+    from swiftbeaver_spark.carve_op import carve_hits_with_evidence
+
+    cfg = dc.replace(
+        GATE_CFG,
+        file_types=tuple(
+            dc.replace(ft, min_size=200) if ft.type_id == "bmp" else ft
+            for ft in GATE_CFG.file_types
+        ),
+    )
+    bmp = mk_bmp()  # header-valid, declared file_size = 58 < 200
+    buf = bytearray(100_000)
+    buf[1_000 : 1_000 + len(bmp)] = bmp
+    path = str(tmp_path / "small_bmp.raw")
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+
+    import swiftbeaver_spark.jvm as jvm_mod
+
+    jvm_hits = {
+        r.global_offset
+        for r in scan_evidence(spark, path, cfg).collect()
+        if r.file_type_id == "bmp"
+    }
+    assert 1_000 not in jvm_hits
+    saved = getattr(spark, jvm_mod._MARKER, None)
+    try:
+        setattr(spark, jvm_mod._MARKER, False)
+        py_hits = {
+            r.global_offset
+            for r in scan_evidence(spark, path, cfg).collect()
+            if r.file_type_id == "bmp"
+        }
+    finally:
+        setattr(spark, jvm_mod._MARKER, saved)
+    assert py_hits == jvm_hits
+
+    # soundness: the carver itself rejects the very hit the gate dropped
+    ungated = spark.createDataFrame(
+        [(1_000, "bmp", "bmp_header")],
+        "global_offset long, file_type_id string, pattern_id string",
+    )
+    assert carve_hits_with_evidence(ungated, path, cfg).count() == 0
+    # and with min_size back at 5 the same hit survives BOTH stages
+    assert 1_000 in {
+        r.global_offset
+        for r in scan_evidence(spark, path, GATE_CFG).collect()
+        if r.file_type_id == "bmp"
+    }
+    assert carve_hits_with_evidence(ungated, path, GATE_CFG).count() == 1

@@ -78,7 +78,7 @@ def main() -> None:
             path = os.path.join(tmp, f"jvm_{name}.raw")
             with open(path, "wb") as fh:
                 fh.write(data)
-            q = f"SELECT size(sb_scan_evidence('{path}', 0L, {len(data)}L, '{spec}')) AS n"
+            q = f"SELECT size(sb_scan_evidence('{path}', 0L, {len(data)}L, {len(data)}L, '{spec}')) AS n"
             spark.sql(q).collect()  # warm JIT + page cache
             secs = timeit(lambda q=q: spark.sql(q).collect(), n)
             results[f"jvm_kernel_{name}_256mib_1core"] = {
