@@ -11612,32 +11612,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills the remaining slots oldest-first).
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-13 cut, per the standing rotation policy (VERDICT r8-r12):
-        # (a) round-13 code-touched gates. This round changed the scan
-        #     kernel spec plumbing (jvm.spec_for grew an optional
-        #     mp3-gate trailer; Ac.java parses it and gained channel/
-        #     readAt helpers) — execution-reached by every query that
-        #     scans through the JVM kernel: q02 (scan_chunks_jvm) and
-        #     q30-q33 (scan_and_normalize + carve). The mp3 gate itself
-        #     fires only on EVIDENCE-path scans (scan_evidence /
-        #     sb_scan_all), which no gated query runs — those paths are
-        #     pinned by tests/test_mp3_gate.py (JVM==fallback==E01
-        #     differentials) and the one-pass parity suite. q173/q35
-        #     window as the standing kernel-family gates (the jar
-        #     recompiled this round; Ent.java/Strs.java bodies are
-        #     unchanged). The r13 carve_op.py rewrite (single-shuffle
-        #     family dispatch) and engine.py cache changes touch only
-        #     carve_hits_with_evidence / Engine.run paths, which no
-        #     gated query executes (q30-q33 carve via
-        #     carve_hits_with_chunks) — pinned by tests/test_sweep_
-        #     index.py, test_carve_op.py and test_engine_one_pass.py.
-        # (b) the ENTIRE 36-query r9-vintage cohort (q26/q34/q80/q88/
-        #     q91/q95/q96/q98/q99 + the q108-q171 band) — the due-date
-        #     set; after this round no green driver row is older than
-        #     round 10.
-        # (c) 7 spare slots pre-refresh the front of the 44-query
-        #     r10-vintage cohort (q14-q17, q59, q92, q97) — the r14
-        #     overflow guard (r14 then owes 37 r10-vintage + touches).
+        # Round-14 cut, per the standing rotation policy (VERDICT r8-r13):
+        # (a) round-14 code-touched gates. This round changed the scan
+        #     kernel again (jar recompiled: ScanEvidenceUdf UDF4->UDF5
+        #     threading valid_length to skip overlap-tail gate
+        #     validation; ScanGates/Ac gained the bm@min_size gate
+        #     param; scanner.py scan_gate_indexes/_bmp_ok/scan_evidence
+        #     changed) — execution-reached by every JVM-kernel scan:
+        #     q02 (scan_chunks_jvm) and q30-q33 (scan + carve); q173/
+        #     q35 window as the standing kernel-family gates (jar
+        #     recompiled; Ent.java/Strs.java bodies unchanged). The
+        #     new gate param + tail-skip fire only on EVIDENCE-path
+        #     scans (scan_evidence / sb_scan_all), which no gated
+        #     query runs — those paths are pinned by tests/
+        #     test_scan_gates.py (incl. the new min_size hoist test,
+        #     JVM==fallback differentials) + tests/test_mp3_gate.py +
+        #     the one-pass parity suite. carve_op.py changed comments
+        #     only.
+        # (b) the ENTIRE 37-query r10-vintage cohort (q102-q172 band)
+        #     — the due-date set; after this round no green driver row
+        #     is older than round 11.
+        # (c) 6 spare slots pre-refresh the front of the 43-query
+        #     r11-vintage cohort (q01, q03-q07) — the r15 overflow
+        #     guard (r15 then owes 37 r11-vintage + touches).
         "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
         "q35_string_spans": q35_string_spans,
@@ -11645,52 +11642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_carve_declared": q31_carve_declared,
         "q32_carve_structured": q32_carve_structured,
         "q33_carve_remaining": q33_carve_remaining,
-        "q26_minhash_neardup": q26_minhash_neardup,
-        "q34_ivf_topk": q34_ivf_topk,
-        "q80_pagerank": q80_pagerank,
-        "q88_ivfpq_topk": q88_ivfpq_topk,
-        "q91_coarse_refine_topk": q91_coarse_refine_topk,
-        "q95_incremental_minhash": q95_incremental_minhash,
-        "q96_star_join": q96_star_join,
-        "q98_cube_summary": q98_cube_summary,
-        "q99_resize_images": q99_resize_images,
-        "q108_hll_distinct": q108_hll_distinct,
-        "q110_grouping_sets": q110_grouping_sets,
-        "q111_moving_window": q111_moving_window,
-        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
-        "q115_grouped_median": q115_grouped_median,
-        "q116_grouped_mode": q116_grouped_mode,
-        "q117_contamination_scores": q117_contamination_scores,
-        "q123_prefix_filter_join": q123_prefix_filter_join,
-        "q124_html_extract": q124_html_extract,
-        "q125_warc_roundtrip": q125_warc_roundtrip,
-        "q126_small_qty_revenue": q126_small_qty_revenue,
-        "q127_bigram_lm": q127_bigram_lm,
-        "q131_crawl_pipeline": q131_crawl_pipeline,
-        "q134_bfs_distances": q134_bfs_distances,
-        "q139_patch_means": q139_patch_means,
-        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
-        "q147_persisted_index": q147_persisted_index,
-        "q148_watermark_late_drop": q148_watermark_late_drop,
-        "q149_stream_outer_join": q149_stream_outer_join,
-        "q153_png_decode": q153_png_decode,
-        "q154_audio_energy": q154_audio_energy,
-        "q155_cdc_dedup": q155_cdc_dedup,
-        "q156_gif_decode": q156_gif_decode,
-        "q158_tiff_decode": q158_tiff_decode,
-        "q161_raster_consistency": q161_raster_consistency,
-        "q164_nested_semijoin": q164_nested_semijoin,
-        "q171_fasttext_classify": q171_fasttext_classify,
-        "q14_phone_plausible": q14_phone_plausible,
-        "q15_normalize_url": q15_normalize_url,
-        "q16_string_flags": q16_string_flags,
-        "q17_extract_urls": q17_extract_urls,
-        "q59_bpe_learn": q59_bpe_learn,
-        "q92_bpe_tokenize": q92_bpe_tokenize,
-        "q97_compaction_plan": q97_compaction_plan,
-        # --- past the driver window (rotation pool) ---------------------
-        # ordered oldest-vintage-first for the next recuts:
-        # r10 cohort (37 remaining, due r14):
         "q102_retention_cohorts": q102_retention_cohorts,
         "q103_event_transitions": q103_event_transitions,
         "q109_boilerplate_removal": q109_boilerplate_removal,
@@ -11728,13 +11679,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_vorbis_meta": q169_vorbis_meta,
         "q170_flac_decode": q170_flac_decode,
         "q172_fasttext_subword": q172_fasttext_subword,
-        # r11 cohort (43, due r15):
         "q01_chunk_plan": q01_chunk_plan,
         "q03_scan_counts": q03_scan_counts,
         "q04_entropy": q04_entropy,
         "q05_sessionize": q05_sessionize,
         "q06_join_history": q06_join_history,
         "q07_left_join_coalesce": q07_left_join_coalesce,
+        # --- past the driver window (rotation pool) ---------------------
+        # ordered oldest-vintage-first for the next recuts:
+        # r11 cohort (37 remaining, due r15):
         "q08_group_dedup": q08_group_dedup,
         "q09_run_summary": q09_run_summary,
         "q10_case_mapping": q10_case_mapping,
@@ -11816,6 +11769,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_chunk_documents": q105_chunk_documents,
         "q106_gopher_flags": q106_gopher_flags,
         "q107_c4_clean": q107_c4_clean,
+        # r13 cohort (43, gated green r13):
+        "q26_minhash_neardup": q26_minhash_neardup,
+        "q34_ivf_topk": q34_ivf_topk,
+        "q80_pagerank": q80_pagerank,
+        "q88_ivfpq_topk": q88_ivfpq_topk,
+        "q91_coarse_refine_topk": q91_coarse_refine_topk,
+        "q95_incremental_minhash": q95_incremental_minhash,
+        "q96_star_join": q96_star_join,
+        "q98_cube_summary": q98_cube_summary,
+        "q99_resize_images": q99_resize_images,
+        "q108_hll_distinct": q108_hll_distinct,
+        "q110_grouping_sets": q110_grouping_sets,
+        "q111_moving_window": q111_moving_window,
+        "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
+        "q115_grouped_median": q115_grouped_median,
+        "q116_grouped_mode": q116_grouped_mode,
+        "q117_contamination_scores": q117_contamination_scores,
+        "q123_prefix_filter_join": q123_prefix_filter_join,
+        "q124_html_extract": q124_html_extract,
+        "q125_warc_roundtrip": q125_warc_roundtrip,
+        "q126_small_qty_revenue": q126_small_qty_revenue,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
+        "q134_bfs_distances": q134_bfs_distances,
+        "q139_patch_means": q139_patch_means,
+        "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
+        "q147_persisted_index": q147_persisted_index,
+        "q148_watermark_late_drop": q148_watermark_late_drop,
+        "q149_stream_outer_join": q149_stream_outer_join,
+        "q153_png_decode": q153_png_decode,
+        "q154_audio_energy": q154_audio_energy,
+        "q155_cdc_dedup": q155_cdc_dedup,
+        "q156_gif_decode": q156_gif_decode,
+        "q158_tiff_decode": q158_tiff_decode,
+        "q161_raster_consistency": q161_raster_consistency,
+        "q164_nested_semijoin": q164_nested_semijoin,
+        "q171_fasttext_classify": q171_fasttext_classify,
+        "q14_phone_plausible": q14_phone_plausible,
+        "q15_normalize_url": q15_normalize_url,
+        "q16_string_flags": q16_string_flags,
+        "q17_extract_urls": q17_extract_urls,
+        "q59_bpe_learn": q59_bpe_learn,
+        "q92_bpe_tokenize": q92_bpe_tokenize,
+        "q97_compaction_plan": q97_compaction_plan,
     }
 
 

@@ -183,6 +183,20 @@ def _collect_zip_eocds_kw(reader, lo: int, hi: int) -> dict:
 # per-hit sweep dominates the per-hit CARVE (zip: yes -- full-window
 # sweep, bounded parse; bzip2/gzip: no).
 #
+# r14 decision -- bzip2's false-sync carve term is PARITY-BOUND, not
+# fixable: capping the end-marker sweep at the next "BZh"+digit sync
+# would break parity. The reference (src/carve/bzip2.rs:76-117)
+# sweeps every hit independently to max_size/EOF, straight past any
+# intervening sync -- necessarily, because "BZh"+digit is 4 bytes
+# (~1/16M per position), so a real 100 MB compressed payload EXPECTS
+# ~6 incidental syncs inside it; a cap would truncate real files the
+# reference carves whole. The cost stays as measured (158.7 ms/hit,
+# 3.8 s for 24 false hits/GiB on the r13 stress text corpus,
+# BENCH_SCALE_r13.json carve profile): operators running text-dense
+# evidence should drop the bzip2 entry from `file_types` (YAML
+# config override, config_yaml.py) -- every term of the cost is
+# format-rule-mandated output, not overhead.
+#
 # The bool is `early_exit`: whether the per-hit sweep can stop at the
 # first match. Early-exit families only profit from the shared index
 # at density -- a single-hit bucket's tight index read equals the
