@@ -43,6 +43,16 @@ from pyspark.sql import functions as F
 
 from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
 
+# Evidence bytes per one-pass scan partition (r14): bounds the persisted
+# raw frame's per-partition cache block — and the unroll/serialization
+# working set of the task building it — independently of corpus size.
+# 128 MiB of evidence is ~8 sub-chunk rows per task and at worst (a
+# fully-text corpus, span content ~ evidence bytes) a ~150 MiB block:
+# small enough that a block under construction is a footnote against
+# the storage pool, large enough that a 10 GiB image still packs its
+# scan into ~3 task waves at 32 threads.
+ONE_PASS_PARTITION_BYTES = 128 * 1024 * 1024
+
 
 def one_pass_geometry_ok(cfg: EngineConfig, granule: int | None = None) -> bool:
     """True when the sub-chunk tiling is entropy-window aligned (the
@@ -158,7 +168,24 @@ def scan_all_from_evidence(
         plan = plan.where(
             F.floor(F.col("start") / cfg.chunk_size) < int(max_chunks)
         )
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # Partition count scales with CORPUS SIZE, floored at the thread
+    # count (r14): a fixed defaultParallelism split makes each
+    # partition's evidence share — and therefore the persisted raw
+    # frame's per-partition cache block and its unroll/serialization
+    # working set — grow LINEARLY with the corpus (20 GiB at a fixed
+    # 32 split = 640 MiB of evidence per block, which OOMed the 8 GiB
+    # heap that 10 GiB's 320 MiB blocks survived; BENCH_SCALE_r14).
+    # Bounding partitions at ONE_PASS_PARTITION_BYTES of evidence
+    # keeps the block size flat no matter the corpus, which is what
+    # makes the per-executor memory law size-independent — the same
+    # rule a 1000-executor/100 TB run needs, since corpus bytes per
+    # executor grow there too.
+    scan_span = min(total, max_bytes) if max_bytes is not None else total
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        1,
+        math.ceil(scan_span / ONE_PASS_PARTITION_BYTES),
+    )
     raw = plan.repartition(n_parts).select(
         "start",
         "valid_length",

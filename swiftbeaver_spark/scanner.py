@@ -467,7 +467,20 @@ def scan_evidence(spark, path: str, cfg: EngineConfig, plan: DataFrame | None = 
             plan = plan.where(F.col("chunk_id") < int(cfg.max_chunks))
 
     gates = scan_gate_indexes(cfg)
-    n_parts = max(plan.sparkSession.sparkContext.defaultParallelism, 1)
+    # partition count scales with corpus bytes, floored at parallelism
+    # (r14, same rule as the one-pass path): a fixed defaultParallelism
+    # split hands each task corpus/N bytes — no straggler rebalancing
+    # and no retry granularity once the corpus outgrows N chunks. ~2
+    # parent chunks (1 GiB of evidence) per task keeps tasks coarse
+    # enough to amortize automaton setup and fine enough to reschedule.
+    span = evidence_length(path)
+    if cfg.max_bytes is not None:
+        span = min(span, int(cfg.max_bytes))
+    n_parts = max(
+        plan.sparkSession.sparkContext.defaultParallelism,
+        1,
+        -(-span // (2 * cfg.chunk_size)),
+    )
     # JVM fast path: positioned read + one automaton pass per chunk
     # inside the executor JVM, streamed through a bounded window. E01
     # containers decompress chunk-by-chunk straight into the automaton
