@@ -137,3 +137,30 @@ def test_requires_jvm_kernel(spark, tmp_path):
             scan_all_from_evidence(spark, str(p), CFG, granule=GRANULE)
     finally:
         setattr(spark, jvm_mod._MARKER, saved)
+
+
+def test_partition_count_scales_with_corpus_bytes(spark, tmp_path):
+    """r14: the one-pass scan's partition count must grow with corpus
+    bytes (ONE_PASS_PARTITION_BYTES of evidence per partition), not
+    stay pinned at defaultParallelism — a fixed split makes each
+    partition's persisted cache block corpus-proportional, the term
+    that OOMed 20 GiB at a heap 10 GiB survived (BENCH_SCALE_r14).
+    Plan-level check over a SPARSE file: no bytes are read."""
+    import math
+    import os
+
+    from swiftbeaver_spark.fused_scan import ONE_PASS_PARTITION_BYTES
+
+    size = 5 * 1024 * 1024 * 1024  # 5 GiB sparse
+    path = str(tmp_path / "sparse.raw")
+    with open(path, "wb") as fh:
+        fh.truncate(size)
+
+    scans = scan_all_from_evidence(spark, path, CFG)
+    want = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(size / ONE_PASS_PARTITION_BYTES),
+    )
+    assert scans["raw"].rdd.getNumPartitions() == want
+    assert want == 40  # 5 GiB / 128 MiB > the local[32] floor
+    os.unlink(path)
