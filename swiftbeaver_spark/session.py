@@ -82,12 +82,12 @@ def get_spark(
         # local mode puts ALL executor threads in the driver JVM, so
         # size the heap by thread count: 32 threads x ~0.5 GB/thread —
         # the per-thread budget a real cluster executor gets (e.g.
-        # 8 threads / 4 GB) — not a single-driver 8g. At 8g the
-        # one-pass evidence run's persisted metadata frame (span
-        # content ~ text share of corpus) plus 32 concurrent task
-        # working sets OOMed at 10 GiB evidence (r13); 16g holds it
-        # with MEMORY_AND_DISK spill headroom and is still 1/8 of the
-        # dev box. Override via SPARK_DRIVER_MEMORY.
+        # 8 threads / 4 GB) — not a single-driver 8g. The one-pass
+        # memory law (r14, measured bracket in SCALE.md): the floor is
+        # 0.094-0.125 GB/thread at the 16 MiB granule now that scan
+        # partitions are size-bounded, so 0.5 carries 4x margin and
+        # survived 20 GiB evidence at HALF this default. Override via
+        # SPARK_DRIVER_MEMORY.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
