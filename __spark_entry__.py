@@ -11629,11 +11629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     JVM==fallback differentials) + tests/test_mp3_gate.py +
         #     the one-pass parity suite. carve_op.py changed comments
         #     only. The r14 size-scaled partition counts (fused_scan
-        #     scan_all_from_evidence, scanner scan_evidence) also touch
-        #     only those evidence paths — partitioning is semantics-
-        #     free and the counts floor at defaultParallelism, so
-        #     sf-scale plans are byte-identical; pinned by the same
-        #     parity suites plus the 20 GiB/8g memory-law runs.
+        #     scan_all_from_evidence, scanner scan_evidence, entropy/
+        #     strings standalone evidence paths, carve_hits_with_
+        #     evidence shuffle width) also touch only evidence paths —
+        #     partitioning is semantics-free and the counts floor at
+        #     defaultParallelism, so sf-scale plans are byte-identical;
+        #     pinned by the parity suites plus the 20 GiB/8g
+        #     memory-law runs.
         # (b) the ENTIRE 37-query r10-vintage cohort (q102-q172 band)
         #     — the due-date set; after this round no green driver row
         #     is older than round 11.

@@ -229,7 +229,21 @@ def carve_hits_with_evidence(
     plan once per branch when it was uncached -- three evidence
     signature scans on the multi-pass path."""
 
-    n = max(hits.sparkSession.sparkContext.defaultParallelism, 1)
+    # shuffle width scales with evidence bytes, floored at parallelism
+    # (r14, the shared evidence-path rule): hit density is roughly
+    # bytes-proportional, so a fixed-parallelism shuffle concentrates
+    # corpus/N hits per carve task as the image grows — one partition
+    # per ~4x EVIDENCE_PARTITION_BYTES keeps carve tasks coarse (they
+    # are per-hit I/O, not per-byte) while preserving retry and
+    # straggler granularity at multi-TiB evidence.
+    from swiftbeaver_spark.config import EVIDENCE_PARTITION_BYTES
+    from swiftbeaver_spark.source import evidence_length
+
+    n = max(
+        hits.sparkSession.sparkContext.defaultParallelism,
+        1,
+        -(-evidence_length(evidence_path) // (4 * EVIDENCE_PARTITION_BYTES)),
+    )
     # family routing: type_id -> family, family -> (bucket_w, collector,
     # early_exit). max_size=0 means an UNBOUNDED window (scan to EOF) --
     # no finite bucket can cover it, so any such type routes its whole

@@ -25,6 +25,13 @@ DEFAULT_OVERLAP = 64 * 1024  # reference src/constants.rs:25
 PY_SCAN_GRANULE = 16 * 1024 * 1024
 MIB = 1024 * 1024
 GIB = 1024 * MIB
+# evidence bytes per scan partition (r14): every evidence-path stage
+# scales its partition count with scan bytes, floored at the session
+# parallelism — a fixed defaultParallelism split hands each task (and,
+# on the one-pass path, each persisted cache block) corpus/N bytes, a
+# hidden corpus-proportional memory/elasticity term that OOMed 20 GiB
+# at a heap 10 GiB survived (BENCH_SCALE_r14; SCALE.md round 14)
+EVIDENCE_PARTITION_BYTES = 128 * MIB
 
 
 @dataclass(frozen=True)

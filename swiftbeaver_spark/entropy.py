@@ -351,7 +351,18 @@ def entropy_windows_from_evidence(
             "valid_length",
             F.least(F.col("valid_length"), F.lit(horizon) - F.col("start")),
         )
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # partition count scales with scan bytes, floored at parallelism
+    # (r14, the shared evidence-path rule — config.
+    # EVIDENCE_PARTITION_BYTES): a fixed split hands each task
+    # corpus/N bytes, losing retry/straggler granularity as the
+    # corpus grows
+    from swiftbeaver_spark.config import EVIDENCE_PARTITION_BYTES
+
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        1,
+        -(-horizon // EVIDENCE_PARTITION_BYTES),
+    )
 
     from swiftbeaver_spark.jvm import vec_kernel_active
 

@@ -41,7 +41,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
+from swiftbeaver_spark.config import (
+    EVIDENCE_PARTITION_BYTES,
+    PY_SCAN_GRANULE,
+    EngineConfig,
+)
 
 # Evidence bytes per one-pass scan partition (r14): bounds the persisted
 # raw frame's per-partition cache block — and the unroll/serialization
@@ -50,8 +54,9 @@ from swiftbeaver_spark.config import PY_SCAN_GRANULE, EngineConfig
 # fully-text corpus, span content ~ evidence bytes) a ~150 MiB block:
 # small enough that a block under construction is a footnote against
 # the storage pool, large enough that a 10 GiB image still packs its
-# scan into ~3 task waves at 32 threads.
-ONE_PASS_PARTITION_BYTES = 128 * 1024 * 1024
+# scan into ~3 task waves at 32 threads. Shared with the standalone
+# strings/entropy evidence paths via config.EVIDENCE_PARTITION_BYTES.
+ONE_PASS_PARTITION_BYTES = EVIDENCE_PARTITION_BYTES
 
 
 def one_pass_geometry_ok(cfg: EngineConfig, granule: int | None = None) -> bool:

@@ -724,7 +724,23 @@ def spans_from_evidence(
         )
     if cfg.max_chunks is not None:
         plan = plan.where(F.floor(F.col("start") / cfg.chunk_size) < int(cfg.max_chunks))
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # partition count scales with scan bytes, floored at parallelism
+    # (r14, the shared evidence-path rule — config.
+    # EVIDENCE_PARTITION_BYTES)
+    from swiftbeaver_spark.config import EVIDENCE_PARTITION_BYTES
+
+    horizon = total
+    if cfg.max_bytes is not None:
+        horizon = min(
+            horizon, -(-int(cfg.max_bytes) // cfg.chunk_size) * cfg.chunk_size
+        )
+    if cfg.max_chunks is not None:
+        horizon = min(horizon, int(cfg.max_chunks) * cfg.chunk_size)
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        1,
+        -(-horizon // EVIDENCE_PARTITION_BYTES),
+    )
     if vec_kernel_active(spark):
         rows = F.call_udf(
             "sb_scan_strings",
