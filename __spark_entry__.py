@@ -145,6 +145,61 @@ LANGS = {
     "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
 }
 
+# --- exact money sums on the long fast path (r14, guide §2.3 narrower
+# types). SUM over DECIMAL(18,2) can't use Spark's unscaled-long
+# aggregate fast path (the result type DECIMAL(28,2) overflows the
+# compact representation guard), so every row pays a BigDecimal add —
+# measured 0.92 s vs 0.39 s for two sums over sf0.1 lineitem (noop
+# sink, OPTIMIZATION_r14.md). The replacement keeps the per-row
+# CAST(x AS DECIMAL(p,k)) — the semantic anchor both Spark and the
+# DuckDB oracle share (both round the SHORTEST decimal representation:
+# 1.005d -> 1.01, not the binary expansion's 1.00) — but extracts the
+# integer "units" (cents / 10^-4 discount units / 10^-6 product units)
+# and sums them as plain longs, rebuilding the DECIMAL string on the
+# final handful of rows. Two details make it exact:
+#   * units := round(dec.cast(double) * 10^k): after the decimal cast
+#     the value IS an integer multiple of 10^-k, so the double product
+#     sits within ~1e-9 of that integer — never near a .5 boundary —
+#     and the round recovers it exactly for |units| < 2^53 (~9e13
+#     dollars/row, 6 orders above any money value; a naive
+#     round(x*10^k) WITHOUT the cast was rejected: it diverges from
+#     the cast semantics on .xx5-boundary inputs, caught by
+#     tests/test_plans.py::test_split_sum_money_exact_vs_decimal).
+#   * a single long accumulator would overflow at 100 TB row counts
+#     (sum of 10^-6-unit products reaches ~10^22 at 6e11 rows), so the
+#     sum is SPLIT: hi = units div 10^6 and lo = units mod 10^6 are
+#     summed separately (each bounded by ~10^6/row -> ~10^17-10^18 at
+#     6e11 rows/group, inside long range) and recombined exactly in
+#     DECIMAL(38) arithmetic over the aggregated rows only.
+# Byte-identical to the DECIMAL formulation at sf0.001/0.01/0.1 and
+# under the oracle hashes (tools/drive_contract.py, all three SFs).
+_SPLIT_M = 1_000_000
+
+
+def _units(x: Column, digits: int, prec: int = 18) -> Column:
+    """Exact integer 10^-digits units of CAST(x AS DECIMAL(prec,digits)),
+    as a long, on the double fast path."""
+    dec = x.cast(f"decimal({prec},{digits})")
+    return F.round(dec.cast("double") * F.lit(10**digits)).cast("long")
+
+
+def _split_sum(units: Column) -> tuple[Column, Column]:
+    """hi/lo split sums of a nonnegative integer-valued long column.
+    units < 2^53 (max here ~10^11.5), so the floor-division through
+    double is exact: the true quotient is >= 1e-6 away from the next
+    integer while the division error is ~1e-11."""
+    hi = F.sum(F.floor(units / F.lit(_SPLIT_M)).cast("long"))
+    lo = F.sum(units % F.lit(_SPLIT_M))
+    return hi, lo
+
+
+def _recombine(hi: Column, lo: Column, unit_div: int, out_type: str) -> Column:
+    """(hi*M + lo) / unit_div rebuilt in DECIMAL(38) space (exact: the
+    division only strips the fixed unit scale) and cast to the exact
+    output type the DECIMAL formulation produced."""
+    total = hi.cast("decimal(38,0)") * _SPLIT_M + lo.cast("decimal(38,0)")
+    return (total / F.lit(unit_div)).cast(out_type)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -530,17 +585,33 @@ def q09_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/pipeline/mod.rs:256-264). Money sums in DECIMAL for exactness."""
     lineitem = _t(spark, sf_dir, "lineitem")
     # decimal sums and the max timestamp go out as strings — driver-gate
-    # canonicalization of Decimal/timestamp objects drifted in round 1
+    # canonicalization of Decimal/timestamp objects drifted in round 1.
+    # The sums run as split long-cents (_split_sum: r14, −46% on the
+    # noop-isolated aggregate) and rebuild the DECIMAL(28,2) strings the
+    # original SUM(DECIMAL(18,2)) produced — byte-identical at all three
+    # SFs and under the oracle hash.
+    qty_hi, qty_lo = _split_sum(_units(F.col("l_quantity"), 2))
+    price_hi, price_lo = _split_sum(_units(F.col("l_extendedprice"), 2))
     return lineitem.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("string")
-        .alias("sum_price"),
+        qty_hi.alias("_qh"),
+        qty_lo.alias("_ql"),
+        price_hi.alias("_ph"),
+        price_lo.alias("_pl"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
             "last_ship"
         ),
+    ).select(
+        "n_rows",
+        "n_orders",
+        _recombine(F.col("_qh"), F.col("_ql"), 100, "decimal(28,2)")
+        .cast("string")
+        .alias("sum_qty"),
+        _recombine(F.col("_ph"), F.col("_pl"), 100, "decimal(28,2)")
+        .cast("string")
+        .alias("sum_price"),
+        "last_ship",
     )
 
 
@@ -1160,18 +1231,42 @@ def q24_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary with DECIMAL arithmetic (exact
     cross-engine aggregates)."""
     lineitem = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,4)")
+    # split long-unit sums (_split_sum: r14, −53% on the noop-isolated
+    # aggregate vs the DECIMAL formulation). cents ⊗ (10^4 − discount
+    # units) is the EXACT 10^-6-unit value of price*(1-disc) the old
+    # DECIMAL(28,6) product computed; the recombines rebuild the same
+    # DECIMAL output types, so the strings are byte-identical (proven
+    # at sf0.001/0.01/0.1 + oracle hash).
+    qty_c = _units(F.col("l_quantity"), 2)
+    price_c = _units(F.col("l_extendedprice"), 2)
+    disc_u = _units(F.col("l_discount"), 4)
+    qty_hi, qty_lo = _split_sum(qty_c)
+    price_hi, price_lo = _split_sum(price_c)
+    disc_hi, disc_lo = _split_sum(price_c * (10000 - disc_u))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("string").alias("sum_qty"),
-            F.sum(price).cast("string").alias("sum_base_price"),
-            F.sum((price * (F.lit(1).cast("decimal(18,4)") - disc)).cast("decimal(28,6)"))
+            qty_hi.alias("_qh"),
+            qty_lo.alias("_ql"),
+            price_hi.alias("_ph"),
+            price_lo.alias("_pl"),
+            disc_hi.alias("_dh"),
+            disc_lo.alias("_dl"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _recombine(F.col("_qh"), F.col("_ql"), 100, "decimal(28,2)")
+            .cast("string")
+            .alias("sum_qty"),
+            _recombine(F.col("_ph"), F.col("_pl"), 100, "decimal(28,2)")
+            .cast("string")
+            .alias("sum_base_price"),
+            _recombine(F.col("_dh"), F.col("_dl"), 1_000_000, "decimal(38,6)")
             .cast("string")
             .alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

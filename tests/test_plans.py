@@ -384,3 +384,45 @@ def test_semantic_dedup_arrow_single_cell_shuffle(spark):
     # the only wide exchanges: the groupBy(cell) hash partitioning and
     # the final vec_id join — no corpus-sized range/rebalance shuffle
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_split_sum_money_exact_vs_decimal(spark):
+    """The r14 split long-cents aggregation (__spark_entry__._split_sum/
+    _recombine) must reproduce SUM(CAST(x AS DECIMAL)) byte-for-byte,
+    including lo-sums that overflow one _SPLIT_M period (hi/lo carry)
+    and values that land exactly on a rounding boundary."""
+    import __spark_entry__ as em
+
+    # adversarial doubles: round-half values, near-integer FP noise,
+    # many rows so sum(lo) crosses several _SPLIT_M periods
+    vals = [0.005, 0.015, 1.005, 999999.99, 123456.78, 0.01, 10.10] * 400
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    dec = df.agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("string").alias("s")
+    ).collect()[0]["s"]
+    hi, lo = em._split_sum(em._units(F.col("x"), 2))
+    got = (
+        df.agg(hi.alias("h"), lo.alias("l"))
+        .select(
+            em._recombine(F.col("h"), F.col("l"), 100, "decimal(28,2)")
+            .cast("string")
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert got == dec, (got, dec)
+
+
+def test_money_queries_sum_longs_not_decimals(spark):
+    """q09/q24 aggregate on the long fast path: no decimal SUM buffer
+    remains in either plan. A decimal SUM is recognizable by its
+    `isEmpty` overflow-tracking buffer attribute; long sums carry a
+    single flat buffer. (The DECIMAL cast still appears INSIDE the
+    sum's per-row input — that is the semantic anchor — but the
+    accumulator itself must be long.)"""
+    import __spark_entry__ as em
+
+    for q in (em.q09_run_summary, em.q24_pricing_summary):
+        plan = _formatted(q(spark, "/root/testdata/sf0.001"))
+        assert "partial_sum" in plan, plan
+        assert "isEmpty" not in plan, plan
