@@ -7874,20 +7874,32 @@ def q131_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = bigram_lm_score(extracted, text_col="extracted").select(
         "doc_id", "mean_cond_milli"
     )
-    survivors = (
-        extracted.join(scores, "doc_id")
-        .where(F.col("mean_cond_milli") >= CRAWL_LM_MIN_MILLI)
-        .join(docs.select("doc_id", "lang"), "doc_id")
+    # Decide on narrow rows, attach the payload once (r14, guide §8):
+    # the sampling decision needs only (doc_id, lm, lang) — `scores`'
+    # doc_id set already equals the old extracted⋈scores survivors set
+    # (bigram_lm_score emits ⊆ extracted's doc_ids and the inner join
+    # only attached text) — so temperature_sample's double reference
+    # (group counts + the gated join) re-evaluates a three-column
+    # frame, not the WARC-parse + HTML-extract chain; `extracted`
+    # joins back exactly once for the output columns. −22% on
+    # interleaved quiet-window minima, rows byte-identical at all
+    # three SFs (OPTIMIZATION_r14.md).
+    meta = scores.where(F.col("mean_cond_milli") >= CRAWL_LM_MIN_MILLI).join(
+        docs.select("doc_id", "lang"), "doc_id"
     )
-    sampled = temperature_sample(survivors)
-    return sampled.select(
-        "doc_id",
-        "lang",
-        F.length("extracted").cast("int").alias("n_chars"),
-        F.md5("extracted").alias("extracted_md5"),
-        F.col("mean_cond_milli").cast("bigint").alias("lm_milli"),
-        "keep_threshold",
-    ).orderBy("doc_id")
+    sampled = temperature_sample(meta)
+    return (
+        sampled.join(extracted, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.length("extracted").cast("int").alias("n_chars"),
+            F.md5("extracted").alias("extracted_md5"),
+            F.col("mean_cond_milli").cast("bigint").alias("lm_milli"),
+            "keep_threshold",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q131_sql() -> str:

@@ -452,11 +452,24 @@ def bigram_lm_score(
 
     Output: (doc_id, n_bigrams, sum_cond_milli, mean_cond_milli).
 
-    Scale: two partial-agg shuffles build C2 (bigram counts) and C1
-    (prefix counts); instances join each on its key — the join keys are
-    the grams themselves, so work is proportional to corpus token
-    count, and the model "table" is never collected anywhere (unlike a
-    broadcast KenLM binary, this trains and scores in the same
+    Scale (restructured r14, guide §2.3 "aggregate before you shuffle"
+    + §2.4 "share one exchange"): instances collapse FIRST to
+    doc-bigram granularity (db: one partial-agg shuffle keyed
+    (doc_id, w1, w2) — the multiplicity m rides along, so no
+    information is lost). C2/C1 then derive from db, and because all
+    three consumers sit behind the canonically identical db exchange,
+    runtime exchange reuse evaluates the tokenize+explode subtree (and
+    everything upstream of `df` — in q131 a WARC-parse + HTML-extract
+    chain) ONCE instead of three times. The model attach is ONE
+    db-granularity join against the bigram-level (C2 ⋈ C1) table —
+    the previous shape joined the full INSTANCE table against C2 and
+    C1 separately, i.e. two corpus-sized shuffle joins at any scale
+    where the bigram table outgrows broadcast. Per-instance sums
+    rebuild exactly as m-weighted sums (integer arithmetic, same
+    values). Measured r14 (OPTIMIZATION_r14.md): q131 −22% on
+    interleaved quiet-window minima; byte-identical outputs at all
+    three SFs. The model "table" is never collected anywhere (unlike
+    a broadcast KenLM binary, this trains and scores in the same
     distributed pass)."""
     toks = F.filter(
         F.split(
@@ -473,20 +486,29 @@ def bigram_lm_score(
     inst = df.select(
         F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = inst.groupBy("w1").agg(F.count("*").alias("c1"))
-    scored = (
-        inst.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    db = inst.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c2 = db.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = db.groupBy("w1").agg(F.sum("m").alias("c1"))
+    # cond_milli is a pure function of (w1, w2), so it computes once per
+    # bigram here and attaches to doc-bigram rows — identical per-instance
+    # values to the old instance-level join (1000*c2 and the long/long
+    # double division are value-equal because c2/c1 are the same counts)
+    bg = (
+        c2.join(c1, "w1")
         .withColumn(
             "cond_milli", F.floor(F.lit(1000) * F.col("c2") / F.col("c1"))
         )
+        .select("w1", "w2", "cond_milli")
     )
     return (
-        scored.groupBy("doc_id")
+        db.join(bg, ["w1", "w2"])
+        .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("cond_milli").cast("bigint").alias("sum_cond_milli"),
+            # sum over instances == m-weighted sum over doc-bigrams, exactly
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("cond_milli"))
+            .cast("bigint")
+            .alias("sum_cond_milli"),
         )
         .withColumn(
             "mean_cond_milli",

@@ -1250,6 +1250,47 @@ def test_bigram_lm_score_exact_tiny(spark):
     assert rows[1].n_bigrams == 1
 
 
+def test_bigram_lm_score_weighted_repeats(spark):
+    """The r14 doc-bigram restructure sums m-weighted conditionals; a
+    doc REPEATING a bigram (m>1) must score every instance, exactly as
+    the old instance-level join did. 'a b a b a b' has instances
+    (a,b)x3 and (b,a)x2; corpus counts C1(a)=4, C1(b)=2, C2(a,b)=4,
+    C2(b,a)=2 with doc 2's 'a b' -> per-instance milli: (a,b)=1000,
+    (b,a)=1000; doc 1 sum = 3*1000 + 2*1000 = 5000 over 5 bigrams."""
+    from swiftbeaver_spark.llm.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert rows[1].n_bigrams == 5
+    assert rows[1].sum_cond_milli == 5000
+    assert rows[1].mean_cond_milli == 1000
+    assert rows[2].n_bigrams == 1
+
+
+def test_bigram_lm_score_reuses_instance_exchange(spark):
+    """All three model consumers (C2, C1, the scoring join) must hang
+    off the canonically identical doc-bigram exchange so the runtime
+    plan evaluates the tokenize+explode subtree once — the r14
+    restructure's reuse contract (ReusedExchange appears only in the
+    FINAL adaptive plan, so this executes the frame first)."""
+    from swiftbeaver_spark.llm.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z w{i % 3}") for i in range(50)], ["doc_id", "text"]
+    )
+    out = bigram_lm_score(df)
+    out.collect()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_temperature_sample_sqrt_scaling(spark):
     from swiftbeaver_spark.llm.pipeline import temperature_sample
 
