@@ -77,6 +77,26 @@ def main() -> None:
             "       sb_simhash('warm up text'),"
             "       sb_scan_bytes(CAST('xabcx' AS BINARY), '10;616263')"
         ).collect()
+        # ... and then ~20k more times: ONE call leaves the call sites
+        # interpreted/C1 (C2 needs ~10k invocations), so the r13-era
+        # first-run walls still charged C2 compilation to the first
+        # measured query touching each kernel (q26 first-run ran ~2.3x
+        # its steady wall). r14 A/B/A at sf0.1, fresh JVM per mode:
+        # q02 0.98→0.63/0.79, q26 2.26→1.49/1.82, q27 2.12→1.33/1.35
+        # vs best base — a long-lived cluster runs these compiled, per
+        # the warmup contract above. Methodology change recorded in
+        # OPTIMIZATION_r14.md with the old-warmup bridge numbers.
+        spark.sql(
+            "SELECT count(*) FROM (SELECT"
+            "  sb_minhash(concat('warm ', CAST(id AS STRING)), '9;3;1') h,"
+            "  sb_simhash(concat('warm ', CAST(id AS STRING))) s"
+            " FROM range(20000))"
+        ).collect()
+        spark.sql(
+            "SELECT count(*) FROM (SELECT"
+            "  sb_scan_bytes(CAST(concat('xabcx', CAST(id AS STRING)) AS BINARY),"
+            "                '10;616263') b FROM range(20000))"
+        ).collect()
     # pre-compile every headline plan at sf0.001: Catalyst analysis,
     # whole-stage codegen classes, and their C2 JIT are keyed by the
     # generated source, which is identical across scale factors for the
@@ -104,13 +124,23 @@ def main() -> None:
         ).collect()[0]
         return n
 
+    # 5 passes, not 1: one sf0.001 drive compiles each plan's codegen
+    # classes but leaves the generated code and UDF call sites below
+    # the C2 JIT threshold, so r13-era first-run walls still paid JIT
+    # inside the measured region (q09 1.66→1.45, q24 1.74→1.24/1.33,
+    # q05 1.26/1.81→1.01/1.05 in the r14 A/B/A). Data volume touched:
+    # 5/100 of one measured run per query — warmup still never reads
+    # the measured SF, so nothing about the measured computation is
+    # precomputed; it is strictly JIT/codegen warmth, which the
+    # warmup contract above already excludes from the measurement.
     warm_sf = sf_dir.replace("sf0.1", "sf0.001")
     if warm_sf != sf_dir and os.path.isdir(warm_sf):
-        for name in BENCH_QUERIES:
-            try:
-                drive(qs[name](spark, warm_sf))
-            except Exception as exc:  # pragma: no cover - warmup is best-effort
-                print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+        for _pass in range(5):
+            for name in BENCH_QUERIES:
+                try:
+                    drive(qs[name](spark, warm_sf))
+                except Exception as exc:  # pragma: no cover - warmup is best-effort
+                    print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
     print(f"# warmup: {time.time() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
