@@ -223,6 +223,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Compute-parallelism floor for compute-dense stages over
+    byte-small inputs (guide §2.5): a table whose files fit in one
+    parquet split yields 1-2 scan tasks, serializing per-row work
+    (md5-per-shingle fingerprints, n-gram explodes, subword FNV
+    folds) that costs orders of magnitude more CPU per byte than the
+    scan. Repartition up to the session's parallelism ONLY when the
+    natural partitioning is below it — at scale the scan already
+    yields >= parallelism splits and this returns the input unchanged
+    (no added Exchange); per-task compute granularity there is the
+    scan-split knob (spark.sql.files.maxPartitionBytes), not this
+    floor. Only applied where downstream aggregation is
+    order-independent (integer/count aggregates or per-row outputs).
+    """
+    sc = df.sparkSession.sparkContext
+    floor = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= floor:
+        return df
+    return df.repartition(floor)
+
+
+def _presort(df: DataFrame, *cols: str) -> DataFrame:
+    """Range-partition BELOW a heavy projection so the query's final
+    global sort costs one execution of the projection instead of two:
+    `orderBy` is a range Exchange whose boundary sampling executes its
+    CHILD plan in full, so `heavy_projection().orderBy(k)` evaluates
+    the projection twice. `_presort(df, k).heavy_projection()
+    .sortWithinPartitions(k)` produces byte-identical rows and order
+    (range partitions are collected in key order), samples only the
+    narrow scan, and runs the projection once — width floored at the
+    session parallelism for byte-small inputs (see _widen)."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartitionByRange(n, *cols)
+
+
 # --- §2.1 chunk scheduler ----------------------------------------------------
 
 
@@ -1004,8 +1040,12 @@ def q18_sql() -> str:
 
 def q19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard between consecutive documents (exact int-ratio
-    arithmetic -> hash-stable doubles)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arithmetic -> hash-stable doubles). The gram build (per-position
+    array slices + distinct) is compute-dense, so the scan is widened
+    to the session parallelism (_widen) before both join sides derive
+    from it — the gram compute then runs map-side of the join shuffle
+    at full width instead of on the scan's 1-2 splits."""
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def grams(col):
         toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
@@ -2560,7 +2600,9 @@ def q42_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" contaminated copy")).alias("text"),
     )
-    train = docs.where(F.col("doc_id") >= 20).unionByName(planted)
+    # the training-side n-gram explode is the dense stage — widen it
+    # to the session parallelism (the bench side broadcasts)
+    train = _widen(docs.where(F.col("doc_id") >= 20).unionByName(planted))
     return decontaminate(train, bench, ngram_n=DECON_N).orderBy("doc_id")
 
 
@@ -2661,10 +2703,12 @@ def q44_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc: duplicate
     token-bigram fraction and most-frequent-token share. Pure
     explode/partial-count/aggregate — shuffle keys are (doc, token)
-    and (doc, bigram), map-side combined."""
+    and (doc, bigram), map-side combined. The tokenize+explode map
+    stage is widened to the session parallelism (all aggregates are
+    integer counts, so partial-aggregation order cannot drift)."""
     from swiftbeaver_spark.llm.pipeline import repetition_metrics
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_metrics(docs).orderBy("doc_id")
 
 
@@ -3074,7 +3118,9 @@ def q51_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct ROW_NUMBER formulation."""
     from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen the tokenize+posexplode map stage (integer partial counts
+    # only downstream — aggregation order cannot drift)
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return crossdoc_dup_ngrams(docs, ngram_n=DUPGRAM_N).orderBy("doc_id")
 
 
@@ -4141,8 +4187,10 @@ def q71_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xy")).alias("text"),
     )
+    # widen the band-explode map stage feeding the band-key join; the
+    # levenshtein verify is per-row, so widening cannot drift results
     pairs = edit_distance_near_dups(
-        docs.unionByName(mutated), max_dist=EDIT_MAX_DIST
+        _widen(docs.unionByName(mutated)), max_dist=EDIT_MAX_DIST
     )
     return (
         pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
@@ -9310,13 +9358,20 @@ def q150_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal the pipeline consumes — char/token/distinct-token/punct
     counts, per-language marker votes, detected language, content
     digest, pinned winnowing fingerprint — computed in ONE projection
-    over ONE scan (plan-tested Exchange-free elsewhere; the pattern
-    that replaces N single-signal passes with one at 100 TB). All
-    integer/string outputs; the oracle recomputes each signal from
-    the same token list."""
+    over ONE scan (the pattern that replaces N single-signal passes
+    with one at 100 TB). All integer/string outputs; the oracle
+    recomputes each signal from the same token list.
+
+    The projection is the catalog's densest per-row compute (one md5
+    per character position via fingerprint_pinned), so the range
+    exchange for the final doc_id order sits BELOW it (_presort):
+    compute runs once at full parallelism instead of twice on the
+    scan's 1-2 splits — 31.5 s -> ~1.2 s at sf0.1 (r14)."""
     from swiftbeaver_spark.llm.text import detect_language, fingerprint_pinned, tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _presort(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     c = F.col("text")
     toks = tokens(c)
     dtoks = F.array_distinct(toks)
@@ -9333,7 +9388,7 @@ def q150_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_language(c).alias("lang_detected"),
         F.md5(c).alias("digest"),
         fingerprint_pinned(c).alias("fingerprint"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def q150_sql() -> str:
@@ -11510,7 +11565,10 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_label_weights,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the corpus-side subword expansion (per-token char n-grams + FNV
+    # folds) is compute-dense; widen the scan feeding both the vocab
+    # dedup and the classify stream (integer micro-unit sums only)
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     vocab = _fasttext_vocab(docs, ("__label__", "__bucket__"))
     labels = spark.createDataFrame([(w,) for w in FASTTEXT_LABELS], "word string")
     buckets = spark.range(Q172_BUCKETS).select(

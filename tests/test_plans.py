@@ -255,18 +255,27 @@ def test_dense_timeline_broadcasts_spine_sides(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_feature_store_single_pass_no_exchange(spark):
-    """q150: all per-doc signals in ONE projection over ONE scan — the
-    plan may contain no Exchange (the orderBy sort is driver-gate
-    presentation; check the pre-sort subtree by dropping it)."""
+def test_feature_store_single_pass_compute_above_range_exchange(spark):
+    """q150: all per-doc signals in ONE projection over ONE scan, with
+    exactly ONE exchange — the range repartition for the doc_id order —
+    sitting BELOW the projection (r14): the heavy md5-per-shingle
+    compute must run once, post-exchange, at full width, and the range
+    sampling must execute only the narrow scan. A hash exchange or a
+    second exchange means the single-pass shape regressed."""
+    import re
+
     import __spark_entry__ as em
 
     spark.catalog.clearCache()
     df = em.q150_feature_store(spark, "/root/testdata/sf0.001")
-    # strip the presentation orderBy: re-derive the same projection
-    plan = _formatted(df.limit(1000000))
-    body = plan.split("Sort")[0] if "Sort" in plan else plan
-    assert "Exchange hashpartitioning" not in body, plan
+    plan = _formatted(df)
+    assert "hashpartitioning" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" in plan, plan
+    # the fingerprint projection must be above the exchange: in the
+    # formatted tree (root first) the Project line precedes Exchange
+    tree = plan.split("(1) ")[0]
+    assert tree.index("Project") < tree.index("Exchange"), plan
 
 
 def test_bitext_mining_no_cartesian(spark):
