@@ -11586,6 +11586,24 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "weight_micro",
     )
+    # word and bucket tables are two filters of ONE weights frame: hand
+    # classify the single-pass unit merge so the broadcast build
+    # evaluates the weight subtree once, not once per branch (r14 —
+    # same unit keys the word/bucket union would produce)
+    is_bucket = F.col("token").startswith("__bucket__")
+    unit_weights = weights.select(
+        F.when(
+            is_bucket,
+            F.concat(
+                F.lit("b:"),
+                F.expr("substring(token, 11)").cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("w:"), F.col("token")))
+        .alias("unit"),
+        "label",
+        "weight_micro",
+    )
     return classify_documents_subword(
         docs,
         word_weights,
@@ -11593,6 +11611,7 @@ def q172_fasttext_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=Q172_BUCKETS,
         minn=Q172_MINN,
         maxn=Q172_MAXN,
+        unit_weights=unit_weights,
     ).orderBy("doc_id")
 
 

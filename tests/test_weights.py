@@ -263,6 +263,43 @@ def test_classify_documents_subword(spark):
     assert (out[3].label, out[3].score_micro, out[3].n_units) == ("und", 0, 0)
 
 
+def test_classify_subword_unit_weights_matches_union(spark):
+    """The pre-merged unit_weights fast path (one evaluation of a
+    shared weights subtree instead of one per word/bucket branch) must
+    return rows identical to the default union build."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.weights import classify_documents_subword
+
+    word_w = spark.createDataFrame(
+        [("hello", "en", 4_000_000), ("hello", "de", -1_000_000)],
+        "token string, label string, weight_micro long",
+    )
+    bucket_w = spark.createDataFrame(
+        [(0, "en", 1_000_000), (0, "de", 2_000_000)],
+        "bucket long, label string, weight_micro long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "zzzz"), (3, None)], "doc_id long, text string"
+    )
+    merged = word_w.select(
+        F.concat(F.lit("w:"), "token").alias("unit"), "label", "weight_micro"
+    ).unionByName(
+        bucket_w.select(
+            F.concat(F.lit("b:"), F.col("bucket").cast("string")).alias("unit"),
+            "label",
+            "weight_micro",
+        )
+    )
+    base = classify_documents_subword(
+        docs, word_w, bucket_w, n_buckets=1, minn=3, maxn=4
+    )
+    fast = classify_documents_subword(
+        docs, word_w, bucket_w, n_buckets=1, minn=3, maxn=4, unit_weights=merged
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))
+
+
 def test_token_label_weights_join_fallback_matches_explode(spark, tmp_path, monkeypatch):
     """ADVICE r7: past the literal budget (labels x dim) the weight
     build must switch from plan-literal explode to a broadcast hash
