@@ -5526,7 +5526,10 @@ def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    # widen the per-vector plane fold (16 planes x 64 dims per row)
+    # off the scan's single split; bucketing/verify are per-row or
+    # equi-join, so widening cannot drift results
+    corpus = _widen(emb.select("vec_id", "embedding").unionByName(planted))
     pairs = embedding_near_dups(
         corpus,
         threshold=0.5,
@@ -5591,8 +5594,8 @@ def q94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" qq tail")).alias("text"),
     )
     fp = (
-        docs.unionByName(copies)
-        .unionByName(mutated)
+        # widen the md5-per-shingle fingerprint off the single split
+        _widen(docs.unionByName(copies).unionByName(mutated))
         .select("doc_id", fingerprint_pinned(F.col("text")).alias("fp"))
     )
     l, r = fp.alias("l"), fp.alias("r")
@@ -6924,7 +6927,9 @@ def q118_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.where(F.col("doc_id") < 20)
-    train = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 300))
+    # widen the gopher/contamination/fingerprint chain off the scan's
+    # single split (compute-dense per-row work, integer counts only)
+    train = _widen(docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 300)))
     passed = (
         gopher_quality_flags(train)
         .where(F.col("passes_gopher"))
@@ -6937,8 +6942,17 @@ def q118_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = passed.join(clean_ids, "doc_id")
     fp = clean.select("doc_id", "text", fingerprint_pinned(F.col("text")).alias("fp"))
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = fp.join(canon.select("doc_id"), "doc_id").select("doc_id", "text")
+    # window-min dedup: ONE pass over fp (the old groupBy + join-back
+    # referenced fp twice, re-evaluating the whole gopher->
+    # contamination->fingerprint chain per consumer — r14); same
+    # keep-set (doc with the min doc_id per fingerprint), one shuffle
+    # on the 16-byte fp key
+    w_fp = Window.partitionBy("fp")
+    kept = (
+        fp.withColumn("_keep", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "text")
+    )
     chunks = chunk_documents(kept, window_chars=128, overlap_chars=32)
     return chunks.select(
         "doc_id",
@@ -7276,6 +7290,9 @@ def q122_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias("embedding"),
     )
+    # NOT widened (r14 A/B): shuffling 512-byte embedding rows costs
+    # more than the arrow matmul assignment saves at this density —
+    # interleaved minima 1.44 s natural vs 1.79 s widened
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     cents = md5_centroids(SEMDEDUP_NLIST, 64, tag="semdedup")
     # arrow kernel + arrow assignment: the production paths (in-cell
@@ -10606,7 +10623,12 @@ def q162_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("end").alias("segment"), (sys_len + user_len + asst_len).alias("start_tok"), end_len.alias("n_tok"), F.lit(True).alias("trainable")),
     )
     return (
-        docs.select("doc_id", F.explode(seg).alias("s"))
+        # range exchange below the explode (_presort): the final
+        # (doc_id, start_tok) order needs no second execution of the
+        # segment build for orderBy's boundary sampling, and the
+        # explode runs at full width
+        _presort(docs, "doc_id")
+        .select("doc_id", F.explode(seg).alias("s"))
         .select(
             "doc_id",
             F.col("s.segment").alias("segment"),
@@ -10614,7 +10636,7 @@ def q162_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_tok").alias("n_tok"),
             F.col("s.trainable").alias("trainable"),
         )
-        .orderBy("doc_id", "start_tok")
+        .sortWithinPartitions("doc_id", "start_tok")
     )
 
 
@@ -10819,6 +10841,10 @@ def q165_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is pinned on both engines."""
     from swiftbeaver_spark.sketch import equidepth_histogram
 
+    # NOT widened (r14 A/B): the per-row work here is one round+cast,
+    # so spreading the single-split scan costs a 600k-row shuffle for
+    # nothing — interleaved minima 1.85 s natural vs 2.39 s widened.
+    # _widen pays only for compute-dense rows (md5/n-gram class).
     li = _t(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )

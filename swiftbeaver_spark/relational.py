@@ -706,7 +706,12 @@ def grouped_weighted_median(
     Scale: one window partitioned by the group key over (value,
     tiebreaks) — the inherent cost of an exact order statistic (same
     shape as q115) — plus a broadcast-sized per-group totals join.
-    Weights must be non-negative integers."""
+    The median pick itself is a min_by aggregate over the qualified
+    rows, NOT a second window: (value, tiebreaks) is a total order, so
+    "first qualified row" = argmin, which partial-aggregates map-side
+    instead of re-sorting ~half the group through a second
+    one-partition-per-group sort (r14; was row_number over a second
+    identical window). Weights must be non-negative integers."""
     w = Window.partitionBy(group_col).orderBy(
         value_col, *tiebreak_cols
     )
@@ -721,16 +726,18 @@ def grouped_weighted_median(
         .join(F.broadcast(tot), group_col)
         .where(F.lit(2) * F.col("_cum") >= F.col("_tot"))
     )
-    pick = Window.partitionBy(group_col).orderBy(value_col, *tiebreak_cols)
-    return (
-        qualified.withColumn("_rn", F.row_number().over(pick))
-        .where(F.col("_rn") == 1)
-        .select(
-            group_col,
-            F.col(value_col).alias("weighted_median"),
-            F.col("_tot").cast("long").alias("total_weight"),
-            F.col("_cum").cast("long").alias("cum_at_median"),
-        )
+    picked = qualified.groupBy(group_col).agg(
+        F.min_by(
+            F.struct(F.col(value_col).alias("v"), F.col("_cum").alias("c")),
+            F.struct(value_col, *tiebreak_cols),
+        ).alias("_m"),
+        F.min("_tot").alias("_tot"),
+    )
+    return picked.select(
+        group_col,
+        F.col("_m.v").alias("weighted_median"),
+        F.col("_tot").cast("long").alias("total_weight"),
+        F.col("_m.c").cast("long").alias("cum_at_median"),
     )
 
 
