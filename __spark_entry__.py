@@ -5594,8 +5594,8 @@ def q94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" qq tail")).alias("text"),
     )
     fp = (
-        # widen the md5-per-shingle fingerprint off the single split
-        _widen(docs.unionByName(copies).unionByName(mutated))
+        docs.unionByName(copies)
+        .unionByName(mutated)
         .select("doc_id", fingerprint_pinned(F.col("text")).alias("fp"))
     )
     l, r = fp.alias("l"), fp.alias("r")
@@ -11848,10 +11848,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     memory-law runs.
         # (b) the ENTIRE 37-query r10-vintage cohort (q102-q172 band)
         #     — the due-date set; after this round no green driver row
-        #     is older than round 11.
-        # (c) 6 spare slots pre-refresh the front of the 43-query
-        #     r11-vintage cohort (q01, q03-q07) — the r15 overflow
-        #     guard (r15 then owes 37 r11-vintage + touches).
+        #     is older than round 11. Several are ALSO r14
+        #     optimization touches (q118 widen + window-min dedup,
+        #     q132 min_by median pick, q150 _presort, q162 _presort,
+        #     q172 unit_weights single-pass merge).
+        # (c) the remaining 6 slots gate the r14 optimization touches
+        #     outside (a)/(b): the compute-density widening of q19,
+        #     q42, q44, q51, q71, q93 (touches outbid the r11
+        #     pre-refresh spares under the standing policy; r15 owes
+        #     the full 43-query r11 cohort + its own touches). The
+        #     q94 widen was REVERTED to keep the touch set inside the
+        #     50-slot cap (smallest measured win, 0.7 s); q122/q165
+        #     carry decision comments only — no behavior change, no
+        #     gate needed (the r13 carve_op comment-only precedent).
         "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
         "q35_string_spans": q35_string_spans,
@@ -11896,15 +11905,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_vorbis_meta": q169_vorbis_meta,
         "q170_flac_decode": q170_flac_decode,
         "q172_fasttext_subword": q172_fasttext_subword,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q42_decontaminate": q42_decontaminate,
+        "q44_repetition_metrics": q44_repetition_metrics,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        # --- past the driver window (rotation pool) ---------------------
+        # ordered oldest-vintage-first for the next recuts:
+        # r11 cohort (43 remaining, due r15):
         "q01_chunk_plan": q01_chunk_plan,
         "q03_scan_counts": q03_scan_counts,
         "q04_entropy": q04_entropy,
         "q05_sessionize": q05_sessionize,
         "q06_join_history": q06_join_history,
         "q07_left_join_coalesce": q07_left_join_coalesce,
-        # --- past the driver window (rotation pool) ---------------------
-        # ordered oldest-vintage-first for the next recuts:
-        # r11 cohort (37 remaining, due r15):
         "q08_group_dedup": q08_group_dedup,
         "q09_run_summary": q09_run_summary,
         "q10_case_mapping": q10_case_mapping,
@@ -11912,7 +11927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_url_parse": q12_url_parse,
         "q13_email_split": q13_email_split,
         "q18_exact_dedup": q18_exact_dedup,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
         "q20_token_stats": q20_token_stats,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
@@ -11928,16 +11942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_hash_sample": q39_hash_sample,
         "q40_pii_scrub": q40_pii_scrub,
         "q41_vocab_topk": q41_vocab_topk,
-        "q42_decontaminate": q42_decontaminate,
         "q43_line_dedup": q43_line_dedup,
-        "q44_repetition_metrics": q44_repetition_metrics,
         "q45_session_window": q45_session_window,
         "q46_kmv_sketch": q46_kmv_sketch,
         "q47_stream_window_agg": q47_stream_window_agg,
         "q48_asof_join": q48_asof_join,
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q157_bitext_mining": q157_bitext_mining,
@@ -11960,7 +11971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_stratified_fixed_k": q68_stratified_fixed_k,
         "q69_skew_profile": q69_skew_profile,
         "q70_sketch_outliers": q70_sketch_outliers,
-        "q71_edit_distance_neardup": q71_edit_distance_neardup,
         "q72_inverted_index": q72_inverted_index,
         "q73_pivot_matrix": q73_pivot_matrix,
         "q74_rollup_revenue": q74_rollup_revenue,
@@ -11978,7 +11988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
         "q89_webdataset": q89_webdataset,
         "q90_shard_manifest": q90_shard_manifest,
-        "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
         "q100_frame_sample": q100_frame_sample,
         "q101_audio_windows": q101_audio_windows,
