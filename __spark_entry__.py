@@ -8062,6 +8062,11 @@ def q132_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="l_returnflag",
         value_col="price_cents",
         weight_col="qty",
+        # two-level block prefix sum (r14): 1000.00-wide value blocks
+        # distribute the running weight instead of funneling each
+        # returnflag group through one sort partition — 3.13 -> 1.90 s
+        # at sf0.1, rows identical (relational.py docstring)
+        block_width=100_000,
         tiebreak_cols=["l_orderkey", "l_linenumber"],
     ).orderBy("l_returnflag")
 

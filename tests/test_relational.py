@@ -931,6 +931,40 @@ def test_grouped_weighted_median_exact(spark):
     # contrast: the UNWEIGHTED median of g's values would be 2
 
 
+def test_grouped_weighted_median_block_prefix_matches_single_window(spark):
+    """The two-level block prefix sum (block_width set) must return
+    rows identical to the single-window path for every block width —
+    including widths that split ties' blocks awkwardly, a width larger
+    than the whole value range (one block = degenerate single window),
+    negative values (floor-division blocks), and heavy skew onto one
+    value."""
+    import random
+
+    from swiftbeaver_spark.relational import grouped_weighted_median
+
+    rng = random.Random(14)
+    rows = []
+    for grp in ("a", "b", "c"):
+        for i in range(200):
+            # skew: half the rows of group a share value 7
+            val = 7 if (grp == "a" and i % 2 == 0) else rng.randint(-50, 50)
+            rows.append((grp, val, rng.randint(0, 5), i))
+    df = spark.createDataFrame(rows, ["grp", "val", "wt", "tb"])
+    base = sorted(
+        map(tuple, grouped_weighted_median(df, "grp", "val", "wt", ["tb"]).collect())
+    )
+    for width in (1, 3, 10, 1000):
+        got = sorted(
+            map(
+                tuple,
+                grouped_weighted_median(
+                    df, "grp", "val", "wt", ["tb"], block_width=width
+                ).collect(),
+            )
+        )
+        assert got == base, (width, got, base)
+
+
 def test_from_json_malformed_yields_null_not_failure(spark):
     """The q133 JSON path must tolerate damaged sidecar metadata: Spark
     from_json returns NULL for unparseable rows (PERMISSIVE), it never
