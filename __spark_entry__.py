@@ -6935,12 +6935,19 @@ def q118_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("passes_gopher"))
         .select("doc_id", "text")
     )
+    # single_pass: one evaluation of the gopher->explode subtree and
+    # one gram shuffle instead of two (r14: -22% at compute-dominated
+    # size, tied at bench SF where stage overhead dominates)
     clean_ids = (
-        contamination_scores(passed, bench, ngram_n=DECON_N)
+        contamination_scores(passed, bench, ngram_n=DECON_N, single_pass=True)
         .where(F.col("contamination_bp") < 2500)
         .select("doc_id")
     )
-    clean = passed.join(clean_ids, "doc_id")
+    # join back against `train`, not `passed`: clean_ids ⊆ passed by
+    # construction and doc_id is unique, so the rows are identical —
+    # but the gopher array machinery is not re-evaluated a third time
+    # just to recover (doc_id, text) (r14)
+    clean = train.join(clean_ids, "doc_id")
     fp = clean.select("doc_id", "text", fingerprint_pinned(F.col("text")).alias("fp"))
     # window-min dedup: ONE pass over fp (the old groupBy + join-back
     # referenced fp twice, re-evaluating the whole gopher->
@@ -11854,7 +11861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) the ENTIRE 37-query r10-vintage cohort (q102-q172 band)
         #     — the due-date set; after this round no green driver row
         #     is older than round 11. Several are ALSO r14
-        #     optimization touches (q118 widen + window-min dedup,
+        #     optimization touches (q118 widen + window-min dedup +
+        #     single-pass contamination + train join-back,
         #     q132 min_by median pick, q150 _presort, q162 _presort,
         #     q172 unit_weights single-pass merge).
         # (c) the remaining 6 slots gate the r14 optimization touches

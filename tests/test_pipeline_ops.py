@@ -383,6 +383,43 @@ def test_decontaminate_broadcasts_bench(spark, documents):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_contamination_scores_single_pass_matches_two_pass(spark, documents):
+    """The r14 single_pass mode (one gram shuffle, one train-subtree
+    evaluation) must emit the exact frame of the default two-pass
+    shape — on real text and on the edge cases: a doc with zero hits,
+    a fully contaminated doc, duplicate grams inside one doc (the
+    distinct semantics), and the short-doc sentinel gram."""
+    from swiftbeaver_spark.llm.pipeline import contamination_scores
+
+    bench = documents.where("doc_id < 20")
+    train = documents.where("doc_id >= 20 AND doc_id < 300")
+    for tr, be, n in [
+        (train, bench, 8),
+        (
+            spark.createDataFrame(
+                [
+                    (1, "a b c d e f g h i"),  # grams overlap bench fully
+                    (2, "x y z w v u t s r"),  # zero hits
+                    (3, "a b c d e f g h a b c d e f g h"),  # dup grams
+                    (4, "too short"),  # sentinel gram path
+                    (5, ""),  # empty text
+                ],
+                "doc_id long, text string",
+            ),
+            spark.createDataFrame(
+                [(0, "a b c d e f g h")], "doc_id long, text string"
+            ),
+            8,
+        ),
+    ]:
+        two = contamination_scores(tr, be, ngram_n=n).orderBy("doc_id")
+        one = contamination_scores(
+            tr, be, ngram_n=n, single_pass=True
+        ).orderBy("doc_id")
+        assert two.columns == one.columns
+        assert two.collect() == one.collect()
+
+
 # --- weighted_sample ---------------------------------------------------------
 
 
