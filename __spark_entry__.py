@@ -2600,9 +2600,7 @@ def q42_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" contaminated copy")).alias("text"),
     )
-    # the training-side n-gram explode is the dense stage — widen it
-    # to the session parallelism (the bench side broadcasts)
-    train = _widen(docs.where(F.col("doc_id") >= 20).unionByName(planted))
+    train = docs.where(F.col("doc_id") >= 20).unionByName(planted)
     return decontaminate(train, bench, ngram_n=DECON_N).orderBy("doc_id")
 
 
@@ -2703,12 +2701,10 @@ def q44_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc: duplicate
     token-bigram fraction and most-frequent-token share. Pure
     explode/partial-count/aggregate — shuffle keys are (doc, token)
-    and (doc, bigram), map-side combined. The tokenize+explode map
-    stage is widened to the session parallelism (all aggregates are
-    integer counts, so partial-aggregation order cannot drift)."""
+    and (doc, bigram), map-side combined."""
     from swiftbeaver_spark.llm.pipeline import repetition_metrics
 
-    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _t(spark, sf_dir, "documents")
     return repetition_metrics(docs).orderBy("doc_id")
 
 
@@ -3118,9 +3114,7 @@ def q51_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct ROW_NUMBER formulation."""
     from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
 
-    # widen the tokenize+posexplode map stage (integer partial counts
-    # only downstream — aggregation order cannot drift)
-    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return crossdoc_dup_ngrams(docs, ngram_n=DUPGRAM_N).orderBy("doc_id")
 
 
@@ -5526,10 +5520,7 @@ def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    # widen the per-vector plane fold (16 planes x 64 dims per row)
-    # off the scan's single split; bucketing/verify are per-row or
-    # equi-join, so widening cannot drift results
-    corpus = _widen(emb.select("vec_id", "embedding").unionByName(planted))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
     pairs = embedding_near_dups(
         corpus,
         threshold=0.5,
@@ -11866,14 +11857,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     q132 min_by median pick, q150 _presort, q162 _presort,
         #     q172 unit_weights single-pass merge).
         # (c) the remaining 6 slots gate the r14 optimization touches
-        #     outside (a)/(b): the compute-density widening of q19,
-        #     q42, q44, q51, q71, q93 (touches outbid the r11
-        #     pre-refresh spares under the standing policy; r15 owes
-        #     the full 43-query r11 cohort + its own touches). The
-        #     q94 widen was REVERTED to keep the touch set inside the
-        #     50-slot cap (smallest measured win, 0.7 s); q122/q165
-        #     carry decision comments only — no behavior change, no
-        #     gate needed (the r13 carve_op comment-only precedent).
+        #     outside (a)/(b), priority = structural rewrites first
+        #     (they change what the plan computes; a widen is a
+        #     semantics-free repartition that is a no-op at scale),
+        #     then widens largest-win-first: q09/q24 (split-long money
+        #     sums), q127/q131 (bigram doc-granularity restructure —
+        #     both consume the changed llm/text.py bigram_lm_score),
+        #     and the two largest compute-density widenings, q19 and
+        #     q71 (touches outbid the r11 pre-refresh spares under the
+        #     standing policy; r15 owes the full 43-query r11 cohort +
+        #     its own touches). The overflow widens were REVERTED to
+        #     keep the touch set inside the 50-slot cap, bodies
+        #     byte-identical to the r13 verdict tree (the q94
+        #     precedent): q42, q44, q51, q93, q94 — their measured
+        #     wins are recorded in OPTIMIZATION_r14.md as
+        #     measured-then-reverted; at scale the widen is a no-op
+        #     (natural partitioning >= parallelism), so the 100 TB
+        #     story loses nothing and r15 can re-land them with its
+        #     cohort rotation. q122/q165 carry decision comments only
+        #     — no behavior change, no gate needed (the r13 carve_op
+        #     comment-only precedent); q117 executes the refactored
+        #     contamination_scores default branch whose final plan is
+        #     byte-identical to r13 (proof: plans/r14/
+        #     q117_contamination_scores_{before,after}.txt diff
+        #     empty), the same no-behavior-change adjudication.
         "q173_entropy_kernel": q173_entropy_kernel,
         "q02_chunked_scan": q02_chunked_scan,
         "q35_string_spans": q35_string_spans,
@@ -11918,12 +11925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_vorbis_meta": q169_vorbis_meta,
         "q170_flac_decode": q170_flac_decode,
         "q172_fasttext_subword": q172_fasttext_subword,
+        "q09_run_summary": q09_run_summary,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
         "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q42_decontaminate": q42_decontaminate,
-        "q44_repetition_metrics": q44_repetition_metrics,
-        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q71_edit_distance_neardup": q71_edit_distance_neardup,
-        "q93_embedding_neardup": q93_embedding_neardup,
         # --- past the driver window (rotation pool) ---------------------
         # ordered oldest-vintage-first for the next recuts:
         # r11 cohort (43 remaining, due r15):
@@ -11934,7 +11941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_join_history": q06_join_history,
         "q07_left_join_coalesce": q07_left_join_coalesce,
         "q08_group_dedup": q08_group_dedup,
-        "q09_run_summary": q09_run_summary,
         "q10_case_mapping": q10_case_mapping,
         "q11_time_conversions": q11_time_conversions,
         "q12_url_parse": q12_url_parse,
@@ -11944,7 +11950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
         "q23_cosine_topk": q23_cosine_topk,
-        "q24_pricing_summary": q24_pricing_summary,
         "q25_top_orders": q25_top_orders,
         "q27_simhash_neardup": q27_simhash_neardup,
         "q28_lsh_topk": q28_lsh_topk,
@@ -11955,13 +11960,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_hash_sample": q39_hash_sample,
         "q40_pii_scrub": q40_pii_scrub,
         "q41_vocab_topk": q41_vocab_topk,
+        "q42_decontaminate": q42_decontaminate,
         "q43_line_dedup": q43_line_dedup,
+        "q44_repetition_metrics": q44_repetition_metrics,
         "q45_session_window": q45_session_window,
         "q46_kmv_sketch": q46_kmv_sketch,
         "q47_stream_window_agg": q47_stream_window_agg,
         "q48_asof_join": q48_asof_join,
         "q49_countmin": q49_countmin,
         "q50_weighted_sample": q50_weighted_sample,
+        "q51_crossdoc_dup": q51_crossdoc_dup,
         "q52_stream_dedup": q52_stream_dedup,
         "q122_semantic_dedup": q122_semantic_dedup,
         "q157_bitext_mining": q157_bitext_mining,
@@ -12001,6 +12009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
         "q89_webdataset": q89_webdataset,
         "q90_shard_manifest": q90_shard_manifest,
+        "q93_embedding_neardup": q93_embedding_neardup,
         "q94_doc_fingerprint": q94_doc_fingerprint,
         "q100_frame_sample": q100_frame_sample,
         "q101_audio_windows": q101_audio_windows,
@@ -12029,8 +12038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_html_extract": q124_html_extract,
         "q125_warc_roundtrip": q125_warc_roundtrip,
         "q126_small_qty_revenue": q126_small_qty_revenue,
-        "q127_bigram_lm": q127_bigram_lm,
-        "q131_crawl_pipeline": q131_crawl_pipeline,
         "q134_bfs_distances": q134_bfs_distances,
         "q139_patch_means": q139_patch_means,
         "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
