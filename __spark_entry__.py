@@ -6737,9 +6737,20 @@ def q115_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group discrete median (percentile_disc semantics: the
     value at rank ceil(n/2) under (value, orderkey) ordering — an
     actual row's value, integer-exact, no interpolation float canon).
-    Windows partition by the group key (market segment via customer
-    join — bounded per-group, no global sort); the broadcast dim join
-    feeds the window's partition key."""
+
+    r15: runs as `grouped_weighted_median` with unit weights — with
+    weight 1 per row the cumulative weight IS the row_number rank under
+    the same (cents, o_orderkey) order, and the cross-mult pick
+    (first row with 2*cum >= total) is exactly rank ceil(n/2), so the
+    result row is identical to the old two-window formulation. What
+    changes is the PLAN: the old shape funneled each market segment
+    through ONE sort partition (5 segments = 5 sort tasks at any scale,
+    the q132 hot-partition pathology); the two-level block prefix sum
+    (block_width on the cents axis) sorts only within (segment,
+    cents-block) and rolls per-block offsets through a window over the
+    tiny block summary. Same fix, same operator, as q132 (r14)."""
+    from swiftbeaver_spark.relational import grouped_weighted_median
+
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     joined = orders.join(
@@ -6750,22 +6761,21 @@ def q115_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
-    ranked = joined.select(
+    med = grouped_weighted_median(
+        joined.withColumn("_one", F.lit(1)),
+        group_col="c_mktsegment",
+        value_col="cents",
+        weight_col="_one",
+        # o_totalprice spans ~[90k, 6e7] cents -> ~600 blocks/segment at
+        # 100k-cent width; 5 segments x 600 blocks stays broadcast-tiny
+        block_width=100_000,
+        tiebreak_cols=["o_orderkey"],
+    )
+    return med.select(
         "c_mktsegment",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("c_mktsegment")).alias("n"),
-    )
-    return (
-        ranked.where(F.col("rn") == F.ceil(F.col("n") / 2))
-        .select(
-            "c_mktsegment",
-            F.col("cents").alias("median_cents"),
-            F.col("n").cast("long").alias("n_orders"),
-        )
-        .orderBy("c_mktsegment")
-    )
+        F.col("weighted_median").alias("median_cents"),
+        F.col("total_weight").alias("n_orders"),
+    ).orderBy("c_mktsegment")
 
 
 def q115_sql() -> str:

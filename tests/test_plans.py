@@ -255,6 +255,26 @@ def test_dense_timeline_broadcasts_spine_sides(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_grouped_median_blocked_no_per_group_sort(spark):
+    """q115 (r15): the median must run as the two-level block prefix
+    sum — the running rank's window partitions on (segment, value
+    block), never on the segment alone (5 segments = 5 sort tasks at
+    any scale), and the old row_number/count two-window shape is gone."""
+    import re
+
+    import __spark_entry__ as em
+
+    plan = _formatted(em.q115_grouped_median(spark, "/root/testdata/sf0.001"))
+    assert "row_number" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        # every window spec must carry the _blk block key (the per-block
+        # running sum) or partition the TINY block summary (group, _blk
+        # ordering) — none may sort whole segments in one partition
+        assert "_blk" in spec, plan
+
+
 def test_feature_store_single_pass_compute_above_range_exchange(spark):
     """q150: all per-doc signals in ONE projection over ONE scan, with
     exactly ONE exchange — the range repartition for the doc_id order —
