@@ -6936,11 +6936,13 @@ def q118_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("passes_gopher"))
         .select("doc_id", "text")
     )
-    # single_pass: one evaluation of the gopher->explode subtree and
-    # one gram shuffle instead of two (r14: -22% at compute-dominated
-    # size, tied at bench SF where stage overhead dominates)
+    # contamination_scores (r15 default): one evaluation of the
+    # gopher->explode subtree and ZERO gram-scale shuffles — the only
+    # exchange carries per-doc counters (r14 single-pass was -22% at
+    # compute-dominated size; r15 additionally drops its (doc, gram)
+    # dedup exchange, sound because word_ngrams is distinct per doc)
     clean_ids = (
-        contamination_scores(passed, bench, ngram_n=DECON_N, single_pass=True)
+        contamination_scores(passed, bench, ngram_n=DECON_N)
         .where(F.col("contamination_bp") < 2500)
         .select("doc_id")
     )

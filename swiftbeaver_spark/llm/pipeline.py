@@ -700,35 +700,30 @@ def contamination_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_n: int = 8,
-    single_pass: bool = False,
 ) -> DataFrame:
     """Graded contamination (the published n-gram-overlap metric, e.g.
     GPT-3 appendix C / PaLM contamination analysis): for EVERY train
     doc, the fraction of its distinct word n-grams that appear in the
     eval set — not just q42's boolean hit. Returns (doc_id, n_ngrams,
-    n_contaminated, contamination_pct) with the ratio as integer
+    n_contaminated, contamination_bp) with the ratio as integer
     basis points (floor(10000 * shared / total)) so the score is
-    engine-exact.
+    engine-exact. `id_col` must be unique per train doc (every caller's
+    contract already; duplicate ids would double-count their grams).
 
-    Scale: the eval gram set broadcasts (eval corpora are small by
-    construction); per-doc totals and hits are partial aggregates over
-    the exploded grams — one shuffle on doc_id, map-side combined.
-    Docs shorter than n grams score 0 of 1 sentinel gram (never
-    divide by zero).
-
-    single_pass=True computes the same frame from ONE evaluation of
-    the train-gram subtree: a broadcast LEFT join against the (unique)
-    eval grams marks each gram occurrence, a (doc, gram) group dedups,
-    and one per-doc count/sum replaces the two count_distinct
-    aggregations plus their join — one gram shuffle instead of two,
-    and the train corpus (scan + upstream filters + explode) is read
-    once instead of twice. Row-identical by construction (the flag is
-    functionally dependent on the gram; pinned by
-    tests/test_pipeline_ops.py). Measured at compute-dominated size
-    (sf0.1 text x50, ~250k docs): 20.5 -> 16.0 s noop minima (-22%,
-    r14); at bench SF the two shapes tie (stage overhead dominates).
-    Default stays two-pass so existing callers' plans are unchanged;
-    flip the default when every gated caller re-gates."""
+    Scale (r15 — the r14 single-pass shape minus its gram shuffle):
+    the eval gram set broadcasts (eval corpora are small by
+    construction); train grams are generated map-side by the explode,
+    flagged by ONE broadcast left join, and collapse immediately into
+    per-doc (count, hit-count) partial aggregates — correct with no
+    (doc, gram) pre-dedup because `word_ngrams` is array_distinct per
+    doc, so the exploded pairs are already unique. The ONLY exchange
+    carries two longs per doc (a doc's grams never leave its scan
+    partition), where the r14 shape shuffled the full gram stream once
+    and the r13 two-pass shape shuffled it twice and evaluated the
+    train subtree twice. Docs shorter than n grams score 0 of 1
+    sentinel gram (never divide by zero). Row-identity vs the retired
+    two-pass formulation is pinned by tests/test_pipeline_ops.py
+    against an inline reference."""
     egrams = bench.select(
         F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng")
     ).distinct()
@@ -736,35 +731,15 @@ def contamination_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), ngram_n)).alias("ng"),
     )
-    if single_pass:
-        flagged = tgrams.join(
-            F.broadcast(egrams.withColumn("_hit", F.lit(True))), "ng", "left"
-        )
-        per_doc = (
-            flagged.groupBy("doc_id", "ng")
-            .agg(F.max(F.coalesce(F.col("_hit"), F.lit(False))).alias("_hit"))
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-                F.sum(F.when(F.col("_hit"), 1).otherwise(0))
-                .cast("long")
-                .alias("n_contaminated"),
-            )
-        )
-    else:
-        hits = (
-            tgrams.join(F.broadcast(egrams), "ng", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count_distinct("ng").cast("long").alias("n_contaminated"))
-        )
-        totals = tgrams.groupBy("doc_id").agg(
-            F.count_distinct("ng").cast("long").alias("n_ngrams")
-        )
-        per_doc = totals.join(hits, "doc_id", "left").select(
-            "doc_id",
-            "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
-        )
+    flagged = tgrams.join(
+        F.broadcast(egrams.withColumn("_hit", F.lit(True))), "ng", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
     return per_doc.withColumn(
         "contamination_bp",
         F.floor(

@@ -383,13 +383,49 @@ def test_decontaminate_broadcasts_bench(spark, documents):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_contamination_scores_single_pass_matches_two_pass(spark, documents):
-    """The r14 single_pass mode (one gram shuffle, one train-subtree
-    evaluation) must emit the exact frame of the default two-pass
-    shape — on real text and on the edge cases: a doc with zero hits,
-    a fully contaminated doc, duplicate grams inside one doc (the
-    distinct semantics), and the short-doc sentinel gram."""
+def test_contamination_scores_matches_two_pass_reference(spark, documents):
+    """The r15 single-exchange shape (broadcast flag -> per-doc partial
+    counters, no gram-scale shuffle) must emit the exact frame of the
+    retired r13 two-pass formulation (semi-join + two count_distinct
+    aggregations + join), inlined here as the reference — on real text
+    and on the edge cases: a doc with zero hits, a fully contaminated
+    doc, duplicate grams inside one doc (the distinct semantics), and
+    the short-doc sentinel gram."""
+    from pyspark.sql import functions as F
+
+    from swiftbeaver_spark.llm.dedup import word_ngrams
     from swiftbeaver_spark.llm.pipeline import contamination_scores
+
+    def two_pass_reference(tr, be, n):
+        egrams = be.select(
+            F.explode(word_ngrams(F.col("text"), n)).alias("ng")
+        ).distinct()
+        tgrams = tr.select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ng")
+        )
+        hits = (
+            tgrams.join(F.broadcast(egrams), "ng", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("ng").cast("long").alias("n_contaminated"))
+        )
+        totals = tgrams.groupBy("doc_id").agg(
+            F.count_distinct("ng").cast("long").alias("n_ngrams")
+        )
+        per_doc = totals.join(hits, "doc_id", "left").select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        return per_doc.withColumn(
+            "contamination_bp",
+            F.floor(
+                10000
+                * F.col("n_contaminated")
+                / F.greatest(F.col("n_ngrams"), F.lit(1))
+            ).cast("long"),
+        )
 
     bench = documents.where("doc_id < 20")
     train = documents.where("doc_id >= 20 AND doc_id < 300")
@@ -412,12 +448,10 @@ def test_contamination_scores_single_pass_matches_two_pass(spark, documents):
             8,
         ),
     ]:
-        two = contamination_scores(tr, be, ngram_n=n).orderBy("doc_id")
-        one = contamination_scores(
-            tr, be, ngram_n=n, single_pass=True
-        ).orderBy("doc_id")
-        assert two.columns == one.columns
-        assert two.collect() == one.collect()
+        ref = two_pass_reference(tr, be, n).orderBy("doc_id")
+        got = contamination_scores(tr, be, ngram_n=n).orderBy("doc_id")
+        assert ref.columns == got.columns
+        assert ref.collect() == got.collect()
 
 
 # --- weighted_sample ---------------------------------------------------------
