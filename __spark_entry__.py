@@ -2600,7 +2600,9 @@ def q42_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" contaminated copy")).alias("text"),
     )
-    train = docs.where(F.col("doc_id") >= 20).unionByName(planted)
+    # the training-side n-gram explode is the dense stage — widen it
+    # to the session parallelism (the bench side broadcasts)
+    train = _widen(docs.where(F.col("doc_id") >= 20).unionByName(planted))
     return decontaminate(train, bench, ngram_n=DECON_N).orderBy("doc_id")
 
 
@@ -2701,10 +2703,12 @@ def q44_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per doc: duplicate
     token-bigram fraction and most-frequent-token share. Pure
     explode/partial-count/aggregate — shuffle keys are (doc, token)
-    and (doc, bigram), map-side combined."""
+    and (doc, bigram), map-side combined. The tokenize+explode map
+    stage is widened to the session parallelism (all aggregates are
+    integer counts, so partial-aggregation order cannot drift)."""
     from swiftbeaver_spark.llm.pipeline import repetition_metrics
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_metrics(docs).orderBy("doc_id")
 
 
@@ -3114,7 +3118,9 @@ def q51_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct ROW_NUMBER formulation."""
     from swiftbeaver_spark.llm.pipeline import crossdoc_dup_ngrams
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen the tokenize+posexplode map stage (integer partial counts
+    # only downstream — aggregation order cannot drift)
+    docs = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return crossdoc_dup_ngrams(docs, ngram_n=DUPGRAM_N).orderBy("doc_id")
 
 
@@ -5520,7 +5526,10 @@ def q93_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    # widen the per-vector plane fold (16 planes x 64 dims per row)
+    # off the scan's single split; bucketing/verify are per-row or
+    # equi-join, so widening cannot drift results
+    corpus = _widen(emb.select("vec_id", "embedding").unionByName(planted))
     pairs = embedding_near_dups(
         corpus,
         threshold=0.5,
@@ -5585,8 +5594,8 @@ def q94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" qq tail")).alias("text"),
     )
     fp = (
-        docs.unionByName(copies)
-        .unionByName(mutated)
+        # widen the md5-per-shingle fingerprint off the single split
+        _widen(docs.unionByName(copies).unionByName(mutated))
         .select("doc_id", fingerprint_pinned(F.col("text")).alias("fp"))
     )
     l, r = fp.alias("l"), fp.alias("r")
