@@ -548,15 +548,25 @@ def pagerank(
     corpus filtering, unrolled to a bounded number of join+aggregate
     rounds so the whole computation stays one declarative plan.
 
-    Scale per iteration: one shuffle joining ranks to edges on src and
-    one partial-agg shuffle on dst — both on narrow key columns; the
-    rank table is one row per node. Out-degree normalization is
-    precomputed once. Every round localCheckpoints the rank table —
-    without the lineage cut each round's plan contains every prior
-    round's subtree and per-round Catalyst cost GROWS (the q36
-    connected-components loop measured 0.7 -> 3.7 s/round from
-    exactly this; see llm/cluster.py), so `iterations` can now be
-    raised freely.
+    Scale per iteration (r15): ONE exchange — the partial-agg shuffle
+    of contributions on dst. The old shape additionally LEFT-joined the
+    aggregated contributions back to the node table every round (its
+    own shuffle-or-broadcast pair) to give contribution-less nodes the
+    (1-d)/N base; instead the node table is unioned in as zero
+    contributions BEFORE the aggregate, so one groupBy produces the
+    full next-round rank vector directly (adding 0.0 to a float sum is
+    exact, and dangling nodes sum to base as before — rows identical;
+    pinned by tests/test_relational.py against an unrolled reference).
+    The join of ranks to edges on src carries no exchange of the edge
+    table: `e` persists already hash-partitioned on src (the outw join
+    leaves it clustered on src at scale) and only narrow (src, dst,
+    frac) columns — w/outw are projected away before the persist so
+    iteration shuffles never carry them (guide §2.3). Every round
+    localCheckpoints the rank table — without the lineage cut each
+    round's plan contains every prior round's subtree and per-round
+    Catalyst cost GROWS (the q36 connected-components loop measured
+    0.7 -> 3.7 s/round from exactly this; see llm/cluster.py), so
+    `iterations` can be raised freely.
 
     The EDGE table, by contrast, is the largest input at target scale
     and is only persist()-ed (MEMORY_AND_DISK), never
@@ -578,7 +588,7 @@ def pagerank(
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     e = (
         e.join(outw, "src")
-        .withColumn("frac", F.col("w") / F.col("outw"))
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("frac"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -590,24 +600,20 @@ def pagerank(
     n_nodes = nodes.count()  # one scalar; the driver holds a single long
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    zero = nodes.select(F.col("node").alias("dst"), F.lit(0.0).alias("c"))
     for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("pr") * F.col("frac")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_c"))
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            "dst", (F.col("pr") * F.col("frac")).alias("c")
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(base) + damping * F.coalesce(F.col("in_c"), F.lit(0.0))).alias(
-                    "pr"
-                ),
-            )
+            contrib.unionByName(zero)
+            .groupBy("dst")
+            .agg((F.lit(base) + damping * F.sum("c")).alias("pr"))
+            .select(F.col("dst").alias("node"), "pr")
             .localCheckpoint()
         )
-    ranks = ranks.localCheckpoint()  # sever lineage before freeing inputs
+    if iterations == 0:
+        ranks = ranks.localCheckpoint()  # sever lineage before freeing inputs
     e.unpersist()
     nodes.unpersist()
     return ranks
@@ -798,49 +804,60 @@ def bfs_distances(
     BFS order guarantees the first time a node is reached IS its
     minimum distance, so no re-relaxation round is needed.
 
-    Scale: each round shuffles only the FRONTIER joined to its
-    out-edges (not the whole graph); every level localCheckpoints the
-    frontier and the settled set — the earlier persist + isEmpty()
-    version left each level's cache PARTIALLY populated (isEmpty is a
-    limit-1 scan) and kept the full lineage, so later levels recomputed
-    through every prior level's plan (the q36 connected-components
-    pathology, llm/cluster.py; measured there 0.7 -> 3.7 s/round).
+    Scale per level (r15): ONE exchange — the settled set and the
+    newly reached candidates union into a per-node MIN(dist)
+    aggregate, which both folds duplicates (the old `distinct`) and
+    keeps already-settled nodes at their earlier level (the old
+    anti-join) in a single map-side-combinable pass; the next frontier
+    is then just the filter dist == level over the aggregated (and
+    checkpointed) table, no extra job. BFS min-dist semantics are
+    identical: a node's first-reach level IS its min over all reaches,
+    and nodes with dist == level are exactly the newly settled set
+    (pinned by tests/test_relational.py). The frontier-to-edges join
+    itself adds no edge-table exchange: `e` persists hash-partitioned
+    on the source key (explicit repartition — the (src, dst) distinct
+    alone would leave it clustered on the PAIR, re-shuffling the whole
+    graph every level at scale), and the frontier arrives clustered on
+    node from the aggregate. Every level localCheckpoints the settled
+    table — the earlier persist + isEmpty() version left each level's
+    cache PARTIALLY populated (isEmpty is a limit-1 scan) and kept the
+    full lineage, so later levels recomputed through every prior
+    level's plan (the q36 connected-components pathology,
+    llm/cluster.py; measured there 0.7 -> 3.7 s/round).
     The EDGE table — the largest input at target scale — is only
     persist()-ed (recomputable from lineage on executor loss), never
     localCheckpoint-ed: non-recomputable blocks on the biggest frame
     would turn any executor decommission into a whole-job failure,
     and its static subtree plays no part in per-level plan growth.
     The loop exits early on an empty frontier (one bounded driver-side
-    emptiness check per level, <= max_dist actions); checkpoint
-    snapshots are freed by the ContextCleaner as levels go
-    unreferenced. Deterministic — set semantics, no ordering
-    dependence."""
+    emptiness check per level over the already-checkpointed table,
+    <= max_dist actions); checkpoint snapshots are freed by the
+    ContextCleaner as levels go unreferenced. Deterministic — set
+    semantics, no ordering dependence."""
     dist = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint()
     )
-    frontier = dist
+    frontier = dist.select("node")
     e = (
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
         .distinct()
+        .repartition("_s")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for level in range(1, max_dist + 1):
         reached = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select(F.col("_d").alias("node"))
-            .distinct()
-        )
-        new = (
-            reached.join(dist, "node", "left_anti")
             .withColumn("dist", F.lit(level))
-            .localCheckpoint()
         )
-        if new.isEmpty():
+        dist = dist.unionByName(reached).groupBy("node").agg(
+            F.min("dist").alias("dist")
+        ).localCheckpoint()
+        frontier = dist.where(F.col("dist") == level).select("node")
+        if frontier.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint()
-        frontier = new
     e.unpersist()  # dist is checkpoint-backed; safe to free the edges
     return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -1002,3 +1002,60 @@ def test_bfs_distances_min_over_multiple_paths(spark):
     seeds = spark.createDataFrame([(1,)], ["node"])
     got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_dist=4).collect()}
     assert got[4] == 1 and got[3] == 2
+
+
+def test_bfs_distances_cycle_and_early_exit(spark):
+    """r15 union+min rewrite: re-reaching settled nodes through a cycle
+    must keep the earlier level (the retired anti-join's job), and the
+    traversal must stop early when a level settles nothing new even
+    with max_dist slack left."""
+    from swiftbeaver_spark.relational import bfs_distances
+
+    # 1 -> 2 -> 3 -> 1 cycle plus a spur 3 -> 4; seed = 1; max_dist has
+    # slack (10) so the result only terminates via the empty frontier
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.dist for r in bfs_distances(edges, seeds, max_dist=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pagerank_matches_unrolled_reference(spark):
+    """r15 union-zeros rewrite: the one-exchange-per-round shape must
+    reproduce the textbook per-node iteration (computed in Python) on
+    a graph with dangling nodes, a hub, and weighted multi-edges —
+    to float tolerance far tighter than the q80 oracle's 6dp canon."""
+    from swiftbeaver_spark.relational import pagerank
+
+    raw = [
+        (1, 2, 3.0),
+        (1, 3, 1.0),
+        (2, 3, 1.0),
+        (3, 1, 2.0),
+        (4, 1, 1.0),
+        (4, 5, 1.0),
+        # node 5 is dangling (no out-edges); node 4 has no in-edges
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, weight_col="w", iterations=4).collect()
+    }
+
+    nodes = sorted({s for s, _, _ in raw} | {d for _, d, _ in raw})
+    outw = {}
+    for s, _, w in raw:
+        outw[s] = outw.get(s, 0.0) + w
+    d, n = 0.85, float(len(nodes))
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in raw:
+            contrib[t] += pr[s] * (w / outw[s])
+        pr = {v: (1.0 - d) / n + d * contrib[v] for v in nodes}
+    assert set(got) == set(pr)
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
