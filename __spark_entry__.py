@@ -11846,115 +11846,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills the remaining slots oldest-first).
     return {
         # --- driver window (first 50) -----------------------------------
-        # Round-14 cut, per the standing rotation policy (VERDICT r8-r13):
-        # (a) round-14 code-touched gates. This round changed the scan
-        #     kernel again (jar recompiled: ScanEvidenceUdf UDF4->UDF5
-        #     threading valid_length to skip overlap-tail gate
-        #     validation; ScanGates/Ac gained the bm@min_size gate
-        #     param; scanner.py scan_gate_indexes/_bmp_ok/scan_evidence
-        #     changed) — execution-reached by every JVM-kernel scan:
-        #     q02 (scan_chunks_jvm) and q30-q33 (scan + carve); q173/
-        #     q35 window as the standing kernel-family gates (jar
-        #     recompiled; Ent.java/Strs.java bodies unchanged). The
-        #     new gate param + tail-skip fire only on EVIDENCE-path
-        #     scans (scan_evidence / sb_scan_all), which no gated
-        #     query runs — those paths are pinned by tests/
-        #     test_scan_gates.py (incl. the new min_size hoist test,
-        #     JVM==fallback differentials) + tests/test_mp3_gate.py +
-        #     the one-pass parity suite. carve_op.py changed comments
-        #     only. The r14 size-scaled partition counts (fused_scan
-        #     scan_all_from_evidence, scanner scan_evidence, entropy/
-        #     strings standalone evidence paths, carve_hits_with_
-        #     evidence shuffle width) also touch only evidence paths —
-        #     partitioning is semantics-free and the counts floor at
-        #     defaultParallelism, so sf-scale plans are byte-identical;
-        #     pinned by the parity suites plus the 20 GiB/8g
-        #     memory-law runs.
-        # (b) the ENTIRE 37-query r10-vintage cohort (q102-q172 band)
-        #     — the due-date set; after this round no green driver row
-        #     is older than round 11. Several are ALSO r14
-        #     optimization touches (q118 widen + window-min dedup +
-        #     single-pass contamination + train join-back,
-        #     q132 min_by median pick, q150 _presort, q162 _presort,
-        #     q172 unit_weights single-pass merge).
-        # (c) the remaining 6 slots gate the r14 optimization touches
-        #     outside (a)/(b), priority = structural rewrites first
-        #     (they change what the plan computes; a widen is a
-        #     semantics-free repartition that is a no-op at scale),
-        #     then widens largest-win-first: q09/q24 (split-long money
-        #     sums), q127/q131 (bigram doc-granularity restructure —
-        #     both consume the changed llm/text.py bigram_lm_score),
-        #     and the two largest compute-density widenings, q19 and
-        #     q71 (touches outbid the r11 pre-refresh spares under the
-        #     standing policy; r15 owes the full 43-query r11 cohort +
-        #     its own touches). The overflow widens were REVERTED to
-        #     keep the touch set inside the 50-slot cap, bodies
-        #     byte-identical to the r13 verdict tree (the q94
-        #     precedent): q42, q44, q51, q93, q94 — their measured
-        #     wins are recorded in OPTIMIZATION_r14.md as
-        #     measured-then-reverted; at scale the widen is a no-op
-        #     (natural partitioning >= parallelism), so the 100 TB
-        #     story loses nothing and r15 can re-land them with its
-        #     cohort rotation. q122/q165 carry decision comments only
-        #     — no behavior change, no gate needed (the r13 carve_op
-        #     comment-only precedent); q117 executes the refactored
-        #     contamination_scores default branch whose final plan is
-        #     byte-identical to r13 (proof: plans/r14/
-        #     q117_contamination_scores_{before,after}.txt diff
-        #     empty), the same no-behavior-change adjudication.
-        "q173_entropy_kernel": q173_entropy_kernel,
-        "q02_chunked_scan": q02_chunked_scan,
-        "q35_string_spans": q35_string_spans,
-        "q30_carve_roundtrip": q30_carve_roundtrip,
-        "q31_carve_declared": q31_carve_declared,
-        "q32_carve_structured": q32_carve_structured,
-        "q33_carve_remaining": q33_carve_remaining,
-        "q102_retention_cohorts": q102_retention_cohorts,
-        "q103_event_transitions": q103_event_transitions,
-        "q109_boilerplate_removal": q109_boilerplate_removal,
-        "q112_snapshot_diff": q112_snapshot_diff,
-        "q113_fk_orphans": q113_fk_orphans,
-        "q118_curation_v2": q118_curation_v2,
-        "q119_split_assignment": q119_split_assignment,
-        "q120_ivfpq_residual": q120_ivfpq_residual,
-        "q121_filtered_ann": q121_filtered_ann,
-        "q128_hilbert": q128_hilbert,
-        "q129_kmv_set_ops": q129_kmv_set_ops,
-        "q130_temperature_sample": q130_temperature_sample,
-        "q132_weighted_median": q132_weighted_median,
-        "q133_json_extract": q133_json_extract,
-        "q135_format_roundtrip": q135_format_roundtrip,
-        "q136_substring_dedup": q136_substring_dedup,
-        "q137_kmeans": q137_kmeans,
-        "q138_privacy_audit": q138_privacy_audit,
-        "q141_dense_timeline": q141_dense_timeline,
-        "q142_schema_evolution": q142_schema_evolution,
-        "q143_time_travel": q143_time_travel,
-        "q144_collocations": q144_collocations,
-        "q145_tfidf_keywords": q145_tfidf_keywords,
-        "q146_inference_batching": q146_inference_batching,
-        "q150_feature_store": q150_feature_store,
-        "q151_semantic_decontamination": q151_semantic_decontamination,
-        "q152_cluster_best_keep": q152_cluster_best_keep,
-        "q159_data_card": q159_data_card,
-        "q162_sft_spans": q162_sft_spans,
-        "q163_prefix_cache_plan": q163_prefix_cache_plan,
-        "q165_equidepth_histogram": q165_equidepth_histogram,
-        "q166_domain_caps": q166_domain_caps,
-        "q167_jpeg_decode": q167_jpeg_decode,
-        "q168_mp3_frames": q168_mp3_frames,
-        "q169_vorbis_meta": q169_vorbis_meta,
-        "q170_flac_decode": q170_flac_decode,
-        "q172_fasttext_subword": q172_fasttext_subword,
-        "q09_run_summary": q09_run_summary,
-        "q24_pricing_summary": q24_pricing_summary,
-        "q127_bigram_lm": q127_bigram_lm,
-        "q131_crawl_pipeline": q131_crawl_pipeline,
-        "q19_ngram_jaccard": q19_ngram_jaccard,
-        "q71_edit_distance_neardup": q71_edit_distance_neardup,
-        # --- past the driver window (rotation pool) ---------------------
-        # ordered oldest-vintage-first for the next recuts:
-        # r11 cohort (43 remaining, due r15):
+        # Round-15 cut, per the standing rotation policy (VERDICT
+        # r8-r14): (a) the ENTIRE 40-query r11-vintage cohort (the
+        # q01-q52 band + q122/q157/q160) — the due-date set owed by
+        # VERDICT r14 task 3; after this round no green driver row is
+        # older than round 12. Three of them are ALSO r15 touches: the
+        # re-landed q42/q44/q51 compute-density widens (reverted in r14
+        # only for the 50-slot cap, measured wins recorded in
+        # OPTIMIZATION_r14.md).
+        # (b) the 7 out-of-cohort r15 touches: q93/q94 (re-landed
+        # widens, r12 vintage), q115 (two-level block-prefix median —
+        # the VERDICT r14 top_next item), q117 + q118 (single-exchange
+        # contamination_scores: the two-pass branch is retired, q117
+        # was its last caller; q118 consumes the same changed callee
+        # and drops its (doc, gram) dedup exchange), q80 + q134
+        # (pagerank round / BFS level collapsed to one exchange in
+        # relational.py — both consume the changed loop bodies).
+        # Exhaustive touch audit vs the r14 verdict tree (1fd3867):
+        # changed query functions = q115, q118, q42, q44, q51, q93,
+        # q94; changed shared callees reach q117 (contamination_scores
+        # — plan changes, windowed), q80 (pagerank), q134
+        # (bfs_distances); grouped_weighted_median is UNCHANGED (q132
+        # merely gains a second caller); no kernel/jar/scanner change
+        # this round, so the q02/q30-q33/q35/q173 kernel gates stay on
+        # their r14 rows. Every touched query is in this window —
+        # zero touched-not-windowed.
+        # (c) the 3 remaining slots pre-refresh the oldest r12-cohort
+        # rows (q53/q54/q55), due r16 with the rest of their cohort.
         "q01_chunk_plan": q01_chunk_plan,
         "q03_scan_counts": q03_scan_counts,
         "q04_entropy": q04_entropy,
@@ -11995,10 +11913,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_semantic_dedup": q122_semantic_dedup,
         "q157_bitext_mining": q157_bitext_mining,
         "q160_mmr_rerank": q160_mmr_rerank,
-        # r12 cohort (43):
+        # r15 out-of-cohort touches (window slots, see comment):
+        "q80_pagerank": q80_pagerank,
+        "q93_embedding_neardup": q93_embedding_neardup,
+        "q94_doc_fingerprint": q94_doc_fingerprint,
+        "q115_grouped_median": q115_grouped_median,
+        "q117_contamination_scores": q117_contamination_scores,
+        "q118_curation_v2": q118_curation_v2,
+        "q134_bfs_distances": q134_bfs_distances,
+        # oldest r12-cohort spares (pre-refresh, due r16):
         "q53_stream_interval_join": q53_stream_interval_join,
         "q54_histogram_quantiles": q54_histogram_quantiles,
         "q55_linear_quality": q55_linear_quality,
+        # --- past the driver window (rotation pool) ---------------------
+        # ordered oldest-vintage-first for the next recuts:
+        # r12 cohort remainder (37, due r16):
         "q56_interval_join_batch": q56_interval_join_batch,
         "q57_salted_join": q57_salted_join,
         "q58_incremental_dedup": q58_incremental_dedup,
@@ -12030,18 +11959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_binary_hamming_topk": q87_binary_hamming_topk,
         "q89_webdataset": q89_webdataset,
         "q90_shard_manifest": q90_shard_manifest,
-        "q93_embedding_neardup": q93_embedding_neardup,
-        "q94_doc_fingerprint": q94_doc_fingerprint,
         "q100_frame_sample": q100_frame_sample,
         "q101_audio_windows": q101_audio_windows,
         "q104_stream_neardup": q104_stream_neardup,
         "q105_chunk_documents": q105_chunk_documents,
         "q106_gopher_flags": q106_gopher_flags,
         "q107_c4_clean": q107_c4_clean,
-        # r13 cohort (43, gated green r13):
+        # r13 cohort remainder (37, gated green r13):
         "q26_minhash_neardup": q26_minhash_neardup,
         "q34_ivf_topk": q34_ivf_topk,
-        "q80_pagerank": q80_pagerank,
         "q88_ivfpq_topk": q88_ivfpq_topk,
         "q91_coarse_refine_topk": q91_coarse_refine_topk,
         "q95_incremental_minhash": q95_incremental_minhash,
@@ -12052,14 +11978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_grouping_sets": q110_grouping_sets,
         "q111_moving_window": q111_moving_window,
         "q114_tfrecord_roundtrip": q114_tfrecord_roundtrip,
-        "q115_grouped_median": q115_grouped_median,
         "q116_grouped_mode": q116_grouped_mode,
-        "q117_contamination_scores": q117_contamination_scores,
         "q123_prefix_filter_join": q123_prefix_filter_join,
         "q124_html_extract": q124_html_extract,
         "q125_warc_roundtrip": q125_warc_roundtrip,
         "q126_small_qty_revenue": q126_small_qty_revenue,
-        "q134_bfs_distances": q134_bfs_distances,
         "q139_patch_means": q139_patch_means,
         "q140_stream_crawl_ingest": q140_stream_crawl_ingest,
         "q147_persisted_index": q147_persisted_index,
@@ -12080,6 +12003,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bpe_learn": q59_bpe_learn,
         "q92_bpe_tokenize": q92_bpe_tokenize,
         "q97_compaction_plan": q97_compaction_plan,
+        # r14 window (49, gated green r14):
+        "q173_entropy_kernel": q173_entropy_kernel,
+        "q02_chunked_scan": q02_chunked_scan,
+        "q35_string_spans": q35_string_spans,
+        "q30_carve_roundtrip": q30_carve_roundtrip,
+        "q31_carve_declared": q31_carve_declared,
+        "q32_carve_structured": q32_carve_structured,
+        "q33_carve_remaining": q33_carve_remaining,
+        "q102_retention_cohorts": q102_retention_cohorts,
+        "q103_event_transitions": q103_event_transitions,
+        "q109_boilerplate_removal": q109_boilerplate_removal,
+        "q112_snapshot_diff": q112_snapshot_diff,
+        "q113_fk_orphans": q113_fk_orphans,
+        "q119_split_assignment": q119_split_assignment,
+        "q120_ivfpq_residual": q120_ivfpq_residual,
+        "q121_filtered_ann": q121_filtered_ann,
+        "q128_hilbert": q128_hilbert,
+        "q129_kmv_set_ops": q129_kmv_set_ops,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q132_weighted_median": q132_weighted_median,
+        "q133_json_extract": q133_json_extract,
+        "q135_format_roundtrip": q135_format_roundtrip,
+        "q136_substring_dedup": q136_substring_dedup,
+        "q137_kmeans": q137_kmeans,
+        "q138_privacy_audit": q138_privacy_audit,
+        "q141_dense_timeline": q141_dense_timeline,
+        "q142_schema_evolution": q142_schema_evolution,
+        "q143_time_travel": q143_time_travel,
+        "q144_collocations": q144_collocations,
+        "q145_tfidf_keywords": q145_tfidf_keywords,
+        "q146_inference_batching": q146_inference_batching,
+        "q150_feature_store": q150_feature_store,
+        "q151_semantic_decontamination": q151_semantic_decontamination,
+        "q152_cluster_best_keep": q152_cluster_best_keep,
+        "q159_data_card": q159_data_card,
+        "q162_sft_spans": q162_sft_spans,
+        "q163_prefix_cache_plan": q163_prefix_cache_plan,
+        "q165_equidepth_histogram": q165_equidepth_histogram,
+        "q166_domain_caps": q166_domain_caps,
+        "q167_jpeg_decode": q167_jpeg_decode,
+        "q168_mp3_frames": q168_mp3_frames,
+        "q169_vorbis_meta": q169_vorbis_meta,
+        "q170_flac_decode": q170_flac_decode,
+        "q172_fasttext_subword": q172_fasttext_subword,
+        "q09_run_summary": q09_run_summary,
+        "q24_pricing_summary": q24_pricing_summary,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q131_crawl_pipeline": q131_crawl_pipeline,
+        "q19_ngram_jaccard": q19_ngram_jaccard,
+        "q71_edit_distance_neardup": q71_edit_distance_neardup,
     }
 
 
