@@ -684,7 +684,7 @@ def embedding_near_dups(
     vecs = embeddings.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes, plane_matrix))
+    ).withColumn("bucket", hyperplane_bucket("vec", num_planes, plane_matrix))
     l, r = vecs.alias("l"), vecs.alias("r")
     cos = cosine_similarity(F.col("l.vec"), F.col("r.vec"))
     if round_cosine is not None:

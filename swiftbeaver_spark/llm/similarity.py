@@ -105,7 +105,7 @@ def md5_plane_matrix(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def hyperplane_bucket(
-    vec: Column,
+    vec: Column | str,
     num_planes: int = 8,
     plane_matrix: list[list[float]] | None = None,
 ) -> Column:
@@ -115,8 +115,31 @@ def hyperplane_bucket(
     With `plane_matrix`: explicit ±1 literals unrolled into the plan —
     a strict left-to-right fold (0.0 + v1*c1 + ... + vn*cn) whose IEEE
     result any engine can replicate bit-for-bit for oracle checks.
-    All arithmetic in codegen either way."""
+    All arithmetic in codegen either way.
+
+    Pass `vec` as a column NAME (str) on the pinned-matrix path: the
+    whole planes x dim expression is then built as ONE SQL string and
+    parsed with a single F.expr — the Column-operator form costs one
+    py4j round trip per term (planes x dim x ~3 trips; measured r15:
+    ~4.4 s of pure driver latency per q28 plan BUILD at 6x64, ~75% of
+    that query's wall), while parsing is O(1) round trips. The parsed
+    tree is operator-identical — left-assoc Add over element_at *
+    double-literal, CASE WHEN s > 0 — so codegen, results, and the
+    IEEE fold order are unchanged (pinned by
+    tests/test_llm.py::test_hyperplane_bucket_sql_path_matches_column_path).
+    The Column form stays supported for arbitrary expressions."""
     if plane_matrix is not None:
+        if isinstance(vec, str):
+            plane_terms = []
+            for p, row in enumerate(plane_matrix):
+                s = " + ".join(
+                    f"element_at({vec}, {j + 1}) * {c!r}D"
+                    for j, c in enumerate(row)
+                )
+                plane_terms.append(
+                    f"(CASE WHEN (0.0D + {s}) > 0 THEN {1 << p} ELSE 0 END)"
+                )
+            return F.expr("0 + " + " + ".join(plane_terms))
         bucket = F.lit(0)
         for p, row in enumerate(plane_matrix):
             s = F.lit(0.0)
@@ -124,6 +147,8 @@ def hyperplane_bucket(
                 s = s + F.element_at(vec, j + 1) * F.lit(c)
             bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return bucket
+    if isinstance(vec, str):
+        vec = F.col(vec)
     signs = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
         lambda p: F.when(
@@ -494,11 +519,11 @@ def lsh_topk(
     cross-engine float stability in oracle comparisons."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), num_planes, plane_matrix))
+    ).withColumn("bucket", hyperplane_bucket("vec", num_planes, plane_matrix))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("query_vec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("query_vec"), num_planes, plane_matrix))
+    ).withColumn("bucket", hyperplane_bucket("query_vec", num_planes, plane_matrix))
     cos = cosine_similarity(F.col("vec"), F.col("query_vec"))
     if round_cosine is not None:
         cos = F.round(cos, round_cosine)

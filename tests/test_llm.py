@@ -2341,3 +2341,27 @@ def test_assign_cells_hier_trained_quantizer_agreement(spark):
     }
     agree = sum(flat[k] == hier[k] for k in flat) / len(flat)
     assert agree >= 0.97, agree
+
+
+def test_hyperplane_bucket_sql_path_matches_column_path(spark):
+    """r15: the pinned-matrix bucket built as ONE parsed SQL string
+    (name arg; O(1) py4j round trips per plan build) must equal the
+    Column-operator fold term for term — same left-to-right IEEE sum,
+    same CASE thresholds — on real embeddings."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from swiftbeaver_spark.llm.similarity import hyperplane_bucket, md5_plane_matrix
+
+    emb = em._t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    planes = md5_plane_matrix(6, 64)
+    both = emb.select(
+        "vec_id",
+        hyperplane_bucket("vec", 6, planes).alias("b_sql"),
+        hyperplane_bucket(F.col("vec"), 6, planes).alias("b_col"),
+    )
+    bad = both.where(F.col("b_sql") != F.col("b_col")).count()
+    assert bad == 0
+    assert both.where(F.col("b_sql") > 0).count() > 0  # nondegenerate
